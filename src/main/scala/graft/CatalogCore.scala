@@ -1,0 +1,479 @@
+package graft
+
+import graft.ops._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Core relational + lifecycle query catalog (SURVEY.md §2.1–§2.9).
+  *
+  * Every entry is (name, Spark impl, DuckDB oracle SQL). Conventions that keep
+  * the oracle hash stable across engines:
+  *  - money sums go through DECIMAL(18,2) (exact, order-independent) and
+  *    surface as DOUBLE — see [[graft.ops.Scalars.moneySum]];
+  *  - epoch↔date conversions are UTC and tz-free on both sides
+  *    (`make_timestamp(µs)` in DuckDB, `timestamp_seconds` in Spark);
+  *  - every query ends in a total-order ORDER BY;
+  *  - aggregate counts are BIGINT on both sides (DuckDB `SUM(int)` returns
+  *    HUGEINT and is cast down).
+  */
+object CatalogCore {
+
+  type QueryFn = (SparkSession, String) => DataFrame
+
+  private def status(spark: SparkSession, dir: String): DataFrame =
+    Lifecycle.statusFromOrders(Tables.orders(spark, dir))
+
+  private val S = Lifecycle.statusSql // WITH replay_status AS (...)
+
+  val entries: Seq[(String, QueryFn, Option[String])] = Seq(
+
+    // ── A3+A4+F1 flagship: daily lifecycle/compaction stats over the event
+    //    stream (reference get_stats_by_format db.py:629-664 + by-date
+    //    grouping db.py:666-700).
+    ("daily_lifecycle_stats",
+      (spark, dir) => {
+        val ev = Tables.events(spark, dir)
+        ev.groupBy(to_date(col("ts")).as("event_date"))
+          .agg(count(lit(1)).as("n_events"),
+               sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_error"),
+               countDistinct(col("user_id")).as("n_users"),
+               Scalars.moneySum(col("value")).as("value_sum"))
+          .orderBy(col("event_date"))
+      },
+      Some("""SELECT CAST(ts AS DATE) AS event_date,
+             |       COUNT(*) AS n_events,
+             |       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+             |       COUNT(DISTINCT user_id) AS n_users,
+             |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ── A3 conditional multi-aggregate, TPC-H Q1 shape (pricing summary).
+    ("pricing_summary",
+      (spark, dir) => {
+        val li = Tables.lineitem(spark, dir)
+          .filter(col("l_shipdate") < lit("2000-01-01").cast("timestamp"))
+        li.groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(Scalars.moneySum(col("l_quantity")).as("sum_qty"),
+               Scalars.moneySum(col("l_extendedprice")).as("sum_base_price"),
+               sum(Scalars.money(col("l_extendedprice")) *
+                   (lit(1) - Scalars.money(col("l_discount")))).cast("double").as("sum_disc_price"),
+               (sum(Scalars.money(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+               count(lit(1)).as("count_order"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+             |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+             |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+             |       COUNT(*) AS count_order
+             |FROM lineitem
+             |WHERE l_shipdate < TIMESTAMP '2000-01-01 00:00:00'
+             |GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // ── P1/P2 projection + filters (db.py:505-509) incl. prefix match (F5).
+    ("filter_project",
+      (spark, dir) =>
+        Tables.orders(spark, dir)
+          .filter(col("o_orderstatus") === "O" && col("o_totalprice") > 250000 &&
+                  col("o_orderpriority").startsWith("1"))
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderpriority"))
+          .orderBy(col("o_orderkey")),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+             |FROM orders
+             |WHERE o_orderstatus = 'O' AND o_totalprice > 250000
+             |  AND o_orderpriority LIKE '1%'
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // ── P4 failed-download predicate with tri-state NULL retry flag
+    //    (db.py:562-569).
+    ("failed_download_filter",
+      (spark, dir) =>
+        Lifecycle.failedNotRetried(status(spark, dir))
+          .select(col("replay_id"), col("format_id"), col("uploadtime"))
+          .orderBy(col("replay_id")),
+      Some(s"""$S
+              |SELECT replay_id, format_id, uploadtime FROM replay_status
+              |WHERE NOT is_downloaded AND download_details LIKE 'Failed:%'
+              |  AND COALESCE(is_retry_attempted, false) = false
+              |ORDER BY replay_id""".stripMargin)),
+
+    // ── P5/T1 high-watermark incremental filter (discovery.py:82-100).
+    ("incremental_since",
+      (spark, dir) =>
+        Incremental.newSince(Tables.events(spark, dir), "ts",
+            lit("2024-01-20 00:00:00").cast("timestamp"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), max(unix_seconds(col("ts"))).as("max_epoch"))
+          .orderBy(col("event_type")),
+      Some("""SELECT event_type, COUNT(*) AS n,
+             |       MAX(CAST(floor(epoch(ts)) AS BIGINT)) AS max_epoch
+             |FROM events WHERE ts > TIMESTAMP '2024-01-20 00:00:00'
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ── A1/A2 watermark cursors per stream key (db.py:577-627).
+    ("stream_watermarks",
+      (spark, dir) =>
+        Tables.events(spark, dir)
+          .groupBy(col("event_type"))
+          .agg(min(unix_seconds(col("ts"))).as("oldest_ts"),
+               max(unix_seconds(col("ts"))).as("last_seen_ts"))
+          .orderBy(col("event_type")),
+      Some("""SELECT event_type,
+             |       MIN(CAST(floor(epoch(ts)) AS BIGINT)) AS oldest_ts,
+             |       MAX(CAST(floor(epoch(ts)) AS BIGINT)) AS last_seen_ts
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ── W1 latest-row-per-key (db.py:133-154).
+    ("latest_event_per_user",
+      (spark, dir) =>
+        Windows.latestPerKey(Tables.events(spark, dir), Seq("user_id"),
+            Seq(col("ts").desc, col("event_id").desc))
+          .select(col("user_id"), col("event_id"), col("event_type"),
+                  unix_seconds(col("ts")).as("epoch_s"))
+          .orderBy(col("user_id")),
+      Some("""SELECT user_id, event_id, event_type,
+             |       CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s
+             |FROM events
+             |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+             |ORDER BY user_id""".stripMargin)),
+
+    // ── O1 top-k under a total order (db.py:136-153).
+    ("top_orders",
+      (spark, dir) =>
+        Windows.topK(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_totalprice")),
+            Seq(col("o_totalprice").desc, col("o_orderkey")), 10),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin)),
+
+    // ── J3/U3 semi join: customers that have orders.
+    ("customers_with_orders",
+      (spark, dir) =>
+        Tables.customer(spark, dir)
+          .join(Tables.orders(spark, dir).select(col("o_custkey").as("c_custkey")),
+                Seq("c_custkey"), "left_semi")
+          .select(col("c_custkey"), col("c_name"))
+          .orderBy(col("c_custkey")),
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // ── J2/U4 anti join: new-records detection shape (db.py:857-871).
+    ("customers_without_orders",
+      (spark, dir) =>
+        Tables.customer(spark, dir)
+          .join(Tables.orders(spark, dir).select(col("o_custkey").as("c_custkey")),
+                Seq("c_custkey"), "left_anti")
+          .select(col("c_custkey"), col("c_name"))
+          .orderBy(col("c_custkey")),
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // ── J1 bulk existence check with false default (db.py:702-734).
+    ("download_status_check",
+      (spark, dir) => {
+        val ids = Tables.lineitem(spark, dir)
+          .select(concat(lit("r-"), (col("l_orderkey") * 2).cast("string")).as("replay_id"))
+          .distinct()
+        Lifecycle.checkExistence(ids, status(spark, dir)).orderBy(col("replay_id"))
+      },
+      Some(s"""$S,
+              |ids AS (SELECT DISTINCT 'r-' || CAST(l_orderkey * 2 AS VARCHAR) AS replay_id FROM lineitem)
+              |SELECT ids.replay_id, COALESCE(rs.is_downloaded, false) AS is_downloaded
+              |FROM ids LEFT JOIN replay_status rs ON ids.replay_id = rs.replay_id
+              |ORDER BY ids.replay_id""".stripMargin)),
+
+    // ── J4 broadcast dimension join (download.py:165-172 metadata map).
+    ("brand_revenue",
+      (spark, dir) =>
+        Tables.lineitem(spark, dir)
+          .join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"))
+          .agg(sum(Scalars.money(col("l_extendedprice")) *
+                   (lit(1) - Scalars.money(col("l_discount")))).cast("double").as("revenue"),
+               count(lit(1)).as("n_items"))
+          .orderBy(col("p_brand")),
+      Some("""SELECT p_brand,
+             |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+             |       COUNT(*) AS n_items
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |GROUP BY p_brand ORDER BY p_brand""".stripMargin)),
+
+    // ── multi-table join chain with broadcast dims + shuffled fact join.
+    ("nation_revenue",
+      (spark, dir) => {
+        val c = Tables.customer(spark, dir); val o = Tables.orders(spark, dir)
+        val li = Tables.lineitem(spark, dir); val n = Tables.nation(spark, dir)
+        val r = Tables.region(spark, dir)
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(sum(Scalars.money(col("l_extendedprice")) *
+                   (lit(1) - Scalars.money(col("l_discount")))).cast("double").as("revenue"),
+               countDistinct(col("o_orderkey")).as("n_orders"))
+          .orderBy(col("r_name"), col("n_name"))
+      },
+      Some("""SELECT r_name, n_name,
+             |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+             |       COUNT(DISTINCT o_orderkey) AS n_orders
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin)),
+
+    // ── U1/U5 union + dedup-by-key (compaction.py:158-180,219).
+    ("union_dedup_counts",
+      (spark, dir) => {
+        val ev = Tables.events(spark, dir).select("event_id", "event_type", "value")
+        val a = ev.filter(col("event_type") === "purchase")
+        val b = ev.filter(col("value") > 150)
+        a.unionByName(b).dropDuplicates("event_id")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), Scalars.moneySum(col("value")).as("value_sum"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, COUNT(*) AS n,
+             |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+             |FROM (SELECT DISTINCT event_id, event_type, value FROM (
+             |        SELECT event_id, event_type, value FROM events WHERE event_type = 'purchase'
+             |        UNION ALL
+             |        SELECT event_id, event_type, value FROM events WHERE value > 150))
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ── U6 last-write-wins upsert (INSERT OR REPLACE, db.py:229-236):
+    //    purchase events act as the incoming batch, all others as existing
+    //    state; incoming wins, then latest-by-time.
+    ("upsert_latest_wins",
+      (spark, dir) => {
+        val ev = Tables.events(spark, dir)
+        val existing = ev.filter(col("event_type") =!= "purchase").withColumn("__src", lit(0))
+        val incoming = ev.filter(col("event_type") === "purchase").withColumn("__src", lit(1))
+        Lifecycle.upsert(existing, incoming, Seq("user_id"),
+            Seq(col("__src").desc, col("ts").desc, col("event_id").desc))
+          .select(col("user_id"), col("event_id"), col("event_type"),
+                  unix_seconds(col("ts")).as("epoch_s"))
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id, event_id, event_type,
+             |       CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s
+             |FROM events
+             |QUALIFY row_number() OVER (PARTITION BY user_id
+             |  ORDER BY (event_type = 'purchase') DESC, ts DESC, event_id DESC) = 1
+             |ORDER BY user_id""".stripMargin)),
+
+    // ── A5 duplicate-key audit (cleanup_db.py:130-135).
+    ("duplicate_order_audit",
+      (spark, dir) =>
+        Lifecycle.duplicateAudit(Tables.lineitem(spark, dir), Seq("l_orderkey"))
+          .orderBy(col("l_orderkey")),
+      Some("""SELECT l_orderkey, COUNT(*) AS n FROM lineitem
+             |GROUP BY l_orderkey HAVING COUNT(*) > 1 ORDER BY l_orderkey""".stripMargin)),
+
+    // ── A6 dedup repair with deterministic survivor (cleanup_db.py:148-153;
+    //    survivor pinned to max line number instead of SQLite's arbitrary row).
+    ("dedup_lineitem",
+      (spark, dir) =>
+        Lifecycle.dedupKeepFirst(Tables.lineitem(spark, dir), Seq("l_orderkey"),
+            Seq(col("l_linenumber").desc, col("l_quantity").desc))
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+          .orderBy(col("l_orderkey")),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+             |QUALIFY row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber DESC, l_quantity DESC) = 1
+             |ORDER BY l_orderkey""".stripMargin)),
+
+    // ── rollup lifecycle stats (the reference's per-format/per-date/overall
+    //    stat family, SURVEY §2.4, as one grouping-sets pass).
+    ("lifecycle_rollup",
+      (spark, dir) =>
+        status(spark, dir)
+          .withColumn("yr", year(Scalars.epochToDate(col("uploadtime"))))
+          .rollup(col("format_id"), col("yr"))
+          .agg(count(lit(1)).as("n_total"),
+               sum(when(col("is_downloaded"), 1L).otherwise(0L)).as("n_downloaded"),
+               sum(when(col("is_compacted"), 1L).otherwise(0L)).as("n_compacted"))
+          .select(coalesce(col("format_id"), lit("ALL")).as("format_grp"),
+                  coalesce(col("yr"), lit(-1)).as("year_grp"),
+                  col("n_total"), col("n_downloaded"), col("n_compacted"))
+          .orderBy(col("format_grp"), col("year_grp")),
+      Some(s"""$S
+              |SELECT COALESCE(format_id, 'ALL') AS format_grp,
+              |       COALESCE(year(CAST(make_timestamp(uploadtime * 1000000) AS DATE)), -1) AS year_grp,
+              |       COUNT(*) AS n_total,
+              |       CAST(SUM(CASE WHEN is_downloaded THEN 1 ELSE 0 END) AS BIGINT) AS n_downloaded,
+              |       CAST(SUM(CASE WHEN is_compacted THEN 1 ELSE 0 END) AS BIGINT) AS n_compacted
+              |FROM replay_status
+              |GROUP BY ROLLUP(format_id, year(CAST(make_timestamp(uploadtime * 1000000) AS DATE)))
+              |ORDER BY format_grp, year_grp""".stripMargin)),
+
+    // ── frame window: 7-day rolling event volume (SURVEY §2.5 added surface).
+    ("rolling_daily_counts",
+      (spark, dir) => {
+        val daily = Tables.events(spark, dir)
+          .groupBy(to_date(col("ts")).as("event_date"))
+          .agg(count(lit(1)).as("n"))
+        daily.withColumn("rolling_7d",
+            Windows.rollingSum(daily, Seq.empty, "event_date", "n", 7))
+          .orderBy(col("event_date"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT CAST(ts AS DATE) AS event_date, COUNT(*) AS n
+             |  FROM events GROUP BY 1)
+             |SELECT event_date, n,
+             |       CAST(SUM(n) OVER (ORDER BY event_date ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS rolling_7d
+             |FROM daily ORDER BY event_date""".stripMargin)),
+
+    // ── F9/F10 JSON field extraction over the props column (db.py:269-270).
+    ("props_json_stats",
+      (spark, dir) =>
+        Tables.events(spark, dir)
+          .select((Scalars.jsonField(col("props"), "k").cast("long") % 10).as("k_mod"))
+          .groupBy(col("k_mod"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("k_mod")),
+      Some("""SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+             |       COUNT(*) AS n
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ── F6 "(batch …)" detail extraction (db.py:171-179).
+    ("batch_extract",
+      (spark, dir) =>
+        status(spark, dir).filter(col("is_downloaded"))
+          .select(col("replay_id"), Scalars.batchFromDetails(col("download_details")).as("batch"))
+          .orderBy(col("replay_id")),
+      Some(s"""$S
+              |SELECT replay_id,
+              |       regexp_extract(download_details, '[(]batch ([^)]+)[)]', 1) AS batch
+              |FROM replay_status WHERE is_downloaded ORDER BY replay_id""".stripMargin)),
+
+    // ── F1/F4/F8/F13/F14 scalar-function showcase.
+    ("scalar_showcase",
+      (spark, dir) => {
+        val k = Scalars.jsonField(col("props"), "k").cast("long")
+        Tables.events(spark, dir)
+          .select(col("event_id"),
+                  Scalars.dayString(col("ts")).as("day_str"),
+                  Scalars.batchId(col("event_type"), col("ts")).as("batch_id"),
+                  Scalars.versus(concat(lit("u"), col("user_id").cast("string")),
+                                 concat(lit("u"), (col("user_id") + 1).cast("string"))).as("pair"),
+                  // exact: identical IEEE division on both engines — rounding
+                  // would *introduce* half-boundary flakes, so none is applied
+                  Scalars.safeDiv(col("value"), k).as("value_per_k"),
+                  Scalars.orDefault(k, lit(-1L)).as("k_or_default"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id,
+             |       strftime(ts, '%Y-%m-%d') AS day_str,
+             |       event_type || '_' || strftime(ts, '%Y%m%d_%H%M%S') AS batch_id,
+             |       'u' || CAST(user_id AS VARCHAR) || ' vs u' || CAST(user_id + 1 AS VARCHAR) AS pair,
+             |       CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) <> 0
+             |            THEN value / CAST(json_extract_string(props, '$.k') AS BIGINT)
+             |            ELSE 0.0 END AS value_per_k,
+             |       COALESCE(CAST(json_extract_string(props, '$.k') AS BIGINT), -1) AS k_or_default
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // ── A4 compaction planning (db.py:666-700).
+    ("compaction_plan",
+      (spark, dir) =>
+        Compaction.plan(status(spark, dir)).orderBy(col("format_id"), col("day")),
+      Some(s"""$S
+              |SELECT format_id,
+              |       CAST(make_timestamp(uploadtime * 1000000) AS DATE) AS day,
+              |       COUNT(*) AS n,
+              |       string_agg(replay_id, ',' ORDER BY replay_id) AS ids_csv
+              |FROM replay_status
+              |WHERE is_downloaded AND NOT is_compacted
+              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ── A3 per-format lifecycle stats with exact rate arithmetic
+    //    (db.py:629-664 + F13 zero-guarded rates).
+    ("lifecycle_stats",
+      (spark, dir) =>
+        status(spark, dir)
+          .groupBy(col("format_id"))
+          .agg(count(lit(1)).as("n_total"),
+               sum(when(col("is_downloaded"), 1L).otherwise(0L)).as("n_downloaded"),
+               sum(when(col("is_compacted"), 1L).otherwise(0L)).as("n_compacted"),
+               sum(when(Scalars.isFailed(col("download_details")), 1L).otherwise(0L)).as("n_failed"),
+               sum(when(coalesce(col("is_retry_attempted"), lit(false)), 1L).otherwise(0L)).as("n_retried"))
+          .withColumn("pct_downloaded",
+              col("n_downloaded").cast("double") / col("n_total"))
+          .orderBy(col("format_id")),
+      Some(s"""$S
+              |SELECT format_id, n_total, n_downloaded, n_compacted, n_failed, n_retried,
+              |       CAST(n_downloaded AS DOUBLE) / n_total AS pct_downloaded
+              |FROM (
+              |  SELECT format_id, COUNT(*) AS n_total,
+              |         CAST(SUM(CASE WHEN is_downloaded THEN 1 ELSE 0 END) AS BIGINT) AS n_downloaded,
+              |         CAST(SUM(CASE WHEN is_compacted THEN 1 ELSE 0 END) AS BIGINT) AS n_compacted,
+              |         CAST(SUM(CASE WHEN download_details LIKE 'Failed:%' THEN 1 ELSE 0 END) AS BIGINT) AS n_failed,
+              |         CAST(SUM(CASE WHEN COALESCE(is_retry_attempted, false) THEN 1 ELSE 0 END) AS BIGINT) AS n_retried
+              |  FROM replay_status GROUP BY format_id)
+              |ORDER BY format_id""".stripMargin)),
+
+    // ── M1/M2 columnar conditional status update (db.py:325-377).
+    ("mark_downloaded",
+      (spark, dir) => {
+        val results = Tables.orders(spark, dir)
+          .filter(col("o_orderstatus") === "O")
+          .select(concat(lit("r-"), col("o_orderkey").cast("string")).as("replay_id"),
+                  (col("o_orderkey") % 5 < 4).as("success"))
+        Lifecycle.markDownloaded(status(spark, dir), results, "retry_20240801")
+          .select(col("replay_id"), col("is_downloaded"), col("download_details"))
+          .orderBy(col("replay_id"))
+      },
+      Some(s"""$S,
+              |results AS (
+              |  SELECT 'r-' || CAST(o_orderkey AS VARCHAR) AS replay_id,
+              |         o_orderkey % 5 < 4 AS success
+              |  FROM orders WHERE o_orderstatus = 'O')
+              |SELECT rs.replay_id,
+              |       CASE WHEN COALESCE(r.success, false) THEN true ELSE rs.is_downloaded END AS is_downloaded,
+              |       CASE WHEN r.success IS NULL THEN rs.download_details
+              |            WHEN r.success THEN 'OK (batch retry_20240801)'
+              |            ELSE 'Failed: HTTP 500' END AS download_details
+              |FROM replay_status rs LEFT JOIN results r ON rs.replay_id = r.replay_id
+              |ORDER BY rs.replay_id""".stripMargin)),
+
+    // ── T5 dead-letter retry planning in 50-row mini-batches (retry.py:60).
+    ("retry_queue",
+      (spark, dir) =>
+        Lifecycle.retryBatches(status(spark, dir), 50)
+          .orderBy(col("format_id"), col("replay_id")),
+      Some(s"""$S
+              |SELECT format_id, replay_id, uploadtime,
+              |       CAST(floor((row_number() OVER (PARTITION BY format_id ORDER BY uploadtime, replay_id) - 1) / 50) AS BIGINT) AS batch_no
+              |FROM replay_status
+              |WHERE NOT is_downloaded AND download_details LIKE 'Failed:%'
+              |  AND COALESCE(is_retry_attempted, false) = false
+              |ORDER BY format_id, replay_id""".stripMargin)),
+
+    // ── T2/W2 pagination plan: 51-row pages in descending event time per
+    //    stream key (discovery.py:108-113).
+    ("backfill_pages",
+      (spark, dir) =>
+        Windows.paginate(Tables.events(spark, dir), Seq("event_type"),
+            Seq(col("ts").desc, col("event_id").desc), 51)
+          .filter(col("page") < 5)
+          .groupBy(col("event_type"), col("page"))
+          .agg(count(lit(1)).as("n"),
+               min(unix_seconds(col("ts"))).as("min_epoch"),
+               max(unix_seconds(col("ts"))).as("max_epoch"))
+          .orderBy(col("event_type"), col("page")),
+      Some("""WITH paged AS (
+             |  SELECT event_type, ts,
+             |         CAST(floor((row_number() OVER (PARTITION BY event_type ORDER BY ts DESC, event_id DESC) - 1) / 51) AS BIGINT) AS page
+             |  FROM events)
+             |SELECT event_type, page, COUNT(*) AS n,
+             |       MIN(CAST(floor(epoch(ts)) AS BIGINT)) AS min_epoch,
+             |       MAX(CAST(floor(epoch(ts)) AS BIGINT)) AS max_epoch
+             |FROM paged WHERE page < 5
+             |GROUP BY event_type, page ORDER BY event_type, page""".stripMargin))
+  )
+}

@@ -1,0 +1,274 @@
+package graft
+
+import graft.ops._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline extension catalog: deduplication, similarity
+  * search, text analysis, multimodal metadata (SURVEY.md §7.2 step 7 + the
+  * builder mandate). Hash-based operators use md5 (canonical hex on both
+  * engines); floating-point outputs are rounded to 6 decimals after exact or
+  * near-exact arithmetic.
+  */
+object CatalogExt {
+
+  type QueryFn = (SparkSession, String) => DataFrame
+
+  /** DuckDB fragment: distinct whitespace tokens of `text`. */
+  private val sqlTokens = "string_split(text, ' ')"
+
+  /** DuckDB fragment: word n-gram shingle list with the <n-token fallback —
+    * mirrors [[TextAnalysis.shingles]].
+    */
+  private def sqlShingles(n: Int): String =
+    s"""CASE WHEN len($sqlTokens) >= $n
+       |  THEN list_transform(range(1, len($sqlTokens) - ${n - 2}),
+       |                      i -> array_to_string(($sqlTokens)[i:i+${n - 1}], ' '))
+       |  ELSE [text] END""".stripMargin
+
+  /** DuckDB: per-doc MinHash component i (mirrors [[Dedup.minhashSignature]]). */
+  private def sqlMinhash(i: Int): String =
+    s"list_min(list_transform(list_distinct($sqlTokens), t -> md5(t || '#$i')))"
+
+  /** DuckDB simhash-32: explode-form twin of the Spark HOF pipeline in
+    * [[Dedup.simhash32]]. Bit b of the per-token 32-bit hash (md5 first 8 hex
+    * chars) votes ±1; fingerprint packs the sign bits.
+    */
+  private val sqlSimhash: String = {
+    val bitSums = (0 until 32)
+      .map(b => s"CAST(SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS s$b")
+      .mkString(",\n         ")
+    val pack = (0 until 32)
+      .map(b => s"(CASE WHEN s$b >= 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest($sqlTokens) AS t FROM documents),
+       |hs AS (
+       |  SELECT doc_id, CAST(CAST('0x' || substr(md5(t), 1, 8) AS UBIGINT) AS BIGINT) AS h FROM toks),
+       |bitsums AS (
+       |  SELECT doc_id,
+       |         $bitSums
+       |  FROM hs GROUP BY doc_id)
+       |SELECT doc_id, $pack AS simhash
+       |FROM bitsums ORDER BY doc_id""".stripMargin
+  }
+
+  private val stopListSql: String =
+    TextAnalysis.stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+
+  val entries: Seq[(String, QueryFn, Option[String])] = Seq(
+
+    // ── exact dedup by content hash (empty result is legitimate: the corpus
+    //    plants near-dups, not byte-dups; the operator is the 100 TB exact
+    //    pass that runs before any near-dup pass).
+    ("exact_dedup_docs",
+      (spark, dir) =>
+        Dedup.exactDupGroups(Tables.documents(spark, dir)).orderBy(col("content_hash")),
+      Some("""SELECT md5(text) AS content_hash, COUNT(*) AS n, MIN(doc_id) AS canonical_id
+             |FROM documents GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY 1""".stripMargin)),
+
+    // ── reorder-insensitive dedup: same distinct-token set ⇒ same group.
+    ("token_set_dedup",
+      (spark, dir) =>
+        Tables.documents(spark, dir)
+          .groupBy(Dedup.tokenSetHash(col("text")).as("set_hash"))
+          .agg(count(lit(1)).as("n"), min(col("doc_id")).as("canonical_id"))
+          .filter(col("n") > 1)
+          .orderBy(col("set_hash")),
+      Some(s"""SELECT md5(array_to_string(list_sort(list_distinct($sqlTokens)), ' ')) AS set_hash,
+              |       COUNT(*) AS n, MIN(doc_id) AS canonical_id
+              |FROM documents GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY 1""".stripMargin)),
+
+    // ── MinHash signatures (k=8), map-side only.
+    ("minhash_signatures",
+      (spark, dir) => {
+        val sig = Dedup.minhashSignature(col("text"), 8)
+        Tables.documents(spark, dir)
+          .select(col("doc_id") +: sig.map { case (n, c) => c.as(n) }: _*)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""SELECT doc_id, ${(0 until 8).map(i => s"${sqlMinhash(i)} AS s$i").mkString(",\n       ")}
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ── MinHash+LSH banding: candidate near-dup pairs (4 bands × 2 rows).
+    ("lsh_candidate_pairs",
+      (spark, dir) =>
+        Dedup.lshCandidatePairs(Tables.documents(spark, dir), 8, 2)
+          .orderBy(col("doc_a"), col("doc_b")),
+      Some {
+        val sigs = (0 until 8).map(i => s"${sqlMinhash(i)} AS s$i").mkString(", ")
+        val bands = (0 until 4).map(i => s"md5(s${2 * i} || '|' || s${2 * i + 1}) AS b$i").mkString(", ")
+        val joins = (0 until 4).map(i =>
+          s"""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+             |FROM bands a JOIN bands b ON a.b$i = b.b$i AND a.doc_id < b.doc_id""".stripMargin)
+          .mkString("\nUNION\n")
+        s"""WITH sigs AS (SELECT doc_id, $sigs FROM documents),
+           |bands AS (SELECT doc_id, $bands FROM sigs)
+           |SELECT DISTINCT doc_a, doc_b FROM ($joins)
+           |ORDER BY doc_a, doc_b""".stripMargin
+      }),
+
+    // ── exact 3-gram Jaccard near-dup pairs (threshold 0.5 separates the
+    //    corpus's planted near-dups from background similarity).
+    ("ngram_jaccard_dups",
+      (spark, dir) =>
+        Dedup.ngramJaccardPairs(Tables.documents(spark, dir), 3, 0.5)
+          .orderBy(col("doc_a"), col("doc_b")),
+      Some(s"""WITH sh AS (
+              |  SELECT DISTINCT doc_id, unnest(${sqlShingles(3)}) AS g FROM documents),
+              |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+              |pairs AS (
+              |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+              |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2)
+              |SELECT doc_a, doc_b,
+              |       CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) AS jaccard
+              |FROM pairs
+              |JOIN sizes sa ON doc_a = sa.doc_id
+              |JOIN sizes sb ON doc_b = sb.doc_id
+              |WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= 0.5
+              |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // ── SimHash-32 fingerprints (HOF pipeline in Spark, explode twin in SQL).
+    ("simhash_fingerprints",
+      (spark, dir) =>
+        Tables.documents(spark, dir)
+          .select(col("doc_id"), Dedup.simhash32(col("text")).as("simhash"))
+          .orderBy(col("doc_id")),
+      Some(sqlSimhash)),
+
+    // ── brute-force cosine top-k (query vecs broadcast, corpus streams).
+    ("cosine_topk",
+      (spark, dir) => {
+        val emb = Tables.embeddings(spark, dir)
+        Similarity.cosineTopK(emb.filter(col("vec_id") < 8),
+                              emb.filter(col("vec_id") >= 8), 5)
+          .orderBy(col("q_id"), col("cos_sim").desc, col("vec_id"))
+      },
+      Some("""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 8),
+             |scored AS (
+             |  SELECT q.q_id, e.vec_id,
+             |         round(list_cosine_similarity(CAST(q.q_emb AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 6) AS cos_sim
+             |  FROM q CROSS JOIN embeddings e WHERE e.vec_id >= 8)
+             |SELECT q_id, vec_id, cos_sim FROM scored
+             |QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) <= 5
+             |ORDER BY q_id, cos_sim DESC, vec_id""".stripMargin)),
+
+    // ── embedding cosine near-dup pairs above 0.4 (exact baseline; the LSH
+    //    scale path is `ann_lsh_topk` below).
+    ("embedding_neardup_pairs",
+      (spark, dir) =>
+        Similarity.nearDupPairs(Tables.embeddings(spark, dir), 0.4)
+          .orderBy(col("vec_a"), col("vec_b")),
+      Some("""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             |       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+             |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+             |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
+             |ORDER BY vec_a, vec_b""".stripMargin)),
+
+    // ── approximate NN via sign-random-projection buckets. No SQL oracle
+    //    (approximate operator) — the driver records a rows-only check; the
+    //    ScalaTest suite asserts recall against the exact top-k instead.
+    ("ann_lsh_topk",
+      (spark, dir) => {
+        val emb = Tables.embeddings(spark, dir)
+        Similarity.annTopK(emb.filter(col("vec_id") < 8), emb.filter(col("vec_id") >= 8), 5)
+          .orderBy(col("q_id"), col("cos_sim").desc, col("vec_id"))
+      },
+      None),
+
+    // ── language-ID heuristic (stopword-hit ratio).
+    ("lang_id",
+      (spark, dir) => {
+        val (ratio, predicted) = TextAnalysis.langId(col("text"))
+        Tables.documents(spark, dir)
+          .select(col("doc_id"), col("lang"),
+                  ratio.as("en_ratio"), predicted.as("predicted"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""SELECT doc_id, lang,
+              |       CAST(len(list_filter($sqlTokens, t -> list_contains($stopListSql, t))) AS DOUBLE)
+              |             / len($sqlTokens) AS en_ratio,
+              |       CASE WHEN CAST(len(list_filter($sqlTokens, t -> list_contains($stopListSql, t))) AS DOUBLE)
+              |                 / len($sqlTokens) >= 0.04
+              |            THEN 'en' ELSE 'und' END AS predicted
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ── quality scoring (length / distinct / stopword components).
+    ("quality_scores",
+      (spark, dir) => {
+        val q = TextAnalysis.qualityColumns(col("text"))
+        Tables.documents(spark, dir)
+          .select(col("doc_id"), q("n_tokens").as("n_tokens"),
+                  q("n_distinct").as("n_distinct"),
+                  q("avg_token_len").as("avg_token_len"),
+                  q("stopword_ratio").as("stopword_ratio"),
+                  q("quality_score").as("quality_score"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH f AS (
+              |  SELECT doc_id,
+              |         len($sqlTokens) AS n_tokens,
+              |         len(list_distinct($sqlTokens)) AS n_distinct,
+              |         length(replace(text, ' ', '')) AS n_chars,
+              |         len(list_filter($sqlTokens, t -> list_contains($stopListSql, t))) AS stop_hits
+              |  FROM documents)
+              |SELECT doc_id, n_tokens, n_distinct,
+              |       CAST(n_chars AS DOUBLE) / n_tokens AS avg_token_len,
+              |       CAST(stop_hits AS DOUBLE) / n_tokens AS stopword_ratio,
+              |       least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+              |             + (CAST(n_distinct AS DOUBLE) / n_tokens) * 0.3
+              |             + least((CAST(stop_hits AS DOUBLE) / n_tokens) * 5.0, 1.0) * 0.3 AS quality_score
+              |FROM f ORDER BY doc_id""".stripMargin)),
+
+    // ── token counting: whitespace + BPE-ish regex segmentation.
+    ("token_counts",
+      (spark, dir) => {
+        val (ws, bpe) = TextAnalysis.tokenCounts(col("text"))
+        Tables.documents(spark, dir)
+          .select(col("doc_id"), ws.as("ws_tokens"), bpe.as("bpe_tokens"),
+                  length(col("text")).as("n_chars_total"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""SELECT doc_id,
+              |       len($sqlTokens) AS ws_tokens,
+              |       len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpe_tokens,
+              |       length(text) AS n_chars_total
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ── document fingerprints: min/max md5 over 5-gram shingles.
+    ("doc_fingerprints",
+      (spark, dir) => {
+        val f = TextAnalysis.fingerprint(col("text"))
+        Tables.documents(spark, dir)
+          .select(col("doc_id"), f("n_shingles").as("n_shingles"),
+                  f("fp_min").as("fp_min"), f("fp_max").as("fp_max"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH sh AS (SELECT doc_id, list_transform(${sqlShingles(5)}, g -> md5(g)) AS hs FROM documents)
+              |SELECT doc_id, len(hs) AS n_shingles,
+              |       list_min(hs) AS fp_min, list_max(hs) AS fp_max
+              |FROM sh ORDER BY doc_id""".stripMargin)),
+
+    // ── UDTF analogue: explode to tokens, global top-20 token frequencies.
+    ("top_tokens",
+      (spark, dir) =>
+        TextAnalysis.explodeTokens(Tables.documents(spark, dir))
+          .groupBy(col("token")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("token"))
+          .limit(20),
+      Some("""SELECT token, COUNT(*) AS n
+             |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+             |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin)),
+
+    // ── multimodal metadata over the opaque binary payload (decode itself is
+    //    a stub — see [[graft.ops.Multimodal]]).
+    ("multimodal_meta",
+      (spark, dir) =>
+        Multimodal.metadata(Multimodal.toMedia(Tables.documents(spark, dir)))
+          .orderBy(col("doc_id")),
+      Some("""SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+             |       sha256(text) AS sha256
+             |FROM documents ORDER BY doc_id""".stripMargin))
+  )
+}

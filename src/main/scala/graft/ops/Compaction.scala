@@ -1,0 +1,51 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Daily compaction (SURVEY.md §2.1 S5/S6, §2.4 A4; reference
+  * tasks/compaction.py:65-266).
+  *
+  * The reference rewrites an entire per-day JSON array on every append
+  * (compaction.py:219-225 — O(day²) behavior). The Spark-native form is
+  * date-partitioned parquet with *dynamic partition overwrite*: only the
+  * partitions present in the incoming batch are rewritten, each as
+  * `existing ∪ incoming` deduped by id. At 100 TB this touches only the days
+  * that received data, and each day rewrites in parallel across executors.
+  */
+object Compaction {
+
+  /** A4 — compaction planning (get_replays_by_date, db.py:666-700): group
+    * downloaded-not-compacted work by (format, day) with a deterministic
+    * id list per group.
+    */
+  def plan(status: DataFrame): DataFrame =
+    status.filter(col("is_downloaded") && !col("is_compacted"))
+      .groupBy(col("format_id"),
+               Scalars.epochToDate(col("uploadtime")).as("day"))
+      .agg(count(lit(1)).as("n"),
+           array_join(sort_array(collect_list(col("replay_id"))), ",").as("ids_csv"))
+
+  /** S5/U1/U5 — compact one batch into a date-partitioned parquet dataset:
+    * union with what's already there, dedup by key (keep the newest by
+    * `precedenceCol` desc, then key — deterministic), rewrite only the
+    * partitions the batch touches.
+    */
+  def compact(spark: SparkSession, incoming: DataFrame, path: String,
+              key: String, precedenceCol: String): Unit = {
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val partitioned = incoming
+      .withColumn("format_id", col("format_id"))
+      .withColumn("day", Scalars.epochToDate(col("uploadtime")))
+    val existing =
+      try spark.read.parquet(path).join(
+        partitioned.select("format_id", "day").distinct(), Seq("format_id", "day"), "left_semi")
+      catch { case _: Exception => spark.emptyDataFrame }
+    val all =
+      if (existing.columns.sameElements(partitioned.columns)) existing.unionByName(partitioned)
+      else partitioned
+    Lifecycle.dedupKeepFirst(all, Seq(key),
+        Seq(col(precedenceCol).desc, col(key)))
+      .write.mode("overwrite").partitionBy("format_id", "day").parquet(path)
+  }
+}

@@ -1,0 +1,130 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication surface for a training-data pipeline over `documents`:
+  * exact (hash groupBy), MinHash+LSH banding, SimHash, and exact n-gram
+  * Jaccard via an inverted-index self-join.
+  *
+  * Scale design (100 TB):
+  *  - signatures (MinHash/SimHash/fingerprints) are map-side HOF expressions —
+  *    zero shuffle, computed in the scan stage;
+  *  - candidate generation shuffles on *band/shingle* keys (uniform md5
+  *    values — no skew), never on full-document comparisons;
+  *  - `maxShingleDf` caps inverted-index postings for pathological shingles,
+  *    the standard prefix-filter guard against quadratic blowup.
+  */
+object Dedup {
+
+  /** Exact-dup groups by content hash: canonical (min) id + member count per
+    * duplicated hash. One hash-aggregate; at scale, partial aggregation makes
+    * the shuffle proportional to distinct hashes, not rows.
+    */
+  def exactDupGroups(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.groupBy(md5(col(textCol).cast("binary")).as("content_hash"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("canonical_id"))
+      .filter(col("n") > 1)
+
+  /** Bag-of-words content hash: md5 over the sorted distinct token set.
+    * Catches reorder-only duplicates that byte-hashing misses.
+    */
+  def tokenSetHash(text: Column): Column =
+    md5(array_join(array_sort(array_distinct(TextAnalysis.tokens(text))), " ")
+      .cast("binary"))
+
+  /** MinHash signature: k independent hashes as `min(md5(token || '#' || i))`
+    * over the distinct token set. Lexicographic min of a uniform hash is a
+    * valid MinHash and is engine-portable (md5 hex is canonical, no integer
+    * endianness games). Map-side only.
+    */
+  def minhashSignature(text: Column, k: Int): Seq[(String, Column)] = {
+    val dtoks = array_distinct(TextAnalysis.tokens(text))
+    (0 until k).map { i =>
+      s"s$i" -> array_min(transform(dtoks, t => md5(concat(t, lit(s"#$i")).cast("binary"))))
+    }
+  }
+
+  /** LSH bands over a MinHash signature: hash `rowsPerBand` consecutive
+    * signature values per band. Docs sharing any band are near-dup candidates.
+    */
+  def lshBands(sig: Seq[Column], rowsPerBand: Int): Seq[Column] =
+    sig.grouped(rowsPerBand).toSeq.map(g => md5(concat_ws("|", g: _*).cast("binary")))
+
+  /** MinHash+LSH candidate pairs: per band, docs hashing to the same bucket.
+    * Implemented as a union of per-band self-equi-joins (shuffle on band
+    * hash — uniform) and distinct'd; returns (doc_a < doc_b) pairs.
+    */
+  def lshCandidatePairs(docs: DataFrame, k: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    val sig = minhashSignature(col("text"), k)
+    val withBands = docs.select(
+      col("doc_id") +: lshBands(sig.map(_._2), rowsPerBand).zipWithIndex
+        .map { case (c, i) => c.as(s"b$i") }: _*)
+    val nBands = k / rowsPerBand
+    val perBand = (0 until nBands).map { i =>
+      val l = withBands.select(col("doc_id").as("doc_a"), col(s"b$i").as("bucket"))
+      val r = withBands.select(col("doc_id").as("doc_b"), col(s"b$i").as("bucket"))
+      l.join(r, Seq("bucket")).filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b")
+    }
+    perBand.reduce(_ unionByName _).distinct()
+  }
+
+  /** SimHash-32 fingerprint: per bit b, the sign of Σ_tokens ±1 (weighted by
+    * occurrence) where the per-token bit comes from md5's first 8 hex chars.
+    * One map-side HOF pipeline: tokens → 32-lane accumulator → packed long.
+    * Near-dups differ in few bits (compare via Hamming distance).
+    */
+  def simhash32(text: Column): Column = {
+    val toks = TextAnalysis.tokens(text)
+    aggregate(
+      toks,
+      expr("array_repeat(0L, 32)"),
+      (acc, t) => {
+        val h = conv(substring(md5(t.cast("binary")), 1, 8), 16, 10).cast("long")
+        // bit b of h, via exact double pow (2^b ≤ 2^31, exactly representable)
+        def bitMask(b: Column): Column = pow(lit(2.0), b).cast("long")
+        zip_with(acc,
+          transform(sequence(lit(0), lit(31)),
+            b => when(h.bitwiseAND(bitMask(b)) =!= 0, lit(1L)).otherwise(lit(-1L))),
+          (x, y) => x + y)
+      },
+      acc => aggregate(
+        zip_with(acc, sequence(lit(0), lit(31)),
+          (v, b) => when(v >= 0, pow(lit(2.0), b).cast("long")).otherwise(lit(0L))),
+        lit(0L), (s, v) => s + v))
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs via inverted-index self-join:
+    * distinct (doc, shingle) → join on shingle → per-pair shared count →
+    * `|A∩B| / (|A|+|B|−|A∩B|)`. Exact (integer counts, one double division).
+    *
+    * `maxShingleDf` (0 = off) drops shingles whose document frequency exceeds
+    * the cap before pairing — at 100 TB the handful of ubiquitous shingles
+    * would otherwise dominate the join; dropping them only loses pairs whose
+    * entire overlap is stop-shingles.
+    */
+  def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double,
+                        maxShingleDf: Int = 0): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"), explode(array_distinct(TextAnalysis.shingles(col("text"), n))).as("g"))
+    val postings =
+      if (maxShingleDf > 0) {
+        val keep = sh.groupBy("g").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxShingleDf).select("g")
+        sh.join(keep, Seq("g"), "left_semi")
+      } else sh
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val pairs = postings.select(col("doc_id").as("doc_a"), col("g"))
+      .join(postings.select(col("doc_id").as("doc_b"), col("g")), Seq("g"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
+    pairs
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), Seq("doc_a"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), Seq("doc_b"))
+      .withColumn("jaccard",
+        col("shared").cast("double") / (col("sz_a") + col("sz_b") - col("shared")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+}

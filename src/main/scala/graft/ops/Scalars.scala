@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Scalar-function surface (SURVEY.md §2.8 F1–F14), re-expressed as
+  * codegen-friendly built-in Catalyst expressions — no UDFs.
+  *
+  * Reference behaviors (file:line cites into the reference repo):
+  *  - F1/F2 epoch→date:  db.py:693-694, fix_compacted_status.py:47
+  *  - F4 batch-id format: tasks/discovery.py:55,174
+  *  - F5 failure prefix channel: db.py:366,567
+  *  - F6 "(batch …)" detail extraction: db.py:171-179
+  *  - F7 battle-log `|t:|<epoch>` marker: scripts/import_existing_replays.py:47-49
+  *  - F8 players concat "p1 vs p2": db.py:877
+  *  - F9/F10 additional_info JSON round-trip: db.py:227,269-270,878-879
+  *  - F11 filename⇄id: scripts/import_existing_replays.py:32-34
+  *  - F13 zero-guarded rate division: scripts/calculate_throughput.py:110-117
+  *  - F14 default-on-missing: db.py:734,266
+  */
+object Scalars {
+
+  /** F1/F2 — Unix epoch seconds → UTC date (reference mixes local-time and
+    * UTC conversions; the engine pins UTC everywhere).
+    */
+  def epochToDate(epochSeconds: Column): Column =
+    to_date(timestamp_seconds(epochSeconds))
+
+  /** F1 — timestamp → "yyyy-MM-dd" string. */
+  def dayString(ts: Column): Column = date_format(ts, "yyyy-MM-dd")
+
+  /** Timestamp → epoch seconds (truncating), the event-time axis. */
+  def epochSeconds(ts: Column): Column = unix_seconds(ts)
+
+  /** F4 — deterministic batch-run id `{fmt}_{yyyyMMdd_HHmmss}` derived from a
+    * supplied event time (the reference uses wall-clock `datetime.now()`; a
+    * deterministic engine takes the clock as an input).
+    */
+  def batchId(formatId: Column, at: Column): Column =
+    concat_ws("_", formatId, date_format(at, "yyyyMMdd_HHmmss"))
+
+  /** F5 — the reference's string-prefix error channel (`LIKE 'Failed:%'`). */
+  def isFailed(details: Column): Column =
+    details.startsWith("Failed:")
+
+  /** F6 — extract the batch id embedded in a details string: "(batch X)". */
+  def batchFromDetails(details: Column): Column =
+    regexp_extract(details, "\\(batch ([^)]+)\\)", 1)
+
+  /** F7 — first `|t:|<epoch>` marker in a battle log, as epoch seconds. */
+  def logTimestamp(log: Column): Column =
+    regexp_extract(log, "\\|t:\\|(\\d+)", 1).cast("long")
+
+  /** F8 — "p1 vs p2" display concat. */
+  def versus(p1: Column, p2: Column): Column = concat_ws(" vs ", p1, p2)
+
+  /** F8 (array form) — `" vs ".join(players)`. */
+  def versusAll(players: Column): Column = array_join(players, " vs ")
+
+  /** F9 — pull one field out of a JSON-encoded string column. */
+  def jsonField(json: Column, field: String): Column =
+    get_json_object(json, s"$$.$field")
+
+  /** F11 — filename → id (strip dirs + ".json"). */
+  def idFromFilename(path: Column): Column =
+    regexp_extract(path, "([^/]+)\\.json$", 1)
+
+  /** F13 — zero-guarded division (rates / percentages). */
+  def safeDiv(num: Column, den: Column): Column =
+    when(den =!= 0, num / den).otherwise(lit(0.0))
+
+  /** F14 — default-on-missing lookup semantics. */
+  def orDefault(c: Column, default: Column): Column = coalesce(c, default)
+
+  /** Exact money arithmetic: doubles in the test data carry 2 decimals, so
+    * sums go through DECIMAL(18,2) (exact, order-independent — identical in
+    * Spark and DuckDB) and surface as DOUBLE. Floating-point SUM is
+    * order-dependent and would flap the oracle hash at scale.
+    */
+  def money(c: Column): Column = c.cast("decimal(18,2)")
+
+  /** Exact decimal sum of a 2-decimal double column, surfaced as double. */
+  def moneySum(c: Column): Column = sum(money(c)).cast("double")
+}

@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis surface for a large-scale training-data pipeline over the
+  * `documents` table: language-ID heuristic, quality scoring, token counting,
+  * document fingerprinting. Everything is a map-side column expression — no
+  * shuffle, no UDF — so it scans at parquet speed on 100 TB.
+  *
+  * Formulas are pinned exactly (integer counts + IEEE double arithmetic) so
+  * the DuckDB oracle reproduces them bit-for-bit before rounding.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization — the shared basis for every operator here. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** A small English stopword list (intersects the corpus vocabulary). */
+  val stopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "on", "for", "with", "is")
+
+  private def stopArray: Column = array(stopwords.map(lit): _*)
+
+  /** Count of tokens that are stopwords (with multiplicity). */
+  def stopwordHits(toks: Column): Column =
+    size(filter(toks, t => array_contains(stopArray, t)))
+
+  /** Language-ID heuristic: stopword-hit ratio over an n-gram-free signal
+    * (whitespace tokens). `en` when the ratio clears the threshold.
+    */
+  def langId(text: Column, threshold: Double = 0.04): (Column, Column) = {
+    val toks = tokens(text)
+    val ratio = stopwordHits(toks).cast("double") / size(toks)
+    (ratio, when(ratio >= threshold, lit("en")).otherwise(lit("und")))
+  }
+
+  /** Quality-score components: token count, distinct ratio, average token
+    * length (exact: non-space chars / tokens), stopword ratio, and a bounded
+    * composite score in [0,1].
+    */
+  def qualityColumns(text: Column): Map[String, Column] = {
+    val toks = tokens(text)
+    val nTok = size(toks)
+    val nDistinct = size(array_distinct(toks))
+    val nChars = length(regexp_replace(text, " ", ""))
+    val stopHits = stopwordHits(toks)
+    val distinctRatio = nDistinct.cast("double") / nTok
+    val stopRatio = stopHits.cast("double") / nTok
+    val avgLen = nChars.cast("double") / nTok
+    val score = least(nTok.cast("double") / lit(100.0), lit(1.0)) * lit(0.4) +
+      distinctRatio * lit(0.3) +
+      least(stopRatio * lit(5.0), lit(1.0)) * lit(0.3)
+    Map("n_tokens" -> nTok, "n_distinct" -> nDistinct, "avg_token_len" -> avgLen,
+        "stopword_ratio" -> stopRatio, "quality_score" -> score)
+  }
+
+  /** Token counting: whitespace tokens plus a BPE-ish regex segmentation
+    * (letter runs / digit runs / single other chars).
+    */
+  def tokenCounts(text: Column): (Column, Column) = {
+    val ws = size(tokens(text))
+    val bpe = size(regexp_extract_all(text, lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+    (ws, bpe)
+  }
+
+  /** Word n-gram shingles (space-joined), the basis for fingerprinting and
+    * near-dup detection. Documents shorter than `n` tokens contribute their
+    * whole text as a single shingle.
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " ")))
+      .otherwise(array(text))
+  }
+
+  /** Document fingerprint (winnowing-lite rolling-hash analogue): the min and
+    * max md5 over word 5-gram shingles. Lexicographic min over a uniform hash
+    * is a valid MinHash — engine-portable because md5 hex is canonical.
+    */
+  def fingerprint(text: Column, n: Int = 5): Map[String, Column] = {
+    val hashes = transform(shingles(text, n), g => md5(g.cast("binary")))
+    Map("n_shingles" -> size(hashes),
+        "fp_min" -> array_min(hashes),
+        "fp_max" -> array_max(hashes))
+  }
+
+  /** UDTF analogue (SURVEY §2.10): explode to one row per token. */
+  def explodeTokens(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(col("doc_id"), explode(tokens(col(textCol))).as("token"))
+}
