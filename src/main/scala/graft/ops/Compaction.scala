@@ -35,17 +35,25 @@ object Compaction {
               key: String, precedenceCol: String): Unit = {
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     val partitioned = incoming
-      .withColumn("format_id", col("format_id"))
       .withColumn("day", Scalars.epochToDate(col("uploadtime")))
     val existing =
-      try spark.read.parquet(path).join(
-        partitioned.select("format_id", "day").distinct(), Seq("format_id", "day"), "left_semi")
-      catch { case _: Exception => spark.emptyDataFrame }
-    val all =
-      if (existing.columns.sameElements(partitioned.columns)) existing.unionByName(partitioned)
-      else partitioned
-    Lifecycle.dedupKeepFirst(all, Seq(key),
+      try Some(spark.read.parquet(path).join(
+        partitioned.select("format_id", "day").distinct(),
+        Seq("format_id", "day"), "left_semi"))
+      catch { case _: Exception => None }
+    val all = existing match {
+      case Some(ex) => ex.selectExpr(partitioned.columns.map(c => s"`$c`"): _*)
+        .unionByName(partitioned)
+      case None => partitioned
+    }
+    val merged = Lifecycle.dedupKeepFirst(all, Seq(key),
         Seq(col(precedenceCol).desc, col(key)))
-      .write.mode("overwrite").partitionBy("format_id", "day").parquet(path)
+    // Materialize before overwriting partitions we just read from (plan-safe
+    // at this scale; a production deployment stages to a temp prefix and
+    // swaps atomically).
+    val rows = merged.cache()
+    rows.count()
+    rows.write.mode("overwrite").partitionBy("format_id", "day").parquet(path)
+    rows.unpersist()
   }
 }

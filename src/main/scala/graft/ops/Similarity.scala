@@ -62,21 +62,32 @@ object Similarity {
       .filter(col("cos_sim") >= threshold)
   }
 
-  /** Approximate NN: score only corpus vectors that share the query's LSH
-    * sign-bucket, then top-k per query. Equi-join on bucket replaces the
-    * cross join — this is the IVF/LSH scale path.
+  /** Approximate NN via multi-table sign-LSH: `nTables` independent hash
+    * tables of `bitsPerTable` sign bits each; a corpus vector is a candidate
+    * when it collides with the query in *any* table (union-of-tables is the
+    * standard recall amplifier — one wide table recalls almost nothing on
+    * near-uniform embeddings). Equi-join on (table, bucket) replaces the
+    * cross join; candidates are deduped before scoring so each pair pays the
+    * cosine once. This is the IVF/LSH 100 TB path.
     */
   def annTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-              nPlanes: Int = 8, dim: Int = 64): DataFrame = {
-    val planes = hyperplanes(nPlanes, dim)
+              nTables: Int = 8, bitsPerTable: Int = 4, dim: Int = 64): DataFrame = {
+    val planes = hyperplanes(nTables * bitsPerTable, dim)
+    def buckets(emb: Column): Column = array(
+      (0 until nTables).map { t =>
+        lshBucket(emb, planes.slice(t * bitsPerTable, (t + 1) * bitsPerTable))
+      }: _*)
     val qb = broadcast(queries
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-              lshBucket(col("embedding"), planes).as("bucket")))
-    val cb = corpus
-      .select(col("vec_id"), col("embedding"), lshBucket(col("embedding"), planes).as("bucket"))
-    val scored = cb.join(qb, Seq("bucket"))
-      .select(col("q_id"), col("vec_id"),
-              round(cosineSim(col("q_emb"), col("embedding")), 6).as("cos_sim"))
+              posexplode(buckets(col("embedding"))).as(Seq("t", "bucket"))))
+    val cands = corpus
+      .select(col("vec_id"), col("embedding"),
+              posexplode(buckets(col("embedding"))).as(Seq("t", "bucket")))
+      .join(qb, Seq("t", "bucket"))
+      .select(col("q_id"), col("q_emb"), col("vec_id"), col("embedding"))
+      .dropDuplicates("q_id", "vec_id")
+    val scored = cands.select(col("q_id"), col("vec_id"),
+        round(cosineSim(col("q_emb"), col("embedding")), 6).as("cos_sim"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("vec_id"))
     scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k).drop("__rn")
   }

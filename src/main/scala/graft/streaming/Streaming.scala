@@ -1,0 +1,66 @@
+package graft.streaming
+
+import graft.ops.Lifecycle
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.StructType
+
+/** Structured-Streaming face of the incremental-ingest semantics
+  * (SURVEY.md §2.9, T1–T7). The reference's cursor loop over API pages is a
+  * stream; its daily compaction is a tumbling window; its re-run idempotence
+  * is a `foreachBatch` idempotent merge.
+  *
+  * Scale notes: file-source streaming with `maxFilesPerTrigger` is the
+  * reference's `max_pages` throttle (T6); the watermark bounds state exactly
+  * like the reference's `last_seen_ts` cursor (T1); the dead-letter split
+  * (T5) is a filter on the same micro-batch, not a second pass.
+  */
+object Streaming {
+
+  /** T1/T7 — watermarked tumbling daily aggregation over an event-file
+    * stream: the streaming twin of the `daily_lifecycle_stats` batch query.
+    * Late data beyond `lateness` is dropped (the reference simply never
+    * revisits pages behind its cursor — same contract, stated precisely).
+    */
+  def dailyStats(spark: SparkSession, srcDir: String, schema: StructType,
+                 lateness: String = "1 day"): DataFrame =
+    spark.readStream.schema(schema).parquet(srcDir)
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), "1 day").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_error"))
+
+  /** T4/T5 — drive a stream into a parquet state table with an idempotent
+    * last-write-wins merge per micro-batch (`foreachBatch`), splitting a
+    * dead-letter stream (`isFailure`) into a side directory for the retry
+    * pass. Micro-batch id is recorded so replays are observable.
+    */
+  def runToStateTable(spark: SparkSession, src: DataFrame, statePath: String,
+                      deadLetterPath: String, key: Seq[String],
+                      checkpoint: String): StreamingQuery =
+    src.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val stamped = batch.withColumn("batch_id", lit(batchId))
+        val (ok, failed) = (stamped.filter(!col("is_failure")),
+                            stamped.filter(col("is_failure")))
+        failed.write.mode("append").parquet(deadLetterPath)
+        val existing =
+          try Some(spark.read.parquet(statePath)) catch { case _: Exception => None }
+        val merged = existing match {
+          case Some(ex) =>
+            Lifecycle.upsert(ex, ok, key,
+              Seq(col("batch_id").desc) ++ key.map(col(_).asc))
+          case None => ok
+        }
+        // Materialize before overwriting the path we just read (plan-safe;
+        // a production deployment stages to a temp prefix + atomic swap).
+        val rows = merged.cache()
+        rows.count()
+        rows.write.mode("overwrite").parquet(statePath)
+        rows.unpersist()
+        ()
+      }
+      .start()
+}

@@ -1,0 +1,62 @@
+package graft
+
+import graft.ops.{Compaction, Lifecycle}
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CompactionSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp() = Files.createTempDirectory("graft-compact").toString
+
+  private def batch(rows: Seq[(String, String, Long, String)]) =
+    rows.toDF("replay_id", "format_id", "uploadtime", "payload")
+
+  private val day1 = 1704067200L // 2024-01-01
+  private val day2 = 1704153600L // 2024-01-02
+
+  test("compact writes date-partitioned parquet and dedups on append (S5/U1/U5)") {
+    val path = tmp()
+    Compaction.compact(spark,
+      batch(Seq(("r1", "f", day1, "v1"), ("r2", "f", day1, "v1"))),
+      path, "replay_id", "uploadtime")
+    assert(spark.read.parquet(path).count() == 2)
+
+    // second batch: r2 re-delivered with a later uploadtime (wins), r3 new on day2
+    Compaction.compact(spark,
+      batch(Seq(("r2", "f", day1 + 60, "v2"), ("r3", "f", day2, "v1"))),
+      path, "replay_id", "uploadtime")
+    val out = spark.read.parquet(path)
+    assert(out.count() == 3, "dedup by key kept one row per replay")
+    val r2 = out.filter($"replay_id" === "r2").collect().head
+    assert(r2.getAs[String]("payload") == "v2", "latest-by-uploadtime survives")
+    // partition layout exists
+    assert(new java.io.File(s"$path/format_id=f/day=2024-01-02").exists())
+  }
+
+  test("untouched partitions survive dynamic overwrite") {
+    val path = tmp()
+    Compaction.compact(spark, batch(Seq(("a", "f", day1, "x"))), path, "replay_id", "uploadtime")
+    Compaction.compact(spark, batch(Seq(("b", "f", day2, "y"))), path, "replay_id", "uploadtime")
+    val days = spark.read.parquet(path).select("day").distinct().count()
+    assert(days == 2, "day1 partition not clobbered by day2-only batch")
+  }
+
+  test("compact is idempotent on re-delivery (T4)") {
+    val path = tmp()
+    val b = batch(Seq(("a", "f", day1, "x"), ("b", "f", day1, "y")))
+    Compaction.compact(spark, b, path, "replay_id", "uploadtime")
+    Compaction.compact(spark, b, path, "replay_id", "uploadtime")
+    assert(spark.read.parquet(path).count() == 2)
+  }
+
+  test("plan groups downloaded-not-compacted by format and day (A4)") {
+    val status = Lifecycle.statusFromOrders(Tables.orders(spark, TestSpark.sfDir))
+    val plan = Compaction.plan(status)
+    assert(plan.count() > 0)
+    val row = plan.orderBy($"format_id", $"day").collect().head
+    assert(row.getAs[Long]("n") == row.getAs[String]("ids_csv").split(",").length)
+  }
+}

@@ -1,0 +1,71 @@
+package graft
+
+import graft.ops.Dedup
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, TestSpark.sfDir)
+
+  test("exactDupGroups finds planted byte-dups") {
+    val crafted = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"), (3L, "other text"))
+      .toDF("doc_id", "text")
+    val groups = Dedup.exactDupGroups(crafted).collect()
+    assert(groups.length == 1)
+    assert(groups.head.getAs[Long]("n") == 2 && groups.head.getAs[Long]("canonical_id") == 1L)
+  }
+
+  test("minhash signature is identical for identical token sets") {
+    val crafted = Seq((1L, "a b c d e"), (2L, "e d c b a"), (3L, "x y z w v"))
+      .toDF("doc_id", "text")
+    val sig = Dedup.minhashSignature(col("text"), 4)
+    val out = crafted.select(col("doc_id") +: sig.map { case (n, c) => c.as(n) }: _*)
+      .collect().map(r => r.getLong(0) -> (1 to 4).map(r.getString)).toMap
+    assert(out(1L) == out(2L), "order-insensitive")
+    assert(out(1L) != out(3L))
+  }
+
+  test("LSH candidate pairs contain the planted near-dups found by jaccard") {
+    val exact = Dedup.ngramJaccardPairs(docs, 3, 0.9)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "corpus plants near-dups")
+    val cands = Dedup.lshCandidatePairs(docs)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect cands).size.toDouble / exact.size
+    assert(recall >= 0.9, s"LSH recall over jaccard>=0.9 pairs was $recall")
+  }
+
+  test("simhash: identical texts collide, near texts are close in Hamming") {
+    val crafted = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "the quick brown fox jumps over the lazy cat again and again"),
+      (4L, "completely different words nothing shared whatsoever here at all")
+    ).toDF("doc_id", "text")
+    val fp = crafted.select(col("doc_id"), Dedup.simhash32(col("text")).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(fp(1L) == fp(2L))
+    assert(hamming(fp(1L), fp(3L)) < hamming(fp(1L), fp(4L)))
+  }
+
+  test("ngram jaccard equals a driver-side reference on crafted docs") {
+    val crafted = Seq((1L, "a b c d e f"), (2L, "a b c d e g")).toDF("doc_id", "text")
+    // 4 shared 3-grams ("a b c","b c d","c d e"), sizes 4 and 4 → 3/(4+4-3)=0.6
+    val out = Dedup.ngramJaccardPairs(crafted, 3, 0.1).collect()
+    assert(out.length == 1)
+    assert(math.abs(out.head.getDouble(2) - 0.6) < 1e-12)
+  }
+
+  test("maxShingleDf cap prunes postings but keeps high-jaccard pairs") {
+    val capped = Dedup.ngramJaccardPairs(docs, 3, 0.9, maxShingleDf = 100)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val full = Dedup.ngramJaccardPairs(docs, 3, 0.9)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(full.subsetOf(capped ++ full))
+    assert((full intersect capped).size.toDouble / math.max(full.size, 1) >= 0.9)
+  }
+}

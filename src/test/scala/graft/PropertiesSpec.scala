@@ -1,0 +1,63 @@
+package graft
+
+import graft.ops.{Incremental, Lifecycle, Scalars}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import scala.util.Random
+
+/** Algebraic properties (SURVEY.md §5 point 3), seeded-random style — the
+  * scalatest/scalacheck bridge artifact isn't in the offline dep set, so
+  * generation is a deterministic `Random(seed)` loop.
+  */
+class PropertiesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def trials(n: Int)(body: Random => Unit): Unit =
+    (0 until n).foreach(i => body(new Random(42 + i)))
+
+  test("dedup ∘ dedup = dedup") {
+    trials(5) { rnd =>
+      val rows = List.fill(40)((rnd.nextLong(10), rnd.nextLong(100), rnd.alphanumeric.take(5).mkString))
+      val df = rows.toDF("k", "p", "v")
+      val prec = Seq($"p".desc, $"v".desc)
+      val once = Lifecycle.dedupKeepFirst(df, Seq("k"), prec)
+      val twice = Lifecycle.dedupKeepFirst(once, Seq("k"), prec)
+      assert(once.collect().toSet == twice.collect().toSet)
+      assert(once.select("k").distinct().count() == once.count())
+    }
+  }
+
+  test("watermark filter is monotone: higher watermark ⇒ subset") {
+    trials(5) { rnd =>
+      val ts = List.fill(30)(rnd.nextLong(1000))
+      val w = rnd.nextLong(500)
+      val df = ts.toDF("t")
+      val lo = Incremental.newSince(df, "t", lit(w)).as[Long].collect().toSet
+      val hi = Incremental.newSince(df, "t", lit(w + 100)).as[Long].collect().toSet
+      assert(hi.subsetOf(lo))
+      assert(lo.forall(_ > w))
+    }
+  }
+
+  test("F7 battle-log timestamp regex round-trips") {
+    trials(5) { rnd =>
+      val epoch = 1 + rnd.nextLong(2000000000L)
+      val log = s"|j|player1\n|t:|$epoch\n|start\n"
+      val got = Seq(log).toDF("log").select(Scalars.logTimestamp($"log")).head().getLong(0)
+      assert(got == epoch)
+    }
+  }
+
+  test("semi ⊎ anti = identity on distinct keys") {
+    trials(5) { rnd =>
+      val left = List.fill(30)(rnd.nextLong(20)).distinct
+      val right = List.fill(10)(10 + rnd.nextLong(20)).distinct
+      val l = left.toDF("k"); val r = right.toDF("k")
+      val semi = l.join(r, Seq("k"), "left_semi").as[Long].collect().toSet
+      val anti = l.join(r, Seq("k"), "left_anti").as[Long].collect().toSet
+      assert((semi ++ anti) == left.toSet)
+      assert((semi intersect anti).isEmpty)
+    }
+  }
+}

@@ -1,0 +1,64 @@
+package graft
+
+import graft.ops.Similarity
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.VectorExpressions.cosineSim
+import org.scalatest.funsuite.AnyFunSuite
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val emb = Tables.embeddings(spark, TestSpark.sfDir)
+
+  test("CosineSimilarity expression matches a driver-side reference") {
+    val rows = emb.limit(4).select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect()
+    val expr = emb.as("a").limit(4).crossJoin(emb.as("b").limit(4))
+      .select($"a.vec_id".as("ia"), $"b.vec_id".as("ib"),
+              cosineSim($"a.embedding", $"b.embedding").as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    def ref(x: Array[Float], y: Array[Float]): Double = {
+      var dot = 0.0; var nx = 0.0; var ny = 0.0
+      for (i <- x.indices) { dot += x(i).toDouble * y(i); nx += x(i).toDouble * x(i); ny += y(i).toDouble * y(i) }
+      dot / (math.sqrt(nx) * math.sqrt(ny))
+    }
+    for ((ia, va) <- rows; (ib, vb) <- rows)
+      assert(math.abs(expr((ia, ib)) - ref(va, vb)) < 1e-12)
+  }
+
+  test("codegen and interpreted paths agree") {
+    val a = typedLit(Seq(1.0f, 2.0f, 3.0f)); val b = typedLit(Seq(3.0f, 2.0f, 1.0f))
+    // one-row plan runs through codegen; literal fold path exercises eval
+    val viaPlan = spark.range(1).select(cosineSim(a, b).as("c")).head().getDouble(0)
+    val expected = 10.0 / (math.sqrt(14.0) * math.sqrt(14.0))
+    assert(math.abs(viaPlan - expected) < 1e-12)
+  }
+
+  test("cosineTopK returns k ordered neighbors per query") {
+    val out = Similarity.cosineTopK(emb.filter($"vec_id" < 3), emb.filter($"vec_id" >= 3), 5)
+    val byQ = out.groupBy("q_id").count().collect()
+    assert(byQ.length == 3 && byQ.forall(_.getLong(1) == 5))
+    // scores non-increasing within a query
+    val scores = out.filter($"q_id" === 0).orderBy($"cos_sim".desc).select("cos_sim")
+      .as[Double].collect()
+    assert(scores.sorted(Ordering[Double].reverse).sameElements(scores))
+  }
+
+  test("ANN recall against exact top-k is usable (approximate op bound)") {
+    val qs = emb.filter($"vec_id" < 8); val corpus = emb.filter($"vec_id" >= 8)
+    val exact = Similarity.cosineTopK(qs, corpus, 5)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.annTopK(qs, corpus, 5)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.2, s"sign-LSH recall=$recall too low")
+    assert(approx.size <= 40, "no more than k per query")
+  }
+
+  test("nearDupPairs is symmetric-free and thresholded") {
+    val pairs = Similarity.nearDupPairs(emb, 0.4).collect()
+    assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(pairs.forall(_.getDouble(2) >= 0.4))
+  }
+}

@@ -1,0 +1,51 @@
+package graft
+
+import graft.ops.TextAnalysis
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextAnalysisSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("shingles: n-grams with short-document fallback") {
+    val df = Seq((1L, "a b c d e"), (2L, "a b")).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"), TextAnalysis.shingles(col("text"), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(out(1L) == Seq("a b c", "b c d", "c d e"))
+    assert(out(2L) == Seq("a b"), "short doc falls back to whole text")
+  }
+
+  test("quality score stays in [0,1] over the corpus") {
+    val docs = Tables.documents(spark, TestSpark.sfDir)
+    val q = TextAnalysis.qualityColumns(col("text"))
+    val bad = docs.select(q("quality_score").as("s"))
+      .filter($"s" < 0 || $"s" > 1).count()
+    assert(bad == 0)
+  }
+
+  test("token counts: whitespace vs BPE-ish segmentation") {
+    val df = Seq((1L, "hello world")).toDF("doc_id", "text")
+    val (ws, bpe) = TextAnalysis.tokenCounts(col("text"))
+    val r = df.select(ws.as("ws"), bpe.as("bpe")).head()
+    assert(r.getInt(0) == 2 && r.getInt(1) == 2)
+  }
+
+  test("langId flags stopword-rich text as en") {
+    val df = Seq((1L, "the cat sat on the mat with a hat"),
+                 (2L, "zzz qqq www rrr ttt yyy uuu")).toDF("doc_id", "text")
+    val (_, predicted) = TextAnalysis.langId(col("text"))
+    val out = df.select(col("doc_id"), predicted.as("p"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "en" && out(2L) == "und")
+  }
+
+  test("fingerprint min/max are stable hex strings") {
+    val df = Seq((1L, "a b c d e f g h")).toDF("doc_id", "text")
+    val f = TextAnalysis.fingerprint(col("text"))
+    val r = df.select(f("n_shingles").as("n"), f("fp_min").as("lo"), f("fp_max").as("hi")).head()
+    assert(r.getInt(0) == 4)
+    assert(r.getString(1) <= r.getString(2))
+    assert(r.getString(1).matches("[0-9a-f]{32}"))
+  }
+}
