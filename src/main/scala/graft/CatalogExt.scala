@@ -26,9 +26,11 @@ object CatalogExt {
        |                      i -> array_to_string(($sqlTokens)[i:i+${n - 1}], ' '))
        |  ELSE [text] END""".stripMargin
 
-  /** DuckDB: per-doc MinHash component i (mirrors [[Dedup.minhashSignature]]). */
+  /** DuckDB: per-doc MinHash component i over distinct 3-gram shingles
+    * (mirrors [[Dedup.minhashSignature]]).
+    */
   private def sqlMinhash(i: Int): String =
-    s"list_min(list_transform(list_distinct($sqlTokens), t -> md5(t || '#$i')))"
+    s"list_min(list_transform(list_distinct(${sqlShingles(3)}), t -> md5(t || '#$i')))"
 
   /** DuckDB simhash-32: explode-form twin of the Spark HOF pipeline in
     * [[Dedup.simhash32]]. Bit b of the per-token 32-bit hash (md5 first 8 hex
@@ -79,14 +81,11 @@ object CatalogExt {
               |       COUNT(*) AS n, MIN(doc_id) AS canonical_id
               |FROM documents GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY 1""".stripMargin)),
 
-    // ── MinHash signatures (k=8), map-side only.
+    // ── MinHash signatures (k=8) via the explode+aggregate table form.
     ("minhash_signatures",
-      (spark, dir) => {
-        val sig = Dedup.minhashSignature(col("text"), 8)
-        Tables.documents(spark, dir)
-          .select(col("doc_id") +: sig.map { case (n, c) => c.as(n) }: _*)
-          .orderBy(col("doc_id"))
-      },
+      (spark, dir) =>
+        Dedup.minhashSignatureTable(Tables.documents(spark, dir), 8)
+          .orderBy(col("doc_id")),
       Some(s"""SELECT doc_id, ${(0 until 8).map(i => s"${sqlMinhash(i)} AS s$i").mkString(",\n       ")}
               |FROM documents ORDER BY doc_id""".stripMargin)),
 

@@ -33,17 +33,38 @@ object Dedup {
     md5(array_join(array_sort(array_distinct(TextAnalysis.tokens(text))), " ")
       .cast("binary"))
 
-  /** MinHash signature: k independent hashes as `min(md5(token || '#' || i))`
-    * over the distinct token set. Lexicographic min of a uniform hash is a
-    * valid MinHash and is engine-portable (md5 hex is canonical, no integer
-    * endianness games). Map-side only.
+  /** MinHash signature: k independent hashes as `min(md5(shingle || '#i'))`
+    * over the distinct word n-gram shingle set. Lexicographic min of a
+    * uniform hash is a valid MinHash and is engine-portable (md5 hex is
+    * canonical, no integer endianness games). Map-side only.
+    *
+    * Shingles, not unigrams: over a small vocabulary the distinct-token sets
+    * of most documents coincide, every signature degenerates to the same
+    * min, and LSH banding collapses to an all-pairs cross product (observed:
+    * 218 s / 12.5 M candidate pairs at sf0.1). n-gram shingle space is
+    * |vocab|^n, which keeps signatures diverse and candidates ∝ true dups.
     */
-  def minhashSignature(text: Column, k: Int): Seq[(String, Column)] = {
-    val dtoks = array_distinct(TextAnalysis.tokens(text))
+  def minhashSignature(text: Column, k: Int, shingleN: Int = 3): Seq[(String, Column)] = {
+    val sh = array_distinct(TextAnalysis.shingles(text, shingleN))
     (0 until k).map { i =>
-      s"s$i" -> array_min(transform(dtoks, t => md5(concat(t, lit(s"#$i")).cast("binary"))))
+      s"s$i" -> array_min(transform(sh, t => md5(concat(t, lit(s"#$i")).cast("binary"))))
     }
   }
+
+  /** Signature *table* (doc_id, s0..s{k-1}) via explode + hash aggregate —
+    * the 100 TB path: staged tokens, one shingle explode, k codegen'd md5
+    * columns, partial+final `min` aggregation. The HOF column form above is
+    * interpreted per element and re-derives shingles per component; this form
+    * is whole-stage-codegen end to end (observed ~6× faster at sf0.1 and it
+    * scales out with the shuffle instead of per-row lambda depth).
+    */
+  def minhashSignatureTable(docs: DataFrame, k: Int = 8, shingleN: Int = 3): DataFrame =
+    TextAnalysis.explodeShingles(docs, shingleN)
+      .groupBy("doc_id")
+      .agg(
+        min(md5(concat(col("g"), lit("#0")).cast("binary"))).as("s0"),
+        (1 until k).map(i =>
+          min(md5(concat(col("g"), lit(s"#$i")).cast("binary"))).as(s"s$i")): _*)
 
   /** LSH bands over a MinHash signature: hash `rowsPerBand` consecutive
     * signature values per band. Docs sharing any band are near-dup candidates.
@@ -52,22 +73,23 @@ object Dedup {
     sig.grouped(rowsPerBand).toSeq.map(g => md5(concat_ws("|", g: _*).cast("binary")))
 
   /** MinHash+LSH candidate pairs: per band, docs hashing to the same bucket.
-    * Implemented as a union of per-band self-equi-joins (shuffle on band
-    * hash — uniform) and distinct'd; returns (doc_a < doc_b) pairs.
+    * One posexplode over the band array then a single self-equi-join on
+    * (band index, bucket) — the naive union of per-band joins evaluates the
+    * signature subtree once per band per side (8× the md5 work; observed
+    * 37 s → ~4× less this way). Shuffle key is a uniform md5 bucket — no
+    * skew. Returns distinct (doc_a < doc_b) pairs.
     */
   def lshCandidatePairs(docs: DataFrame, k: Int = 8, rowsPerBand: Int = 2): DataFrame = {
-    val sig = minhashSignature(col("text"), k)
-    val withBands = docs.select(
-      col("doc_id") +: lshBands(sig.map(_._2), rowsPerBand).zipWithIndex
-        .map { case (c, i) => c.as(s"b$i") }: _*)
-    val nBands = k / rowsPerBand
-    val perBand = (0 until nBands).map { i =>
-      val l = withBands.select(col("doc_id").as("doc_a"), col(s"b$i").as("bucket"))
-      val r = withBands.select(col("doc_id").as("doc_b"), col(s"b$i").as("bucket"))
-      l.join(r, Seq("bucket")).filter(col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b")
-    }
-    perBand.reduce(_ unionByName _).distinct()
+    val sigTable = minhashSignatureTable(docs, k)
+    val bands = sigTable.select(col("doc_id"),
+      posexplode(array(lshBands((0 until k).map(i => col(s"s$i")), rowsPerBand): _*))
+        .as(Seq("band", "bucket")))
+    val l = bands.select(col("doc_id").as("doc_a"), col("band"), col("bucket"))
+    val r = bands.select(col("doc_id").as("doc_b"), col("band"), col("bucket"))
+    l.join(r, Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
   }
 
   /** SimHash-32 fingerprint: per bit b, the sign of Σ_tokens ±1 (weighted by
@@ -106,8 +128,7 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double,
                         maxShingleDf: Int = 0): DataFrame = {
-    val sh = docs
-      .select(col("doc_id"), explode(array_distinct(TextAnalysis.shingles(col("text"), n))).as("g"))
+    val sh = TextAnalysis.explodeShingles(docs, n)
     val postings =
       if (maxShingleDf > 0) {
         val keep = sh.groupBy("g").agg(count(lit(1)).as("df"))

@@ -64,17 +64,34 @@ object TextAnalysis {
     (ws, bpe)
   }
 
-  /** Word n-gram shingles (space-joined), the basis for fingerprinting and
-    * near-dup detection. Documents shorter than `n` tokens contribute their
-    * whole text as a single shingle.
+  /** Word n-gram shingles over a *staged* tokens column. The tokens argument
+    * must be a bound attribute (a real column from a prior projection), not
+    * an inline `split(...)` expression: a lambda body re-evaluates its whole
+    * subtree per element, so inlining the split makes shingling O(tokens²)
+    * per document (observed 6× slowdown on the LSH pipeline at sf0.1).
+    * Documents shorter than `n` tokens contribute their whole text as a
+    * single shingle.
     */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
+  def shinglesOfTokens(toks: Column, text: Column, n: Int): Column =
     when(size(toks) >= n,
       transform(sequence(lit(1), size(toks) - (n - 1)),
         i => array_join(slice(toks, i, lit(n)), " ")))
       .otherwise(array(text))
-  }
+
+  /** Convenience form for one-shot use; prefer staging tokens via
+    * [[shinglesOfTokens]] in anything per-shingle-heavy.
+    */
+  def shingles(text: Column, n: Int): Column =
+    shinglesOfTokens(tokens(text), text, n)
+
+  /** Stage (doc_id, shingle) rows: tokens projected first so the shingle
+    * lambda references an attribute, then one explode. This is the codegen-
+    * friendly entry to every shingle-based pipeline (Jaccard, MinHash).
+    */
+  def explodeShingles(docs: DataFrame, n: Int, textCol: String = "text"): DataFrame =
+    docs.select(col("doc_id"), col(textCol), split(col(textCol), " ").as("__toks"))
+      .select(col("doc_id"),
+        explode(array_distinct(shinglesOfTokens(col("__toks"), col(textCol), n))).as("g"))
 
   /** Document fingerprint (winnowing-lite rolling-hash analogue): the min and
     * max md5 over word 5-gram shingles. Lexicographic min over a uniform hash

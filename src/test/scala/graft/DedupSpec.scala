@@ -18,14 +18,19 @@ class DedupSpec extends AnyFunSuite {
     assert(groups.head.getAs[Long]("n") == 2 && groups.head.getAs[Long]("canonical_id") == 1L)
   }
 
-  test("minhash signature is identical for identical token sets") {
+  test("minhash signature: unigram mode is order-insensitive, shingle mode is not") {
     val crafted = Seq((1L, "a b c d e"), (2L, "e d c b a"), (3L, "x y z w v"))
       .toDF("doc_id", "text")
-    val sig = Dedup.minhashSignature(col("text"), 4)
-    val out = crafted.select(col("doc_id") +: sig.map { case (n, c) => c.as(n) }: _*)
-      .collect().map(r => r.getLong(0) -> (1 to 4).map(r.getString)).toMap
-    assert(out(1L) == out(2L), "order-insensitive")
-    assert(out(1L) != out(3L))
+    def sigs(shingleN: Int) = {
+      val sig = Dedup.minhashSignature(col("text"), 4, shingleN)
+      crafted.select(col("doc_id") +: sig.map { case (n, c) => c.as(n) }: _*)
+        .collect().map(r => r.getLong(0) -> (1 to 4).map(r.getString)).toMap
+    }
+    val uni = sigs(1)
+    assert(uni(1L) == uni(2L), "unigram minhash sees the same token set")
+    assert(uni(1L) != uni(3L))
+    val tri = sigs(3)
+    assert(tri(1L) != tri(2L), "3-gram shingles capture order")
   }
 
   test("LSH candidate pairs contain the planted near-dups found by jaccard") {
