@@ -103,8 +103,8 @@ object CatalogCore {
     // ── P5/T1 high-watermark incremental filter (discovery.py:82-100).
     ("incremental_since",
       (spark, dir) =>
-        Incremental.newSince(Tables.events(spark, dir), "ts",
-            lit("2024-01-20 00:00:00").cast("timestamp"))
+        Tables.eventsSinceMicros(spark, dir,
+            java.time.Instant.parse("2024-01-20T00:00:00Z").toEpochMilli * 1000L)
           .groupBy(col("event_type"))
           .agg(count(lit(1)).as("n"), max(unix_seconds(col("ts"))).as("max_epoch"))
           .orderBy(col("event_type")),

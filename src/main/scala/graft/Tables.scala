@@ -30,13 +30,32 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 
+  /** `events` with `ts` still the raw nanosecond long — the column filters
+    * can push to the parquet scan (row-group min/max skipping).
+    */
+  def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, dir, "events")
+  }
+
+  private def nanosToTs(df: DataFrame): DataFrame =
+    df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+
   /** `events` with `ts` normalized from parquet TIMESTAMP(NANOS) to
     * microsecond TimestampType. Integer division (never double math — ns
     * magnitudes exceed 2^53) keeps the truncation exact.
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-  }
+  def events(spark: SparkSession, dir: String): DataFrame =
+    nanosToTs(eventsRaw(spark, dir))
+
+  /** Pushdown-friendly incremental scan (SURVEY §2.9 T1): the watermark is
+    * applied to the *raw* nanosecond column, so it reaches the parquet
+    * reader as `GreaterThan(ts, …)` — a predicate on the derived
+    * `timestamp_micros(ts DIV 1000)` column stays a post-scan DataFilter and
+    * reads every row group at 100 TB. `ns > 1000·W_µs + 999` is exactly
+    * `trunc(ns/1000) > W_µs`, so results match the derived-column filter.
+    */
+  def eventsSinceMicros(spark: SparkSession, dir: String, watermarkMicros: Long): DataFrame =
+    nanosToTs(eventsRaw(spark, dir)
+      .filter(col("ts") > lit(watermarkMicros * 1000L + 999L)))
 }
