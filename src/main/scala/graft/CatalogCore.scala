@@ -299,7 +299,7 @@ object CatalogCore {
                sum(when(col("is_downloaded"), 1L).otherwise(0L)).as("n_downloaded"),
                sum(when(col("is_compacted"), 1L).otherwise(0L)).as("n_compacted"))
           .select(coalesce(col("format_id"), lit("ALL")).as("format_grp"),
-                  coalesce(col("yr"), lit(-1)).as("year_grp"),
+                  coalesce(col("yr"), lit(-1)).cast("long").as("year_grp"),
                   col("n_total"), col("n_downloaded"), col("n_compacted"))
           .orderBy(col("format_grp"), col("year_grp")),
       Some(s"""$S

@@ -128,12 +128,10 @@ object CatalogExt {
               |WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= 0.5
               |ORDER BY doc_a, doc_b""".stripMargin)),
 
-    // ── SimHash-32 fingerprints (HOF pipeline in Spark, explode twin in SQL).
+    // ── SimHash-32 fingerprints (explode + 32-lane aggregate, codegen'd).
     ("simhash_fingerprints",
       (spark, dir) =>
-        Tables.documents(spark, dir)
-          .select(col("doc_id"), Dedup.simhash32(col("text")).as("simhash"))
-          .orderBy(col("doc_id")),
+        Dedup.simhash32Table(Tables.documents(spark, dir)).orderBy(col("doc_id")),
       Some(sqlSimhash)),
 
     // ── brute-force cosine top-k (query vecs broadcast, corpus streams).
@@ -198,8 +196,8 @@ object CatalogExt {
       (spark, dir) => {
         val q = TextAnalysis.qualityColumns(col("text"))
         Tables.documents(spark, dir)
-          .select(col("doc_id"), q("n_tokens").as("n_tokens"),
-                  q("n_distinct").as("n_distinct"),
+          .select(col("doc_id"), q("n_tokens").cast("long").as("n_tokens"),
+                  q("n_distinct").cast("long").as("n_distinct"),
                   q("avg_token_len").as("avg_token_len"),
                   q("stopword_ratio").as("stopword_ratio"),
                   q("quality_score").as("quality_score"))
@@ -225,8 +223,10 @@ object CatalogExt {
       (spark, dir) => {
         val (ws, bpe) = TextAnalysis.tokenCounts(col("text"))
         Tables.documents(spark, dir)
-          .select(col("doc_id"), ws.as("ws_tokens"), bpe.as("bpe_tokens"),
-                  length(col("text")).as("n_chars_total"))
+          // long, matching DuckDB's BIGINT len()/length()
+          .select(col("doc_id"), ws.cast("long").as("ws_tokens"),
+                  bpe.cast("long").as("bpe_tokens"),
+                  length(col("text")).cast("long").as("n_chars_total"))
           .orderBy(col("doc_id"))
       },
       Some(s"""SELECT doc_id,
@@ -237,13 +237,9 @@ object CatalogExt {
 
     // ── document fingerprints: min/max md5 over 5-gram shingles.
     ("doc_fingerprints",
-      (spark, dir) => {
-        val f = TextAnalysis.fingerprint(col("text"))
-        Tables.documents(spark, dir)
-          .select(col("doc_id"), f("n_shingles").as("n_shingles"),
-                  f("fp_min").as("fp_min"), f("fp_max").as("fp_max"))
-          .orderBy(col("doc_id"))
-      },
+      (spark, dir) =>
+        TextAnalysis.fingerprintTable(Tables.documents(spark, dir))
+          .orderBy(col("doc_id")),
       Some(s"""WITH sh AS (SELECT doc_id, list_transform(${sqlShingles(5)}, g -> md5(g)) AS hs FROM documents)
               |SELECT doc_id, len(hs) AS n_shingles,
               |       list_min(hs) AS fp_min, list_max(hs) AS fp_max

@@ -117,6 +117,29 @@ object Dedup {
         lit(0L), (s, v) => s + v))
   }
 
+  /** SimHash-32 *table* (doc_id, simhash): explode tokens, hash each once
+    * (codegen'd md5 + conv), 32 conditional-sum lanes in one partial+final
+    * hash aggregate, pack the sign bits. The HOF column form above inlines
+    * the md5 subtree into every bit lane (32 evaluations per token,
+    * interpreted — observed 16 s vs ~1 s at sf0.1); this is the 100 TB path
+    * and the exact shape of the DuckDB oracle twin.
+    */
+  def simhash32Table(docs: DataFrame): DataFrame = {
+    val hashed = TextAnalysis.explodeTokens(docs)
+      .select(col("doc_id"),
+        conv(substring(md5(col("token").cast("binary")), 1, 8), 16, 10)
+          .cast("long").as("h"))
+    val lanes = (0 until 32).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"s$b"))
+    val packed = (0 until 32)
+      .map(b => when(col(s"s$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    hashed.groupBy("doc_id")
+      .agg(lanes.head, lanes.tail: _*)
+      .select(col("doc_id"), packed.as("simhash"))
+  }
+
   /** Exact n-gram Jaccard near-dup pairs via inverted-index self-join:
     * distinct (doc, shingle) → join on shingle → per-pair shared count →
     * `|A∩B| / (|A|+|B|−|A∩B|)`. Exact (integer counts, one double division).

@@ -37,7 +37,7 @@ object Multimodal {
     */
   def metadata(media: DataFrame): DataFrame =
     media.select(col("doc_id"),
-                 octet_length(col("payload")).as("n_bytes"),
+                 octet_length(col("payload")).cast("long").as("n_bytes"),
                  sha2(col("payload"), 256).as("sha256"))
 
   /** STUB decode: a real pipeline would decode the payload (image decode,

@@ -86,12 +86,29 @@ object TextAnalysis {
 
   /** Stage (doc_id, shingle) rows: tokens projected first so the shingle
     * lambda references an attribute, then one explode. This is the codegen-
-    * friendly entry to every shingle-based pipeline (Jaccard, MinHash).
+    * friendly entry to every shingle-based pipeline (Jaccard, MinHash,
+    * fingerprints). `distinct` controls set (Jaccard/MinHash) vs bag
+    * (fingerprint counts) semantics.
     */
-  def explodeShingles(docs: DataFrame, n: Int, textCol: String = "text"): DataFrame =
-    docs.select(col("doc_id"), col(textCol), split(col(textCol), " ").as("__toks"))
-      .select(col("doc_id"),
-        explode(array_distinct(shinglesOfTokens(col("__toks"), col(textCol), n))).as("g"))
+  def explodeShingles(docs: DataFrame, n: Int, textCol: String = "text",
+                      distinct: Boolean = true): DataFrame = {
+    val staged = docs
+      .select(col("doc_id"), col(textCol), split(col(textCol), " ").as("__toks"))
+    val sh = shinglesOfTokens(col("__toks"), col(textCol), n)
+    staged.select(col("doc_id"),
+      explode(if (distinct) array_distinct(sh) else sh).as("g"))
+  }
+
+  /** Fingerprint *table* (doc_id, n_shingles, fp_min, fp_max) — the
+    * explode + aggregate twin of [[fingerprint]]: one codegen'd md5 per
+    * shingle instead of an interpreted per-element lambda.
+    */
+  def fingerprintTable(docs: DataFrame, n: Int = 5): DataFrame =
+    explodeShingles(docs, n, distinct = false)
+      .select(col("doc_id"), md5(col("g").cast("binary")).as("h"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+           min(col("h")).as("fp_min"), max(col("h")).as("fp_max"))
 
   /** Document fingerprint (winnowing-lite rolling-hash analogue): the min and
     * max md5 over word 5-gram shingles. Lexicographic min over a uniform hash

@@ -10,7 +10,7 @@ class MultimodalSpec extends AnyFunSuite {
   test("binary payload plumbing: metadata matches feature-extraction checksums") {
     val media = Multimodal.toMedia(Tables.documents(spark, TestSpark.sfDir).limit(50))
     val meta = Multimodal.metadata(media).collect()
-      .map(r => r.getLong(0) -> (r.getInt(1), r.getString(2))).toMap
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
     val feats = Multimodal.extractFeatures(spark, media, batchSize = 16).collect()
     assert(feats.length == 50)
     feats.foreach { f =>
