@@ -28,6 +28,23 @@ object CatalogCore {
 
   val entries: Seq[(String, QueryFn, Option[String])] = Seq(
 
+    // ── S1 paginated search scan as a custom DataSource V2
+    //    (graft.sources.PagedReplaySource; reference api.py:13-42). The
+    //    synthetic page payload is a pure function, so DuckDB reproduces it
+    //    from range() — a full hash-match oracle over a custom source.
+    ("paged_source_scan",
+      (spark, _) =>
+        spark.read.format("paged-replays")
+          .option("format", "gen9ou").option("total", "1000")
+          .load()
+          .orderBy(col("replay_id")),
+      Some("""SELECT 'gen9ou-' || CAST(1704067200 - i * 37 AS VARCHAR) AS replay_id,
+             |       'gen9ou' AS format_id,
+             |       1704067200 - i * 37 AS uploadtime,
+             |       'p' || CAST((i * 7919) % 1000 AS VARCHAR)
+             |           || ' vs p' || CAST((i * 104729) % 1000 AS VARCHAR) AS players
+             |FROM range(1000) t(i) ORDER BY replay_id""".stripMargin)),
+
     // ── A3+A4+F1 flagship: daily lifecycle/compaction stats over the event
     //    stream (reference get_stats_by_format db.py:629-664 + by-date
     //    grouping db.py:666-700).

@@ -65,6 +65,13 @@ object Scalars {
   def idFromFilename(path: Column): Column =
     regexp_extract(path, "([^/]+)\\.json$", 1)
 
+  /** F12 — Airflow-log line timestamp parse
+    * (`[%Y-%m-%dT%H:%M:%S.%f+0000]`, calculate_throughput.py:22-31).
+    */
+  def parseLogLineTs(line: Column): Column =
+    to_timestamp(regexp_extract(line, "\\[([^\\]]+)\\]", 1),
+                 "yyyy-MM-dd'T'HH:mm:ss.SSSSSSZ")
+
   /** F13 — zero-guarded division (rates / percentages). */
   def safeDiv(num: Column, den: Column): Column =
     when(den =!= 0, num / den).otherwise(lit(0.0))

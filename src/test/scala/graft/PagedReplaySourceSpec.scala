@@ -1,0 +1,42 @@
+package graft
+
+import graft.ops.Lifecycle
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class PagedReplaySourceSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def source(total: Long, pageSize: Int = 51) =
+    spark.read.format("paged-replays")
+      .option("format", "gen9ou").option("total", total.toString)
+      .option("pageSize", pageSize.toString)
+      .load()
+
+  test("serves the requested volume in page-sized partitions (S1)") {
+    val df = source(200, 51)
+    assert(df.count() == 200)
+    assert(df.rdd.getNumPartitions == 4, "⌈200/51⌉ pages, one partition each")
+    assert(df.select("replay_id").distinct().count() == 200)
+  }
+
+  test("uploadtime strictly descends across the page stream") {
+    val ts = source(150).orderBy($"uploadtime".desc).select("uploadtime").as[Long].collect()
+    assert(ts.sliding(2).forall(w => w(0) > w(1)))
+  }
+
+  test("limit pushdown plans only the needed pages (T3 early termination)") {
+    val plan = source(100000, 51).limit(10).queryExecution.executedPlan.toString
+    assert(plan.contains("paged-replays"), plan)
+    // the pushed scan advertises the reduced total
+    assert(plan.contains("total=10"), s"limit did not reach the source:\n$plan")
+  }
+
+  test("discovery flow: anti-join new pages against the status table (J2)") {
+    val incoming = source(300).select("replay_id", "format_id", "uploadtime")
+    val known = incoming.limit(120).select("replay_id")
+    val newOnes = Lifecycle.newRecords(incoming, known, Seq("replay_id"))
+    assert(newOnes.count() == 180)
+  }
+}
