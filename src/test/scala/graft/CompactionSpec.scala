@@ -52,6 +52,22 @@ class CompactionSpec extends AnyFunSuite {
     assert(spark.read.parquet(path).count() == 2)
   }
 
+  test("S3/S4: date-partitioned JSON sink + schema-pinned scan round-trips") {
+    // the reference's compacted daily JSON arrays (compaction.py:149,223-225)
+    // become date-partitioned JSON written once per partition; the scan reads
+    // with a supplied schema (never inferred — SURVEY §1.3)
+    val path = tmp()
+    val docs = batch(Seq(("r1", "f", day1, "v1"), ("r2", "f", day2, "v2")))
+      .withColumn("day", graft.ops.Scalars.epochToDate($"uploadtime"))
+    docs.write.mode("overwrite").partitionBy("format_id", "day").json(path)
+    val back = spark.read.schema(
+        "replay_id STRING, uploadtime BIGINT, payload STRING, format_id STRING, day DATE")
+      .json(path)
+    assert(back.count() == 2)
+    assert(back.filter($"day" === "2024-01-02").select("replay_id").as[String].head() == "r2",
+      "partition pruning columns recovered from the path")
+  }
+
   test("plan groups downloaded-not-compacted by format and day (A4)") {
     val status = Lifecycle.statusFromOrders(Tables.orders(spark, TestSpark.sfDir))
     val plan = Compaction.plan(status)
