@@ -68,10 +68,13 @@ object Similarity {
   def nearDupPairs(embeddings: DataFrame, threshold: Double): DataFrame = {
     val a = embeddings.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
     val b = embeddings.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
-    a.join(b, col("vec_a") < col("vec_b"))
+    // threshold inside the join condition: the nested-loop join then only
+    // materializes surviving rows (tiny selectivity) instead of all N²/2
+    // candidate rows with both embedding arrays attached
+    a.join(b, col("vec_a") < col("vec_b") &&
+              round(cosineSim(col("emb_a"), col("emb_b")), 6) >= threshold)
       .select(col("vec_a"), col("vec_b"),
               round(cosineSim(col("emb_a"), col("emb_b")), 6).as("cos_sim"))
-      .filter(col("cos_sim") >= threshold)
   }
 
   /** Approximate NN via multi-table sign-LSH: `nTables` independent hash
