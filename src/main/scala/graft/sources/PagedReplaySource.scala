@@ -5,6 +5,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -60,38 +61,87 @@ class PagedReplayTable(options: CaseInsensitiveStringMap)
   override def name(): String = s"paged_replays(${options.getOrDefault("format", "gen9ou")})"
   override def schema(): StructType = PagedReplaySource.schema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
     new PagedReplayScanBuilder(
       options.getOrDefault("format", "gen9ou"),
       options.getOrDefault("total", "1000").toLong,
       options.getOrDefault("pageSize", "51").toInt,
-      options.getOrDefault("endTs", "1704067200").toLong)
+      options.getOrDefault("endTs", "1704067200").toLong,
+      options.getOrDefault("maxPagesPerTrigger", "5").toInt)
 }
 
 class PagedReplayScanBuilder(format: String, var total: Long, pageSize: Int,
-                             endTs: Long)
+                             endTs: Long, maxPagesPerTrigger: Int)
     extends ScanBuilder with SupportsPushDownLimit {
   // T3 early termination: LIMIT n ⇒ fetch only the first ⌈n/pageSize⌉ pages.
   override def pushLimit(limit: Int): Boolean = {
     total = math.min(total, limit.toLong)
     true
   }
-  override def build(): Scan = new PagedReplayScan(format, total, pageSize, endTs)
+  override def build(): Scan =
+    new PagedReplayScan(format, total, pageSize, endTs, maxPagesPerTrigger)
 }
 
-class PagedReplayScan(format: String, total: Long, pageSize: Int, endTs: Long)
+class PagedReplayScan(format: String, total: Long, pageSize: Int, endTs: Long,
+                      maxPagesPerTrigger: Int)
     extends Scan with Batch {
   override def readSchema(): StructType = PagedReplaySource.schema
   override def toBatch: Batch = this
   override def description(): String =
     s"paged-replays format=$format total=$total pageSize=$pageSize"
 
+  /** Streaming face (SURVEY §2.9 T1/T3/T6): the micro-batch offset is the
+    * page cursor; `latestOffset` advances at most `maxPagesPerTrigger` pages
+    * per trigger (the reference's `max_pages` run cap / pacing,
+    * constants.py:26, discovery.py:78-79) and stops advancing at the last
+    * page — offset exhaustion is the short-page end-of-stream signal.
+    */
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new PagedReplayMicroBatchStream(format, total, pageSize, endTs, maxPagesPerTrigger)
+
   override def planInputPartitions(): Array[InputPartition] = {
     val nPages = ((total + pageSize - 1) / pageSize).toInt
     (0 until nPages).map { p =>
       val start = p.toLong * pageSize
       PagePartition(format, endTs, start, math.min(start + pageSize, total))
+        .asInstanceOf[InputPartition]
+    }.toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+        new PageReader(partition.asInstanceOf[PagePartition])
+    }
+}
+
+/** Page-cursor offset: number of pages fully served. */
+case class PageOffset(page: Long) extends Offset {
+  override def json(): String = s"""{"page":$page}"""
+}
+
+class PagedReplayMicroBatchStream(format: String, total: Long, pageSize: Int,
+                                  endTs: Long, maxPagesPerTrigger: Int)
+    extends MicroBatchStream {
+  private val nPages: Long = (total + pageSize - 1) / pageSize
+  private var cursor: Long = 0L
+
+  override def initialOffset(): Offset = PageOffset(0L)
+  override def latestOffset(): Offset = {
+    cursor = math.min(cursor + maxPagesPerTrigger, nPages)
+    PageOffset(cursor)
+  }
+  override def deserializeOffset(json: String): Offset =
+    PageOffset("""\d+""".r.findFirstIn(json).get.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[PageOffset].page
+    val e = end.asInstanceOf[PageOffset].page
+    (s until e).map { p =>
+      val lo = p * pageSize
+      PagePartition(format, endTs, lo, math.min(lo + pageSize, total))
         .asInstanceOf[InputPartition]
     }.toArray
   }

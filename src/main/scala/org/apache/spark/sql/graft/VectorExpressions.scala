@@ -77,4 +77,12 @@ object VectorExpressions {
   def cosineSim(a: Column, b: Column): Column =
     ExpressionUtils.column(
       CosineSimilarity(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Register `cosine_similarity(a, b)` as a SQL function on a live session
+    * (for new sessions, prefer `spark.sql.extensions=graft.GraftExtensions`).
+    */
+  def registerSql(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry.createOrReplaceTempFunction(
+        "cosine_similarity", exprs => CosineSimilarity(exprs(0), exprs(1)), "scala_udf")
 }

@@ -33,6 +33,22 @@ class PagedReplaySourceSpec extends AnyFunSuite {
     assert(plan.contains("total=10"), s"limit did not reach the source:\n$plan")
   }
 
+  test("streaming face: throttled micro-batches drain the stream (T1/T3/T6)") {
+    val q = spark.readStream.format("paged-replays")
+      .option("format", "gen9ou").option("total", "300")
+      .option("pageSize", "51").option("maxPagesPerTrigger", "2")
+      .load()
+      .writeStream.outputMode("append").format("memory").queryName("paged_stream")
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM paged_stream").head().getLong(0) == 300)
+      assert(spark.sql("SELECT count(DISTINCT replay_id) FROM paged_stream").head().getLong(0) == 300)
+      // ⌈300/51⌉ = 6 pages at ≤2 pages/trigger ⇒ at least 3 micro-batches
+      assert(q.lastProgress.batchId >= 2, s"batchId=${q.lastProgress.batchId}")
+    } finally q.stop()
+  }
+
   test("discovery flow: anti-join new pages against the status table (J2)") {
     val incoming = source(300).select("replay_id", "format_id", "uploadtime")
     val known = incoming.limit(120).select("replay_id")
