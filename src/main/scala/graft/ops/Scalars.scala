@@ -32,6 +32,13 @@ object Scalars {
   /** Timestamp → epoch seconds (truncating), the event-time axis. */
   def epochSeconds(ts: Column): Column = unix_seconds(ts)
 
+  /** F3 — ISO-8601 processing-time stamp (`datetime.now().isoformat()`,
+    * db.py:226,257). Wall-clock, so never part of an oracle-checked output —
+    * pipeline bookkeeping only.
+    */
+  def nowIso(): Column =
+    date_format(current_timestamp(), "yyyy-MM-dd'T'HH:mm:ss")
+
   /** F4 — deterministic batch-run id `{fmt}_{yyyyMMdd_HHmmss}` derived from a
     * supplied event time (the reference uses wall-clock `datetime.now()`; a
     * deterministic engine takes the clock as an input).

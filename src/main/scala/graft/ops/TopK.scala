@@ -1,0 +1,37 @@
+package graft.ops
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Typed top-k aggregator (SURVEY §2.10's reserved custom
+  * `Aggregator[IN, BUF, OUT]`): keeps the k best (score, id) pairs per group
+  * with a bounded buffer.
+  *
+  * Scale rationale: the ranking-window top-k (`row_number ≤ k`) shuffles
+  * *every* candidate row to its group's partition before ranking; this
+  * aggregator participates in partial aggregation, so each map task reduces
+  * its slice to ≤ k rows before the shuffle — for ANN rescoring with millions
+  * of candidates per query, the shuffle shrinks by orders of magnitude.
+  * Ties break toward the smaller id (same total order as the window form).
+  */
+class TopKByScore(k: Int)
+    extends Aggregator[(Long, Double), Array[(Long, Double)], Array[(Long, Double)]] {
+
+  private def best(a: (Long, Double), b: (Long, Double)): Boolean =
+    a._2 > b._2 || (a._2 == b._2 && a._1 < b._1)
+
+  private def trim(buf: Array[(Long, Double)]): Array[(Long, Double)] =
+    buf.sortWith(best).take(k)
+
+  override def zero: Array[(Long, Double)] = Array.empty
+  override def reduce(buf: Array[(Long, Double)], row: (Long, Double)): Array[(Long, Double)] =
+    trim(buf :+ row)
+  override def merge(a: Array[(Long, Double)], b: Array[(Long, Double)]): Array[(Long, Double)] =
+    trim(a ++ b)
+  override def finish(buf: Array[(Long, Double)]): Array[(Long, Double)] = trim(buf)
+
+  override def bufferEncoder: Encoder[Array[(Long, Double)]] =
+    Encoders.kryo[Array[(Long, Double)]]
+  override def outputEncoder: Encoder[Array[(Long, Double)]] =
+    Encoders.kryo[Array[(Long, Double)]]
+}
