@@ -178,16 +178,42 @@ object CatalogCore {
              |ORDER BY c_custkey""".stripMargin)),
 
     // ── J2/U4 anti join: new-records detection shape (db.py:857-871).
+    //    "high-value" qualifier keeps the result non-degenerate (every
+    //    customer has *some* order in this data).
     ("customers_without_orders",
       (spark, dir) =>
         Tables.customer(spark, dir)
-          .join(Tables.orders(spark, dir).select(col("o_custkey").as("c_custkey")),
+          .join(Tables.orders(spark, dir)
+                  .filter(col("o_totalprice") > 400000)
+                  .select(col("o_custkey").as("c_custkey")),
                 Seq("c_custkey"), "left_anti")
           .select(col("c_custkey"), col("c_name"))
           .orderBy(col("c_custkey")),
       Some("""SELECT c_custkey, c_name FROM customer
-             |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |WHERE NOT EXISTS (SELECT 1 FROM orders
+             |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
              |ORDER BY c_custkey""".stripMargin)),
+
+    // ── grouping sets: per-(type,date) + per-type + per-date + grand total
+    //    in one pass (the reference computes these roll-ups as separate
+    //    Python dict passes, compaction.py:127,230).
+    ("event_cube_stats",
+      (spark, dir) =>
+        Tables.events(spark, dir)
+          .withColumn("event_date", to_date(col("ts")))
+          .cube(col("event_type"), col("event_date"))
+          .agg(count(lit(1)).as("n"), Scalars.moneySum(col("value")).as("value_sum"))
+          .select(coalesce(col("event_type"), lit("ALL")).as("type_grp"),
+                  coalesce(col("event_date").cast("string"), lit("ALL")).as("date_grp"),
+                  col("n"), col("value_sum"))
+          .orderBy(col("type_grp"), col("date_grp")),
+      Some("""SELECT COALESCE(event_type, 'ALL') AS type_grp,
+             |       COALESCE(CAST(CAST(ts AS DATE) AS VARCHAR), 'ALL') AS date_grp,
+             |       COUNT(*) AS n,
+             |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+             |FROM events
+             |GROUP BY CUBE(event_type, CAST(ts AS DATE))
+             |ORDER BY type_grp, date_grp""".stripMargin)),
 
     // ── J1 bulk existence check with false default (db.py:702-734).
     ("download_status_check",

@@ -1,8 +1,17 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+/** Typed face of the lifecycle state record (SURVEY §1.4: case class at API
+  * boundaries, untyped DataFrame for the relational interior).
+  */
+case class ReplayStatus(
+    replay_id: String, format_id: String, uploadtime: Long,
+    is_downloaded: Boolean, download_details: Option[String],
+    is_retry_attempted: Option[Boolean], is_compacted: Boolean,
+    players: String, order_key: Long)
 
 /** The reference's core novelty: a four-stage lifecycle state table
   * (`replay_status`, reference db.py:43-70) driving idempotent incremental
@@ -44,6 +53,12 @@ object Lifecycle {
       concat(lit("p"), col("o_custkey").cast("string"),
              lit(" vs p"), (col("o_custkey") + 1).cast("string")).as("players"),
       k.as("order_key"))
+  }
+
+  /** [[statusFromOrders]] as a typed Dataset for API boundaries. */
+  def typedStatus(spark: SparkSession, orders: DataFrame): Dataset[ReplayStatus] = {
+    import spark.implicits._
+    statusFromOrders(orders).as[ReplayStatus]
   }
 
   /** DuckDB CTE mirroring [[statusFromOrders]] exactly (oracle twin). */

@@ -17,6 +17,13 @@ class LifecycleSpec extends AnyFunSuite {
     assert(status.filter(col("download_details").startsWith("Failed:")).count() > 0)
   }
 
+  test("typed Dataset face round-trips the status schema") {
+    val ds = Lifecycle.typedStatus(spark, Tables.orders(spark, TestSpark.sfDir))
+    val one = ds.filter(_.is_downloaded).head()
+    assert(one.download_details.exists(_.startsWith("OK")))
+    assert(ds.count() == status.count())
+  }
+
   test("checkExistence defaults missing keys to false (J1)") {
     val ids = Seq("r-0", "r-1", "no-such-id").toDF("replay_id")
     val out = Lifecycle.checkExistence(ids, status).collect()
