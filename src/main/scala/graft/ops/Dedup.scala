@@ -144,10 +144,13 @@ object Dedup {
     * distinct (doc, shingle) → join on shingle → per-pair shared count →
     * `|A∩B| / (|A|+|B|−|A∩B|)`. Exact (integer counts, one double division).
     *
-    * `maxShingleDf` (0 = off) drops shingles whose document frequency exceeds
-    * the cap before pairing — at 100 TB the handful of ubiquitous shingles
-    * would otherwise dominate the join; dropping them only loses pairs whose
-    * entire overlap is stop-shingles.
+    * `maxShingleDf` (0 = off) restricts the *measure itself* to shingles
+    * with document frequency ≤ cap: both the shared counts and the per-doc
+    * set sizes are computed over the capped shingle universe, so the result
+    * is the exact Jaccard of the df-filtered sets — a well-defined
+    * similarity, not a deflated mix of capped intersections over uncapped
+    * sizes. At 100 TB the handful of ubiquitous stop-shingles would
+    * otherwise dominate the inverted-index join.
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double,
                         maxShingleDf: Int = 0): DataFrame = {
@@ -158,7 +161,8 @@ object Dedup {
           .filter(col("df") <= maxShingleDf).select("g")
         sh.join(keep, Seq("g"), "left_semi")
       } else sh
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    // sizes over the same (capped) universe as the shared counts
+    val sizes = postings.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val pairs = postings.select(col("doc_id").as("doc_a"), col("g"))
       .join(postings.select(col("doc_id").as("doc_b"), col("g")), Seq("g"))
       .filter(col("doc_a") < col("doc_b"))

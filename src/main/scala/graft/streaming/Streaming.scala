@@ -42,24 +42,32 @@ object Streaming {
     src.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val stamped = batch.withColumn("batch_id", lit(batchId))
-        val (ok, failed) = (stamped.filter(!col("is_failure")),
-                            stamped.filter(col("is_failure")))
-        failed.write.mode("append").parquet(deadLetterPath)
-        val existing =
-          try Some(spark.read.parquet(statePath)) catch { case _: Exception => None }
-        val merged = existing match {
-          case Some(ex) =>
-            Lifecycle.upsert(ex, ok, key,
-              Seq(col("batch_id").desc) ++ key.map(col(_).asc))
-          case None => ok
-        }
-        // Materialize before overwriting the path we just read (plan-safe;
-        // a production deployment stages to a temp prefix + atomic swap).
-        val rows = merged.cache()
-        rows.count()
-        rows.write.mode("overwrite").parquet(statePath)
-        rows.unpersist()
+        // Persist: the body runs several actions over this DataFrame, and an
+        // unpersisted foreachBatch input re-reads the source per action.
+        val stamped = batch.withColumn("batch_id", lit(batchId)).persist()
+        try {
+          val (ok, failed) = (stamped.filter(!col("is_failure")),
+                              stamped.filter(col("is_failure")))
+          // Dead letters land in a per-batch partition written with
+          // overwrite: a replayed micro-batch rewrites the same partition
+          // instead of appending duplicates — idempotent like the merge.
+          failed.drop("batch_id").write.mode("overwrite")
+            .parquet(s"$deadLetterPath/batch_id=$batchId")
+          val existing =
+            try Some(spark.read.parquet(statePath)) catch { case _: Exception => None }
+          val merged = existing match {
+            case Some(ex) =>
+              Lifecycle.upsert(ex, ok, key,
+                Seq(col("batch_id").desc) ++ key.map(col(_).asc))
+            case None => ok
+          }
+          // Materialize before overwriting the path we just read (plan-safe;
+          // a production deployment stages to a temp prefix + atomic swap).
+          val rows = merged.cache()
+          rows.count()
+          rows.write.mode("overwrite").parquet(statePath)
+          rows.unpersist()
+        } finally stamped.unpersist()
         ()
       }
       .start()

@@ -65,12 +65,27 @@ class DedupSpec extends AnyFunSuite {
     assert(math.abs(out.head.getDouble(2) - 0.6) < 1e-12)
   }
 
-  test("maxShingleDf cap prunes postings but keeps high-jaccard pairs") {
-    val capped = Dedup.ngramJaccardPairs(docs, 3, 0.9, maxShingleDf = 100)
-      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+  test("maxShingleDf cap: df-filtered Jaccard recalls the near-dup pairs") {
     val full = Dedup.ngramJaccardPairs(docs, 3, 0.9)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
-    assert(full.subsetOf(capped ++ full))
-    assert((full intersect capped).size.toDouble / math.max(full.size, 1) >= 0.9)
+    assert(full.nonEmpty)
+    val capped = Dedup.ngramJaccardPairs(docs, 3, 0.9, maxShingleDf = 100)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val recall = (full intersect capped).size.toDouble / full.size
+    assert(recall >= 0.9, s"df-capped Jaccard lost near-dups: recall=$recall")
+  }
+
+  test("maxShingleDf semantics: exact Jaccard over the df-filtered universe") {
+    // 'x y z' appears in all three docs (df=3 > cap) → excluded from the
+    // measure entirely; docs 1/2 then share 'a b c','b c d' of sizes 3/3
+    val crafted = Seq(
+      (1L, "a b c d x y z"), (2L, "a b c d x y z"), (3L, "q r s t x y z")
+    ).toDF("doc_id", "text")
+    val out = Dedup.ngramJaccardPairs(crafted, 3, 0.1, maxShingleDf = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // capped universe for docs 1,2: {a b c, b c d, c d x(df2), d x y(df2)} +
+    // shared all 4 → jaccard 1.0; doc 3 shares nothing under the cap
+    assert(out.keySet == Set((1L, 2L)))
+    assert(math.abs(out((1L, 2L)) - 1.0) < 1e-12)
   }
 }
