@@ -23,4 +23,10 @@ class CatalogSmokeSpec extends AnyFunSuite {
   test("every oracle key has a matching query") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
+
+  test("catalog names are unique (Map merge would silently drop collisions)") {
+    val names = (CatalogCore.entries ++ CatalogExt.entries).map(_._1)
+    assert(names.distinct.size == names.size,
+      s"duplicates: ${names.diff(names.distinct).distinct}")
+  }
 }
