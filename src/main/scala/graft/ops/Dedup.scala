@@ -161,15 +161,17 @@ object Dedup {
           .filter(col("df") <= maxShingleDf).select("g")
         sh.join(keep, Seq("g"), "left_semi")
       } else sh
-    // sizes over the same (capped) universe as the shared counts
-    val sizes = postings.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val pairs = postings.select(col("doc_id").as("doc_a"), col("g"))
-      .join(postings.select(col("doc_id").as("doc_b"), col("g")), Seq("g"))
+    // Carry each doc's (capped-universe) set size on the postings rows via a
+    // window count: the pair join then has both sizes in hand, so the plan
+    // evaluates the shingle pipeline once per join side instead of a third
+    // time for a separate sizes relation plus two rejoin shuffles.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    val withSz = postings.withColumn("sz", count(lit(1)).over(w))
+    withSz.select(col("doc_id").as("doc_a"), col("g"), col("sz").as("sz_a"))
+      .join(withSz.select(col("doc_id").as("doc_b"), col("g"), col("sz").as("sz_b")),
+            Seq("g"))
       .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
-    pairs
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), Seq("doc_a"))
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), Seq("doc_b"))
+      .groupBy("doc_a", "doc_b", "sz_a", "sz_b").agg(count(lit(1)).as("shared"))
       .withColumn("jaccard",
         col("shared").cast("double") / (col("sz_a") + col("sz_b") - col("shared")))
       .filter(col("jaccard") >= threshold)
