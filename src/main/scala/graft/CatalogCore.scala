@@ -362,7 +362,7 @@ object CatalogCore {
           .groupBy(to_date(col("ts")).as("event_date"))
           .agg(count(lit(1)).as("n"))
         daily.withColumn("rolling_7d",
-            Windows.rollingSum(daily, Seq.empty, "event_date", "n", 7))
+            Windows.rollingSum(Seq.empty, "event_date", "n", 7))
           .orderBy(col("event_date"))
       },
       Some("""WITH daily AS (

@@ -28,32 +28,46 @@ object Compaction {
 
   /** S5/U1/U5 — compact one batch into a date-partitioned parquet dataset:
     * union with what's already there, dedup by key (keep the newest by
-    * `precedenceCol` desc, then key — deterministic), rewrite only the
-    * partitions the batch touches.
+    * `precedenceCol` desc, then `tiebreak` — which must totally order rows
+    * sharing (key, precedenceCol), or the survivor is partition-order
+    * dependent), rewrite only the partitions the batch touches.
     */
   def compact(spark: SparkSession, incoming: DataFrame, path: String,
-              key: String, precedenceCol: String): Unit = {
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+              key: String, precedenceCol: String,
+              tiebreak: Seq[org.apache.spark.sql.Column] = Seq.empty): Unit = {
     val partitioned = incoming
       .withColumn("day", Scalars.epochToDate(col("uploadtime")))
+    // Only "dataset does not exist yet" maps to None — any other read
+    // failure must abort: treating it as empty would dynamic-overwrite the
+    // touched partitions with incoming-only data and drop compacted history.
     val existing =
       try Some(spark.read.parquet(path).join(
         partitioned.select("format_id", "day").distinct(),
         Seq("format_id", "day"), "left_semi"))
-      catch { case _: Exception => None }
+      catch {
+        // PATH_NOT_FOUND: no directory; UNABLE_TO_INFER_SCHEMA: dir exists
+        // but holds no parquet yet — both mean "first compaction here"
+        case e: org.apache.spark.sql.AnalysisException
+          if e.getMessage.contains("PATH_NOT_FOUND") ||
+             e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") => None
+      }
     val all = existing match {
       case Some(ex) => ex.selectExpr(partitioned.columns.map(c => s"`$c`"): _*)
         .unionByName(partitioned)
       case None => partitioned
     }
     val merged = Lifecycle.dedupKeepFirst(all, Seq(key),
-        Seq(col(precedenceCol).desc, col(key)))
+        Seq(col(precedenceCol).desc) ++ tiebreak ++ Seq(col(key)))
     // Materialize before overwriting partitions we just read from (plan-safe
     // at this scale; a production deployment stages to a temp prefix and
     // swaps atomically).
     val rows = merged.cache()
     rows.count()
-    rows.write.mode("overwrite").partitionBy("format_id", "day").parquet(path)
+    rows.write.mode("overwrite")
+      // writer-scoped dynamic overwrite: only partitions present in `rows`
+      // are replaced, and the shared session's conf is left untouched
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("format_id", "day").parquet(path)
     rows.unpersist()
   }
 }

@@ -16,6 +16,7 @@ object Metrics {
     * [[Observation]] after any action completes.
     */
   def observed(df: DataFrame, obs: Observation, metrics: Map[String, Column]): DataFrame = {
+    require(metrics.nonEmpty, "observed() needs at least one metric column")
     val cols = metrics.map { case (n, c) => c.as(n) }.toSeq
     df.observe(obs, cols.head, cols.tail: _*)
   }

@@ -26,9 +26,10 @@ object Windows {
 
   /** Rolling frame over a pre-aggregated daily series: sum of the last
     * `days` rows per partition (the reference has no frame windows; this is
-    * the added analytics surface from SURVEY §2.5).
+    * the added analytics surface from SURVEY §2.5). Returns a Column — apply
+    * with `withColumn` on the series it should range over.
     */
-  def rollingSum(daily: DataFrame, partition: Seq[String], orderCol: String,
+  def rollingSum(partition: Seq[String], orderCol: String,
                  valueCol: String, days: Int): Column = {
     val w = Window.partitionBy(partition.map(col): _*).orderBy(col(orderCol))
       .rowsBetween(-(days - 1), Window.currentRow)

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -122,15 +122,22 @@ case class PageOffset(page: Long) extends Offset {
 
 class PagedReplayMicroBatchStream(format: String, total: Long, pageSize: Int,
                                   endTs: Long, maxPagesPerTrigger: Int)
-    extends MicroBatchStream {
+    extends MicroBatchStream with SupportsAdmissionControl {
   private val nPages: Long = (total + pageSize - 1) / pageSize
-  private var cursor: Long = 0L
 
   override def initialOffset(): Offset = PageOffset(0L)
-  override def latestOffset(): Offset = {
-    cursor = math.min(cursor + maxPagesPerTrigger, nPages)
-    PageOffset(cursor)
-  }
+
+  /** Throttled advance is a pure function of the *checkpointed* start offset
+    * (SupportsAdmissionControl) — mutable internal cursors regress behind the
+    * committed offset after a restart and re-deliver pages.
+    */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    PageOffset(math.min(start.asInstanceOf[PageOffset].page + maxPagesPerTrigger, nPages))
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def reportLatestOffset(): Offset = PageOffset(nPages)
+  // unthrottled path (not used when SupportsAdmissionControl is present)
+  override def latestOffset(): Offset = PageOffset(nPages)
+
   override def deserializeOffset(json: String): Offset =
     PageOffset("""\d+""".r.findFirstIn(json).get.toLong)
   override def commit(end: Offset): Unit = ()

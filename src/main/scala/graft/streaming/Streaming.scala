@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.ops.Lifecycle
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{AnalysisException, Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types.StructType
@@ -27,7 +27,7 @@ object Streaming {
                  lateness: String = "1 day"): DataFrame =
     spark.readStream.schema(schema).parquet(srcDir)
       .withWatermark("ts", lateness)
-      .groupBy(window(col("ts"), "1 day").as("day"), col("event_type"))
+      .groupBy(window(col("ts"), "1 day").as("day"))
       .agg(count(lit(1)).as("n_events"),
            sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_error"))
 
@@ -35,10 +35,15 @@ object Streaming {
     * last-write-wins merge per micro-batch (`foreachBatch`), splitting a
     * dead-letter stream (`isFailure`) into a side directory for the retry
     * pass. Micro-batch id is recorded so replays are observable.
+    *
+    * `tiebreak` must totally order rows that share a key *within* one
+    * micro-batch (e.g. event time desc + a unique id) — batch id alone is
+    * constant there, and an arbitrary survivor would make replays
+    * nondeterministic.
     */
   def runToStateTable(spark: SparkSession, src: DataFrame, statePath: String,
                       deadLetterPath: String, key: Seq[String],
-                      checkpoint: String): StreamingQuery =
+                      checkpoint: String, tiebreak: Seq[Column] = Seq.empty): StreamingQuery =
     src.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -53,12 +58,20 @@ object Streaming {
           // instead of appending duplicates — idempotent like the merge.
           failed.drop("batch_id").write.mode("overwrite")
             .parquet(s"$deadLetterPath/batch_id=$batchId")
+          // Only "state table does not exist yet" maps to None; any other
+          // read failure must fail the batch — treating a transient error as
+          // empty state would overwrite the table with this batch alone.
           val existing =
-            try Some(spark.read.parquet(statePath)) catch { case _: Exception => None }
+            try Some(spark.read.parquet(statePath))
+            catch {
+              case e: AnalysisException
+                if e.getMessage.contains("PATH_NOT_FOUND") ||
+                   e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") => None
+            }
           val merged = existing match {
             case Some(ex) =>
               Lifecycle.upsert(ex, ok, key,
-                Seq(col("batch_id").desc) ++ key.map(col(_).asc))
+                Seq(col("batch_id").desc) ++ tiebreak ++ key.map(col(_).asc))
             case None => ok
           }
           // Materialize before overwriting the path we just read (plan-safe;

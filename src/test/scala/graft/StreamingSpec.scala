@@ -32,10 +32,10 @@ class StreamingSpec extends AnyFunSuite {
       .writeStream.outputMode("complete").format("memory").queryName("daily").start()
     try {
       q.processAllAvailable()
-      val out = spark.sql("SELECT date_format(day.start,'yyyy-MM-dd') d, event_type, n_events FROM daily")
-        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
-      assert(out == Set(("2024-01-01", "click", 1L), ("2024-01-01", "error", 1L),
-                        ("2024-01-02", "click", 1L)))
+      val out = spark.sql(
+          "SELECT date_format(day.start,'yyyy-MM-dd') d, n_events, n_error FROM daily")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(out == Set(("2024-01-01", 2L, 1L), ("2024-01-02", 1L, 0L)))
     } finally q.stop()
   }
 
@@ -48,7 +48,8 @@ class StreamingSpec extends AnyFunSuite {
       .write.mode("append").parquet(src)
 
     val stream = spark.readStream.schema(schema).parquet(src)
-    val q = Streaming.runToStateTable(spark, stream, state, dead, Seq("id"), ckpt)
+    val q = Streaming.runToStateTable(spark, stream, state, dead, Seq("id"), ckpt,
+      tiebreak = Seq(col("ts").desc))
     try {
       q.processAllAvailable()
       assert(spark.read.parquet(state).select("id").as[String].collect().toSet == Set("k1"))
