@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression armor: the properties SCALE.md claims —
+  * pushdown reaching the scan, dims broadcast, partial aggregation — are
+  * asserted here so a refactor can't silently regress them.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, TestSpark.sfDir)
+      .queryExecution.executedPlan.toString
+
+  test("pricing_summary pushes the shipdate filter to the parquet scan") {
+    val p = plan("pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate"), p)
+  }
+
+  test("incremental_since pushes the watermark onto the raw ns column") {
+    val p = plan("incremental_since")
+    assert(p.contains("GreaterThan(ts,"), p)
+  }
+
+  test("dimension joins broadcast (brand_revenue, nation_revenue)") {
+    assert(plan("brand_revenue").contains("BroadcastHashJoin"))
+    val nr = plan("nation_revenue")
+    assert(nr.contains("BroadcastHashJoin"), nr)
+  }
+
+  test("aggregates are partial+final (map-side combine)") {
+    val p = plan("daily_lifecycle_stats")
+    assert(p.contains("partial_"), p)
+  }
+
+  test("scans prune columns (no full-width read for narrow projections)") {
+    val p = plan("top_orders")
+    assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_totalprice:double>"), p)
+  }
+
+  test("semi/anti joins plan as join operators, not subquery re-scans") {
+    assert(plan("customers_with_orders").contains("LeftSemi"))
+    assert(plan("customers_without_orders").contains("LeftAnti"))
+  }
+
+  test("top-k plans as TakeOrderedAndProject, not a global sort") {
+    val p = plan("top_orders")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+}
