@@ -497,6 +497,57 @@ object CatalogCore {
               |  AND COALESCE(is_retry_attempted, false) = false
               |ORDER BY format_id, replay_id""".stripMargin)),
 
+    // ── sessionization: 30-min inactivity gap per user (tumbling-window
+    //    analytics surface, SURVEY §2.9 T7 extension).
+    ("user_sessions",
+      (spark, dir) =>
+        AsOf.sessionize(Tables.events(spark, dir), "user_id", "ts", col("event_id"), 1800)
+          .groupBy(col("user_id"), col("session_no"))
+          .agg(min(unix_seconds(col("ts"))).as("start_epoch"),
+               max(unix_seconds(col("ts"))).as("end_epoch"),
+               count(lit(1)).as("n"))
+          .orderBy(col("user_id"), col("session_no")),
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS ep FROM events),
+             |m AS (
+             |  SELECT user_id, ts, event_id, ep,
+             |         CASE WHEN ep - lag(ep) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             |               OR ep - lag(ep) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+             |              THEN 1 ELSE 0 END AS nw
+             |  FROM e),
+             |s AS (
+             |  SELECT user_id, ep,
+             |         CAST(SUM(nw) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
+             |  FROM m)
+             |SELECT user_id, session_no, MIN(ep) AS start_epoch, MAX(ep) AS end_epoch,
+             |       COUNT(*) AS n
+             |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ── as-of join composed from built-ins (union + ignoreNulls window):
+    //    each event sees the user's latest purchase at-or-before it. Oracle
+    //    is DuckDB's native ASOF LEFT JOIN — same semantics, two engines,
+    //    two very different plans.
+    ("last_purchase_asof",
+      (spark, dir) => {
+        val ev = Tables.events(spark, dir)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"),
+                  unix_seconds(col("ts")).as("purchase_epoch"))
+        AsOf.asofJoin(ev.select(col("event_id"), col("user_id"), col("ts")),
+                      purchases, "user_id", "ts", Seq("purchase_epoch"))
+          .select(col("event_id"), col("user_id"),
+                  unix_seconds(col("ts")).as("epoch_s"), col("asof_purchase_epoch"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT e.event_id, e.user_id,
+             |       CAST(floor(epoch(e.ts)) AS BIGINT) AS epoch_s,
+             |       CAST(floor(epoch(p.ts)) AS BIGINT) AS asof_purchase_epoch
+             |FROM events e ASOF LEFT JOIN
+             |     (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+             |  ON e.user_id = p.user_id AND e.ts >= p.ts
+             |ORDER BY e.event_id""".stripMargin)),
+
     // ── T2/W2 pagination plan: 51-row pages in descending event time per
     //    stream key (discovery.py:108-113).
     ("backfill_pages",

@@ -256,6 +256,33 @@ object CatalogExt {
              |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
              |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin)),
 
+    // ── TF-IDF term weights (tf ≥ 3): the tf-idf-style aggregate surface
+    //    from SURVEY §7.2 step 7; ln() agrees across engines to ~1 ulp,
+    //    absorbed by round(…, 6).
+    ("tfidf_terms",
+      (spark, dir) => {
+        val docs = Tables.documents(spark, dir)
+        val tf = TextAnalysis.explodeTokens(docs)
+          .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+        val n = docs.agg(count(lit(1)).as("n_docs"))
+        tf.join(dfreq, Seq("token")).crossJoin(n)
+          .filter(col("tf") >= 3)
+          .select(col("doc_id"), col("token"), col("tf"), col("df"),
+                  round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6)
+                    .as("tfidf"))
+          .orderBy(col("doc_id"), col("token"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+             |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+             |dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+             |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+             |SELECT t.doc_id, t.token, t.tf, d.df,
+             |       round(t.tf * ln(CAST(n.n_docs AS DOUBLE) / d.df), 6) AS tfidf
+             |FROM tf t JOIN dfreq d USING (token) CROSS JOIN n
+             |WHERE t.tf >= 3
+             |ORDER BY t.doc_id, t.token""".stripMargin)),
+
     // ── multimodal metadata over the opaque binary payload (decode itself is
     //    a stub — see [[graft.ops.Multimodal]]).
     ("multimodal_meta",

@@ -1,0 +1,41 @@
+package graft
+
+import graft.ops.AsOf
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class AsOfSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("asofJoin: latest right at-or-before each left row, null when none") {
+    val left = Seq((1L, 10L, ts("2024-01-01 10:00:00")),
+                   (2L, 10L, ts("2024-01-01 12:00:00")),
+                   (3L, 20L, ts("2024-01-01 09:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq((10L, ts("2024-01-01 10:00:00"), 100L), // equal ts → visible
+                    (10L, ts("2024-01-01 11:00:00"), 200L))
+      .toDF("user_id", "ts", "purchase_epoch")
+    val out = AsOf.asofJoin(left, right, "user_id", "ts", Seq("purchase_epoch"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+    assert(out(1L).contains(100L), "same-instant right row is visible")
+    assert(out(2L).contains(200L), "latest prior wins")
+    assert(out(3L).isEmpty, "no prior right row → null")
+  }
+
+  test("sessionize: gap strictly greater than threshold opens a session") {
+    val ev = Seq((1L, 7L, ts("2024-01-01 10:00:00")),
+                 (2L, 7L, ts("2024-01-01 10:30:00")),  // gap == 1800 → same session
+                 (3L, 7L, ts("2024-01-01 11:00:01")),  // gap 1801 → new session
+                 (4L, 8L, ts("2024-01-01 10:00:00")))  // other user
+      .toDF("event_id", "user_id", "ts")
+    val out = AsOf.sessionize(ev, "user_id", "ts", col("event_id"), 1800)
+      .select("event_id", "session_no").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == 1L && out(2L) == 1L)
+    assert(out(3L) == 2L)
+    assert(out(4L) == 1L)
+  }
+}
