@@ -128,6 +128,52 @@ object CatalogExt {
               |WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= 0.5
               |ORDER BY doc_a, doc_b""".stripMargin)),
 
+    // ── near-dup clustering: connected components over the Jaccard pair
+    //    graph (iterative min-label propagation) vs a DuckDB recursive-CTE
+    //    transitive closure — the canonical-doc selection step of a dedup
+    //    pipeline.
+    ("dup_clusters",
+      (spark, dir) =>
+        Dedup.dupClusters(Dedup.ngramJaccardPairs(Tables.documents(spark, dir), 3, 0.5))
+          .orderBy(col("doc_id")),
+      Some(s"""WITH RECURSIVE sh AS (
+              |  SELECT DISTINCT doc_id, unnest(${sqlShingles(3)}) AS g FROM documents),
+              |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+              |cnt AS (
+              |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+              |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2),
+              |pairs0 AS (
+              |  SELECT doc_a, doc_b FROM cnt
+              |  JOIN sizes sa ON doc_a = sa.doc_id
+              |  JOIN sizes sb ON doc_b = sb.doc_id
+              |  WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= 0.5),
+              |edges AS (
+              |  SELECT doc_a AS a, doc_b AS b FROM pairs0
+              |  UNION ALL SELECT doc_b, doc_a FROM pairs0),
+              |reach(a, b) AS (
+              |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+              |  UNION
+              |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+              |SELECT a AS doc_id, MIN(b) AS canonical_id
+              |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin)),
+
+    // ── exact interpolated percentiles per stream key (Spark `percentile`
+    //    vs DuckDB `quantile_cont`, same interpolation formula).
+    ("value_percentiles",
+      (spark, dir) =>
+        Tables.events(spark, dir)
+          .groupBy(col("event_type"))
+          .agg(round(expr("percentile(value, 0.5)"), 6).as("p50"),
+               round(expr("percentile(value, 0.95)"), 6).as("p95"),
+               Scalars.moneySum(col("value")).as("value_sum"))
+          .orderBy(col("event_type")),
+      Some("""SELECT event_type,
+             |       round(quantile_cont(value, 0.5), 6) AS p50,
+             |       round(quantile_cont(value, 0.95), 6) AS p95,
+             |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // ── SimHash-32 fingerprints (explode + 32-lane aggregate, codegen'd).
     ("simhash_fingerprints",
       (spark, dir) =>

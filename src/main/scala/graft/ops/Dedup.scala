@@ -140,6 +140,42 @@ object Dedup {
       .select(col("doc_id"), packed.as("simhash"))
   }
 
+  /** Near-dup *clusters* from a pair relation (doc_a < doc_b): connected
+    * components by iterative min-label propagation, then canonical = the
+    * component's minimum doc id — the final step of a dedup pipeline (keep
+    * one doc per cluster, drop the rest).
+    *
+    * The loop runs only over documents that appear in some pair (the dup
+    * graph, tiny relative to the corpus) and converges in ≤ graph-diameter
+    * iterations; each iteration is one join + aggregate. Deterministic.
+    * Returns (doc_id, canonical_id) for member docs.
+    */
+  def dupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .unionByName(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
+    var labels = edges.select(col("a").as("doc_id")).distinct()
+      .withColumn("canonical_id", col("doc_id"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("doc_id", "b").withColumnRenamed("canonical_id", "nl"), Seq("b"))
+        .groupBy(col("a").as("doc_id")).agg(min(col("nl")).as("nmin"))
+      val updated = labels.join(neighborMin, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+                least(col("canonical_id"), coalesce(col("nmin"), col("canonical_id")))
+                  .as("canonical_id"))
+        .cache()
+      val changed = updated.join(labels.withColumnRenamed("canonical_id", "old"), Seq("doc_id"))
+        .filter(col("canonical_id") =!= col("old")).count()
+      labels.unpersist()
+      labels = updated
+      converged = changed == 0
+      i += 1
+    }
+    labels
+  }
+
   /** Exact n-gram Jaccard near-dup pairs via inverted-index self-join:
     * distinct (doc, shingle) → join on shingle → per-pair shared count →
     * `|A∩B| / (|A|+|B|−|A∩B|)`. Exact (integer counts, one double division).

@@ -57,6 +57,13 @@ class DedupSpec extends AnyFunSuite {
     assert(hamming(fp(1L), fp(3L)) < hamming(fp(1L), fp(4L)))
   }
 
+  test("dupClusters: transitive chains collapse to the component minimum") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val out = Dedup.dupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("ngram jaccard equals a driver-side reference on crafted docs") {
     val crafted = Seq((1L, "a b c d e f"), (2L, "a b c d e g")).toDF("doc_id", "text")
     // 4 shared 3-grams ("a b c","b c d","c d e"), sizes 4 and 4 → 3/(4+4-3)=0.6
