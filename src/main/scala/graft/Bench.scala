@@ -17,14 +17,24 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect()
     Tables.lineitem(spark, sfDir).limit(1000).groupBy("l_returnflag").count().collect()
     Tables.events(spark, sfDir).limit(1000).count()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    def once(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink: every output column is fully computed (count() would let
       // Catalyst prune projection-only queries to a bare scan), no I/O cost.
       try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
       catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // isolate queries from each other: drop caches / localCheckpoint
+      // blocks a query may have left behind (iterative ops checkpoint), so
+      // later timings don't pay earlier queries' storage + GC pressure
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      name -> dt
     }
+    // two passes, per-query minimum: suppresses transient host noise (GC,
+    // scheduler stalls) that lands on a random query per pass
+    val p1 = once(); val p2 = once()
+    val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
