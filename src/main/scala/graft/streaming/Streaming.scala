@@ -1,9 +1,9 @@
 package graft.streaming
 
 import graft.ops.Lifecycle
-import org.apache.spark.sql.{AnalysisException, Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{AnalysisException, Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 import org.apache.spark.sql.types.StructType
 
 /** Structured-Streaming face of the incremental-ingest semantics
@@ -16,7 +16,46 @@ import org.apache.spark.sql.types.StructType
   * like the reference's `last_seen_ts` cursor (T1); the dead-letter split
   * (T5) is a filter on the same micro-batch, not a second pass.
   */
+/** One observed fetch outcome flowing through the retry state machine. */
+case class FetchAttempt(id: String, ok: Boolean)
+
+/** Verdict emitted when a key's retry budget resolves. */
+case class RetryVerdict(id: String, attempts: Int, gaveUp: Boolean)
+
 object Streaming {
+
+  /** T5 as *custom streaming state* (`flatMapGroupsWithState`): per-key
+    * retry counter over a stream of fetch outcomes. Emits a verdict when a
+    * key either succeeds (attempts so far) or exhausts `maxAttempts`
+    * (dead-letter decision); state is dropped on resolution so the store
+    * holds only in-flight keys — the stateful twin of the batch retry queue
+    * (`Lifecycle.retryBatches`; reference retry.py:23-158).
+    */
+  def retryStateMachine(attempts: Dataset[FetchAttempt], maxAttempts: Int)(
+      implicit spark: SparkSession): Dataset[RetryVerdict] = {
+    import spark.implicits._
+    attempts.groupByKey(_.id)
+      .flatMapGroupsWithState[Int, RetryVerdict](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (id: String, rows: Iterator[FetchAttempt], state: GroupState[Int]) =>
+          // Row order within a group is not defined, so the semantics are
+          // order-insensitive: attempts = prior + failures in this batch
+          // (+1 for the success); any success resolves the key.
+          var failures = state.getOption.getOrElse(0)
+          var succeeded = false
+          rows.foreach { a => if (a.ok) succeeded = true else failures += 1 }
+          if (succeeded) {
+            state.remove()
+            Iterator(RetryVerdict(id, failures + 1, gaveUp = false))
+          } else if (failures >= maxAttempts) {
+            state.remove()
+            Iterator(RetryVerdict(id, failures, gaveUp = true))
+          } else {
+            state.update(failures)
+            Iterator.empty
+          }
+      }
+  }
 
   /** T1/T7 — watermarked tumbling daily aggregation over an event-file
     * stream: the streaming twin of the `daily_lifecycle_stats` batch query.

@@ -39,6 +39,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState retry machine resolves and drops state (T5)") {
+    implicit val s = spark
+    val src = tmp("retry-src")
+    // k1: fail, fail, ok → success on attempt 3; k2: three fails → give up;
+    // k3: one fail, unresolved (stays in state, emits nothing)
+    Seq(("k1", false), ("k1", false), ("k1", true),
+        ("k2", false), ("k2", false), ("k2", false),
+        ("k3", false))
+      .toDF("id", "ok").write.mode("append").parquet(src)
+    val stream = spark.readStream
+      .schema("id STRING, ok BOOLEAN").parquet(src)
+      .as[graft.streaming.FetchAttempt]
+    val q = graft.streaming.Streaming.retryStateMachine(stream, maxAttempts = 3)
+      .writeStream.outputMode("append").format("memory").queryName("verdicts").start()
+    try {
+      q.processAllAvailable()
+      val out = spark.sql("SELECT id, attempts, gaveUp FROM verdicts").collect()
+        .map(r => r.getString(0) -> (r.getInt(1), r.getBoolean(2))).toMap
+      assert(out == Map("k1" -> ((3, false)), "k2" -> ((3, true))))
+    } finally q.stop()
+  }
+
   test("foreachBatch merge: idempotent state + dead-letter split (T4/T5)") {
     val src = tmp("stream-src2"); val state = tmp("stream-state")
     val dead = tmp("stream-dead"); val ckpt = tmp("stream-ckpt")
