@@ -271,6 +271,26 @@ object CatalogCore {
              |JOIN region ON n_regionkey = r_regionkey
              |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin)),
 
+    // ── supplier-side dimension chain (completes coverage of every test
+    //    table): revenue by supplier nation, both dims broadcast.
+    ("supplier_nation_revenue",
+      (spark, dir) =>
+        Tables.lineitem(spark, dir)
+          .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(sum(Scalars.money(col("l_extendedprice")) *
+                   (lit(1) - Scalars.money(col("l_discount")))).cast("double").as("revenue"),
+               countDistinct(col("s_suppkey")).as("n_suppliers"))
+          .orderBy(col("n_name")),
+      Some("""SELECT n_name,
+             |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+             |       COUNT(DISTINCT s_suppkey) AS n_suppliers
+             |FROM lineitem
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |GROUP BY n_name ORDER BY n_name""".stripMargin)),
+
     // ── U1/U5 union + dedup-by-key (compaction.py:158-180,219).
     ("union_dedup_counts",
       (spark, dir) => {
