@@ -17,24 +17,35 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect()
     Tables.lineitem(spark, sfDir).limit(1000).groupBy("l_returnflag").count().collect()
     Tables.events(spark, sfDir).limit(1000).count()
-    def once(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
+    // returns per-query (seconds, succeeded)
+    def once(): Map[String, (Double, Boolean)] = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink: every output column is fully computed (count() would let
       // Catalyst prune projection-only queries to a bare scan), no I/O cost.
-      try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
-      catch { case _: Throwable => () }
+      val ok =
+        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
+        catch { case _: Throwable => false }
       val dt = (System.nanoTime() - t0) / 1e9
       // isolate queries from each other: drop caches / localCheckpoint
       // blocks a query may have left behind (iterative ops checkpoint), so
       // later timings don't pay earlier queries' storage + GC pressure
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-      name -> dt
+      name -> ((dt, ok))
     }
-    // two passes, per-query minimum: suppresses transient host noise (GC,
-    // scheduler stalls) that lands on a random query per pass
+    // two passes, per-query minimum over *successful* runs: suppresses
+    // transient host noise without letting a fast failure masquerade as the
+    // best time; a query that fails both passes reports -1
     val p1 = once(); val p2 = once()
-    val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
+    val results = p1.map { case (k, (t1, ok1)) =>
+      val (t2, ok2) = p2(k)
+      k -> ((ok1, ok2) match {
+        case (true, true) => math.min(t1, t2)
+        case (true, false) => t1
+        case (false, true) => t2
+        case _ => -1.0
+      })
+    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

@@ -37,7 +37,11 @@ object AsOf {
       .orderBy(col(tsCol), col("__src"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     unioned
-      .withColumn("__last", last(col("__r"), ignoreNulls = true).over(w))
+      .withColumn("__last",
+        // NULL keys never match (ASOF `l.k = r.k` semantics): the window
+        // partitions NULL keys together, so mask the carried payload there
+        when(col(key).isNotNull,
+             last(col("__r"), ignoreNulls = true).over(w)))
       .filter(col("__src") === 1)
       .select(leftCols.map(col) ++ payload.map(p => col(s"__last.$p").as(s"asof_$p")): _*)
   }

@@ -150,35 +150,52 @@ object Dedup {
     * iterations; each iteration is one join + aggregate. Deterministic.
     * Returns (doc_id, canonical_id) for member docs.
     */
-  def dupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+  def dupClusters(pairs: DataFrame, maxIters: Int = 30): DataFrame = {
     // Materialize the dup graph once — the pair relation is usually an
     // expensive subtree (a Jaccard join) that must not re-run per iteration —
     // and sever lineage per iteration with localCheckpoint, or the plan
     // deepens every round and each action re-derives all prior rounds
     // (observed: 70 s for a 4-iteration loop that runs in ~2 s checkpointed).
+    // Superseded checkpoints are unpersisted eagerly; only the blocks backing
+    // the returned labels (and nothing else) stay resident.
+    val sc = pairs.sparkSession.sparkContext
+    def persistentIds: Set[Int] = sc.getPersistentRDDs.keySet.toSet
+    val baseline = persistentIds
     val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
       .unionByName(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
       .localCheckpoint()
+    val edgeIds = persistentIds -- baseline
     var labels = edges.select(col("a").as("doc_id")).distinct()
       .withColumn("canonical_id", col("doc_id"))
       .localCheckpoint()
+    var labelIds = persistentIds -- baseline -- edgeIds
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
       val neighborMin = edges
         .join(labels.withColumnRenamed("doc_id", "b").withColumnRenamed("canonical_id", "nl"), Seq("b"))
         .groupBy(col("a").as("doc_id")).agg(min(col("nl")).as("nmin"))
+      val beforeUpd = persistentIds
       val updated = labels.join(neighborMin, Seq("doc_id"), "left_outer")
         .select(col("doc_id"),
                 least(col("canonical_id"), coalesce(col("nmin"), col("canonical_id")))
                   .as("canonical_id"))
         .localCheckpoint()
+      val updatedIds = persistentIds -- beforeUpd
       val changed = updated.join(labels.withColumnRenamed("canonical_id", "old"), Seq("doc_id"))
         .filter(col("canonical_id") =!= col("old")).count()
+      // previous labels are superseded — release their blocks now
+      labelIds.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+      labelIds = updatedIds
       labels = updated
       converged = changed == 0
       i += 1
     }
+    edgeIds.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    if (!converged)
+      throw new IllegalStateException(
+        s"dupClusters did not converge in $maxIters iterations — " +
+        "the dup graph has a longer chain than expected; raise maxIters")
     labels
   }
 

@@ -6,6 +6,12 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 import org.apache.spark.sql.types.StructType
 
+/** One observed fetch outcome flowing through the retry state machine. */
+case class FetchAttempt(id: String, ok: Boolean)
+
+/** Verdict emitted when a key's retry budget resolves. */
+case class RetryVerdict(id: String, attempts: Int, gaveUp: Boolean)
+
 /** Structured-Streaming face of the incremental-ingest semantics
   * (SURVEY.md §2.9, T1–T7). The reference's cursor loop over API pages is a
   * stream; its daily compaction is a tumbling window; its re-run idempotence
@@ -16,12 +22,6 @@ import org.apache.spark.sql.types.StructType
   * like the reference's `last_seen_ts` cursor (T1); the dead-letter split
   * (T5) is a filter on the same micro-batch, not a second pass.
   */
-/** One observed fetch outcome flowing through the retry state machine. */
-case class FetchAttempt(id: String, ok: Boolean)
-
-/** Verdict emitted when a key's retry budget resolves. */
-case class RetryVerdict(id: String, attempts: Int, gaveUp: Boolean)
-
 object Streaming {
 
   /** T5 as *custom streaming state* (`flatMapGroupsWithState`): per-key
