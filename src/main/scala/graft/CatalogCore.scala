@@ -504,6 +504,39 @@ object CatalogCore {
               |FROM replay_status rs LEFT JOIN results r ON rs.replay_id = r.replay_id
               |ORDER BY rs.replay_id""".stripMargin)),
 
+    // ── S2 effectful fetch with retry/backoff through the correctness gate:
+    //    the injected transport is deterministic, so DuckDB reproduces the
+    //    attempt/payload/error columns with CASE arithmetic.
+    ("fetch_results",
+      (spark, dir) => {
+        val ids = Tables.orders(spark, dir)
+          .select(concat(lit("r-"), col("o_orderkey").cast("string")).as("replay_id"))
+        val transport = (id: String, attempt: Int) => {
+          val n = id.stripPrefix("r-").toLong
+          if (n % 10 == 0) Left(("HTTP 404", false))
+          else if (n % 10 == 1 && attempt < 3) Left(("HTTP 500", true))
+          else Right(s"payload-$id")
+        }
+        Fetch.fetchAll(spark, ids, transport).toDF().orderBy(col("replay_id"))
+      },
+      Some("""SELECT 'r-' || CAST(o_orderkey AS VARCHAR) AS replay_id,
+             |       CASE WHEN o_orderkey % 10 = 0 THEN 1
+             |            WHEN o_orderkey % 10 = 1 THEN 3 ELSE 1 END AS attempts,
+             |       CASE WHEN o_orderkey % 10 = 0 THEN NULL
+             |            ELSE 'payload-r-' || CAST(o_orderkey AS VARCHAR) END AS payload,
+             |       CASE WHEN o_orderkey % 10 = 0 THEN 'HTTP 404' END AS error
+             |FROM orders ORDER BY replay_id""".stripMargin)),
+
+    // ── skew-safe aggregation (salted two-phase) through the gate: result
+    //    must equal the plain GROUP BY the oracle runs.
+    ("salted_user_counts",
+      (spark, dir) =>
+        Skew.saltedCount(Tables.events(spark, dir).select("event_id", "user_id"),
+                         "user_id", 8)
+          .orderBy(col("user_id")),
+      Some("""SELECT user_id, COUNT(*) AS n FROM events
+             |GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
     // ── T5 dead-letter retry planning in 50-row mini-batches (retry.py:60).
     ("retry_queue",
       (spark, dir) =>

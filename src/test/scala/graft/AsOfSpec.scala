@@ -25,6 +25,19 @@ class AsOfSpec extends AnyFunSuite {
     assert(out(3L).isEmpty, "no prior right row → null")
   }
 
+  test("asofJoin: NULL keys never match (ASOF equality semantics)") {
+    val left = Seq((1L, Some(10L), ts("2024-01-01 12:00:00")),
+                   (2L, None, ts("2024-01-01 12:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq((Some(10L), ts("2024-01-01 10:00:00"), 1L),
+                    (None: Option[Long], ts("2024-01-01 11:00:00"), 2L))
+      .toDF("user_id", "ts", "purchase_epoch")
+    val out = AsOf.asofJoin(left, right, "user_id", "ts", Seq("purchase_epoch"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(3))).toMap
+    assert(out(1L).contains(1L))
+    assert(out(2L).isEmpty, "NULL-key left row must not see NULL-key right rows")
+  }
+
   test("sessionize: gap strictly greater than threshold opens a session") {
     val ev = Seq((1L, 7L, ts("2024-01-01 10:00:00")),
                  (2L, 7L, ts("2024-01-01 10:30:00")),  // gap == 1800 → same session

@@ -64,6 +64,15 @@ class DedupSpec extends AnyFunSuite {
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("dupClusters: refuses to return partial labels on non-convergence") {
+    // a 5-hop chain cannot converge in 1 iteration of min-label propagation
+    val chain = (1L to 5L).sliding(2).map(w => (w.head, w.last)).toSeq
+      .toDF("doc_a", "doc_b")
+    intercept[IllegalStateException] {
+      Dedup.dupClusters(chain, maxIters = 1)
+    }
+  }
+
   test("ngram jaccard equals a driver-side reference on crafted docs") {
     val crafted = Seq((1L, "a b c d e f"), (2L, "a b c d e g")).toDF("doc_id", "text")
     // 4 shared 3-grams ("a b c","b c d","c d e"), sizes 4 and 4 → 3/(4+4-3)=0.6
