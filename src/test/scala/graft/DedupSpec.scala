@@ -57,6 +57,22 @@ class DedupSpec extends AnyFunSuite {
     assert(hamming(fp(1L), fp(3L)) < hamming(fp(1L), fp(4L)))
   }
 
+  test("minhash signature estimates Jaccard (sketch calibration)") {
+    // estimate = fraction of matching signature components; over the corpus
+    // pair sample it must track exact 3-gram Jaccard within sketch error
+    val sigs = Dedup.minhashSignatureTable(docs, 8).collect()
+      .map(r => r.getLong(0) -> (1 to 8).map(r.getString)).toMap
+    val exact = Dedup.ngramJaccardPairs(docs, 3, 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    assert(exact.nonEmpty)
+    val errs = exact.map { case ((a, b), j) =>
+      val est = sigs(a).zip(sigs(b)).count { case (x, y) => x == y } / 8.0
+      math.abs(est - j)
+    }
+    assert(errs.sum / errs.length <= 0.25,
+      s"mean |minhash estimate - jaccard| = ${errs.sum / errs.length}")
+  }
+
   test("dupClusters: transitive chains collapse to the component minimum") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
     val out = Dedup.dupClusters(pairs).collect()
