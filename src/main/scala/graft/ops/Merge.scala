@@ -49,8 +49,16 @@ case class MergeBuilder(target: DataFrame, source: DataFrame, keys: Seq[String],
     require(source != null, "Merge needs .using(source)")
     require(keys.nonEmpty, "Merge needs .on(keys)")
     val src0 =
-      if (updateOrder.isEmpty) source
-      else {
+      if (updateOrder.isEmpty) {
+        // no reduction order given: duplicate source keys would silently
+        // multiply matched target rows — fail fast like a transactional
+        // MERGE's "multiple source rows matched" error
+        val dup = source.groupBy(keys.map(col): _*)
+          .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).limit(1).count()
+        require(dup == 0,
+          "Merge source has multiple rows per key; add .orderUpdatesBy(...) to pick a winner")
+        source
+      } else {
         val w = Window.partitionBy(keys.map(col): _*).orderBy(updateOrder: _*)
         source.withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1).drop("__rn")

@@ -41,6 +41,15 @@ class MergeSpec extends AnyFunSuite {
     assert(merge().collect().toSet == merge().collect().toSet, "deterministic")
   }
 
+  test("duplicate source keys without an update order fail fast") {
+    val batch = Seq(("r1", "a", 1L), ("r1", "b", 2L)).toDF("replay_id", "result", "ts")
+    intercept[IllegalArgumentException] {
+      Merge.into(state).using(batch).on("replay_id")
+        .whenMatchedUpdate("details" -> col("src_result"))
+        .run()
+    }
+  }
+
   test("update-only merge never changes cardinality") {
     val batch = Seq(("r1", "x", 1L), ("zz", "y", 2L)).toDF("replay_id", "result", "ts")
     val out = Merge.into(state).using(batch).on("replay_id")
