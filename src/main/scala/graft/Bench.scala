@@ -49,7 +49,14 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // stdout goes through sbt's logger ("[info] "-prefixed), which breaks
+    // line-oriented JSON parsing downstream — also write the result to a file
+    // (override path via SPARK_GRAFT_BENCH_OUT; default = cwd/bench_out.json).
+    println(json)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")),
+      json + "\n")
     spark.stop()
   }
 }

@@ -251,14 +251,21 @@ object CatalogCore {
         val c = Tables.customer(spark, dir); val o = Tables.orders(spark, dir)
         val li = Tables.lineitem(spark, dir); val n = Tables.nation(spark, dir)
         val r = Tables.region(spark, dir)
-        li.join(o, col("l_orderkey") === col("o_orderkey"))
+        // Pre-aggregate the fact side per order before the dimension chain:
+        // shrinks lineitem ~4× ahead of every join shuffle and turns the
+        // count-distinct-orders over the widest join into a plain count
+        // (each order key is one row after the partial agg). Decimal sums are
+        // exact and associative, so revenue is bit-identical to the flat sum.
+        val orderRev = li.groupBy(col("l_orderkey"))
+          .agg(sum(Scalars.money(col("l_extendedprice")) *
+                   (lit(1) - Scalars.money(col("l_discount")))).as("order_rev"))
+        orderRev.join(o, col("l_orderkey") === col("o_orderkey"))
           .join(c, col("o_custkey") === col("c_custkey"))
           .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
           .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
           .groupBy(col("r_name"), col("n_name"))
-          .agg(sum(Scalars.money(col("l_extendedprice")) *
-                   (lit(1) - Scalars.money(col("l_discount")))).cast("double").as("revenue"),
-               countDistinct(col("o_orderkey")).as("n_orders"))
+          .agg(sum(col("order_rev")).cast("double").as("revenue"),
+               count(lit(1)).as("n_orders"))
           .orderBy(col("r_name"), col("n_name"))
       },
       Some("""SELECT r_name, n_name,
@@ -376,20 +383,27 @@ object CatalogCore {
               |ORDER BY format_grp, year_grp""".stripMargin)),
 
     // ── frame window: 7-day rolling event volume (SURVEY §2.5 added surface).
+    //    The frame is partitioned by year: an unpartitioned window moves the
+    //    whole series to one task — harmless on a per-day series, but it is
+    //    the pattern that dies at scale. Trade-off (documented): the first
+    //    six days of each year restart their window instead of reaching back
+    //    across the boundary.
     ("rolling_daily_counts",
       (spark, dir) => {
         val daily = Tables.events(spark, dir)
           .groupBy(to_date(col("ts")).as("event_date"))
           .agg(count(lit(1)).as("n"))
-        daily.withColumn("rolling_7d",
-            Windows.rollingSum(Seq.empty, "event_date", "n", 7))
+        daily.withColumn("yr", year(col("event_date")))
+          .withColumn("rolling_7d",
+            Windows.rollingSum(Seq("yr"), "event_date", "n", 7))
+          .drop("yr")
           .orderBy(col("event_date"))
       },
       Some("""WITH daily AS (
              |  SELECT CAST(ts AS DATE) AS event_date, COUNT(*) AS n
              |  FROM events GROUP BY 1)
              |SELECT event_date, n,
-             |       CAST(SUM(n) OVER (ORDER BY event_date ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS rolling_7d
+             |       CAST(SUM(n) OVER (PARTITION BY year(event_date) ORDER BY event_date ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS rolling_7d
              |FROM daily ORDER BY event_date""".stripMargin)),
 
     // ── F9/F10 JSON field extraction over the props column (db.py:269-270).

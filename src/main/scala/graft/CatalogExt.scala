@@ -108,13 +108,19 @@ object CatalogExt {
       }),
 
     // ── exact 3-gram Jaccard near-dup pairs (threshold 0.5 separates the
-    //    corpus's planted near-dups from background similarity).
+    //    corpus's planted near-dups from background similarity). The df cap
+    //    is the 100 TB stop-shingle guard; 50 is far above this corpus's max
+    //    shingle df (25 at sf0.1), so the guard is exercised without changing
+    //    the result — at real scale it would prune ubiquitous shingles that
+    //    otherwise blow up the inverted-index join quadratically.
     ("ngram_jaccard_dups",
       (spark, dir) =>
-        Dedup.ngramJaccardPairs(Tables.documents(spark, dir), 3, 0.5)
+        Dedup.ngramJaccardPairs(Tables.documents(spark, dir), 3, 0.5, maxShingleDf = 50)
           .orderBy(col("doc_a"), col("doc_b")),
-      Some(s"""WITH sh AS (
+      Some(s"""WITH sh0 AS (
               |  SELECT DISTINCT doc_id, unnest(${sqlShingles(3)}) AS g FROM documents),
+              |keep AS (SELECT g FROM (SELECT g, COUNT(*) AS df FROM sh0 GROUP BY g) WHERE df <= 50),
+              |sh AS (SELECT sh0.doc_id, sh0.g FROM sh0 JOIN keep USING (g)),
               |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
               |pairs AS (
               |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared

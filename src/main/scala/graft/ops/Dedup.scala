@@ -80,7 +80,13 @@ object Dedup {
     * skew. Returns distinct (doc_a < doc_b) pairs.
     */
   def lshCandidatePairs(docs: DataFrame, k: Int = 8, rowsPerBand: Int = 2): DataFrame = {
-    val sigTable = minhashSignatureTable(docs, k)
+    // Materialize the signature table before the self-join: both join sides
+    // derive from it, and without the checkpoint the whole explode+min-agg
+    // signature pipeline runs once per side (observed 2× the md5 work and
+    // 20 s at sf0.1). The signature relation is k hex strings per doc — tiny
+    // relative to the corpus — so this is the right trade at 100 TB too
+    // (at cluster scale it would be a persisted/bucketed intermediate table).
+    val sigTable = minhashSignatureTable(docs, k).localCheckpoint()
     val bands = sigTable.select(col("doc_id"),
       posexplode(array(lshBands((0 until k).map(i => col(s"s$i")), rowsPerBand): _*))
         .as(Seq("band", "bucket")))
