@@ -58,6 +58,40 @@ object CatalogExt {
   private val stopListSql: String =
     TextAnalysis.stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
 
+  /** DuckDB twin of [[Similarity.signBuckets]] as CTE text (to splice after
+    * `WITH `): rebuilds the integer-hash hyperplanes
+    * ([[Similarity.planeComponent]] — pure BIGINT ops, bit-identical across
+    * engines), dots each embedding against them, and packs per-table sign
+    * bits into a bucket. Produces CTE `buckets(vec_id, t, bucket)`.
+    * Built with explicit newline joins, not stripMargin, so it can be
+    * interpolated into stripMargin'd oracle strings safely.
+    */
+  private def sqlSignBuckets(nTables: Int, bits: Int, dim: Int = 64): String = Seq(
+    s"planes AS (",
+    s"  SELECT CAST(j // $bits AS BIGINT) AS t, CAST(j % $bits AS BIGINT) AS p, i,",
+    s"         CAST(CAST(h AS DOUBLE) / 2147483648.0 - 1.0 AS FLOAT) AS w",
+    s"  FROM (",
+    s"    SELECT j, i,",
+    s"           (j * 104729 + i * 7919 + 12345) AS x0,",
+    s"           (x0 * 2654435761) & 4294967295 AS x1,",
+    s"           xor(x1, x1 >> 16) AS x2,",
+    s"           ((x2 & 2147483647) * 1597334677) & 4294967295 AS x3,",
+    s"           xor(x3, x3 >> 13) AS h",
+    s"    FROM range(${nTables * bits}) a(j) CROSS JOIN range($dim) b(i))),",
+    s"dots AS (",
+    s"  SELECT e.vec_id, pl.t, pl.p,",
+    s"         SUM(CAST(e.embedding[pl.i + 1] AS DOUBLE) * CAST(pl.w AS DOUBLE)) AS dot",
+    s"  FROM embeddings e CROSS JOIN planes pl",
+    s"  GROUP BY 1, 2, 3),",
+    s"buckets AS (",
+    s"  SELECT vec_id, t,",
+    s"         CAST(SUM(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS bucket",
+    s"  FROM dots GROUP BY 1, 2)").mkString("\n")
+
+  /** DuckDB fragment: exact cosine between two embedding-table aliases. */
+  private def sqlCos(a: String, b: String): String =
+    s"round(list_cosine_similarity(CAST($a.embedding AS DOUBLE[]), CAST($b.embedding AS DOUBLE[])), 6)"
+
   val entries: Seq[(String, QueryFn, Option[String])] = Seq(
 
     // ── exact dedup by content hash (empty result is legitimate: the corpus
@@ -203,8 +237,9 @@ object CatalogExt {
              |QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) <= 5
              |ORDER BY q_id, cos_sim DESC, vec_id""".stripMargin)),
 
-    // ── embedding cosine near-dup pairs above 0.4 (exact baseline; the LSH
-    //    scale path is `ann_lsh_topk` below).
+    // ── embedding cosine near-dup pairs above 0.4 — the exact O(N²)
+    //    baseline kept for small-SF audits and as the recall oracle; the
+    //    default 100 TB pairs path is `embedding_neardup_lsh` below.
     ("embedding_neardup_pairs",
       (spark, dir) =>
         Similarity.nearDupPairs(Tables.embeddings(spark, dir), 0.4)
@@ -215,16 +250,52 @@ object CatalogExt {
              |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
              |ORDER BY vec_a, vec_b""".stripMargin)),
 
-    // ── approximate NN via sign-random-projection buckets. No SQL oracle
-    //    (approximate operator) — the driver records a rows-only check; the
-    //    ScalaTest suite asserts recall against the exact top-k instead.
+    // ── sign-LSH near-dup pairs: the 100 TB default pairs path (bucketed
+    //    equi-join + exact rescore, no nested-loop join — PlanSpec asserts).
+    //    The oracle SIMULATES THE SAME LSH in SQL (hash-built planes →
+    //    buckets → collisions → rescore), so the hash match pins the
+    //    algorithm itself, independent of recall: a recall-lossy candidate
+    //    set would diverge from an exact-pairs oracle by design.
+    ("embedding_neardup_lsh",
+      (spark, dir) =>
+        Similarity.lshNearDupPairs(Tables.embeddings(spark, dir), 0.4)
+          .orderBy(col("vec_a"), col("vec_b")),
+      Some(s"""WITH ${sqlSignBuckets(16, 8)},
+              |cand AS (
+              |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+              |  FROM buckets a JOIN buckets b
+              |    ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+              |scored AS (
+              |  SELECT vec_a, vec_b, ${sqlCos("ea", "eb")} AS cos_sim
+              |  FROM cand
+              |  JOIN embeddings ea ON vec_a = ea.vec_id
+              |  JOIN embeddings eb ON vec_b = eb.vec_id)
+              |SELECT vec_a, vec_b, cos_sim FROM scored
+              |WHERE cos_sim >= 0.4 ORDER BY vec_a, vec_b""".stripMargin)),
+
+    // ── approximate NN via sign-random-projection buckets. The oracle
+    //    simulates the same multi-table LSH (8×4 planes, union of collisions,
+    //    dedup, exact rescore, top-5) — full hash match on an approximate
+    //    operator because the planes are engine-portable integer hashes.
     ("ann_lsh_topk",
       (spark, dir) => {
         val emb = Tables.embeddings(spark, dir)
         Similarity.annTopK(emb.filter(col("vec_id") < 8), emb.filter(col("vec_id") >= 8), 5)
           .orderBy(col("q_id"), col("cos_sim").desc, col("vec_id"))
       },
-      None),
+      Some(s"""WITH ${sqlSignBuckets(8, 4)},
+              |cand AS (
+              |  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS vec_id
+              |  FROM buckets q JOIN buckets c ON q.t = c.t AND q.bucket = c.bucket
+              |  WHERE q.vec_id < 8 AND c.vec_id >= 8),
+              |scored AS (
+              |  SELECT cand.q_id, cand.vec_id, ${sqlCos("eq", "ec")} AS cos_sim
+              |  FROM cand
+              |  JOIN embeddings eq ON cand.q_id = eq.vec_id
+              |  JOIN embeddings ec ON cand.vec_id = ec.vec_id)
+              |SELECT q_id, vec_id, cos_sim FROM scored
+              |QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) <= 5
+              |ORDER BY q_id, cos_sim DESC, vec_id""".stripMargin)),
 
     // ── language-ID heuristic (stopword-hit ratio).
     ("lang_id",

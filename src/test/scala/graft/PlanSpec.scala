@@ -48,4 +48,15 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("top_orders")
     assert(p.contains("TakeOrderedAndProject"), p)
   }
+
+  test("LSH near-dup pairs plan has no nested-loop/cartesian join") {
+    // the whole point of the bucketed path: candidate generation must be an
+    // equi-join on (t, bucket), never an all-pairs scan (the exact baseline
+    // embedding_neardup_pairs is the one allowed BroadcastNestedLoopJoin)
+    val p = plan("embedding_neardup_lsh")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+           p.contains("BroadcastHashJoin"), p)
+  }
 }

@@ -61,4 +61,35 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
     assert(pairs.forall(_.getDouble(2) >= 0.4))
   }
+
+  test("lshNearDupPairs is a thresholded subset of the exact pairs") {
+    val exact = Similarity.nearDupPairs(emb, 0.4)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshNearDupPairs(emb, 0.4).collect()
+    assert(lsh.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(lsh.forall(_.getDouble(2) >= 0.4), "rescore must enforce the threshold")
+    val lshPairs = lsh.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lshPairs.subsetOf(exact), s"LSH emitted pairs the exact scan rejects: ${lshPairs -- exact}")
+  }
+
+  test("lshNearDupPairs recall ≈ 1 on true near-dups (planted jittered copies)") {
+    // This corpus's max pairwise cosine is ~0.6 — there are no genuine
+    // near-dups, so recall at the weak-similarity threshold says nothing
+    // about the operator's job. Plant deterministic jittered copies
+    // (cosine ≈ 0.9999) and require the LSH path to find them: sign-LSH
+    // collision probability at that angle is ≈1 per table across 16 tables.
+    val base = emb.filter($"vec_id" < 20)
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+    val planted = base.map { case (id, v) =>
+      (id + 100000L, v.zipWithIndex.map { case (x, k) => x * 1.01f + 0.001f * ((k % 7) - 3) })
+    }
+    val all = emb.select("vec_id", "embedding").as[(Long, Array[Float])]
+      .union(spark.createDataset(planted.toSeq))
+      .toDF("vec_id", "embedding")
+    val found = Similarity.lshNearDupPairs(all, 0.9)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val expected = base.map { case (id, _) => (id, id + 100000L) }.toSet
+    val recall = expected.count(found.contains).toDouble / expected.size
+    assert(recall >= 0.9, s"planted near-dup recall=$recall (found ${found.size} pairs total)")
+  }
 }
