@@ -49,7 +49,12 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Pinned comparator (BASELINE.md "Measured comparator"): the DuckDB
+    // oracle-suite total on the identical sf0.1 parquet, 32 threads,
+    // 2-pass per-query min. Override via env when re-measuring.
+    val baselineSec = sys.env.getOrElse("SPARK_GRAFT_BASELINE_SEC", "18.1").toDouble
+    val ratio = total / baselineSec
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","baseline_sec":$baselineSec,"vs_baseline":$ratio,"queries":$qs,"sf":"$sfDir"}"""
     // stdout goes through sbt's logger ("[info] "-prefixed), which breaks
     // line-oriented JSON parsing downstream — also write the result to a file
     // (override path via SPARK_GRAFT_BENCH_OUT; default = cwd/bench_out.json).

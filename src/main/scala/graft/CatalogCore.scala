@@ -635,6 +635,132 @@ object CatalogCore {
              |       MIN(CAST(floor(epoch(ts)) AS BIGINT)) AS min_epoch,
              |       MAX(CAST(floor(epoch(ts)) AS BIGINT)) AS max_epoch
              |FROM paged WHERE page < 5
-             |GROUP BY event_type, page ORDER BY event_type, page""".stripMargin))
+             |GROUP BY event_type, page ORDER BY event_type, page""".stripMargin)),
+
+    // ── F10 encode side + round trip: synthesize a multi-field raw API
+    //    record, extract the known fields as columns, fold the leftovers into
+    //    a canonical `additional_info` JSON map (db.py:269-270,878-879), then
+    //    prove the round trip by pulling a folded field back out.
+    ("additional_info_encode",
+      (spark, dir) => {
+        val ev = Tables.events(spark, dir)
+        val raw = concat(
+          lit("{\"k\": "), Scalars.jsonField(col("props"), "k"),
+          lit(", \"rating\": "), (col("user_id") % 3000).cast("string"),
+          lit(", \"uploader\": \"u"), col("user_id").cast("string"),
+          lit("\", \"private\": "), (col("event_id") % 2).cast("string"), lit("}"))
+        ev.select(col("event_id"), raw.as("raw"))
+          .select(col("event_id"),
+                  Scalars.jsonField(col("raw"), "k").cast("long").as("k"),
+                  Scalars.jsonField(col("raw"), "uploader").as("uploader"),
+                  Scalars.additionalInfo(col("raw"), Seq("k", "uploader")).as("additional_info"))
+          .withColumn("rating_rt",
+            Scalars.jsonField(col("additional_info"), "rating").cast("long"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH raw AS (
+             |  SELECT event_id,
+             |         '{"k": ' || json_extract_string(props, '$.k')
+             |           || ', "rating": ' || CAST(user_id % 3000 AS VARCHAR)
+             |           || ', "uploader": "u' || CAST(user_id AS VARCHAR)
+             |           || '", "private": ' || CAST(event_id % 2 AS VARCHAR) || '}' AS raw
+             |  FROM events),
+             |enc AS (
+             |  SELECT event_id,
+             |         CAST(json_extract_string(raw, '$.k') AS BIGINT) AS k,
+             |         json_extract_string(raw, '$.uploader') AS uploader,
+             |         '{' || array_to_string(
+             |             list_transform(
+             |               list_sort(list_filter(json_keys(raw), x -> x <> 'k' AND x <> 'uploader')),
+             |               x -> '"' || x || '":"' || json_extract_string(raw, '$.' || x) || '"'),
+             |             ',') || '}' AS additional_info
+             |  FROM raw)
+             |SELECT event_id, k, uploader, additional_info,
+             |       CAST(json_extract_string(additional_info, '$.rating') AS BIGINT) AS rating_rt
+             |FROM enc ORDER BY event_id""".stripMargin)),
+
+    // ── O2 migration-version surface: run the real Migrations.migrate loop
+    //    (db.py:79-154 — MAX(version) check, in-order apply, bookkeeping
+    //    append) over a 5-step registry from a fresh log, then query the
+    //    latest applied version. The oracle rebuilds the expected log from
+    //    range(): a skipped/reordered/duplicated migration changes the row.
+    ("latest_migration",
+      (spark, _) => {
+        val registry = (1L to 5L).map(v =>
+          Migration(v, s"migration v$v", df => df.withColumn(s"v$v", lit(v))))
+        val (_, log) = Migrations.migrate(
+          spark.range(1).toDF("id"), Migrations.emptyLog(spark), registry,
+          migratedAtEpoch = 1700000000L)
+        Windows.topK(log, Seq(col("version").desc), 1)
+      },
+      Some("""SELECT version, 'migration v' || CAST(version AS VARCHAR) AS description,
+             |       CAST(1700000000 AS BIGINT) AS migrated_at
+             |FROM range(1, 6) t(version)
+             |ORDER BY version DESC LIMIT 1""".stripMargin)),
+
+    // ── F12+A9 composed end to end (calculate_throughput.py:22-117): emit
+    //    Airflow-style log lines per format run, then parse them back and
+    //    compute duration / replays-per-second / success rate / avg ms —
+    //    the reference's whole throughput script as one declarative pass.
+    ("throughput_from_logs",
+      (spark, dir) => {
+        val agg = status(spark, dir).groupBy(col("format_id"))
+          .agg(min(col("uploadtime")).as("start_ep"), max(col("uploadtime")).as("end_ep"),
+               sum(when(col("is_downloaded"), 1L).otherwise(0L)).as("n_dl"),
+               sum(when(Scalars.isFailed(col("download_details")), 1L).otherwise(0L)).as("n_fail"),
+               count(lit(1)).as("n_total"))
+        def iso(ep: org.apache.spark.sql.Column) =
+          date_format(timestamp_seconds(ep), "yyyy-MM-dd'T'HH:mm:ss")
+        val l1 = agg.select(col("format_id").as("run_id"),
+          concat(lit("["), iso(col("start_ep")),
+                 lit("] {taskinstance.py} Starting attempt 1 of 1")).as("line"))
+        val l2 = agg.select(col("format_id").as("run_id"),
+          concat(lit("["), iso(col("end_ep")),
+                 lit("] {local_task_job_runner.py} Task exited")).as("line"))
+        val l3 = agg.select(col("format_id").as("run_id"),
+          concat(lit("Download summary: "), col("n_dl").cast("string"),
+                 lit(" downloaded, "), col("n_fail").cast("string"),
+                 lit(" failed, 0 skipped out of "), col("n_total").cast("string"),
+                 lit(" total")).as("line"))
+        Throughput.fromLogs(l1.unionByName(l2).unionByName(l3)).orderBy(col("run_id"))
+      },
+      Some(s"""$S,
+              |agg AS (
+              |  SELECT format_id AS run_id, MIN(uploadtime) AS start0, MAX(uploadtime) AS end0,
+              |         CAST(SUM(CASE WHEN is_downloaded THEN 1 ELSE 0 END) AS BIGINT) AS n_dl,
+              |         CAST(SUM(CASE WHEN download_details LIKE 'Failed:%' THEN 1 ELSE 0 END) AS BIGINT) AS n_fail,
+              |         COUNT(*) AS n_total
+              |  FROM replay_status GROUP BY 1),
+              |lines AS (
+              |  SELECT run_id, '[' || strftime(make_timestamp(start0 * 1000000), '%Y-%m-%dT%H:%M:%S')
+              |           || '] {taskinstance.py} Starting attempt 1 of 1' AS line FROM agg
+              |  UNION ALL
+              |  SELECT run_id, '[' || strftime(make_timestamp(end0 * 1000000), '%Y-%m-%dT%H:%M:%S')
+              |           || '] {local_task_job_runner.py} Task exited' FROM agg
+              |  UNION ALL
+              |  SELECT run_id, 'Download summary: ' || CAST(n_dl AS VARCHAR) || ' downloaded, '
+              |           || CAST(n_fail AS VARCHAR) || ' failed, 0 skipped out of '
+              |           || CAST(n_total AS VARCHAR) || ' total' FROM agg),
+              |parsed AS (
+              |  SELECT run_id,
+              |         CASE WHEN line LIKE '%Starting attempt%'
+              |              THEN CAST(floor(epoch(strptime(substr(line, 2, 19), '%Y-%m-%dT%H:%M:%S'))) AS BIGINT) END AS start_ep,
+              |         CASE WHEN line LIKE '%Task exited'
+              |              THEN CAST(floor(epoch(strptime(substr(line, 2, 19), '%Y-%m-%dT%H:%M:%S'))) AS BIGINT) END AS end_ep,
+              |         CASE WHEN line LIKE 'Download summary:%'
+              |              THEN CAST(regexp_extract(line, 'Download summary: ([0-9]+) downloaded', 1) AS BIGINT) END AS downloaded,
+              |         CASE WHEN line LIKE 'Download summary:%'
+              |              THEN CAST(regexp_extract(line, 'out of ([0-9]+) total', 1) AS BIGINT) END AS total
+              |  FROM lines)
+              |SELECT run_id, MAX(start_ep) AS start_ep, MAX(end_ep) AS end_ep,
+              |       MAX(downloaded) AS downloaded, MAX(total) AS total,
+              |       MAX(end_ep) - MAX(start_ep) AS duration_s,
+              |       CASE WHEN MAX(end_ep) - MAX(start_ep) <> 0
+              |            THEN CAST(MAX(downloaded) AS DOUBLE) / (MAX(end_ep) - MAX(start_ep)) ELSE 0.0 END AS throughput_rps,
+              |       CASE WHEN MAX(total) <> 0
+              |            THEN CAST(MAX(downloaded) AS DOUBLE) * 100.0 / MAX(total) ELSE 0.0 END AS success_rate_pct,
+              |       CASE WHEN MAX(downloaded) <> 0
+              |            THEN CAST(MAX(end_ep) - MAX(start_ep) AS DOUBLE) * 1000.0 / MAX(downloaded) ELSE 0.0 END AS avg_ms_per_download
+              |FROM parsed GROUP BY run_id ORDER BY run_id""".stripMargin))
   )
 }

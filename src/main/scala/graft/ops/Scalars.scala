@@ -68,6 +68,26 @@ object Scalars {
   def jsonField(json: Column, field: String): Column =
     get_json_object(json, s"$$.$field")
 
+  /** F10 (encode side) — fold every JSON field NOT in `known` into a
+    * canonical `additional_info` JSON object (the reference stores leftover
+    * API fields this way, db.py:269-270,878-879, and parses them back on
+    * read). `map_filter` prunes the known keys; the object is then encoded
+    * with **sorted keys and minimal punctuation** rather than `to_json`,
+    * because `to_json` preserves map insertion order (= input JSON order) —
+    * a canonical text form is engine-independent and makes the round trip
+    * hash-comparable. Values are re-encoded as JSON strings; keys/values
+    * must not themselves contain `"` (true of the API surface this models).
+    */
+  def additionalInfo(json: Column, known: Seq[String]): Column = {
+    val m = from_json(json, org.apache.spark.sql.types.MapType(
+      org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.StringType))
+    val knownArr = array(known.map(lit): _*)
+    val rest = map_filter(m, (k, _) => !array_contains(knownArr, k))
+    val entries = transform(array_sort(map_keys(rest)),
+      k => concat(lit("\""), k, lit("\":\""), element_at(rest, k), lit("\"")))
+    concat(lit("{"), array_join(entries, ","), lit("}"))
+  }
+
   /** F11 — filename → id (strip dirs + ".json"). */
   def idFromFilename(path: Column): Column =
     regexp_extract(path, "([^/]+)\\.json$", 1)
