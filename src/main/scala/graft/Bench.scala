@@ -17,8 +17,12 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect()
     Tables.lineitem(spark, sfDir).limit(1000).groupBy("l_returnflag").count().collect()
     Tables.events(spark, sfDir).limit(1000).count()
+    // optional comma-separated subset for local iteration (full suite when unset)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
     // returns per-query (seconds, succeeded)
-    def once(): Map[String, (Double, Boolean)] = SparkEntry.queries.map { case (name, fn) =>
+    def once(): Map[String, (Double, Boolean)] = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink: every output column is fully computed (count() would let
       // Catalyst prune projection-only queries to a bare scan), no I/O cost.

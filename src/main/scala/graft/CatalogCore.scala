@@ -649,11 +649,14 @@ object CatalogCore {
           lit(", \"rating\": "), (col("user_id") % 3000).cast("string"),
           lit(", \"uploader\": \"u"), col("user_id").cast("string"),
           lit("\", \"private\": "), (col("event_id") % 2).cast("string"), lit("}"))
+        // one JSON parse per row: raw → map, then every field derives from
+        // the map (get_json_object would re-parse the string per call)
         ev.select(col("event_id"), raw.as("raw"))
+          .select(col("event_id"), Scalars.jsonAsMap(col("raw")).as("m"))
           .select(col("event_id"),
-                  Scalars.jsonField(col("raw"), "k").cast("long").as("k"),
-                  Scalars.jsonField(col("raw"), "uploader").as("uploader"),
-                  Scalars.additionalInfo(col("raw"), Seq("k", "uploader")).as("additional_info"))
+                  element_at(col("m"), "k").cast("long").as("k"),
+                  element_at(col("m"), "uploader").as("uploader"),
+                  Scalars.additionalInfoFromMap(col("m"), Seq("k", "uploader")).as("additional_info"))
           .withColumn("rating_rt",
             Scalars.jsonField(col("additional_info"), "rating").cast("long"))
           .orderBy(col("event_id"))

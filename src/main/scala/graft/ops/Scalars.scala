@@ -78,9 +78,20 @@ object Scalars {
     * hash-comparable. Values are re-encoded as JSON strings; keys/values
     * must not themselves contain `"` (true of the API surface this models).
     */
-  def additionalInfo(json: Column, known: Seq[String]): Column = {
-    val m = from_json(json, org.apache.spark.sql.types.MapType(
+  def additionalInfo(json: Column, known: Seq[String]): Column =
+    additionalInfoFromMap(jsonAsMap(json), known)
+
+  /** Parse a JSON object column to `map<string,string>` once — stage this in
+    * a projection and derive fields from it instead of calling
+    * [[jsonField]] repeatedly (each `get_json_object` re-parses the string;
+    * one `from_json` + `element_at`s is a single parse per row).
+    */
+  def jsonAsMap(json: Column): Column =
+    from_json(json, org.apache.spark.sql.types.MapType(
       org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.StringType))
+
+  /** F10 encode over an already-parsed map (the hot-path form). */
+  def additionalInfoFromMap(m: Column, known: Seq[String]): Column = {
     val knownArr = array(known.map(lit): _*)
     val rest = map_filter(m, (k, _) => !array_contains(knownArr, k))
     val entries = transform(array_sort(map_keys(rest)),

@@ -122,12 +122,17 @@ object Similarity {
                            col("t"), col("bucket"))
     val r = buckets.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"),
                            col("t"), col("bucket"))
+    // Score and threshold BEFORE the pair-dedup: a pair colliding in several
+    // tables pays the (cheap, map-side) cosine once per collision, but the
+    // dedup shuffle then carries only the few skinny surviving rows instead
+    // of every candidate with two 64-float arrays attached. Same result —
+    // the cosine is a pure function of the pair, so filter∘distinct commutes.
     l.join(r, Seq("t", "bucket"))
       .filter(col("vec_a") < col("vec_b"))
-      .dropDuplicates("vec_a", "vec_b")
       .select(col("vec_a"), col("vec_b"),
               round(cosineSim(col("emb_a"), col("emb_b")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
+      .dropDuplicates("vec_a", "vec_b")
   }
 
   /** Approximate NN via multi-table sign-LSH: `nTables` independent hash
