@@ -32,11 +32,20 @@ object Tables {
 
   /** `events` with `ts` still the raw nanosecond long — the column filters
     * can push to the parquet scan (row-group min/max skipping).
+    *
+    * Read with an explicit schema (ts as BIGINT): schema *inference* on a
+    * TIMESTAMP(NANOS) column requires the global
+    * `spark.sql.legacy.parquet.nanosAsLong` conf, but a user-supplied
+    * LongType for the INT64 physical column reads fine without it — so the
+    * loader no longer mutates session state (a conf set inside a reader is
+    * a global side effect on the caller's session). The schema doubles as
+    * the pinned contract for this table (TESTDATA.md).
     */
-  def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-  }
+  private val eventsSchema =
+    "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
+
+  def eventsRaw(spark: SparkSession, dir: String): DataFrame =
+    spark.read.schema(eventsSchema).parquet(s"$dir/events.parquet")
 
   private def nanosToTs(df: DataFrame): DataFrame =
     df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))

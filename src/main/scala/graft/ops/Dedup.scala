@@ -227,11 +227,14 @@ object Dedup {
         sh.join(keep, Seq("g"), "left_semi")
       } else sh
     // Carry each doc's (capped-universe) set size on the postings rows via a
-    // window count: the pair join then has both sizes in hand, so the plan
-    // evaluates the shingle pipeline once per join side instead of a third
-    // time for a separate sizes relation plus two rejoin shuffles.
+    // window count: the pair join then has both sizes in hand — no separate
+    // sizes relation, no rejoin shuffles. Materialize the postings+size
+    // relation before the self-join: both sides derive from it, and without
+    // the checkpoint the whole shingle explode(+df-cap semi-join) pipeline
+    // runs once per side. The relation is (doc_id, shingle, sz) — the
+    // natural persisted inverted-index intermediate at cluster scale.
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
-    val withSz = postings.withColumn("sz", count(lit(1)).over(w))
+    val withSz = postings.withColumn("sz", count(lit(1)).over(w)).localCheckpoint()
     withSz.select(col("doc_id").as("doc_a"), col("g"), col("sz").as("sz_a"))
       .join(withSz.select(col("doc_id").as("doc_b"), col("g"), col("sz").as("sz_b")),
             Seq("g"))
