@@ -182,18 +182,22 @@ object Dedup {
         .join(labels.withColumnRenamed("doc_id", "b").withColumnRenamed("canonical_id", "nl"), Seq("b"))
         .groupBy(col("a").as("doc_id")).agg(min(col("nl")).as("nmin"))
       val beforeUpd = persistentIds
+      // carry the previous label on the updated rows: the convergence check
+      // is then a filter-count over the just-checkpointed (tiny) relation
+      // instead of a re-join against the previous labels — one job per
+      // iteration, no shuffle
       val updated = labels.join(neighborMin, Seq("doc_id"), "left_outer")
         .select(col("doc_id"),
                 least(col("canonical_id"), coalesce(col("nmin"), col("canonical_id")))
-                  .as("canonical_id"))
+                  .as("canonical_id"),
+                col("canonical_id").as("__old"))
         .localCheckpoint()
       val updatedIds = persistentIds -- beforeUpd
-      val changed = updated.join(labels.withColumnRenamed("canonical_id", "old"), Seq("doc_id"))
-        .filter(col("canonical_id") =!= col("old")).count()
+      val changed = updated.filter(col("canonical_id") =!= col("__old")).count()
       // previous labels are superseded — release their blocks now
       labelIds.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
       labelIds = updatedIds
-      labels = updated
+      labels = updated.select("doc_id", "canonical_id")
       converged = changed == 0
       i += 1
     }
