@@ -135,6 +135,76 @@ object Similarity {
       .dropDuplicates("vec_a", "vec_b")
   }
 
+  /** Deterministic fixed-iteration k-means over an embedding corpus
+    * (cosine objective): initialized from the `k` lowest `vec_id`s, then
+    * `iters` Lloyd rounds — assign each vector to its max-cosine centroid
+    * (broadcast centroids, one window argmax), recompute centroids as the
+    * component-wise mean (posexplode → per-(cluster, pos) avg → rebuild).
+    * Every step is a deterministic DataFrame op; no RNG, no `.collect()`.
+    * Returns (cluster_id, centroid: array<float>).
+    */
+  def kmeansCentroids(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
+    val init = corpus.orderBy(col("vec_id")).limit(k)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("cluster_id", row_number().over(Window.orderBy(col("vec_id"))) - 1)
+      .select(col("cluster_id").cast("long").as("cluster_id"), col("embedding").as("centroid"))
+    (1 to iters).foldLeft(init) { (centroids, _) =>
+      val assigned = assignClusters(corpus, centroids, 1)
+        .join(corpus.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      assigned
+        .select(col("cluster_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("cluster_id"), col("pos")).agg(avg(col("v")).as("m"))
+        .groupBy(col("cluster_id"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+                       e => e.getField("m").cast("float")).as("centroid"))
+        .localCheckpoint() // sever per-iteration lineage (same rule as dupClusters)
+    }
+  }
+
+  /** Nearest `nProbe` centroids per vector (broadcast centroid relation +
+    * codegen'd cosine + ranking window). Ties break on cluster_id.
+    */
+  private def assignClusters(vectors: DataFrame, centroids: DataFrame,
+                             nProbe: Int): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(cosineSim(col("embedding"), col("centroid")).desc, col("cluster_id"))
+    vectors.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") <= nProbe)
+      .select(col("vec_id"), col("cluster_id"))
+  }
+
+  /** Approximate NN via IVF (inverted-file index): cluster the corpus with
+    * [[kmeansCentroids]], assign each corpus vector to its nearest centroid,
+    * probe each query's `nProbe` nearest clusters, and exact-rescore only
+    * the vectors in probed clusters. The 100 TB shape: the centroid table is
+    * broadcast metadata, the corpus assignment is the partitioning key
+    * (cluster-partitioned layout on disk), and a query touches
+    * `nProbe / nCentroids` of the corpus instead of all of it.
+    *
+    * Library + spec surface only (recall bounded in SimilaritySpec against
+    * exact top-k): unlike the sign-LSH operators, float-mean centroids are
+    * not engine-portable (FP summation order), so an oracle-grade DuckDB
+    * twin is not possible — the hash-checked catalog scale path stays
+    * [[lshNearDupPairs]]/[[annTopK]].
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              nCentroids: Int = 16, nProbe: Int = 4, iters: Int = 3): DataFrame = {
+    val centroids = kmeansCentroids(corpus, nCentroids, iters).localCheckpoint()
+    val corpusIdx = assignClusters(corpus, centroids, 1)
+      .join(corpus.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+    val queryIdx = assignClusters(queries, centroids, nProbe)
+      .join(queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
+            col("vec_id") === col("q_id"))
+      .select(col("q_id"), col("q_emb"), col("cluster_id"))
+    val scored = queryIdx.join(corpusIdx, Seq("cluster_id"))
+      .select(col("q_id"), col("vec_id"),
+              round(cosineSim(col("q_emb"), col("embedding")), 6).as("cos_sim"))
+      .dropDuplicates("q_id", "vec_id")
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("vec_id"))
+    scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k).drop("__rn")
+  }
+
   /** Approximate NN via multi-table sign-LSH: `nTables` independent hash
     * tables of `bitsPerTable` sign bits each; a corpus vector is a candidate
     * when it collides with the query in *any* table (union-of-tables is the

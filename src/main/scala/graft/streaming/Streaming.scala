@@ -70,6 +70,19 @@ object Streaming {
       .agg(count(lit(1)).as("n_events"),
            sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_error"))
 
+  /** Streaming dedup-on-append (U5's streaming twin; the training-data
+    * surface's exact-dedup pass as a stream): drop rows whose `keys` were
+    * already seen, holding per-key state only while the watermark allows a
+    * duplicate to still arrive. With unbounded retention (the plain
+    * `dropDuplicates`) the state store grows with the corpus — on a 100 TB
+    * ingest the watermark bound is the difference between a state store and
+    * an OOM. `eventTimeCol` must carry the watermark column.
+    */
+  def dedupStream(src: DataFrame, keys: Seq[String], eventTimeCol: String,
+                  lateness: String): DataFrame =
+    src.withWatermark(eventTimeCol, lateness)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
   /** T4/T5 — drive a stream into a parquet state table with an idempotent
     * last-write-wins merge per micro-batch (`foreachBatch`), splitting a
     * dead-letter stream (`isFailure`) into a side directory for the retry

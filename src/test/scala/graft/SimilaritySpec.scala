@@ -72,6 +72,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(lshPairs.subsetOf(exact), s"LSH emitted pairs the exact scan rejects: ${lshPairs -- exact}")
   }
 
+  test("ivfTopK: clusters cover the corpus, probes bound work, recall is usable") {
+    val qs = emb.filter($"vec_id" < 8); val corpus = emb.filter($"vec_id" >= 8)
+    val centroids = Similarity.kmeansCentroids(corpus, 16, 3)
+    assert(centroids.count() == 16)
+    assert(centroids.select("cluster_id").as[Long].collect().toSet == (0L until 16L).toSet)
+    val exact = Similarity.cosineTopK(qs, corpus, 5)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.ivfTopK(qs, corpus, 5, nCentroids = 16, nProbe = 4)
+    val approxSet = approx.select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val byQ = approx.groupBy("q_id").count().collect()
+    assert(byQ.forall(_.getLong(1) <= 5), "at most k per query")
+    val recall = (exact intersect approxSet).size.toDouble / exact.size
+    assert(recall >= 0.3, s"IVF recall=$recall too low for nProbe=4/16 clusters")
+  }
+
   test("lshNearDupPairs recall ≈ 1 on true near-dups (planted jittered copies)") {
     // This corpus's max pairwise cosine is ~0.6 — there are no genuine
     // near-dups, so recall at the weak-similarity threshold says nothing

@@ -61,6 +61,23 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dedupStream drops duplicate keys within the watermark (U5 streaming)") {
+    val src = tmp("dedup-src")
+    rows(Seq(
+      ("k1", "2024-01-01 01:00:00", "click", false),
+      ("k1", "2024-01-01 01:10:00", "click", false),  // dup within watermark → dropped
+      ("k2", "2024-01-01 01:20:00", "click", false)
+    )).write.mode("append").parquet(src)
+    val stream = spark.readStream.schema(schema).parquet(src)
+    val q = Streaming.dedupStream(stream, Seq("id"), "ts", "1 hour")
+      .writeStream.outputMode("append").format("memory").queryName("deduped").start()
+    try {
+      q.processAllAvailable()
+      val ids = spark.sql("SELECT id FROM deduped").as[String].collect().toSeq
+      assert(ids.sorted == Seq("k1", "k2"), s"got $ids")
+    } finally q.stop()
+  }
+
   test("foreachBatch merge: idempotent state + dead-letter split (T4/T5)") {
     val src = tmp("stream-src2"); val state = tmp("stream-state")
     val dead = tmp("stream-dead"); val ckpt = tmp("stream-ckpt")
