@@ -49,6 +49,28 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("F10 additional_info round-trips every unknown field (encode ∘ parse law)") {
+    trials(5) { rnd =>
+      val nFields = 2 + rnd.nextInt(5)
+      val fields = (0 until nFields)
+        .map(i => s"f${i}_${rnd.alphanumeric.filter(_.isLetter).take(3).mkString}" ->
+                  rnd.alphanumeric.take(6).mkString).toMap
+      val known = fields.keys.take(1 + rnd.nextInt(2)).toSeq
+      val json = fields.map { case (k, v) => s""""$k": "$v"""" }.mkString("{", ", ", "}")
+      val enc = Seq(json).toDF("j")
+        .select(Scalars.additionalInfo($"j", known).as("ai"))
+      val ai = enc.head().getString(0)
+      // every unknown field parses back out; every known field is pruned
+      for ((k, v) <- fields if !known.contains(k)) {
+        val got = Seq(ai).toDF("ai")
+          .select(Scalars.jsonField($"ai", k)).head().getString(0)
+        assert(got == v, s"field $k lost in round trip: $ai")
+      }
+      for (k <- known)
+        assert(!ai.contains(s""""$k":"""), s"known field $k leaked into $ai")
+    }
+  }
+
   test("semi ⊎ anti = identity on distinct keys") {
     trials(5) { rnd =>
       val left = List.fill(30)(rnd.nextLong(20)).distinct
