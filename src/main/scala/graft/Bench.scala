@@ -20,7 +20,8 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
     // returns per-query (seconds, succeeded)
-    def once(): Map[String, (Double, Boolean)] = selected.map { case (name, fn) =>
+    def once(qs: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame]
+             = selected): Map[String, (Double, Boolean)] = qs.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink: every output column is fully computed (count() would let
       // Catalyst prune projection-only queries to a bare scan), no I/O cost.
@@ -39,13 +40,29 @@ object Bench {
     // transient host noise without letting a fast failure masquerade as the
     // best time; a query that fails both passes reports -1
     val p1 = once(); val p2 = once()
-    val results = p1.map { case (k, (t1, ok1)) =>
+    val twoPass = p1.map { case (k, (t1, ok1)) =>
       val (t2, ok2) = p2(k)
       k -> ((ok1, ok2) match {
         case (true, true) => math.min(t1, t2)
         case (true, false) => t1
         case (false, true) => t2
         case _ => -1.0
+      })
+    }
+    // Selective third pass: when a query's two timings disagree badly, a host
+    // stall landed on at least one of them — and a stall that straddled both
+    // would stick in the min. One targeted retry pins the honest time without
+    // paying a full extra pass for the whole suite (the bench host has shown
+    // random multi-second stalls landing on a different query per run).
+    val noisy = p1.keySet.filter { k =>
+      val ((t1, ok1), (t2, ok2)) = (p1(k), p2(k))
+      ok1 && ok2 && math.max(t1, t2) > 1.5 * math.min(t1, t2) && math.max(t1, t2) > 1.0
+    }
+    val p3 = if (noisy.nonEmpty) once(selected.view.filterKeys(noisy).toMap) else Map.empty[String, (Double, Boolean)]
+    val results = twoPass.map { case (k, best) =>
+      k -> (p3.get(k) match {
+        case Some((t3, true)) if best >= 0 => math.min(best, t3)
+        case _ => best
       })
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -49,6 +49,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("additional_info_encode prunes the events scan to the three used columns") {
+    val p = plan("additional_info_encode")
+    assert(p.contains("ReadSchema: struct<event_id:bigint,user_id:bigint,props:string>"), p)
+  }
+
+  test("throughput_from_logs aggregates partial+final over the line union") {
+    val p = plan("throughput_from_logs")
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("LSH near-dup pairs plan has no nested-loop/cartesian join") {
     // the whole point of the bucketed path: candidate generation must be an
     // equi-join on (t, bucket), never an all-pairs scan (the exact baseline
