@@ -71,14 +71,27 @@ object Similarity {
   /** Exact brute-force cosine top-k: for each query vector, the k nearest
     * corpus vectors by (rounded cosine desc, vec_id asc) — rounding pins the
     * rank order across engines. Queries are broadcast; corpus streams.
+    *
+    * Ranking happens in the [[TopKByScore]] aggregator, not a window: a
+    * window partitioned by `q_id` would shuffle all N×Q scored rows onto Q
+    * partition keys (one task per query holding the whole corpus's scores —
+    * the 100 TB killer shape); the aggregator participates in partial
+    * aggregation, so every map task reduces its slice to ≤ k rows per query
+    * before the shuffle, and the shuffle carries ≤ k·tasks rows per query.
+    * Tie order (score desc, id asc) matches the window form exactly.
     */
   def cosineTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val q = broadcast(queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb")))
     val scored = corpus.select(col("vec_id"), col("embedding")).crossJoin(q)
       .select(col("q_id"), col("vec_id"),
               round(cosineSim(col("q_emb"), col("embedding")), 6).as("cos_sim"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("vec_id"))
-    scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k).drop("__rn")
+    val topk = udaf(new TopKByScore(k),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaDouble))
+    scored.groupBy(col("q_id"))
+      .agg(topk(col("vec_id"), col("cos_sim")).as("tk"))
+      .select(col("q_id"), explode(col("tk")).as("e"))
+      .select(col("q_id"), col("e._1").as("vec_id"), col("e._2").as("cos_sim"))
   }
 
   /** Exact cosine near-dup pairs above a threshold (vec_a < vec_b). The

@@ -32,6 +32,9 @@ class TopKByScore(k: Int)
 
   override def bufferEncoder: Encoder[Array[(Long, Double)]] =
     Encoders.kryo[Array[(Long, Double)]]
+  // Product encoder (not kryo): the untyped `udaf` face then yields a real
+  // `array<struct<_1,_2>>` column that SQL can explode — kryo output would
+  // surface as opaque binary and trap the result in typed code.
   override def outputEncoder: Encoder[Array[(Long, Double)]] =
-    Encoders.kryo[Array[(Long, Double)]]
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[(Long, Double)]]()
 }

@@ -60,6 +60,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("cosine_topk ranks via partial-aggregating top-k, not a per-query window") {
+    // a window partitioned by q_id puts one query's whole scored corpus on
+    // one task; the TopKByScore aggregator reduces map-side to ≤ k rows
+    val p = plan("cosine_topk")
+    assert(!p.contains("Window"), p)
+    assert(p.contains("ObjectHashAggregate") && p.contains("partial_"), p)
+  }
+
   test("LSH near-dup pairs plan has no nested-loop/cartesian join") {
     // the whole point of the bucketed path: candidate generation must be an
     // equi-join on (t, bucket), never an all-pairs scan (the exact baseline
