@@ -85,6 +85,13 @@ object Similarity {
     val scored = corpus.select(col("vec_id"), col("embedding")).crossJoin(q)
       .select(col("q_id"), col("vec_id"),
               round(cosineSim(col("q_emb"), col("embedding")), 6).as("cos_sim"))
+    topKPerQuery(scored, k)
+  }
+
+  /** Shared ranking tail: (q_id, vec_id, cos_sim) → k best per query via the
+    * partial-aggregating [[TopKByScore]] (see [[cosineTopK]] scale note).
+    */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
     val topk = udaf(new TopKByScore(k),
       org.apache.spark.sql.Encoders.tuple(
         org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaDouble))
@@ -214,8 +221,7 @@ object Similarity {
       .select(col("q_id"), col("vec_id"),
               round(cosineSim(col("q_emb"), col("embedding")), 6).as("cos_sim"))
       .dropDuplicates("q_id", "vec_id")
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("vec_id"))
-    scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k).drop("__rn")
+    topKPerQuery(scored, k)
   }
 
   /** Approximate NN via multi-table sign-LSH: `nTables` independent hash
@@ -237,7 +243,6 @@ object Similarity {
       .dropDuplicates("q_id", "vec_id")
     val scored = cands.select(col("q_id"), col("vec_id"),
         round(cosineSim(col("q_emb"), col("embedding")), 6).as("cos_sim"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("vec_id"))
-    scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k).drop("__rn")
+    topKPerQuery(scored, k)
   }
 }
