@@ -47,12 +47,50 @@ object Maintenance {
     content
   }
 
-  /** Read a per-format state JSON back as one typed row. */
-  def readFormatState(spark: SparkSession, dir: String, formatId: String): DataFrame =
+  /** Read a per-format state JSON back as one typed row; absent file ⇒ the
+    * canonical defaults (`state.py:27-35`: load falls back to the reset
+    * state).
+    */
+  def readFormatState(spark: SparkSession, dir: String, formatId: String): DataFrame = {
+    val p = new Path(dir, s"${formatId}_state.json")
+    if (!fs(spark, dir).exists(p)) {
+      import spark.implicits._
+      return Seq((formatId, 0L, Option.empty[Long], Option.empty[String]))
+        .toDF("format_id", "last_seen_ts", "oldest_ts", "last_processed_id")
+    }
     spark.read
       .schema("format_id STRING, last_seen_ts BIGINT, oldest_ts BIGINT, last_processed_id STRING")
-      .json(s"$dir/${formatId}_state.json")
+      .json(p.toString)
       .select("format_id", "last_seen_ts", "oldest_ts", "last_processed_id")
+  }
+
+  /** Derive the cursor state a completed run would save (`state.py:38-49`
+    * save after discovery): high/low watermarks + the id at the high
+    * watermark, from that format's slice of the state table.
+    */
+  def formatStateFromStatus(status: DataFrame, formatId: String): DataFrame =
+    status.filter(col("format_id") === formatId)
+      .agg(coalesce(max(col("uploadtime")), lit(0L)).as("last_seen_ts"),
+           min(col("uploadtime")).as("oldest_ts"),
+           max_by(col("replay_id"), struct(col("uploadtime"), col("replay_id")))
+             .as("last_processed_id"))
+      .select(lit(formatId).as("format_id"), col("last_seen_ts"),
+              col("oldest_ts"), col("last_processed_id"))
+
+  /** Persist a one-row state relation as the per-format JSON (the reference's
+    * `save_state`). Canonical field order and minimal punctuation, so a
+    * saved-then-loaded state round-trips byte-stably.
+    */
+  def saveFormatState(spark: SparkSession, dir: String, state: DataFrame): Unit = {
+    val row = state.select("format_id", "last_seen_ts", "oldest_ts", "last_processed_id").head()
+    val fmt = row.getString(0)
+    def jLong(i: Int): String = if (row.isNullAt(i)) "null" else row.getLong(i).toString
+    def jStr(i: Int): String = if (row.isNullAt(i)) "null" else "\"" + row.getString(i) + "\""
+    val content =
+      s"""{"format_id":"$fmt","last_seen_ts":${jLong(1)},"oldest_ts":${jLong(2)},"last_processed_id":${jStr(3)}}"""
+    val out = fs(spark, dir).create(new Path(dir, s"${fmt}_state.json"), true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+  }
 
   /** Timestamped backup of a state directory (`<dir>.backup_<stamp>`),
     * taken before any destructive maintenance. Returns the backup path.

@@ -27,6 +27,27 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(row.isNullAt(2) && row.isNullAt(3))
   }
 
+  test("format-state cursor derives, saves, and round-trips (legacy state.py loop)") {
+    val dir = tmpDir("graft_cursor")
+    // load with no file present → canonical defaults
+    val fresh = Maintenance.readFormatState(spark, dir, "gen9ou").head()
+    assert(fresh.getLong(1) == 0L && fresh.isNullAt(2) && fresh.isNullAt(3))
+    // derive from a status slice: watermarks + id at the high watermark
+    val status = Seq(
+      ("r-b", "gen9ou", 200L), ("r-a", "gen9ou", 100L), ("r-c", "gen9ou", 200L),
+      ("r-z", "gen8ou", 999L))
+      .toDF("replay_id", "format_id", "uploadtime")
+    val derived = Maintenance.formatStateFromStatus(status, "gen9ou")
+    val d = derived.head()
+    assert(d.getString(0) == "gen9ou" && d.getLong(1) == 200L && d.getLong(2) == 100L)
+    assert(d.getString(3) == "r-c", "ties at the high watermark break to the larger id")
+    // save → load round trip
+    Maintenance.saveFormatState(spark, dir, derived)
+    val back = Maintenance.readFormatState(spark, dir, "gen9ou").head()
+    assert(back.getString(0) == "gen9ou" && back.getLong(1) == 200L &&
+           back.getLong(2) == 100L && back.getString(3) == "r-c")
+  }
+
   test("backup copies the state dir; refuses to overwrite an existing backup") {
     val dir = tmpDir("graft_bk") + "/state"
     sampleState.write.parquet(dir)
