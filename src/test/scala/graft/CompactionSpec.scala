@@ -36,6 +36,20 @@ class CompactionSpec extends AnyFunSuite {
     assert(new java.io.File(s"$path/format_id=f/day=2024-01-02").exists())
   }
 
+  test("P7/S8: extension glob + directory listing select only matching files") {
+    // the reference lists a replay directory and keeps '*.json'
+    // (import_existing_replays.py:28-34); the Spark form is the reader's
+    // pathGlobFilter — the non-matching file is never read, not read-and-dropped
+    val dir = tmp()
+    Files.writeString(java.nio.file.Path.of(dir, "r-1.json"), """{"replay_id":"r-1"}""")
+    Files.writeString(java.nio.file.Path.of(dir, "r-2.json"), """{"replay_id":"r-2"}""")
+    Files.writeString(java.nio.file.Path.of(dir, "notes.txt"), "not a replay")
+    val ids = spark.read.schema("replay_id STRING")
+      .option("pathGlobFilter", "*.json").json(dir)
+      .select("replay_id").as[String].collect().toSet
+    assert(ids == Set("r-1", "r-2"))
+  }
+
   test("untouched partitions survive dynamic overwrite") {
     val path = tmp()
     Compaction.compact(spark, batch(Seq(("a", "f", day1, "x"))), path, "replay_id", "uploadtime")
