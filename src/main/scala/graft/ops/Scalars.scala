@@ -117,13 +117,35 @@ object Scalars {
   /** F14 — default-on-missing lookup semantics. */
   def orDefault(c: Column, default: Column): Column = coalesce(c, default)
 
-  /** Exact money arithmetic: doubles in the test data carry 2 decimals, so
-    * sums go through DECIMAL(18,2) (exact, order-independent — identical in
-    * Spark and DuckDB) and surface as DOUBLE. Floating-point SUM is
-    * order-dependent and would flap the oracle hash at scale.
+  /** Exact money arithmetic via integer cents: money doubles carry 2
+    * decimals, so `round(x·100)` is an exact integer; sums are then plain
+    * `long` arithmetic — exact and order-independent, like the earlier
+    * DECIMAL(18,2) formulation but without a `java.math.BigDecimal`
+    * allocation per value (an allocation storm at millions of rows per
+    * aggregate pass). The result surfaces as DOUBLE only in the final
+    * projection; both engines perform the same correctly-rounded
+    * integer→double conversion and division, so oracle hashes match.
+    * Overflow headroom: 2⁶³ cents ≈ 9.2·10¹⁶ money units per group.
     */
-  def money(c: Column): Column = c.cast("decimal(18,2)")
+  def moneyCents(c: Column): Column = round(c * 100).cast("long")
 
-  /** Exact decimal sum of a 2-decimal double column, surfaced as double. */
-  def moneySum(c: Column): Column = sum(money(c)).cast("double")
+  /** Exact sum of a 2-decimal money column, surfaced as double. */
+  def moneySum(c: Column): Column =
+    sum(moneyCents(c)).cast("double") / lit(100.0)
+
+  /** Σ price·(1−disc), exact: cents·(100−pct) stays integral (< 2⁶³ —
+    * price·discount products are bounded by 2³⁰ per row), divided back to
+    * money units only in the final projection.
+    */
+  def discountedSum(price: Column, disc: Column): Column =
+    sum(moneyCents(price) * (lit(100L) - moneyCents(disc)))
+      .cast("double") / lit(10000.0)
+
+  /** Per-row integral Σ-term of [[discountedSum]] in 10⁻⁴ money units —
+    * for pre-aggregation shapes that sum partial long totals before the
+    * final double conversion (exact and associative, so re-association
+    * across a pre-aggregate is bit-identical to the flat sum).
+    */
+  def discountedCents(price: Column, disc: Column): Column =
+    moneyCents(price) * (lit(100L) - moneyCents(disc))
 }

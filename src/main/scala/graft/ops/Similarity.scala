@@ -46,27 +46,22 @@ object Similarity {
     (0 until nPlanes).map(j => (0 until dim).map(i => planeComponent(j, i)))
 
   /** Sign-bucket table: one row per (vector, table) with the packed sign
-    * bits of that table's hyperplanes. Computed as a broadcast join against a
-    * tiny plane relation + codegen'd [[cosineSim]] (sign(cosine) ==
-    * sign(dot); norms are positive) and a hash aggregate — the
-    * higher-order-function formulation evaluates an interpreted lambda per
-    * plane×dimension per row and was ~6× slower at sf0.1.
+    * bits of that table's hyperplanes. A pure map-side projection: the
+    * codegen'd [[org.apache.spark.sql.graft.SignLshBuckets]] expression
+    * computes every table's bucket in one pass over the vector (planes
+    * pre-materialized at plan time), then `posexplode` fans out to the
+    * (vector, table) shape the bucket equi-joins consume. No shuffle, no
+    * aggregate — earlier formulations (a broadcast plane-relation join with a
+    * packing hash aggregate; before that, interpreted HOF lambdas, ~6×
+    * slower) re-touched each embedding ×(nTables·bits).
     */
   def signBuckets(vectors: DataFrame, nTables: Int, bitsPerTable: Int,
-                  dim: Int): DataFrame = {
-    val spark = vectors.sparkSession
-    import spark.implicits._
-    val planesDf = hyperplanes(nTables * bitsPerTable, dim).zipWithIndex
-      .map { case (plane, idx) =>
-        (idx / bitsPerTable, idx % bitsPerTable, plane.map(_.toFloat).toArray)
-      }.toDF("t", "p", "plane")
-    vectors.crossJoin(broadcast(planesDf))
-      .groupBy(col("vec_id"), col("t"))
-      .agg(
-        sum(when(cosineSim(col("embedding"), col("plane")) > 0,
-                 pow(lit(2.0), col("p")).cast("long")).otherwise(lit(0L))).as("bucket"),
-        first(col("embedding")).as("embedding"))
-  }
+                  dim: Int): DataFrame =
+    vectors.select(
+      col("vec_id"), col("embedding"),
+      posexplode(org.apache.spark.sql.graft.VectorExpressions
+          .signLshBuckets(col("embedding"), nTables, bitsPerTable, dim))
+        .as(Seq("t", "bucket")))
 
   /** Exact brute-force cosine top-k: for each query vector, the k nearest
     * corpus vectors by (rounded cosine desc, vec_id asc) — rounding pins the
