@@ -769,6 +769,98 @@ object CatalogCore {
               |            THEN CAST(MAX(downloaded) AS DOUBLE) * 100.0 / MAX(total) ELSE 0.0 END AS success_rate_pct,
               |       CASE WHEN MAX(downloaded) <> 0
               |            THEN CAST(MAX(end_ep) - MAX(start_ep) AS DOUBLE) * 1000.0 / MAX(downloaded) ELSE 0.0 END AS avg_ms_per_download
-              |FROM parsed GROUP BY run_id ORDER BY run_id""".stripMargin))
+              |FROM parsed GROUP BY run_id ORDER BY run_id""".stripMargin)),
+
+    // ── §3.3 composed disk↔state reconciliation, end to end (reference
+    //    import_existing_replays.py:103-228 + fix_compacted_status.py:158-211):
+    //    S8 directory listing (synthesized deterministically from lineitem) →
+    //    F11 id-from-filename → F7 |t:| log-timestamp extraction → F8 player
+    //    concat → J2 anti-join against replay_status (only files the DB has
+    //    never seen) → compacted-file membership as J5 boolean-map → the
+    //    reference's batch INSERT row shape (discovered+downloaded flags,
+    //    batch id, canonical additional_info JSON). Every constituent op is
+    //    green individually elsewhere; this entry pins the composition a real
+    //    corpus-repair run executes.
+    //    100 TB shape: one anti-join shuffle on replay_id + one left join on
+    //    the (small) compacted-id listing — both co-partition on the state
+    //    table's natural key; everything else is map-side string work.
+    ("reconcile_disk_state",
+      (spark, dir) => {
+        val orders = Tables.orders(spark, dir)
+        // synthetic disk listing: one replay JSON per doubled order key, a
+        // date dir in the path, and a battle log carrying |t:| + players
+        val files = Tables.lineitem(spark, dir)
+          .select((col("l_orderkey") * 2).as("fk")).distinct()
+          .select(
+            concat(lit("/data/replays/gen9ou/2024-01-"),
+                   lpad(((col("fk") % 28) + 1).cast("string"), 2, "0"),
+                   lit("/r-"), col("fk").cast("string"), lit(".json")).as("path"),
+            concat(lit("|player|p1|u"), (col("fk") % 997).cast("string"),
+                   lit("|player|p2|u"), ((col("fk") + 1) % 997).cast("string"),
+                   lit("|t:|"), (lit(1700000000L) + col("fk") % 86400).cast("string"),
+                   lit("|start")).as("log"))
+        val parsed = files.select(
+          Scalars.idFromFilename(col("path")).as("replay_id"),
+          col("path"),
+          regexp_extract(col("path"), "/([0-9]{4}-[0-9]{2}-[0-9]{2})/", 1).as("date_dir"),
+          Scalars.logTimestamp(col("log")).as("uploadtime"),
+          Scalars.versus(
+            regexp_extract(col("log"), "[|]player[|]p1[|]([^|]+)", 1),
+            regexp_extract(col("log"), "[|]player[|]p2[|]([^|]+)", 1)).as("players"))
+        val fresh = Lifecycle.newRecords(parsed, status(spark, dir), Seq("replay_id"))
+        // compacted-file id listing (disk side), independent of the DB state
+        val compacted = orders.filter(col("o_orderkey") % 4 === 0)
+          .select(concat(lit("r-"), (col("o_orderkey") * 2).cast("string")).as("replay_id"),
+                  lit(true).as("in_compacted"))
+        fresh.join(compacted, Seq("replay_id"), "left_outer")
+          .select(
+            col("replay_id"), lit("gen9ou").as("format_id"),
+            lit("import_existing_20240101_000000").as("discovered_batch"),
+            lit(true).as("is_downloaded"),
+            concat(lit("Imported from file "), col("path")).as("download_details"),
+            coalesce(col("in_compacted"), lit(false)).as("is_compacted"),
+            when(col("in_compacted"),
+                 concat(lit("Found in compacted file for "), col("date_dir")))
+              .as("compacted_details"),
+            col("uploadtime"), col("players"),
+            concat(lit("{\"date_dir\":\""), col("date_dir"),
+                   lit("\",\"imported\":\"true\"}")).as("additional_info"))
+          .orderBy(col("replay_id"))
+      },
+      Some(s"""$S,
+              |files AS (
+              |  SELECT DISTINCT
+              |    '/data/replays/gen9ou/2024-01-'
+              |      || lpad(CAST((l_orderkey*2) % 28 + 1 AS VARCHAR), 2, '0')
+              |      || '/r-' || CAST(l_orderkey*2 AS VARCHAR) || '.json' AS path,
+              |    '|player|p1|u' || CAST((l_orderkey*2) % 997 AS VARCHAR)
+              |      || '|player|p2|u' || CAST((l_orderkey*2 + 1) % 997 AS VARCHAR)
+              |      || '|t:|' || CAST(1700000000 + (l_orderkey*2) % 86400 AS VARCHAR)
+              |      || '|start' AS log
+              |  FROM lineitem),
+              |parsed AS (
+              |  SELECT regexp_extract(path, '([^/]+)[.]json$$', 1) AS replay_id,
+              |         path,
+              |         regexp_extract(path, '/([0-9]{4}-[0-9]{2}-[0-9]{2})/', 1) AS date_dir,
+              |         CAST(regexp_extract(log, '[|]t:[|]([0-9]+)', 1) AS BIGINT) AS uploadtime,
+              |         regexp_extract(log, '[|]player[|]p1[|]([^|]+)', 1) || ' vs '
+              |           || regexp_extract(log, '[|]player[|]p2[|]([^|]+)', 1) AS players
+              |  FROM files),
+              |fresh AS (
+              |  SELECT p.* FROM parsed p ANTI JOIN replay_status rs ON p.replay_id = rs.replay_id),
+              |compacted AS (
+              |  SELECT 'r-' || CAST(o_orderkey * 2 AS VARCHAR) AS replay_id, true AS in_compacted
+              |  FROM orders WHERE o_orderkey % 4 = 0)
+              |SELECT f.replay_id, 'gen9ou' AS format_id,
+              |       'import_existing_20240101_000000' AS discovered_batch,
+              |       true AS is_downloaded,
+              |       'Imported from file ' || f.path AS download_details,
+              |       COALESCE(c.in_compacted, false) AS is_compacted,
+              |       CASE WHEN c.in_compacted
+              |            THEN 'Found in compacted file for ' || f.date_dir END AS compacted_details,
+              |       f.uploadtime, f.players,
+              |       '{"date_dir":"' || f.date_dir || '","imported":"true"}' AS additional_info
+              |FROM fresh f LEFT JOIN compacted c ON f.replay_id = c.replay_id
+              |ORDER BY f.replay_id""".stripMargin))
   )
 }

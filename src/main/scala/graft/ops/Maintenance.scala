@@ -129,6 +129,39 @@ object Maintenance {
     backupPath
   }
 
+  /** Enumerate a state dir's backups (`<dir>.backup_<stamp>` siblings),
+    * newest first — the reference's `backup_%` table listing
+    * (cleanup_db.py:49-52,79-85). Stamps are `yyyyMMdd_HHmmss`, so
+    * lexicographic order IS chronological order.
+    */
+  def listBackups(spark: SparkSession, stateDir: String): Seq[String] = {
+    val f = fs(spark, stateDir)
+    val live = new Path(stateDir)
+    val parent = live.getParent
+    if (parent == null || !f.exists(parent)) return Seq.empty
+    f.listStatus(parent).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith(live.getName + ".backup_"))
+      .map(_.toString)
+      .sorted(Ordering[String].reverse)
+  }
+
+  /** Keep-N backup retention (the reference drops every `backup_%` table,
+    * cleanup_db.py:64-108; a keep-N policy is the ops-sane generalization —
+    * `keep = 0` reproduces the reference's drop-all). With `dryRun = true`
+    * nothing is deleted (the reference's default mode). Returns the pruned
+    * (or would-be-pruned) backup paths, oldest first.
+    */
+  def pruneBackups(spark: SparkSession, stateDir: String, keep: Int,
+                   dryRun: Boolean = false): Seq[String] = {
+    require(keep >= 0, s"keep must be >= 0, got $keep")
+    val doomed = listBackups(spark, stateDir).drop(keep).reverse
+    if (!dryRun) {
+      val f = fs(spark, stateDir)
+      doomed.foreach(p => f.delete(new Path(p), true))
+    }
+    doomed
+  }
+
   /** Pre-repair integrity audit: one row of store-level health counters
     * (total rows, distinct keys, rows in duplicated keys, null-key rows).
     */

@@ -48,6 +48,30 @@ class MaintenanceSpec extends AnyFunSuite {
            back.getLong(2) == 100L && back.getString(3) == "r-c")
   }
 
+  test("backup retention: list newest-first, keep-N prune, dry run deletes nothing") {
+    val dir = tmpDir("graft_ret") + "/state"
+    sampleState.write.parquet(dir)
+    val stamps = Seq("20240801_000000", "20240802_000000", "20240803_000000")
+    stamps.foreach(Maintenance.backup(spark, dir, _))
+    val listed = Maintenance.listBackups(spark, dir)
+    assert(listed.size == 3)
+    assert(listed.map(p => p.substring(p.indexOf(".backup_") + 8)) ==
+           stamps.reverse, "newest first")
+    // dry run: reports the two oldest, deletes nothing
+    val wouldGo = Maintenance.pruneBackups(spark, dir, keep = 1, dryRun = true)
+    assert(wouldGo.size == 2 && Maintenance.listBackups(spark, dir).size == 3)
+    assert(wouldGo.head.endsWith(".backup_20240801_000000"), "oldest first")
+    // real prune: keeps only the newest; survivors still readable
+    val gone = Maintenance.pruneBackups(spark, dir, keep = 1)
+    assert(gone == wouldGo)
+    val left = Maintenance.listBackups(spark, dir)
+    assert(left.size == 1 && left.head.endsWith(".backup_20240803_000000"))
+    assert(spark.read.parquet(left.head).count() == 3)
+    // keep = 0 reproduces the reference's drop-all
+    assert(Maintenance.pruneBackups(spark, dir, keep = 0).size == 1)
+    assert(Maintenance.listBackups(spark, dir).isEmpty)
+  }
+
   test("backup copies the state dir; refuses to overwrite an existing backup") {
     val dir = tmpDir("graft_bk") + "/state"
     sampleState.write.parquet(dir)
