@@ -18,7 +18,18 @@ object Bench {
     // optional comma-separated subset for local iteration (full suite when unset)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-    val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
+    val catalog = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
+    // Floor mode (SPARK_GRAFT_BENCH_FLOOR=1): run the SAME harness loop over
+    // one trivial single-task plan per catalog query. The resulting total is
+    // the per-query session floor — scheduler + codegen + noop-commit cost
+    // that every query pays regardless of its data work. BASELINE.md cites
+    // this measurement when interpreting the vs_baseline ratio at tiny SF.
+    val selected =
+      if (sys.env.contains("SPARK_GRAFT_BENCH_FLOOR"))
+        catalog.map { case (n, _) =>
+          n -> ((s: SparkSession, _: String) => s.range(1).toDF("id"))
+        }
+      else catalog
     // returns per-query (seconds, succeeded)
     def once(qs: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame]
              = selected): Map[String, (Double, Boolean)] = qs.map { case (name, fn) =>
@@ -71,7 +82,7 @@ object Bench {
     // Pinned comparator (BASELINE.md "Measured comparator"): the DuckDB
     // oracle-suite total on the identical sf0.1 parquet, 32 threads,
     // 2-pass per-query min. Override via env when re-measuring.
-    val baselineSec = sys.env.getOrElse("SPARK_GRAFT_BASELINE_SEC", "17.3").toDouble
+    val baselineSec = sys.env.getOrElse("SPARK_GRAFT_BASELINE_SEC", "23.4").toDouble
     val ratio = total / baselineSec
     val json = s"""{"metric":"total","value":$total,"unit":"sec","baseline_sec":$baselineSec,"vs_baseline":$ratio,"queries":$qs,"sf":"$sfDir"}"""
     // stdout goes through sbt's logger ("[info] "-prefixed), which breaks
