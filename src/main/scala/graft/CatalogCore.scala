@@ -218,9 +218,13 @@ object CatalogCore {
     // ── J1 bulk existence check with false default (db.py:702-734).
     ("download_status_check",
       (spark, dir) => {
+        // distinct on the narrow long key BEFORE building the id string: the
+        // dedup shuffle then carries 8-byte keys, and the concat runs once
+        // per surviving key instead of once per lineitem row (distinct
+        // commutes with the injective id format)
         val ids = Tables.lineitem(spark, dir)
-          .select(concat(lit("r-"), (col("l_orderkey") * 2).cast("string")).as("replay_id"))
-          .distinct()
+          .select((col("l_orderkey") * 2).as("k")).distinct()
+          .select(concat(lit("r-"), col("k").cast("string")).as("replay_id"))
         Lifecycle.checkExistence(ids, status(spark, dir)).orderBy(col("replay_id"))
       },
       Some(s"""$S,
@@ -431,8 +435,18 @@ object CatalogCore {
     // ── F1/F4/F8/F13/F14 scalar-function showcase.
     ("scalar_showcase",
       (spark, dir) => {
-        val k = Scalars.jsonField(col("props"), "k").cast("long")
+        val k = col("k")
         Tables.events(spark, dir)
+          // sort first on the narrow scan columns (the range sort's sampling
+          // pass then re-reads only the scan, not the scalar pipeline below)
+          .select(col("event_id"), col("ts"), col("event_type"),
+                  col("user_id"), col("value"), col("props"))
+          .orderBy(col("event_id"))
+          // stage the JSON parse in its own projection: `k` is referenced
+          // twice below, and CollapseProject would otherwise inline the
+          // (non-cheap) get_json_object once per reference — two string
+          // parses per row instead of one
+          .withColumn("k", Scalars.jsonField(col("props"), "k").cast("long"))
           .select(col("event_id"),
                   Scalars.dayString(col("ts")).as("day_str"),
                   Scalars.batchId(col("event_type"), col("ts")).as("batch_id"),
@@ -442,7 +456,6 @@ object CatalogCore {
                   // would *introduce* half-boundary flakes, so none is applied
                   Scalars.safeDiv(col("value"), k).as("value_per_k"),
                   Scalars.orDefault(k, lit(-1L)).as("k_or_default"))
-          .orderBy(col("event_id"))
       },
       Some("""SELECT event_id,
              |       strftime(ts, '%Y-%m-%d') AS day_str,
@@ -654,7 +667,14 @@ object CatalogCore {
         // the object repeatedly per row and dominated the whole bench); the
         // get_json_object on additional_info stays — it IS the round trip
         // being demonstrated.
-        ev.select(col("event_id"), raw.as("raw"))
+        // Sort FIRST, on the narrow scan columns: a global sort's range
+        // exchange samples its child with a full extra pass, so heavy
+        // projections placed below the sort run twice. Ordering on event_id
+        // is preserved by the 1:1 projections above the sort — same rows,
+        // same order, one encode pass instead of two.
+        ev.select(col("event_id"), col("user_id"), col("props"))
+          .orderBy(col("event_id"))
+          .select(col("event_id"), raw.as("raw"))
           .select(col("event_id"),
                   org.apache.spark.sql.graft.JsonExpressions
                     .jsonPartitionEncode(col("raw"), Seq("k", "uploader")).as("e"))
@@ -664,7 +684,6 @@ object CatalogCore {
                   col("e").getItem(2).as("additional_info"))
           .withColumn("rating_rt",
             Scalars.jsonField(col("additional_info"), "rating").cast("long"))
-          .orderBy(col("event_id"))
       },
       Some("""WITH raw AS (
              |  SELECT event_id,
@@ -799,15 +818,21 @@ object CatalogCore {
                    lit("|player|p2|u"), ((col("fk") + 1) % 997).cast("string"),
                    lit("|t:|"), (lit(1700000000L) + col("fk") % 86400).cast("string"),
                    lit("|start")).as("log"))
-        val parsed = files.select(
-          Scalars.idFromFilename(col("path")).as("replay_id"),
-          col("path"),
-          regexp_extract(col("path"), "/([0-9]{4}-[0-9]{2}-[0-9]{2})/", 1).as("date_dir"),
-          Scalars.logTimestamp(col("log")).as("uploadtime"),
-          Scalars.versus(
-            regexp_extract(col("log"), "[|]player[|]p1[|]([^|]+)", 1),
-            regexp_extract(col("log"), "[|]player[|]p2[|]([^|]+)", 1)).as("players"))
-        val fresh = Lifecycle.newRecords(parsed, status(spark, dir), Seq("replay_id"))
+        // id extraction precedes the anti-join; uploadtime/player/date
+        // extraction runs only on its survivors — exactly the reference's
+        // control flow (the already-in-DB skip happens BEFORE the file is
+        // opened, import_existing_replays.py:174-180), and it keeps the
+        // expensive regex work off the rows the join throws away.
+        val listed = files.select(
+          Scalars.idFromFilename(col("path")).as("replay_id"), col("path"), col("log"))
+        val fresh = Lifecycle.newRecords(listed, status(spark, dir), Seq("replay_id"))
+          .select(
+            col("replay_id"), col("path"),
+            regexp_extract(col("path"), "/([0-9]{4}-[0-9]{2}-[0-9]{2})/", 1).as("date_dir"),
+            Scalars.logTimestamp(col("log")).as("uploadtime"),
+            Scalars.versus(
+              regexp_extract(col("log"), "[|]player[|]p1[|]([^|]+)", 1),
+              regexp_extract(col("log"), "[|]player[|]p2[|]([^|]+)", 1)).as("players"))
         // compacted-file id listing (disk side), independent of the DB state
         val compacted = orders.filter(col("o_orderkey") % 4 === 0)
           .select(concat(lit("r-"), (col("o_orderkey") * 2).cast("string")).as("replay_id"),

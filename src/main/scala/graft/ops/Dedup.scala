@@ -230,20 +230,26 @@ object Dedup {
           .filter(col("df") <= maxShingleDf).select("g")
         sh.join(keep, Seq("g"), "left_semi")
       } else sh
-    // Carry each doc's (capped-universe) set size on the postings rows via a
-    // window count: the pair join then has both sizes in hand — no separate
-    // sizes relation, no rejoin shuffles. Materialize the postings+size
-    // relation before the self-join: both sides derive from it, and without
-    // the checkpoint the whole shingle explode(+df-cap semi-join) pipeline
-    // runs once per side. The relation is (doc_id, shingle, sz) — the
-    // natural persisted inverted-index intermediate at cluster scale.
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
-    val withSz = postings.withColumn("sz", count(lit(1)).over(w)).localCheckpoint()
-    withSz.select(col("doc_id").as("doc_a"), col("g"), col("sz").as("sz_a"))
-      .join(withSz.select(col("doc_id").as("doc_b"), col("g"), col("sz").as("sz_b")),
-            Seq("g"))
+    // Materialize the postings relation before the self-join: both sides
+    // derive from it, and without the checkpoint the whole shingle
+    // explode(+df-cap semi-join) pipeline runs once per side. The relation is
+    // (doc_id, shingle) — the natural persisted inverted-index intermediate
+    // at cluster scale.
+    val p = postings.select("doc_id", "g").localCheckpoint()
+    // Per-doc (capped-universe) set sizes join onto the PAIR AGGREGATE, not
+    // onto the postings: the only full-size shuffles are then the inverted-
+    // index self-join on `g` and the pair aggregation, while the sizes
+    // relation (one small row per doc) joins against the far smaller
+    // candidate-pair set on its doc keys. An earlier window-count formulation
+    // carried sz on every posting row — a second full shuffle of the postings
+    // by doc_id that this shape simply does not need, locally or at 100 TB.
+    val sizes = p.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    p.select(col("doc_id").as("doc_a"), col("g"))
+      .join(p.select(col("doc_id").as("doc_b"), col("g")), Seq("g"))
       .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b", "sz_a", "sz_b").agg(count(lit(1)).as("shared"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), Seq("doc_b"))
       .withColumn("jaccard",
         col("shared").cast("double") / (col("sz_a") + col("sz_b") - col("shared")))
       .filter(col("jaccard") >= threshold)
