@@ -37,6 +37,8 @@ case class JsonPartitionEncode(child: Expression, known: Seq[String])
 
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  // malformed JSON yields null even when the child is non-nullable
+  override def nullable: Boolean = true
   override def prettyName: String = "json_partition_encode"
 
   @transient private lazy val knownArr: Array[String] = known.toArray

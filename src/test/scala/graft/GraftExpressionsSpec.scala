@@ -1,0 +1,104 @@
+package graft
+
+import graft.ops.{Scalars, Similarity}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.JsonExpressions.jsonPartitionEncode
+import org.apache.spark.sql.graft.VectorExpressions.signLshBuckets
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the two round-3 codegen expressions to their reference formulations:
+  * [[org.apache.spark.sql.graft.JsonPartitionEncode]] against the HOF encode
+  * chain it replaced (kept in [[Scalars.additionalInfoFromMap]] as the
+  * semantics spec), and [[org.apache.spark.sql.graft.SignLshBuckets]] against
+  * a driver-side dot-product rebuild of [[Similarity.hyperplanes]].
+  */
+class GraftExpressionsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val known = Seq("k", "uploader")
+
+  private def encodeOne(json: String): (String, String, String) = {
+    val r = spark.range(1)
+      .select(jsonPartitionEncode(lit(json), known).as("e"))
+      .select(col("e").getItem(0), col("e").getItem(1), col("e").getItem(2))
+      .head()
+    (r.getString(0), r.getString(1), r.getString(2))
+  }
+
+  test("JsonPartitionEncode matches the HOF encode chain on varied objects") {
+    val docs = Seq(
+      """{"k": 5, "rating": 1200, "uploader": "u77", "private": 1}""",
+      """{"private": 0, "uploader": "ux", "k": 9, "rating": 3}""", // reordered
+      """{"k": 1, "uploader": "u"}""",                             // empty leftover
+      """{"zz": "tail", "aa": "head", "k": 2, "uploader": "u0", "mm": "mid"}""",
+      """{}"""
+    ).toDF("j")
+    val both = docs.select(
+      jsonPartitionEncode(col("j"), known).as("e"),
+      Scalars.additionalInfoFromMap(Scalars.jsonAsMap(col("j")), known).as("hof"),
+      element_at(Scalars.jsonAsMap(col("j")), "k").as("k_hof"),
+      element_at(Scalars.jsonAsMap(col("j")), "uploader").as("u_hof"))
+    both.collect().foreach { r =>
+      val e = r.getSeq[String](0)
+      assert(e(2) == r.getString(1), s"leftover encoding diverged: ${e(2)} vs ${r.getString(1)}")
+      assert(e(0) == r.getString(2), "known value k diverged")
+      assert(e(1) == r.getString(3), "known value uploader diverged")
+    }
+  }
+
+  test("JsonPartitionEncode: missing known keys are null, malformed input is null") {
+    val (k, u, rest) = encodeOne("""{"other": 1}""")
+    assert(k == null && u == null && rest == """{"other":"1"}""")
+    val bad = spark.range(1)
+      .select(jsonPartitionEncode(lit("""{"k": """), known).as("e")).head()
+    assert(bad.isNullAt(0), "malformed JSON must yield null like from_json")
+    val nul = spark.range(1)
+      .select(jsonPartitionEncode(lit(null).cast("string"), known).as("e")).head()
+    assert(nul.isNullAt(0), "null input must yield null")
+  }
+
+  test("JsonPartitionEncode: escapes unescape, duplicates last-win, null values drop") {
+    val (_, _, rest) = encodeOne("""{"k":1,"uploader":"u","a":"x\ny","b":"A"}""")
+    assert(rest == "{\"a\":\"x\ny\",\"b\":\"A\"}", s"escape handling diverged: $rest")
+    val (_, _, dup) = encodeOne("""{"k":1,"uploader":"u","a":"first","a":"second"}""")
+    assert(dup == """{"a":"second"}""", "duplicate keys must keep the last value")
+    val (_, _, drop) = encodeOne("""{"k":1,"uploader":"u","gone":null,"kept":"v"}""")
+    assert(drop == """{"kept":"v"}""",
+      "JSON-null fields drop from the leftover (the HOF form's array_join null skip)")
+  }
+
+  test("SignLshBuckets matches a driver-side hyperplane dot-product rebuild") {
+    val nTables = 4; val bits = 3; val dim = 8
+    val vecs = Seq(
+      (0L, Array.tabulate(dim)(i => (i - 3).toFloat / 4)),
+      (1L, Array.tabulate(dim)(i => math.cos(i * 1.7).toFloat)),
+      (2L, Array.fill(dim)(0.0f))) // zero vector: every dot = 0 ⇒ bucket 0
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = df.select(col("vec_id"),
+        posexplode(signLshBuckets(col("embedding"), nTables, bits, dim))
+          .as(Seq("t", "bucket")))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val planes = Similarity.hyperplanes(nTables * bits, dim)
+      .map(_.map(_.toFloat).toArray)
+    for ((id, v) <- vecs; t <- 0 until nTables) {
+      var expect = 0L
+      for (p <- 0 until bits) {
+        val pl = planes(t * bits + p)
+        var dot = 0.0
+        for (i <- 0 until dim) dot += v(i).toDouble * pl(i).toDouble
+        if (dot > 0) expect |= (1L << p)
+      }
+      assert(got((id, t)) == expect, s"bucket mismatch at vec=$id t=$t")
+    }
+    assert((0 until nTables).forall(t => got((2L, t)) == 0L), "zero vector ⇒ bucket 0")
+  }
+
+  test("signBuckets projection form: one row per (vector, table), no shuffle") {
+    val emb = Tables.embeddings(spark, TestSpark.sfDir).filter(col("vec_id") < 16)
+    val b = Similarity.signBuckets(emb, 8, 4, 64)
+    assert(b.count() == 16 * 8)
+    val plan = b.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"signBuckets must stay map-side:\n$plan")
+  }
+}
