@@ -68,6 +68,42 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ObjectHashAggregate") && p.contains("partial_"), p)
   }
 
+  test("money aggregates run on integer cents — no per-row decimal casts") {
+    // Scalars.moneySum/discountedSum: the aggregate buffer must be long
+    // arithmetic; a decimal(18,2) cast in the plan means a BigDecimal
+    // allocation per value (the round-2 allocation storm)
+    for (q <- Seq("pricing_summary", "brand_revenue", "nation_revenue",
+                  "supplier_nation_revenue", "daily_lifecycle_stats"))
+      assert(!plan(q).toLowerCase.contains("as decimal"), s"$q re-grew a decimal cast")
+  }
+
+  test("additional_info_encode: single-pass encode expression above a narrow sort") {
+    val p = plan("additional_info_encode")
+    assert(p.contains("json_partition_encode"), p)
+    assert(!p.contains("from_json"), "the interpreted HOF parse chain came back")
+    // sort-early/project-late: the range sort's sampling pass must touch
+    // only the scan columns, so the Sort sits BELOW the encode projection
+    // (earlier in bottom-up plan text = larger offset in top-down toString)
+    val sortAt = p.indexOf("Sort [")
+    val encodeAt = p.indexOf("json_partition_encode")
+    assert(sortAt > encodeAt,
+      s"encode must be projected above the sort (sort@$sortAt encode@$encodeAt):\n$p")
+  }
+
+  test("signBuckets LSH queries carry no plane-relation join (pure projection)") {
+    // ann_lsh_topk joins corpus and query bucket tables — exactly 1 join;
+    // a second join means the broadcast plane relation came back
+    val p = plan("ann_lsh_topk")
+    assert(p.contains("sign_lsh_buckets"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("reconcile_disk_state: anti-join composition, no nested-loop joins") {
+    val p = plan("reconcile_disk_state")
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("LSH near-dup pairs plan has no nested-loop/cartesian join") {
     // the whole point of the bucketed path: candidate generation must be an
     // equi-join on (t, bucket), never an all-pairs scan (the exact baseline
