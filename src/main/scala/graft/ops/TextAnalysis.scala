@@ -78,26 +78,25 @@ object TextAnalysis {
         i => array_join(slice(toks, i, lit(n)), " ")))
       .otherwise(array(text))
 
-  /** Convenience form for one-shot use; prefer staging tokens via
-    * [[shinglesOfTokens]] in anything per-shingle-heavy.
+  /** Shingle list as one codegen'd pass — the hot-path form
+    * ([[org.apache.spark.sql.graft.WordShingles]]; [[shinglesOfTokens]]
+    * above stays as the builtin-HOF semantics spec, pinned equal by
+    * TextAnalysisSpec).
     */
   def shingles(text: Column, n: Int): Column =
-    shinglesOfTokens(tokens(text), text, n)
+    org.apache.spark.sql.graft.TextExpressions.wordShingles(text, n)
 
-  /** Stage (doc_id, shingle) rows: tokens projected first so the shingle
-    * lambda references an attribute, then one explode. This is the codegen-
-    * friendly entry to every shingle-based pipeline (Jaccard, MinHash,
-    * fingerprints). `distinct` controls set (Jaccard/MinHash) vs bag
-    * (fingerprint counts) semantics.
+  /** Stage (doc_id, shingle) rows: one codegen'd shingle expression, one
+    * explode. This is the entry to every shingle-based pipeline (Jaccard,
+    * MinHash, fingerprints). `distinct` controls set (Jaccard/MinHash) vs
+    * bag (fingerprint counts) semantics — deduping inside the expression
+    * keeps the exploded row count down before it ever hits the pipeline.
     */
   def explodeShingles(docs: DataFrame, n: Int, textCol: String = "text",
-                      distinct: Boolean = true): DataFrame = {
-    val staged = docs
-      .select(col("doc_id"), col(textCol), split(col(textCol), " ").as("__toks"))
-    val sh = shinglesOfTokens(col("__toks"), col(textCol), n)
-    staged.select(col("doc_id"),
-      explode(if (distinct) array_distinct(sh) else sh).as("g"))
-  }
+                      distinct: Boolean = true): DataFrame =
+    docs.select(col("doc_id"),
+      explode(org.apache.spark.sql.graft.TextExpressions
+        .wordShingles(col(textCol), n, distinct)).as("g"))
 
   /** Fingerprint *table* (doc_id, n_shingles, fp_min, fp_max) — the
     * explode + aggregate twin of [[fingerprint]]: one codegen'd md5 per

@@ -16,6 +16,24 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(2L) == Seq("a b"), "short doc falls back to whole text")
   }
 
+  test("WordShingles expression matches the builtin-HOF reference form on the corpus") {
+    val docs = Tables.documents(spark, TestSpark.sfDir).limit(200)
+      .select("doc_id", "text")
+      .unionByName(Seq((-1L, "a  b c"), (-2L, "solo"), (-3L, ""), (-4L, "x y x y x y"))
+        .toDF("doc_id", "text"))
+    val hof = TextAnalysis.shinglesOfTokens(split(col("text"), " "), col("text"), 3)
+    val cmp = docs.select(
+      TextAnalysis.shingles(col("text"), 3).as("fast"),
+      hof.as("ref"),
+      org.apache.spark.sql.graft.TextExpressions.wordShingles(col("text"), 3, distinct = true)
+        .as("fastd"),
+      array_distinct(hof).as("refd"))
+    cmp.collect().foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1), "bag form diverged from HOF reference")
+      assert(r.getSeq[String](2) == r.getSeq[String](3), "distinct form diverged from HOF reference")
+    }
+  }
+
   test("quality score stays in [0,1] over the corpus") {
     val docs = Tables.documents(spark, TestSpark.sfDir)
     val q = TextAnalysis.qualityColumns(col("text"))
