@@ -92,6 +92,14 @@ object CatalogExt {
   private def sqlCos(a: String, b: String): String =
     s"round(list_cosine_similarity(CAST($a.embedding AS DOUBLE[]), CAST($b.embedding AS DOUBLE[])), 6)"
 
+  /** DuckDB twin of [[Curation.hashBucket]]: first 8 md5 hex chars of the
+    * stringified key as an integer, mod `mod`.
+    */
+  private def sqlHashBucket(key: String, mod: Int): String =
+    s"CAST(CAST('0x' || substr(md5(CAST($key AS VARCHAR)), 1, 8) AS UBIGINT) AS BIGINT) % $mod"
+
+  private val sqlHashBucket100: String = sqlHashBucket("doc_id", 100)
+
   val entries: Seq[(String, QueryFn, Option[String])] = Seq(
 
     // ── exact dedup by content hash (empty result is legitimate: the corpus
@@ -422,6 +430,68 @@ object CatalogExt {
           .orderBy(col("doc_id")),
       Some("""SELECT doc_id, octet_length(encode(text)) AS n_bytes,
              |       sha256(text) AS sha256
-             |FROM documents ORDER BY doc_id""".stripMargin))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ── deterministic train/val/test split manifest: hash-of-key assignment
+    //    (stable under reruns/repartitioning/corpus growth — randomSplit is
+    //    neither), summarized per (split, source).
+    ("split_manifest",
+      (spark, dir) =>
+        Tables.documents(spark, dir)
+          .select(Curation.assignSplit(col("doc_id")).as("split"),
+                  col("source"), col("n_chars"))
+          .groupBy(col("split"), col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+          .orderBy(col("split"), col("source")),
+      Some(s"""SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+              |       source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+              |FROM (SELECT source, n_chars, $sqlHashBucket100 AS b FROM documents)
+              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ── sequence-packing manifest (concat-and-chunk into 2048-token
+    //    sequences, packed independently per source shard).
+    ("pack_sequences",
+      (spark, dir) =>
+        Curation.packingManifest(Tables.documents(spark, dir), budget = 2048)
+          .orderBy(col("shard"), col("seq_id")),
+      Some(s"""WITH t AS (
+              |  SELECT source AS shard, doc_id, len($sqlTokens) AS n_tokens FROM documents),
+              |o AS (
+              |  SELECT shard, n_tokens,
+              |         SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+              |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS start_off
+              |  FROM t)
+              |SELECT shard, CAST(floor(CAST(start_off AS DOUBLE) / 2048) AS BIGINT) AS seq_id,
+              |       COUNT(*) AS n_docs, SUM(n_tokens) AS seq_tokens
+              |FROM o GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ── mixture rebalancing: language-balanced deterministic downsample —
+    //    per-language keep-rates from two tiny aggregates, then a map-side
+    //    hash-threshold filter; summarized per language.
+    ("lang_balanced_sample",
+      (spark, dir) => {
+        val docs = Tables.documents(spark, dir)
+        val kept = Curation.balancedSample(docs)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_kept"),
+               first(col("keep_per_10k")).as("keep_per_10k"))
+        docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+          .join(kept, Seq("lang"), "left")
+          .select(col("lang"), col("n_docs"),
+                  coalesce(col("keep_per_10k"), lit(0L)).as("keep_per_10k"),
+                  coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+          .orderBy(col("lang"))
+      },
+      Some(s"""WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+              |m AS (SELECT MIN(n) AS min_n FROM c),
+              |thr AS (SELECT lang, n,
+              |               CAST(floor(CAST(min_n AS DOUBLE) * 10000 / n) AS BIGINT) AS keep_per_10k
+              |        FROM c CROSS JOIN m),
+              |k AS (SELECT d.lang, COUNT(*) AS n_kept
+              |      FROM documents d JOIN thr USING (lang)
+              |      WHERE ${sqlHashBucket("d.doc_id", 10000)} < thr.keep_per_10k
+              |      GROUP BY 1)
+              |SELECT t.lang, t.n AS n_docs, t.keep_per_10k, COALESCE(k.n_kept, 0) AS n_kept
+              |FROM thr t LEFT JOIN k USING (lang) ORDER BY t.lang""".stripMargin))
   )
 }

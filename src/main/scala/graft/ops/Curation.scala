@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dataset-curation surface for a large-scale training-data pipeline:
+  * deterministic train/val/test splitting, sequence packing into fixed
+  * token budgets, and mixture rebalancing by downsampling over-represented
+  * groups. These are the steps that turn a deduplicated corpus into an
+  * actual training dataset, and each is designed around the property that
+  * matters at 100 TB: **hash-determinism** — assignment must not depend on
+  * row order, partition count, or cluster size, so re-running the pipeline
+  * (or adding executors) never moves a document across splits or changes a
+  * sample.
+  *
+  * Everything here is either a map-side column expression or a
+  * shard-partitioned window / tiny broadcast join — no global ordering, no
+  * driver-side state.
+  */
+object Curation {
+
+  /** Deterministic uniform bucket in `[0, mod)` from a key column: the
+    * first 8 md5 hex chars as an integer (the repo-wide engine-portable
+    * hash convention — md5 hex is canonical on both Spark and DuckDB).
+    * Map-side, codegen'd, no shuffle.
+    */
+  def hashBucket(key: Column, mod: Int): Column =
+    conv(substring(md5(key.cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("long") % mod
+
+  /** Train/val/test assignment by hash bucket of a stable key:
+    * `[0,trainPct) → train`, `[trainPct,trainPct+valPct) → val`, rest →
+    * test. Unlike `df.randomSplit` (seed- and partitioning-dependent), the
+    * assignment is a pure function of the key: stable under reruns,
+    * repartitioning, and corpus growth (new docs land in splits at the
+    * target rate; existing docs never move — the invariant that keeps a
+    * held-out set honest across dataset versions).
+    */
+  def assignSplit(key: Column, trainPct: Int = 80, valPct: Int = 10): Column = {
+    require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"split percentages must partition [0,100]: train=$trainPct val=$valPct")
+    val b = hashBucket(key, 100)
+    when(b < trainPct, lit("train"))
+      .when(b < trainPct + valPct, lit("val"))
+      .otherwise(lit("test"))
+  }
+
+  /** Sequence packing, concat-and-chunk form: within each shard, documents
+    * are concatenated in `doc_id` order and chunked into `budget`-token
+    * sequences; a document belongs to the sequence its first token falls in
+    * (`seq_id = start_offset / budget`). This is the standard LLM-pretraining
+    * packing layout (concatenate-then-split), expressed as one
+    * shard-partitioned running sum — no greedy loop, no driver state.
+    *
+    * Scale: the window partitions on the shard key (a real pipeline's
+    * file/shard id — here `source`), so each partition packs independently
+    * and in parallel; there is no global ordering. Returns one row per
+    * document: (shard, doc_id, n_tokens, seq_id).
+    */
+  def packSequences(docs: DataFrame, budget: Int,
+                    shardCol: String = "source"): DataFrame = {
+    require(budget > 0, s"token budget must be positive, got $budget")
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col(shardCol).as("shard"), col("doc_id"),
+              size(TextAnalysis.tokens(col("text"))).as("n_tokens"))
+      .withColumn("start_off", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("seq_id", floor(col("start_off") / budget))
+      .drop("start_off")
+  }
+
+  /** Per-(shard, sequence) packing manifest: document count and token total
+    * of every packed sequence — the shard-file layout a writer would emit.
+    */
+  def packingManifest(docs: DataFrame, budget: Int,
+                      shardCol: String = "source"): DataFrame =
+    packSequences(docs, budget, shardCol)
+      .groupBy(col("shard"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("seq_tokens"))
+
+  /** Mixture rebalancing: deterministically downsample every group to the
+    * size of the smallest (here: language-balanced sampling). Two tiny
+    * aggregates produce per-group keep-rates (`keep_per_10k =
+    * floor(min_n·10000/n)`); the filter is then a map-side hash-bucket
+    * threshold — the group with the fewest docs keeps everything, larger
+    * groups keep a uniform deterministic subset. The counts/rates relation
+    * is broadcast; nothing about the pass is O(N²) or order-dependent.
+    *
+    * Returns the kept rows plus their group's `keep_per_10k` rate.
+    */
+  def balancedSample(docs: DataFrame, groupCol: String = "lang",
+                     keyCol: String = "doc_id", mod: Int = 10000): DataFrame = {
+    val counts = docs.groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
+    val minN = counts.agg(min(col("n")).as("min_n"))
+    // exact for any realistic counts: min_n·mod ≤ 2^53 keeps the double
+    // product exact, and floor pins the integer threshold on both engines
+    val rates = counts.crossJoin(broadcast(minN))
+      .select(col(groupCol),
+              floor(col("min_n").cast("double") * mod / col("n"))
+                .cast("long").as("keep_per_10k"))
+    docs.join(broadcast(rates), Seq(groupCol))
+      .filter(hashBucket(col(keyCol), mod) < col("keep_per_10k"))
+  }
+}

@@ -148,6 +148,24 @@ object Lifecycle {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** A6, aggregate form — the 100 TB path when the precedence is a plain
+    * column tuple compared descending (the common "keep the latest/largest"
+    * case): `max_by(payload, precedence-struct)` is a declarative aggregate
+    * with partial merge, so survivors reduce map-side before the one
+    * shuffle, where the window form above must shuffle every row and sort
+    * whole partitions. Same pinned-survivor semantics (struct comparison is
+    * lexicographic on the precedence columns; ties broken by nothing — pass
+    * a full key prefix to pin them, as the window form also requires).
+    */
+  def dedupKeepFirstAgg(df: DataFrame, keys: Seq[String],
+                        precedenceDesc: Seq[String]): DataFrame = {
+    val payload = df.columns.filterNot(keys.contains)
+    val surv = max_by(struct(payload.map(col): _*),
+                      struct(precedenceDesc.map(col): _*)).as("__surv")
+    df.groupBy(keys.map(col): _*).agg(surv)
+      .select(keys.map(col) ++ payload.map(c => col(s"__surv.$c").as(c)): _*)
+  }
+
   /** T5 — dead-letter retry planning (retry.py:23-158): order the failed
     * queue deterministically and cut it into fixed-size mini-batches.
     * Batches are numbered per `format_id` (the reference retries per-format

@@ -59,6 +59,17 @@ class LifecycleSpec extends AnyFunSuite {
     assert(Lifecycle.dedupKeepFirst(d1, Seq("k"), Seq($"p".desc)).count() == d1.count())
   }
 
+  test("dedupKeepFirstAgg matches the window form on a descending column-tuple precedence (A6)") {
+    val li = Tables.lineitem(spark, TestSpark.sfDir)
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity")
+    val win = Lifecycle.dedupKeepFirst(li, Seq("l_orderkey"),
+      Seq($"l_linenumber".desc, $"l_quantity".desc))
+    val agg = Lifecycle.dedupKeepFirstAgg(li, Seq("l_orderkey"),
+      Seq("l_linenumber", "l_quantity"))
+    assert(win.except(agg).count() == 0 && agg.except(win).count() == 0,
+      "the two A6 forms diverged")
+  }
+
   test("retry batches are ≤ batchSize per format (T5)") {
     val batches = Lifecycle.retryBatches(status, 50)
       .groupBy("format_id", "batch_no").count().collect()

@@ -99,7 +99,10 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("reconcile_disk_state: anti-join composition, no nested-loop joins") {
-    val p = plan("reconcile_disk_state")
+    // assert below the catalog entry's checkpoint boundary (a localCheckpoint
+    // truncates the visible plan to a LogicalRDD)
+    val p = CatalogCore.reconcilePipeline(spark, TestSpark.sfDir)
+      .queryExecution.executedPlan.toString
     assert(p.contains("LeftAnti"), p)
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }

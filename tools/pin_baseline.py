@@ -1,0 +1,50 @@
+#!/usr/bin/env python3
+"""Re-measure the bench comparator (BASELINE.md protocol).
+
+Usage: python3 tools/pin_baseline.py <sfDir> <oracleSqlJson> [runs]
+
+One process run = fresh DuckDB connection (32 threads), each oracle query
+timed as min over 2 passes with results fully fetched; prints the suite
+total. Repeats `runs` times (default 5) and reports the median — the pin.
+Dev tool only — not part of the library.
+"""
+import sys, json, time, statistics
+import duckdb
+
+def one_run(sf_dir, oracles):
+    con = duckdb.connect()
+    con.sql("SET threads TO 32")
+    for t in ["region","nation","customer","supplier","part","orders",
+              "lineitem","events","documents","embeddings"]:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    total = 0.0
+    per = {}
+    for name, sql in sorted(oracles.items()):
+        best = None
+        for _ in range(2):
+            t0 = time.monotonic()
+            con.sql(sql).fetchall()
+            dt = time.monotonic() - t0
+            best = dt if best is None else min(best, dt)
+        per[name] = best
+        total += best
+    con.close()
+    return total, per
+
+def main():
+    sf_dir, oracle_path = sys.argv[1], sys.argv[2]
+    runs = int(sys.argv[3]) if len(sys.argv) > 3 else 5
+    oracles = json.load(open(oracle_path))
+    totals = []
+    last_per = None
+    for i in range(runs):
+        total, per = one_run(sf_dir, oracles)
+        totals.append(total)
+        last_per = per
+        print(f"run {i+1}: {total:.1f} s")
+    med = statistics.median(totals)
+    print(f"median of {runs}: {med:.1f} s  (range {min(totals):.1f}-{max(totals):.1f})")
+    print("heaviest:", sorted(last_per.items(), key=lambda kv: -kv[1])[:8])
+
+if __name__ == "__main__":
+    main()
