@@ -6,7 +6,8 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions",
+              sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
       .config("spark.sql.adaptive.enabled",
               sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.ui.enabled", "false")
@@ -84,7 +85,7 @@ object Bench {
     // Pinned comparator (BASELINE.md "Measured comparator"): the DuckDB
     // oracle-suite total on the identical sf0.1 parquet, 32 threads,
     // 2-pass per-query min. Override via env when re-measuring.
-    val baselineSec = sys.env.getOrElse("SPARK_GRAFT_BASELINE_SEC", "23.0").toDouble
+    val baselineSec = sys.env.getOrElse("SPARK_GRAFT_BASELINE_SEC", "18.4").toDouble
     val ratio = total / baselineSec
     val json = s"""{"metric":"total","value":$total,"unit":"sec","baseline_sec":$baselineSec,"vs_baseline":$ratio,"queries":$qs,"sf":"$sfDir"}"""
     // stdout goes through sbt's logger ("[info] "-prefixed), which breaks
