@@ -90,6 +90,36 @@ object Curation {
     *
     * Returns the kept rows plus their group's `keep_per_10k` rate.
     */
+  /** General mixture sampling: deterministically downsample groups toward
+    * target *proportions* (`weights`, relative) without upsampling. The
+    * feasible scale is set by the binding group (the one that runs out of
+    * documents first: `s = min_g n_g / w_g`); group g then keeps
+    * `s·w_g / n_g` of its docs by hash threshold, so the output mixture is
+    * proportional to `weights` and the binding group keeps everything.
+    * [[balancedSample]] is the uniform-weights special case. Groups absent
+    * from `weights` are dropped (weight 0). Same scale shape: two tiny
+    * aggregates, a broadcast rate relation, one map-side filter pass.
+    */
+  def weightedSample(docs: DataFrame, weights: Map[String, Double],
+                     groupCol: String = "source", keyCol: String = "doc_id",
+                     mod: Int = 10000): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "weights must be a non-empty map of positive target proportions")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wRel = weights.toSeq.toDF(groupCol, "__w")
+    val counts = docs.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+      .join(broadcast(wRel), Seq(groupCol))
+    val scale = counts.agg(min(col("__n").cast("double") / col("__w")).as("__s"))
+    val rates = counts.crossJoin(broadcast(scale))
+      .select(col(groupCol),
+              least(lit(mod.toLong),
+                    floor(col("__s") * col("__w") * mod / col("__n")).cast("long"))
+                .as("keep_per_10k"))
+    docs.join(broadcast(rates), Seq(groupCol))
+      .filter(hashBucket(col(keyCol), mod) < col("keep_per_10k"))
+  }
+
   def balancedSample(docs: DataFrame, groupCol: String = "lang",
                      keyCol: String = "doc_id", mod: Int = 10000): DataFrame = {
     val counts = docs.groupBy(col(groupCol)).agg(count(lit(1)).as("n"))

@@ -60,6 +60,28 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("weightedSample hits target proportions, keeps the binding group whole, drops unweighted groups") {
+    val docsBig = Tables.documents(spark, "/root/testdata/sf0.01")
+    val weights = Map("en" -> 0.5, "es" -> 0.25, "zh" -> 0.25)
+    val out = Curation.weightedSample(docsBig, weights, groupCol = "lang").cache()
+    val before = docsBig.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val after = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(after.keySet.subsetOf(weights.keySet), "unweighted groups must be dropped")
+    // binding group: the lang with smallest n/w keeps (nearly) everything —
+    // "nearly" because the hash threshold rounds down to 1/mod granularity
+    val binding = weights.keys.minBy(l => before(l) / weights(l))
+    assert(after(binding) >= (before(binding) * 0.999).toLong)
+    // proportions track the weights within hash noise
+    val total = after.values.sum.toDouble
+    weights.foreach { case (l, w) =>
+      assert(math.abs(after.getOrElse(l, 0L) / total - w / weights.values.sum) < 0.08,
+        s"$l mixture share off target: ${after.getOrElse(l, 0L) / total} vs $w")
+    }
+    out.unpersist()
+  }
+
   test("balancedSample keeps the minority group whole and downsamples the rest deterministically") {
     val out = Curation.balancedSample(docs).cache()
     val before = docs.groupBy("lang").count().collect()
