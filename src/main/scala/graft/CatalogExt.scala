@@ -470,15 +470,23 @@ object CatalogExt {
     //    hash-threshold filter; summarized per language.
     ("lang_balanced_sample",
       (spark, dir) => {
-        val docs = Tables.documents(spark, dir)
-        val kept = Curation.balancedSample(docs)
-          .groupBy(col("lang"))
-          .agg(count(lit(1)).as("n_kept"),
-               first(col("keep_per_10k")).as("keep_per_10k"))
-        docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
-          .join(kept, Seq("lang"), "left")
+        // report form of Curation.balancedSample (the row-level API,
+        // CurationSpec). keep_per_10k comes from the RATES relation, not
+        // from the surviving rows — a group that keeps zero docs by hash
+        // chance must still report its true threshold (as the oracle's
+        // `thr` CTE does), not a coalesced 0.
+        val docs = Tables.documents(spark, dir).select(col("lang"), col("doc_id"))
+        val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+        val rates = counts.crossJoin(broadcast(counts.agg(min(col("n_docs")).as("min_n"))))
           .select(col("lang"), col("n_docs"),
-                  coalesce(col("keep_per_10k"), lit(0L)).as("keep_per_10k"),
+                  floor(col("min_n").cast("double") * 10000 / col("n_docs"))
+                    .cast("long").as("keep_per_10k"))
+        val keptCounts = docs
+          .join(broadcast(rates.select(col("lang"), col("keep_per_10k"))), Seq("lang"))
+          .filter(Curation.hashBucket(col("doc_id"), 10000) < col("keep_per_10k"))
+          .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
+        rates.join(keptCounts, Seq("lang"), "left")
+          .select(col("lang"), col("n_docs"), col("keep_per_10k"),
                   coalesce(col("n_kept"), lit(0L)).as("n_kept"))
           .orderBy(col("lang"))
       },

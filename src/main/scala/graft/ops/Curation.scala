@@ -108,13 +108,22 @@ object Curation {
     val spark = docs.sparkSession
     import spark.implicits._
     val wRel = weights.toSeq.toDF(groupCol, "__w")
+    // materialize the tiny counts relation: it feeds both the scale
+    // aggregate and the rate projection, and Spark does not dedupe common
+    // subplans — without this the full-corpus groupBy would run twice
     val counts = docs.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
       .join(broadcast(wRel), Seq(groupCol))
-    val scale = counts.agg(min(col("__n").cast("double") / col("__w")).as("__s"))
+      .localCheckpoint()
+    val perGroup = col("__n").cast("double") / col("__w")
+    val scale = counts.agg(min(perGroup).as("__s"))
+    // the binding group (n/w == s, bit-identical double recomputation) gets
+    // exactly `mod`: routing it through floor(s·w·mod/n) can land on mod-1
+    // when s carries rounding error, silently dropping scarcest-group docs
     val rates = counts.crossJoin(broadcast(scale))
       .select(col(groupCol),
-              least(lit(mod.toLong),
-                    floor(col("__s") * col("__w") * mod / col("__n")).cast("long"))
+              when(perGroup === col("__s"), lit(mod.toLong))
+                .otherwise(least(lit(mod.toLong),
+                  floor(col("__s") * col("__w") * mod / col("__n")).cast("long")))
                 .as("keep_per_10k"))
     docs.join(broadcast(rates), Seq(groupCol))
       .filter(hashBucket(col(keyCol), mod) < col("keep_per_10k"))
@@ -122,10 +131,13 @@ object Curation {
 
   def balancedSample(docs: DataFrame, groupCol: String = "lang",
                      keyCol: String = "doc_id", mod: Int = 10000): DataFrame = {
+    // materialized for the same two-consumer reason as in [[weightedSample]]
     val counts = docs.groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
+      .localCheckpoint()
     val minN = counts.agg(min(col("n")).as("min_n"))
     // exact for any realistic counts: min_n·mod ≤ 2^53 keeps the double
     // product exact, and floor pins the integer threshold on both engines
+    // (the minority group divides exactly: min_n·mod/min_n = mod)
     val rates = counts.crossJoin(broadcast(minN))
       .select(col(groupCol),
               floor(col("min_n").cast("double") * mod / col("n"))

@@ -160,10 +160,14 @@ object Lifecycle {
   def dedupKeepFirstAgg(df: DataFrame, keys: Seq[String],
                         precedenceDesc: Seq[String]): DataFrame = {
     val payload = df.columns.filterNot(keys.contains)
+    require(payload.nonEmpty,
+      "dedupKeepFirstAgg needs at least one non-key column (with keys only, use distinct)")
     val surv = max_by(struct(payload.map(col): _*),
                       struct(precedenceDesc.map(col): _*)).as("__surv")
     df.groupBy(keys.map(col): _*).agg(surv)
-      .select(keys.map(col) ++ payload.map(c => col(s"__surv.$c").as(c)): _*)
+      // getField, not col("__surv.c"): a payload name containing a dot must
+      // resolve as one field, not a nested path
+      .select(keys.map(col) ++ payload.map(c => col("__surv").getField(c).as(c)): _*)
   }
 
   /** T5 — dead-letter retry planning (retry.py:23-158): order the failed

@@ -108,8 +108,13 @@ object Scalars {
     */
   def idFromFilename(path: Column): Column = {
     val base = substring_index(path, "/", -1)
-    // locate-in-reversed = distance of the last "." from the end; 0 when absent
-    base.substr(lit(1), length(base) - locate(".", reverse(base)))
+    // locate-in-reversed = distance of the last "." from the end; 0 when absent.
+    // splitext's dotfile rule: leading dots are part of the name, never an
+    // extension separator (".DS_Store" → ".DS_Store", ".a.json" → ".a"), so
+    // only strip when a dot remains after the leading-dot run.
+    when(locate(".", ltrim(base, ".")) > 0,
+         base.substr(lit(1), length(base) - locate(".", reverse(base))))
+      .otherwise(base)
   }
 
   /** F12 — Airflow-log line timestamp parse

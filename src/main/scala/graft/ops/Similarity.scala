@@ -54,6 +54,11 @@ object Similarity {
     * aggregate — earlier formulations (a broadcast plane-relation join with a
     * packing hash aggregate; before that, interpreted HOF lambdas, ~6×
     * slower) re-touched each embedding ×(nTables·bits).
+    *
+    * Null embeddings produce no bucket rows (the expression is null-safe and
+    * `posexplode` drops the null array): a vector with no embedding cannot
+    * be a near-dup candidate of anything, by construction rather than by
+    * relying on the cosine rescore to reject bucket-0 collisions.
     */
   def signBuckets(vectors: DataFrame, nTables: Int, bitsPerTable: Int,
                   dim: Int): DataFrame =

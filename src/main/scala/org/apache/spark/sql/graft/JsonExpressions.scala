@@ -27,7 +27,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Scalar-value stringification matches `from_json(… map<string,string>)`:
   * string tokens unescape to their content, numeric/bool tokens keep their
-  * literal text, nested objects/arrays keep their raw text. JSON-null valued
+  * literal text, nested objects/arrays keep their source text minus
+  * insignificant whitespace (the minified shape the `from_json` twin
+  * produces). Escape sequences and number literals inside nested values
+  * pass through as written — Jackson's re-encoding of `\u`-escapes or
+  * exotic number forms is out of the pinned-parity contract, which the
+  * reference's flat scalar records never exercise. JSON-null valued
   * fields are dropped from the leftover encoding (the HOF form's
   * null-element `array_join` skip). Malformed input → null, like `from_json`.
   * Duplicate keys: last wins.
@@ -66,6 +71,23 @@ case class JsonPartitionEncode(child: Expression, known: Seq[String])
 object JsonEncodeUtil {
 
   private object Malformed extends Exception with scala.util.control.NoStackTrace
+
+  /** Code-point order == UTF-8 binary order == the `UTF8String` comparison
+    * Spark's `array_sort` applies in the HOF twin.
+    */
+  private[graft] val codePointOrder: java.util.Comparator[String] =
+    new java.util.Comparator[String] {
+      override def compare(a: String, b: String): Int = {
+        val la = a.length; val lb = b.length
+        var i = 0
+        while (i < la && i < lb) {
+          val ca = a.codePointAt(i); val cb = b.codePointAt(i)
+          if (ca != cb) return Integer.compare(ca, cb)
+          i += Character.charCount(ca)
+        }
+        Integer.compare(la - i, lb - i)
+      }
+    }
 
   /** @return array of (known values ++ canonical leftover JSON), or null on
     *         malformed input.
@@ -123,16 +145,24 @@ object JsonEncodeUtil {
       def rawValue(): String = {
         val start = i
         val c = s.charAt(i)
-        if (c == '{' || c == '[') { // balance-scan, string-aware
+        if (c == '{' || c == '[') {
+          // balance-scan, string-aware; copied with insignificant whitespace
+          // dropped so nested values match the minified form the from_json
+          // HOF twin produces (escape sequences and number text pass through
+          // as written — see the contract note on the class scaladoc)
+          val out = new java.lang.StringBuilder(16)
           var depth = 0
           while (i < n) {
-            s.charAt(i) match {
-              case '{' | '[' => depth += 1; i += 1
+            val ch = s.charAt(i)
+            ch match {
+              case '{' | '[' => depth += 1; out.append(ch); i += 1
               case '}' | ']' =>
-                depth -= 1; i += 1
-                if (depth == 0) return s.substring(start, i)
-              case '"' => { str(); () }
-              case _   => i += 1
+                depth -= 1; out.append(ch); i += 1
+                if (depth == 0) return out.toString
+              case '"' =>
+                val st = i; str(); out.append(s, st, i)
+              case w if w <= ' ' => i += 1
+              case _ => out.append(ch); i += 1
             }
           }
           throw Malformed
@@ -185,7 +215,10 @@ object JsonEncodeUtil {
         if (!isKnown && vals.get(j) != null) left.add(k)
         j += 1
       }
-      left.sort(java.util.Comparator.naturalOrder[String]())
+      // code-point order (== UTF-8 binary order), matching the UTF8String
+      // comparison array_sort uses in the HOF twin; String.compareTo would
+      // order supplementary-plane keys by UTF-16 code unit instead
+      left.sort(JsonEncodeUtil.codePointOrder)
       val sb = new java.lang.StringBuilder(64)
       sb.append('{')
       var li = 0

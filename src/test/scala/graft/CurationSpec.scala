@@ -69,10 +69,11 @@ class CurationSpec extends AnyFunSuite {
     val after = out.groupBy("lang").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(after.keySet.subsetOf(weights.keySet), "unweighted groups must be dropped")
-    // binding group: the lang with smallest n/w keeps (nearly) everything —
-    // "nearly" because the hash threshold rounds down to 1/mod granularity
+    // binding group: the lang with smallest n/w keeps EXACTLY everything —
+    // its rate is pinned to mod, not routed through double floor arithmetic
     val binding = weights.keys.minBy(l => before(l) / weights(l))
-    assert(after(binding) >= (before(binding) * 0.999).toLong)
+    assert(after(binding) == before(binding),
+      s"binding group $binding lost documents: ${after(binding)} of ${before(binding)}")
     // proportions track the weights within hash noise
     val total = after.values.sum.toDouble
     weights.foreach { case (l, w) =>
@@ -80,6 +81,18 @@ class CurationSpec extends AnyFunSuite {
         s"$l mixture share off target: ${after.getOrElse(l, 0L) / total} vs $w")
     }
     out.unpersist()
+  }
+
+  test("weightedSample binding group survives fractional weights whose scale rounds badly") {
+    // n_binding/w = 3/0.1 = 29.999999999999996 as a double: floor-based rate
+    // arithmetic would land on 9999/10000 and drop hash-unlucky docs
+    val docs3 = Seq((1L, "a"), (2L, "a"), (3L, "a"),
+                    (4L, "b"), (5L, "b"), (6L, "b"), (7L, "b"), (8L, "b"))
+      .toDF("doc_id", "grp")
+    val out = Curation.weightedSample(docs3, Map("a" -> 0.1, "b" -> 0.001),
+      groupCol = "grp")
+    assert(out.filter($"grp" === "a").count() == 3,
+      "the binding group must keep every document")
   }
 
   test("balancedSample keeps the minority group whole and downsamples the rest deterministically") {

@@ -68,6 +68,32 @@ class GraftExpressionsSpec extends AnyFunSuite {
       "JSON-null fields drop from the leftover (the HOF form's array_join null skip)")
   }
 
+  test("JsonPartitionEncode: nested values minify to the from_json twin's shape") {
+    val docs = Seq(
+      """{"k":1,"uploader":"u","o": {"a": 1, "b": [1, 2]}}""",
+      """{"k":1,"uploader":"u","arr": [ "x y", { "n": 2 } ]}"""
+    ).toDF("j")
+    val both = docs.select(
+      jsonPartitionEncode(col("j"), known).as("e"),
+      Scalars.additionalInfoFromMap(Scalars.jsonAsMap(col("j")), known).as("hof"))
+    both.collect().foreach { r =>
+      assert(r.getSeq[String](0)(2) == r.getString(1),
+        s"nested-value encoding diverged: ${r.getSeq[String](0)(2)} vs ${r.getString(1)}")
+    }
+  }
+
+  test("JsonPartitionEncode: leftover keys sort in code-point order like array_sort") {
+    // U+E000 (BMP, private use) vs U+10000 (supplementary): UTF-16 code-unit
+    // order would put the surrogate pair first; code-point order must not
+    val json = "{\"k\":1,\"uploader\":\"u\",\"𐀀\":\"supp\",\"\":\"bmp\"}"
+    val both = Seq(json).toDF("j").select(
+      jsonPartitionEncode(col("j"), known).as("e"),
+      Scalars.additionalInfoFromMap(Scalars.jsonAsMap(col("j")), known).as("hof"))
+      .head()
+    assert(both.getSeq[String](0)(2) == both.getString(1),
+      "supplementary-plane key order diverged from array_sort")
+  }
+
   test("SignLshBuckets matches a driver-side hyperplane dot-product rebuild") {
     val nTables = 4; val bits = 3; val dim = 8
     val vecs = Seq(

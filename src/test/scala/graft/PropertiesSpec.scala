@@ -16,6 +16,22 @@ class PropertiesSpec extends AnyFunSuite {
   private def trials(n: Int)(body: Random => Unit): Unit =
     (0 until n).foreach(i => body(new Random(42 + i)))
 
+  test("idFromFilename matches os.path.splitext(basename) semantics (F11)") {
+    val cases = Seq(
+      "/data/replays/gen9ou/2024-01-05/r-123.json" -> "r-123",
+      "r-9.json" -> "r-9",
+      "/a/b/name.tar.gz" -> "name.tar",   // splitext strips the LAST extension
+      "/a/b/noext" -> "noext",
+      "/a/b/.DS_Store" -> ".DS_Store",    // leading dot is not a separator
+      "/a/b/.a.json" -> ".a",
+      "/a/b/" -> "")
+    val got = cases.map(_._1).toDF("p")
+      .select(Scalars.idFromFilename(col("p")).as("id")).as[String].collect()
+    cases.map(_._2).zip(got).foreach { case (want, have) =>
+      assert(want == have, s"splitext semantics diverged: wanted $want, got $have")
+    }
+  }
+
   test("dedup ∘ dedup = dedup") {
     trials(5) { rnd =>
       val rows = List.fill(40)((rnd.nextLong(10), rnd.nextLong(100), rnd.alphanumeric.take(5).mkString))
