@@ -107,6 +107,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("curation queries: shard-partitioned packing window, partial-agg split manifest, broadcast rates") {
+    val pack = plan("pack_sequences")
+    // the packing window must partition on the shard key — a global
+    // (unpartitioned) window would serialize the corpus through one task
+    assert(pack.contains("Window") && pack.contains("windowspecdefinition(shard"), pack)
+    val split = plan("split_manifest")
+    assert(split.contains("partial_"), split)
+    val mix = plan("lang_balanced_sample")
+    // the keep-rate relation joins broadcast; the corpus side never shuffles
+    // for the filter pass
+    assert(mix.contains("BroadcastHashJoin"), mix)
+  }
+
   test("LSH near-dup pairs plan has no nested-loop/cartesian join") {
     // the whole point of the bucketed path: candidate generation must be an
     // equi-join on (t, bucket), never an all-pairs scan (the exact baseline
