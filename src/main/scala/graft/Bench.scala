@@ -50,32 +50,30 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       name -> ((dt, ok))
     }
-    // two passes, per-query minimum over *successful* runs: suppresses
+    // three passes, per-query minimum over *successful* runs: suppresses
     // transient host noise without letting a fast failure masquerade as the
-    // best time; a query that fails both passes reports -1
-    val p1 = once(); val p2 = once()
-    val twoPass = p1.map { case (k, (t1, ok1)) =>
-      val (t2, ok2) = p2(k)
-      k -> ((ok1, ok2) match {
-        case (true, true) => math.min(t1, t2)
-        case (true, false) => t1
-        case (false, true) => t2
-        case _ => -1.0
-      })
+    // best time; a query that fails every pass reports -1. Three, not two:
+    // the suite takes minutes end to end, and the bench host shows
+    // multi-minute degradation windows — a stall that covers the same query
+    // in two consecutive passes sticks in a 2-pass min (observed:
+    // retry_queue 0.56 s in a clean run, 3.1 s in both passes of a degraded
+    // one). The DuckDB comparator is measured with the same 3-pass-min
+    // protocol (tools/pin_baseline.py).
+    val passes = Seq(once(), once(), once())
+    val multiPass = selected.keys.map { k =>
+      val ok = passes.map(_(k)).filter(_._2).map(_._1)
+      k -> (if (ok.isEmpty) -1.0 else ok.min)
+    }.toMap
+    // Selective extra pass: when a query's best and worst still disagree
+    // badly, a stall may cover all three — one targeted retry pins it.
+    val noisy = selected.keySet.filter { k =>
+      val ts = passes.map(_(k)).filter(_._2).map(_._1)
+      ts.nonEmpty && ts.max > 1.5 * ts.min && ts.max > 1.0
     }
-    // Selective third pass: when a query's two timings disagree badly, a host
-    // stall landed on at least one of them — and a stall that straddled both
-    // would stick in the min. One targeted retry pins the honest time without
-    // paying a full extra pass for the whole suite (the bench host has shown
-    // random multi-second stalls landing on a different query per run).
-    val noisy = p1.keySet.filter { k =>
-      val ((t1, ok1), (t2, ok2)) = (p1(k), p2(k))
-      ok1 && ok2 && math.max(t1, t2) > 1.5 * math.min(t1, t2) && math.max(t1, t2) > 1.0
-    }
-    val p3 = if (noisy.nonEmpty) once(selected.view.filterKeys(noisy).toMap) else Map.empty[String, (Double, Boolean)]
-    val results = twoPass.map { case (k, best) =>
-      k -> (p3.get(k) match {
-        case Some((t3, true)) if best >= 0 => math.min(best, t3)
+    val p4 = if (noisy.nonEmpty) once(selected.view.filterKeys(noisy).toMap) else Map.empty[String, (Double, Boolean)]
+    val results = multiPass.map { case (k, best) =>
+      k -> (p4.get(k) match {
+        case Some((t4, true)) if best >= 0 => math.min(best, t4)
         case _ => best
       })
     }
@@ -84,8 +82,8 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // Pinned comparator (BASELINE.md "Measured comparator"): the DuckDB
     // oracle-suite total on the identical sf0.1 parquet, 32 threads,
-    // 2-pass per-query min. Override via env when re-measuring.
-    val baselineSec = sys.env.getOrElse("SPARK_GRAFT_BASELINE_SEC", "18.4").toDouble
+    // 3-pass per-query min. Override via env when re-measuring.
+    val baselineSec = sys.env.getOrElse("SPARK_GRAFT_BASELINE_SEC", "17.8").toDouble
     val ratio = total / baselineSec
     val json = s"""{"metric":"total","value":$total,"unit":"sec","baseline_sec":$baselineSec,"vs_baseline":$ratio,"queries":$qs,"sf":"$sfDir"}"""
     // stdout goes through sbt's logger ("[info] "-prefixed), which breaks

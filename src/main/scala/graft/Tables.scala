@@ -17,8 +17,18 @@ object Tables {
   val relational: Seq[String] =
     Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
 
+  // One resolved relation per (session, dir, table), like any metastore or
+  // long-lived application would hold: re-building the DataFrame per query
+  // re-lists the path and re-decodes parquet footers every time — pure
+  // fixed cost × queries × tables. The cached object is the *analyzed
+  // logical relation only*; every query still plans, prunes, and pushes
+  // filters against it independently (nothing is materialized).
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    cache.computeIfAbsent((spark, dir, name),
+      _ => spark.read.parquet(s"$dir/$name.parquet"))
 
   def region(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "nation")
@@ -45,7 +55,8 @@ object Tables {
     "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
 
   def eventsRaw(spark: SparkSession, dir: String): DataFrame =
-    spark.read.schema(eventsSchema).parquet(s"$dir/events.parquet")
+    cache.computeIfAbsent((spark, dir, "events#raw"),
+      _ => spark.read.schema(eventsSchema).parquet(s"$dir/events.parquet"))
 
   private def nanosToTs(df: DataFrame): DataFrame =
     df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))

@@ -21,7 +21,7 @@ def one_run(sf_dir, oracles):
     per = {}
     for name, sql in sorted(oracles.items()):
         best = None
-        for _ in range(2):
+        for _ in range(3):  # 3-pass min, matching graft.Bench's protocol
             t0 = time.monotonic()
             con.sql(sql).fetchall()
             dt = time.monotonic() - t0
