@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The end-to-end dataset-curation flow a training-data pipeline actually
+  * runs, composed from the library's own operators — corpus in, packed
+  * training manifest out:
+  *
+  *  1. exact dedup (byte-identical docs collapse to their canonical id);
+  *  2. near-dup removal (n-gram Jaccard pairs → connected components →
+  *     drop every member but the cluster canonical);
+  *  3. quality + language gate (map-side column expressions);
+  *  4. deterministic train/val/test split (hash of `doc_id`);
+  *  5. sequence packing of the train split into fixed token budgets.
+  *
+  * Every stage is the already-spec'd operator — this object only pins the
+  * composition (stage order and the exact survivor rules) so the flow a
+  * user would script is itself under test. Scale shape: two shuffle-bearing
+  * passes (the dedup family), everything else map-side or shard-local; the
+  * cluster relation and survivor sets are bounded by the dup graph, not
+  * the corpus.
+  */
+object Pipeline {
+
+  /** Survivors of exact + near-dup dedup: keep a doc unless (a) it is a
+    * non-canonical member of a byte-identical group, or (b) it is a
+    * non-canonical member of a near-dup cluster.
+    */
+  def dedupedDocs(docs: DataFrame, jaccardThreshold: Double = 0.5,
+                  maxShingleDf: Int = 50): DataFrame = {
+    val exactLosers = Dedup.exactDupGroups(docs)
+      .join(docs.select(col("doc_id"),
+                        md5(col("text").cast("binary")).as("content_hash")),
+            Seq("content_hash"))
+      .filter(col("doc_id") =!= col("canonical_id"))
+      .select("doc_id")
+    val nearLosers = Dedup.dupClusters(
+        Dedup.ngramJaccardPairs(docs, 3, jaccardThreshold, maxShingleDf))
+      .filter(col("doc_id") =!= col("canonical_id"))
+      .select("doc_id")
+    docs.join(exactLosers.unionByName(nearLosers).distinct(), Seq("doc_id"), "left_anti")
+  }
+
+  /** Full curation flow; returns the per-(split, shard, seq) packing
+    * manifest of the quality-gated, deduplicated corpus.
+    */
+  def curate(docs: DataFrame, minQuality: Double = 0.3,
+             lang: String = "en", budget: Int = 2048): DataFrame = {
+    val deduped = dedupedDocs(docs)
+    val q = TextAnalysis.qualityColumns(col("text"))
+    val (_, langCol) = TextAnalysis.langId(col("text"))
+    val gated = deduped
+      .withColumn("quality_score", q("quality_score"))
+      .withColumn("lang_id", langCol)
+      .filter(col("quality_score") >= minQuality && col("lang_id") === lang)
+      .drop("quality_score", "lang_id")
+    val split = gated.withColumn("split", Curation.assignSplit(col("doc_id")))
+    Curation.packingManifest(split.filter(col("split") === "train"), budget)
+      .withColumn("split", lit("train"))
+  }
+}

@@ -1,0 +1,51 @@
+package graft
+
+import graft.ops.{Curation, Dedup, Pipeline, TextAnalysis}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, TestSpark.sfDir)
+
+  test("dedupedDocs drops exactly the non-canonical dup members") {
+    // plant one byte-dup pair and one near-dup pair on top of the corpus
+    val planted = docs.select("doc_id", "text").unionByName(Seq(
+      (100001L, "the quick brown fox jumps over the lazy dog again and again"),
+      (100002L, "the quick brown fox jumps over the lazy dog again and again"),
+      (100003L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (100004L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda")
+    ).toDF("doc_id", "text"))
+    val out = Pipeline.dedupedDocs(planted).cache()
+    val ids = out.select("doc_id").as[Long].collect().toSet
+    assert(ids.contains(100001L) && !ids.contains(100002L),
+      "byte-dup keeps the lower id, drops the higher")
+    assert(ids.contains(100003L) && !ids.contains(100004L),
+      "near-dup cluster keeps its canonical (min) id only")
+    // survivors ∪ losers = input, disjoint
+    assert(out.count() + (planted.count() - out.count()) == planted.count())
+    out.unpersist()
+  }
+
+  test("curate composes the stages: manifest covers the gated train split exactly") {
+    val manifest = Pipeline.curate(docs, minQuality = 0.3, lang = "en", budget = 512)
+      .cache()
+    // recompute the expected gated train token total independently
+    val deduped = Pipeline.dedupedDocs(docs)
+    val q = TextAnalysis.qualityColumns(col("text"))
+    val (_, langCol) = TextAnalysis.langId(col("text"))
+    val expected = deduped
+      .filter(q("quality_score") >= 0.3 && langCol === "en")
+      .filter(Curation.assignSplit(col("doc_id")) === "train")
+      .select(sum(size(split(col("text"), " "))).as("toks"), count(lit(1)).as("n"))
+      .head()
+    assert(manifest.agg(sum("seq_tokens")).as[Long].head() == expected.getLong(0),
+      "packing must conserve the gated train split's tokens")
+    assert(manifest.agg(sum("n_docs")).as[Long].head() == expected.getLong(1),
+      "every gated train doc lands in exactly one sequence")
+    assert(manifest.select("split").distinct().as[String].collect().toSeq == Seq("train"))
+    manifest.unpersist()
+  }
+}
