@@ -43,7 +43,7 @@ object AsOf {
         when(col(key).isNotNull,
              last(col("__r"), ignoreNulls = true).over(w)))
       .filter(col("__src") === 1)
-      .select(leftCols.map(col) ++ payload.map(p => col(s"__last.$p").as(s"asof_$p")): _*)
+      .select((leftCols.map(col) ++ payload.map(p => col(s"__last.$p").as(s"asof_$p"))).toIndexedSeq: _*)
   }
 
   /** Sessionize an event stream: a new session starts after `gapSeconds` of

@@ -52,7 +52,7 @@ object Compaction {
              e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") => None
       }
     val all = existing match {
-      case Some(ex) => ex.selectExpr(partitioned.columns.map(c => s"`$c`"): _*)
+      case Some(ex) => ex.selectExpr(partitioned.columns.toIndexedSeq.map(c => s"`$c`"): _*)
         .unionByName(partitioned)
       case None => partitioned
     }

@@ -162,7 +162,7 @@ object Lifecycle {
     val payload = df.columns.filterNot(keys.contains)
     require(payload.nonEmpty,
       "dedupKeepFirstAgg needs at least one non-key column (with keys only, use distinct)")
-    val surv = max_by(struct(payload.map(col): _*),
+    val surv = max_by(struct(payload.toIndexedSeq.map(col): _*),
                       struct(precedenceDesc.map(col): _*)).as("__surv")
     df.groupBy(keys.map(col): _*).agg(surv)
       // getField, not col("__surv.c"): a payload name containing a dot must

@@ -71,13 +71,13 @@ case class MergeBuilder(target: DataFrame, source: DataFrame, keys: Seq[String],
     val updatedTarget = updates.foldLeft(joined) { case (df, (name, expr)) =>
       df.withColumn(name,
         when(coalesce(col("__matched"), lit(false)), expr).otherwise(col(name)))
-    }.select(target.columns.map(col): _*)
+    }.select(target.columns.toIndexedSeq.map(col): _*)
     if (!insert) updatedTarget
     else {
       val inserts = src0.join(target.select(keys.map(col): _*).distinct(), keys, "left_anti")
       val aligned = target.columns.foldLeft(inserts) { (df, c) =>
         if (df.columns.contains(c)) df else df.withColumn(c, lit(null))
-      }.select(target.columns.map(col): _*)
+      }.select(target.columns.toIndexedSeq.map(col): _*)
       updatedTarget.unionByName(aligned)
     }
   }

@@ -22,7 +22,7 @@ object Skew {
                  factor: Int): DataFrame = {
     require(factor > 0, "salt factor must be positive")
     val salted = left.withColumn("__salt",
-      pmod(hash(left.columns.map(col): _*), lit(factor)))
+      pmod(hash(left.columns.toIndexedSeq.map(col): _*), lit(factor)))
     val replicated = right
       .withColumn("__salt", explode(sequence(lit(0), lit(factor - 1))))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
@@ -36,7 +36,7 @@ object Skew {
     */
   def saltedCount(df: DataFrame, key: String, factor: Int): DataFrame = {
     require(factor > 0, "salt factor must be positive")
-    df.withColumn("__salt", pmod(hash(df.columns.map(col): _*), lit(factor)))
+    df.withColumn("__salt", pmod(hash(df.columns.toIndexedSeq.map(col): _*), lit(factor)))
       .groupBy(col(key), col("__salt")).agg(count(lit(1)).as("__n"))
       .groupBy(col(key)).agg(sum(col("__n")).as("n"))
   }
