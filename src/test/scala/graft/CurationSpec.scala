@@ -95,6 +95,34 @@ class CurationSpec extends AnyFunSuite {
       "the binding group must keep every document")
   }
 
+  test("assignSplit partitions every key for any valid (train,val) percentages") {
+    val keys = docs.select(col("doc_id"))
+    for ((tr, va) <- Seq((80, 10), (90, 5), (0, 100), (100, 0), (60, 0))) {
+      val n = keys.count()
+      val bySplit = keys.select(Curation.assignSplit(col("doc_id"), tr, va).as("s"))
+        .groupBy("s").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(bySplit.values.sum == n, s"($tr,$va): docs lost or duplicated")
+      if (tr == 0) assert(!bySplit.contains("train"), s"($tr,$va): train must be empty")
+      if (tr + va == 100) assert(!bySplit.contains("test"), s"($tr,$va): test must be empty")
+    }
+    intercept[IllegalArgumentException] { Curation.assignSplit(col("doc_id"), 80, 30) }
+  }
+
+  test("packSequences conserves docs and tokens for any budget") {
+    val rnd = new scala.util.Random(42)
+    val nDocs = docs.count()
+    val toks = docs.select(sum(size(split(col("text"), " ")))).as[Long].head()
+    (0 until 3).foreach { _ =>
+      val budget = 1 + rnd.nextInt(4096)
+      val packed = Curation.packSequences(docs, budget)
+      assert(packed.count() == nDocs, s"budget=$budget: docs lost")
+      assert(packed.select(sum(col("n_tokens"))).as[Long].head() == toks,
+        s"budget=$budget: tokens not conserved")
+      // seq ids are non-negative and (within a shard) non-decreasing in doc_id
+      assert(packed.filter(col("seq_id") < 0).count() == 0)
+    }
+  }
+
   test("balancedSample keeps the minority group whole and downsamples the rest deterministically") {
     val out = Curation.balancedSample(docs).cache()
     val before = docs.groupBy("lang").count().collect()
