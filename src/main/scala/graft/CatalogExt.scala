@@ -444,7 +444,7 @@ object CatalogExt {
           .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
           .orderBy(col("split"), col("source")),
       Some(s"""SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
-              |       source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+              |       source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
               |FROM (SELECT source, n_chars, $sqlHashBucket100 AS b FROM documents)
               |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
@@ -462,7 +462,7 @@ object CatalogExt {
               |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS start_off
               |  FROM t)
               |SELECT shard, CAST(floor(CAST(start_off AS DOUBLE) / 2048) AS BIGINT) AS seq_id,
-              |       COUNT(*) AS n_docs, SUM(n_tokens) AS seq_tokens
+              |       COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens
               |FROM o GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
     // ── mixture rebalancing: language-balanced deterministic downsample —

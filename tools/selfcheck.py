@@ -42,6 +42,16 @@ def cmp_cell(a, b):
         pass
     return a == b
 
+def type_diffs(spark_rel, orel):
+    """Columns whose DuckDB-visible type differs between the Spark parquet
+    result and the oracle SQL result. HUGEINT/DECIMAL/UINT on the oracle side
+    are unrepresentable in a Spark result per repo convention (CatalogCore
+    casts them down) and always flag here."""
+    stypes = dict(zip(spark_rel.columns, (str(t) for t in spark_rel.types)))
+    otypes = dict(zip(orel.columns, (str(t) for t in orel.types)))
+    return [(c, stypes[c], otypes[c])
+            for c in sorted(set(stypes) & set(otypes)) if stypes[c] != otypes[c]]
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in ["region","nation","customer","supplier","part","orders",
@@ -68,6 +78,13 @@ def main(sf_dir, out_dir):
         ok = True
         if scols != ocols:
             print(f"FAIL {name}: schema spark={scols} oracle={ocols}"); ok = False
+        elif (tdiff := type_diffs(spark_rel, orel)):
+            # The driver's hash is exact over typed values — a DuckDB HUGEINT
+            # (SUM over int) vs Spark BIGINT mismatches even when every cell is
+            # equal. Catch it here so the builder's gate matches the driver's.
+            for col, st, ot in tdiff:
+                print(f"FAIL {name}: type of {col}: spark={st} oracle={ot}")
+            ok = False
         elif len(sdf) != len(odf):
             print(f"FAIL {name}: rows spark={len(sdf)} oracle={len(odf)}"); ok = False
         else:
