@@ -100,6 +100,17 @@ object CatalogExt {
 
   private val sqlHashBucket100: String = sqlHashBucket("doc_id", 100)
 
+  /** Target mixture proportions for `weighted_mixture_sample` — values whose
+    * decimal literals parse to identical doubles in Scala and DuckDB (every
+    * short decimal does: both round to nearest).
+    */
+  private val mixtureWeights: Map[String, Double] =
+    Map("de" -> 0.15, "en" -> 0.4, "es" -> 0.1, "fr" -> 0.1, "zh" -> 0.25)
+
+  private val sqlMixtureWeights: String =
+    mixtureWeights.toSeq.sorted
+      .map { case (g, wt) => s"('$g', CAST($wt AS DOUBLE))" }.mkString(", ")
+
   val entries: Seq[(String, QueryFn, Option[String])] = Seq(
 
     // ── exact dedup by content hash (empty result is legitimate: the corpus
@@ -500,6 +511,54 @@ object CatalogExt {
               |      WHERE ${sqlHashBucket("d.doc_id", 10000)} < thr.keep_per_10k
               |      GROUP BY 1)
               |SELECT t.lang, t.n AS n_docs, t.keep_per_10k, COALESCE(k.n_kept, 0) AS n_kept
-              |FROM thr t LEFT JOIN k USING (lang) ORDER BY t.lang""".stripMargin))
+              |FROM thr t LEFT JOIN k USING (lang) ORDER BY t.lang""".stripMargin)),
+
+    // ── general weighted mixture: downsample toward target proportions
+    //    (en-heavy mix) without upsampling; the binding group keeps
+    //    everything. Report form of Curation.weightedSample — same shape as
+    //    lang_balanced_sample, with the oracle rebuilding the feasible-scale
+    //    (`s = min n/w`) and the binding-group exact-`mod` rule.
+    ("weighted_mixture_sample",
+      (spark, dir) => {
+        val docs = Tables.documents(spark, dir).select(col("lang"), col("doc_id"))
+        val rates = Curation.weightedRates(docs, mixtureWeights, groupCol = "lang")
+        val keptCounts = docs
+          .join(broadcast(rates.select(col("lang"), col("keep_per_10k"))), Seq("lang"))
+          .filter(Curation.hashBucket(col("doc_id"), 10000) < col("keep_per_10k"))
+          .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
+        rates.join(keptCounts, Seq("lang"), "left")
+          .select(col("lang"), col("n_docs"), col("keep_per_10k"),
+                  coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+          .orderBy(col("lang"))
+      },
+      Some(s"""WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+              |w(lang, wt) AS (VALUES $sqlMixtureWeights),
+              |cw AS (SELECT c.lang, n, wt FROM c JOIN w USING (lang)),
+              |m AS (SELECT MIN(CAST(n AS DOUBLE) / wt) AS s FROM cw),
+              |thr AS (SELECT lang, n,
+              |               CASE WHEN CAST(n AS DOUBLE) / wt = s THEN CAST(10000 AS BIGINT)
+              |                    ELSE LEAST(CAST(10000 AS BIGINT),
+              |                               CAST(floor(s * wt * 10000 / n) AS BIGINT)) END AS keep_per_10k
+              |        FROM cw CROSS JOIN m),
+              |k AS (SELECT d.lang, COUNT(*) AS n_kept
+              |      FROM documents d JOIN thr USING (lang)
+              |      WHERE ${sqlHashBucket("d.doc_id", 10000)} < thr.keep_per_10k
+              |      GROUP BY 1)
+              |SELECT t.lang, t.n AS n_docs, t.keep_per_10k, COALESCE(k.n_kept, 0) AS n_kept
+              |FROM thr t LEFT JOIN k USING (lang) ORDER BY t.lang""".stripMargin)),
+
+    // ── IVF approximate NN: float-mean k-means centroids are not
+    //    engine-portable (FP summation order), so no DuckDB twin exists —
+    //    the driver records a rows-only check here; the recall bound vs
+    //    exact top-k lives in SimilaritySpec. The catalog-bench surface
+    //    still exercises the full cluster→assign→probe→rescore plan.
+    ("ivf_topk",
+      (spark, dir) => {
+        val emb = Tables.embeddings(spark, dir)
+        Similarity.ivfTopK(emb.filter(col("vec_id") < 8),
+                           emb.filter(col("vec_id") >= 8), 5)
+          .orderBy(col("q_id"), col("cos_sim").desc, col("vec_id"))
+      },
+      None)
   )
 }

@@ -57,11 +57,18 @@ object Curation {
     * file/shard id — here `source`), so each partition packs independently
     * and in parallel; there is no global ordering. Returns one row per
     * document: (shard, doc_id, n_tokens, seq_id).
+    *
+    * Determinism does NOT require unique `doc_id`s: ties on `doc_id` break
+    * on `n_tokens`, and rows identical in both are interchangeable in the
+    * output (equal rows swapping offsets yield the same row multiset), so
+    * the result is a pure function of the input multiset even for a corpus
+    * with repeated ids (CurationSpec pins this with a shuffled-duplicates
+    * property).
     */
   def packSequences(docs: DataFrame, budget: Int,
                     shardCol: String = "source"): DataFrame = {
     require(budget > 0, s"token budget must be positive, got $budget")
-    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"), col("n_tokens"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs
       .select(col(shardCol).as("shard"), col("doc_id"),
@@ -102,7 +109,18 @@ object Curation {
     */
   def weightedSample(docs: DataFrame, weights: Map[String, Double],
                      groupCol: String = "source", keyCol: String = "doc_id",
-                     mod: Int = 10000): DataFrame = {
+                     mod: Int = 10000): DataFrame =
+    docs.join(broadcast(weightedRates(docs, weights, groupCol, mod)
+                .select(col(groupCol), col("keep_per_10k"))),
+              Seq(groupCol))
+      .filter(hashBucket(col(keyCol), mod) < col("keep_per_10k"))
+
+  /** Per-group keep-rate relation behind [[weightedSample]]:
+    * `(group, n_docs, keep_per_10k)` — also the audit/report surface (the
+    * `weighted_mixture_sample` catalog query joins kept counts onto it).
+    */
+  def weightedRates(docs: DataFrame, weights: Map[String, Double],
+                    groupCol: String = "source", mod: Int = 10000): DataFrame = {
     require(weights.nonEmpty && weights.values.forall(_ > 0),
       "weights must be a non-empty map of positive target proportions")
     val spark = docs.sparkSession
@@ -111,22 +129,20 @@ object Curation {
     // materialize the tiny counts relation: it feeds both the scale
     // aggregate and the rate projection, and Spark does not dedupe common
     // subplans — without this the full-corpus groupBy would run twice
-    val counts = docs.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+    val counts = docs.groupBy(col(groupCol)).agg(count(lit(1)).as("n_docs"))
       .join(broadcast(wRel), Seq(groupCol))
       .localCheckpoint()
-    val perGroup = col("__n").cast("double") / col("__w")
+    val perGroup = col("n_docs").cast("double") / col("__w")
     val scale = counts.agg(min(perGroup).as("__s"))
     // the binding group (n/w == s, bit-identical double recomputation) gets
     // exactly `mod`: routing it through floor(s·w·mod/n) can land on mod-1
     // when s carries rounding error, silently dropping scarcest-group docs
-    val rates = counts.crossJoin(broadcast(scale))
-      .select(col(groupCol),
+    counts.crossJoin(broadcast(scale))
+      .select(col(groupCol), col("n_docs"),
               when(perGroup === col("__s"), lit(mod.toLong))
                 .otherwise(least(lit(mod.toLong),
-                  floor(col("__s") * col("__w") * mod / col("__n")).cast("long")))
+                  floor(col("__s") * col("__w") * mod / col("n_docs")).cast("long")))
                 .as("keep_per_10k"))
-    docs.join(broadcast(rates), Seq(groupCol))
-      .filter(hashBucket(col(keyCol), mod) < col("keep_per_10k"))
   }
 
   def balancedSample(docs: DataFrame, groupCol: String = "lang",

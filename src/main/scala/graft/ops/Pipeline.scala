@@ -23,6 +23,40 @@ import org.apache.spark.sql.functions._
   */
 object Pipeline {
 
+  /** Outcome of a tolerant stage run: the final relation plus a dead-letter
+    * record per failed stage (stage name → error summary).
+    */
+  final case class TolerantResult(output: DataFrame,
+                                  deadLetters: Seq[(String, String)]) {
+    def failed(stage: String): Boolean = deadLetters.exists(_._1 == stage)
+  }
+
+  /** Run a linear chain of named stages with the reference DAG's
+    * continue-past-failure semantics (`TriggerRule.ALL_DONE`,
+    * showdown_replay_etl_dag.py:76-80: compaction runs even when an
+    * upstream download stage fails): a stage that throws is recorded as a
+    * dead letter and downstream stages run against the last good relation,
+    * exactly as the reference's compaction consumes whatever the failed
+    * downloader left on disk.
+    *
+    * Failures caught here are plan-construction/analysis failures (Spark
+    * analyzes eagerly, so a stage referencing a missing column or violating
+    * a precondition throws at composition time — the moment this wrapper
+    * sees it). Runtime task failures surface at the caller's action, after
+    * composition, by Spark's own retry/abort machinery.
+    */
+  def runTolerant(input: DataFrame,
+                  stages: Seq[(String, DataFrame => DataFrame)]): TolerantResult =
+    stages.foldLeft(TolerantResult(input, Nil)) {
+      case (TolerantResult(df, dead), (name, f)) =>
+        try TolerantResult(f(df), dead)
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            TolerantResult(df, dead :+
+              (name -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"))
+        }
+    }
+
   /** Survivors of exact + near-dup dedup: keep a doc unless (a) it is a
     * non-canonical member of a byte-identical group, or (b) it is a
     * non-canonical member of a near-dup cluster.

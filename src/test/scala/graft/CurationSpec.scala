@@ -123,6 +123,29 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("packSequences is a pure function of the input multiset even with duplicate doc_ids") {
+    // ids collide heavily (8 ids over 40 docs, some with identical text):
+    // ties order by (doc_id, n_tokens), and rows equal in both are
+    // interchangeable — so any permutation / partitioning of the same
+    // multiset must pack to the identical output multiset
+    (0 until 3).foreach { trial =>
+      val rnd = new scala.util.Random(7 + trial)
+      val rows = Seq.fill(40) {
+        (rnd.nextInt(8).toLong,
+         List.fill(1 + rnd.nextInt(6))("w" + rnd.nextInt(4)).mkString(" "),
+         "s" + rnd.nextInt(2))
+      }
+      def run(rs: Seq[(Long, String, String)], parts: Int) =
+        Curation.packSequences(
+            rs.toDF("doc_id", "text", "source").repartition(parts), budget = 5)
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+          .sorted
+      assert(run(rows, 3).toSeq == run(rnd.shuffle(rows), 7).toSeq,
+        s"trial $trial: packing output depends on row order with duplicate ids")
+    }
+  }
+
   test("balancedSample keeps the minority group whole and downsamples the rest deterministically") {
     val out = Curation.balancedSample(docs).cache()
     val before = docs.groupBy("lang").count().collect()

@@ -48,4 +48,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(manifest.select("split").distinct().as[String].collect().toSeq == Seq("train"))
     manifest.unpersist()
   }
+
+  test("runTolerant: a poisoned stage dead-letters but downstream compaction still runs") {
+    // reference semantics (TriggerRule.ALL_DONE): compaction consumes
+    // whatever the failed stage left behind instead of being skipped
+    val stages = Seq[(String, org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)](
+      "gate" -> (df => df.filter(length(col("text")) > 0)),
+      "poisoned_enrich" -> (df => df.withColumn("x", col("no_such_column") + 1)),
+      "compact" -> (df => df.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(length(col("text"))).as("n_chars"))))
+    val res = Pipeline.runTolerant(docs, stages)
+    assert(res.failed("poisoned_enrich"), "the analysis failure must be dead-lettered")
+    assert(res.deadLetters.map(_._1) == Seq("poisoned_enrich"),
+      "healthy stages must not dead-letter")
+    // downstream ran against the last good relation: the compacted output
+    // matches running gate→compact directly
+    val direct = docs.filter(length(col("text")) > 0).groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(length(col("text"))).as("n_chars"))
+    assert(res.output.collect().toSet == direct.collect().toSet)
+  }
+
+  test("runTolerant with no failures matches plain composition and reports no dead letters") {
+    val res = Pipeline.runTolerant(docs, Seq(
+      "gate" -> (df => df.filter(col("lang") === "en")),
+      "count" -> (df => df.groupBy(col("source")).agg(count(lit(1)).as("n")))))
+    assert(res.deadLetters.isEmpty)
+    val direct = docs.filter(col("lang") === "en")
+      .groupBy(col("source")).agg(count(lit(1)).as("n"))
+    assert(res.output.collect().toSet == direct.collect().toSet)
+  }
 }
