@@ -96,10 +96,20 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // The DuckDB comparator covers exactly the oracle'd queries; catalog
+    // entries without an oracle (ivf_topk — float-mean centroids aren't
+    // engine-portable) have no denominator, so the headline ratio is
+    // computed over the comparable subset and the rest is itemized.
+    val (comparable, noncomparable) = results.partition {
+      case (k, _) => SparkEntry.oracleSql.contains(k)
+    }
+    val comparableSec = comparable.values.sum
+    val noncompJson = noncomparable.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     // Pinned comparator (BASELINE.md "Measured comparator"): the DuckDB
     // oracle-suite total on the identical sf0.1 parquet, 32 threads,
     // 3-pass per-query min. Override via env when re-measuring.
-    val baselineQuiet = sys.env.getOrElse("SPARK_GRAFT_BASELINE_SEC", "17.8").toDouble
+    val baselineQuiet = sys.env.getOrElse("SPARK_GRAFT_BASELINE_SEC", "16.9").toDouble
     // Host-speed calibration (BASELINE.md "Host-speed calibration"): the
     // shared build host has multi-minute windows where EVERYTHING runs
     // 20-85% slower (hypervisor-level; guest vmstat shows idle CPU while
@@ -117,9 +127,9 @@ object Bench {
     // the conservative choice (smallest correction).
     val hostFactor = math.min(2.0, math.max(1.0, calibs.min / calibQuiet))
     val baselineSec = baselineQuiet * hostFactor
-    val ratio = total / baselineSec
+    val ratio = comparableSec / baselineSec
     val calibJson = calibs.map(c => f"$c%.3f").mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","baseline_sec":$baselineSec,"baseline_quiet_sec":$baselineQuiet,"calib_quiet_sec":$calibQuiet,"calib_secs":$calibJson,"host_factor":$hostFactor,"vs_baseline":$ratio,"vs_baseline_quiet":${total / baselineQuiet},"queries":$qs,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","comparable_sec":$comparableSec,"noncomparable":$noncompJson,"baseline_sec":$baselineSec,"baseline_quiet_sec":$baselineQuiet,"calib_quiet_sec":$calibQuiet,"calib_secs":$calibJson,"host_factor":$hostFactor,"vs_baseline":$ratio,"vs_baseline_quiet":${comparableSec / baselineQuiet},"queries":$qs,"sf":"$sfDir"}"""
     // stdout goes through sbt's logger ("[info] "-prefixed), which breaks
     // line-oriented JSON parsing downstream — also write the result to a file
     // (override path via SPARK_GRAFT_BENCH_OUT; default = cwd/bench_out.json).

@@ -158,34 +158,53 @@ object Similarity {
   /** Deterministic fixed-iteration k-means over an embedding corpus
     * (cosine objective): initialized from the `k` lowest `vec_id`s, then
     * `iters` Lloyd rounds — assign each vector to its max-cosine centroid
-    * (broadcast centroids, one window argmax), recompute centroids as the
-    * component-wise mean (posexplode → per-(cluster, pos) avg → rebuild).
+    * (broadcast centroids, one partial-agg argmax), recompute centroids as
+    * the component-wise mean, one `avg(element_at(embedding, p))` lane per
+    * dimension in a single aggregate: no posexplode, no per-(cluster, pos)
+    * shuffle — the map side combines straight down to `k` rows per task.
     * Every step is a deterministic DataFrame op; no RNG, no `.collect()`.
     * Returns (cluster_id, centroid: array<float>).
     */
-  def kmeansCentroids(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
+  def kmeansCentroids(corpus: DataFrame, k: Int, iters: Int,
+                      dim: Int = 64): DataFrame = {
     val init = corpus.orderBy(col("vec_id")).limit(k)
       .select(col("vec_id"), col("embedding"))
       .withColumn("cluster_id", row_number().over(Window.orderBy(col("vec_id"))) - 1)
       .select(col("cluster_id").cast("long").as("cluster_id"), col("embedding").as("centroid"))
+    val meanLanes = (1 to dim).map(p => avg(element_at(col("embedding"), p)).cast("float"))
     (1 to iters).foldLeft(init) { (centroids, _) =>
-      val assigned = assignClusters(corpus, centroids, 1)
-        .join(corpus.select(col("vec_id"), col("embedding")), Seq("vec_id"))
-      assigned
-        .select(col("cluster_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
-        .groupBy(col("cluster_id"), col("pos")).agg(avg(col("v")).as("m"))
+      argmaxAssign(corpus, centroids)
         .groupBy(col("cluster_id"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-                       e => e.getField("m").cast("float")).as("centroid"))
+        .agg(array(meanLanes: _*).as("centroid"))
         .localCheckpoint() // sever per-iteration lineage (same rule as dupClusters)
     }
   }
 
+  /** Nearest-centroid assignment as one partial aggregate, embedding riding
+    * along: `max_by` over (cosine, −cluster_id) replaces a ranking window, so
+    * the map side combines down to one row per vector before the shuffle —
+    * no 80k-row wide-tuple window sort, and the caller needs no re-join
+    * against the corpus for the embedding. Ties break on lower cluster_id
+    * (same order the window form used). Returns (vec_id, cluster_id,
+    * embedding).
+    */
+  private def argmaxAssign(vectors: DataFrame, centroids: DataFrame): DataFrame =
+    vectors.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(centroids))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cluster_id"),
+                  struct(cosineSim(col("embedding"), col("centroid")),
+                         -col("cluster_id"))).as("cluster_id"),
+           first(col("embedding")).as("embedding"))
+
   /** Nearest `nProbe` centroids per vector (broadcast centroid relation +
-    * codegen'd cosine + ranking window). Ties break on cluster_id.
+    * codegen'd cosine). `nProbe = 1` routes through the partial-agg argmax;
+    * the general case keeps the ranking window (used only on the small query
+    * side). Ties break on cluster_id.
     */
   private def assignClusters(vectors: DataFrame, centroids: DataFrame,
                              nProbe: Int): DataFrame = {
+    if (nProbe == 1) return argmaxAssign(vectors, centroids).select("vec_id", "cluster_id")
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(cosineSim(col("embedding"), col("centroid")).desc, col("cluster_id"))
     vectors.select(col("vec_id"), col("embedding"))
@@ -210,9 +229,9 @@ object Similarity {
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               nCentroids: Int = 16, nProbe: Int = 4, iters: Int = 3): DataFrame = {
-    val centroids = kmeansCentroids(corpus, nCentroids, iters).localCheckpoint()
-    val corpusIdx = assignClusters(corpus, centroids, 1)
-      .join(corpus.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+    // kmeansCentroids checkpoints its final iteration — already materialized
+    val centroids = kmeansCentroids(corpus, nCentroids, iters)
+    val corpusIdx = argmaxAssign(corpus, centroids)
     val queryIdx = assignClusters(queries, centroids, nProbe)
       .join(queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
             col("vec_id") === col("q_id"))

@@ -36,15 +36,22 @@ def main():
     runs = int(sys.argv[3]) if len(sys.argv) > 3 else 5
     oracles = json.load(open(oracle_path))
     totals = []
-    last_per = None
+    pers = []
     for i in range(runs):
         total, per = one_run(sf_dir, oracles)
         totals.append(total)
-        last_per = per
+        pers.append(per)
         print(f"run {i+1}: {total:.1f} s")
     med = statistics.median(totals)
     print(f"median of {runs}: {med:.1f} s  (range {min(totals):.1f}-{max(totals):.1f})")
-    print("heaviest:", sorted(last_per.items(), key=lambda kv: -kv[1])[:8])
+    # per-query medians across runs — the head-to-head table's DuckDB column
+    per_med = {n: statistics.median(p[n] for p in pers) for n in pers[0]}
+    out = {"median_total_sec": round(med, 2), "runs": runs, "sf_dir": sf_dir,
+           "per_query_sec": {n: round(s, 4) for n, s in sorted(per_med.items())}}
+    with open("baseline_per_query.json", "w") as f:
+        json.dump(out, f, indent=1)
+    print("heaviest:", sorted(per_med.items(), key=lambda kv: -kv[1])[:8])
+    print("wrote baseline_per_query.json")
 
 if __name__ == "__main__":
     main()
