@@ -547,6 +547,30 @@ object CatalogExt {
               |SELECT t.lang, t.n AS n_docs, t.keep_per_10k, COALESCE(k.n_kept, 0) AS n_kept
               |FROM thr t LEFT JOIN k USING (lang) ORDER BY t.lang""".stripMargin)),
 
+    // ── train→eval decontamination: train docs sharing ≥2 distinct word
+    //    5-gram shingles with any val/test doc (df-cap 50 kills
+    //    stop-shingles). The oracle rebuilds the same hash split, shingle
+    //    set, cap, and pair thresholds.
+    ("decontamination_report",
+      (spark, dir) =>
+        Curation.contaminationReport(Tables.documents(spark, dir))
+          .orderBy(col("doc_id")),
+      Some(s"""WITH sh AS (SELECT DISTINCT doc_id, unnest(${sqlShingles(5)}) AS g FROM documents),
+              |keep AS (SELECT g FROM sh GROUP BY g HAVING COUNT(*) <= 50),
+              |shc AS (SELECT sh.doc_id, sh.g FROM sh JOIN keep USING (g)),
+              |sp AS (SELECT doc_id,
+              |              CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+              |       FROM (SELECT doc_id, $sqlHashBucket100 AS b FROM documents)),
+              |pairs AS (
+              |  SELECT t.doc_id AS train_id, e.doc_id AS eval_id, COUNT(*) AS shared
+              |  FROM shc t JOIN sp st ON t.doc_id = st.doc_id AND st.split = 'train'
+              |  JOIN shc e ON t.g = e.g
+              |  JOIN sp se ON e.doc_id = se.doc_id AND se.split <> 'train'
+              |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+              |SELECT train_id AS doc_id, COUNT(*) AS n_eval_docs, MAX(shared) AS max_shared,
+              |       CAST(SUM(shared) AS BIGINT) AS total_shared
+              |FROM pairs GROUP BY 1 ORDER BY doc_id""".stripMargin)),
+
     // ── IVF approximate NN: float-mean k-means centroids are not
     //    engine-portable (FP summation order), so no DuckDB twin exists —
     //    the driver records a rows-only check here; the recall bound vs

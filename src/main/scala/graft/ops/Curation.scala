@@ -145,6 +145,61 @@ object Curation {
                 .as("keep_per_10k"))
   }
 
+  /** Train→eval decontamination scan: train-split documents sharing at
+    * least `minShared` distinct word `n`-gram shingles with any val/test
+    * document — the standard pre-training hygiene pass that keeps held-out
+    * data from leaking into the training corpus verbatim or near-verbatim.
+    *
+    * Shape is the inverted-index join (same as [[Dedup.ngramJaccardPairs]]):
+    * explode shingles once, df-cap kills the ubiquitous stop-shingles that
+    * would otherwise dominate the join (`maxShingleDf`, 0 = off), then a
+    * train-side × eval-side equi-join on the shingle — shuffle ∝ postings,
+    * never |train|×|eval|. The split comes from [[assignSplit]] so the scan
+    * is consistent with the manifest the pipeline actually trains on.
+    *
+    * Returns one row per contaminated train doc:
+    * (doc_id, n_eval_docs, max_shared, total_shared).
+    */
+  def contaminationReport(docs: DataFrame, n: Int = 5, minShared: Int = 2,
+                          maxShingleDf: Int = 50,
+                          trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val sh = TextAnalysis.explodeShingles(docs, n)
+    val capped =
+      if (maxShingleDf > 0) {
+        val keep = sh.groupBy("g").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxShingleDf).select("g")
+        sh.join(keep, Seq("g"), "left_semi")
+      } else sh
+    // both join sides derive from the capped postings — materialize once
+    // (the persisted inverted-index intermediate at cluster scale)
+    val p = capped
+      .withColumn("split", assignSplit(col("doc_id"), trainPct, valPct))
+      .localCheckpoint()
+    val tr = p.filter(col("split") === "train")
+      .select(col("doc_id").as("train_id"), col("g"))
+    val ev = p.filter(col("split") =!= "train")
+      .select(col("doc_id").as("eval_id"), col("g"))
+    // shuffle_hash for the same reason as the Jaccard join: high-cardinality
+    // shingle key with df-capped groups — nothing to gain from sorting
+    tr.hint("shuffle_hash").join(ev, Seq("g"))
+      .groupBy("train_id", "eval_id").agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .groupBy(col("train_id").as("doc_id"))
+      .agg(count(lit(1)).as("n_eval_docs"), max(col("shared")).as("max_shared"),
+           sum(col("shared")).as("total_shared"))
+  }
+
+  /** The actionable form: the train split with contaminated documents
+    * removed (left anti against [[contaminationReport]]).
+    */
+  def decontaminatedTrain(docs: DataFrame, n: Int = 5, minShared: Int = 2,
+                          maxShingleDf: Int = 50,
+                          trainPct: Int = 80, valPct: Int = 10): DataFrame =
+    docs.filter(assignSplit(col("doc_id"), trainPct, valPct) === "train")
+      .join(contaminationReport(docs, n, minShared, maxShingleDf, trainPct, valPct)
+              .select("doc_id"),
+            Seq("doc_id"), "left_anti")
+
   def balancedSample(docs: DataFrame, groupCol: String = "lang",
                      keyCol: String = "doc_id", mod: Int = 10000): DataFrame = {
     // materialized for the same two-consumer reason as in [[weightedSample]]

@@ -146,6 +146,31 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("contaminationReport flags exactly the train docs sharing eval shingles; decontaminatedTrain drops them") {
+    // classify ids by the real hash split, then plant a leaked text into two
+    // train docs and one eval doc; remaining train docs get fully
+    // id-specific tokens (no cross-doc 5-gram can exist)
+    val ids = (1L to 200L).toSeq
+    val splits = ids.toDF("doc_id")
+      .select(col("doc_id"), Curation.assignSplit(col("doc_id")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val trainIds = ids.filter(splits(_) == "train")
+    val evalIds = ids.filter(splits(_) != "train")
+    val leak = "alpha beta gamma delta epsilon zeta eta theta" // 4 distinct 5-grams
+    val docs = (trainIds.take(2).map(id => (id, leak)) ++
+        evalIds.take(1).map(id => (id, leak)) ++
+        trainIds.slice(2, 5).map(id => (id, s"a$id b$id c$id d$id e$id f$id")))
+      .toDF("doc_id", "text")
+    val rep = Curation.contaminationReport(docs).collect()
+    assert(rep.map(_.getLong(0)).toSet == trainIds.take(2).toSet,
+      "exactly the leaked train docs are flagged")
+    assert(rep.forall(_.getAs[Long]("max_shared") == 4),
+      "an identical 8-token doc shares all 4 of its 5-gram shingles")
+    val dec = Curation.decontaminatedTrain(docs).select("doc_id").as[Long].collect().toSet
+    assert(dec == trainIds.slice(2, 5).toSet,
+      "decontaminated train = train minus flagged, nothing else")
+  }
+
   test("balancedSample keeps the minority group whole and downsamples the rest deterministically") {
     val out = Curation.balancedSample(docs).cache()
     val before = docs.groupBy("lang").count().collect()

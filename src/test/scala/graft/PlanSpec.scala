@@ -130,4 +130,23 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
            p.contains("BroadcastHashJoin"), p)
   }
+
+  test("ivf_topk: corpus assignment is a partial-agg argmax — no explode, no corpus re-join window") {
+    // the round-4 shape fix: nearest-centroid corpus assignment must be a
+    // max_by aggregate (map-side combine), never a corpus-wide ranking
+    // window; the only Generate allowed is topKPerQuery's result-array
+    // explode (kmeans' interior is behind its checkpoints and can't appear)
+    val p = plan("ivf_topk")
+    assert(p.contains("max_by"), p)
+    assert(!p.contains("posexplode"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("decontamination_report: shuffle-hash inverted-index join, no nested loops") {
+    val p = plan("decontamination_report")
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_"), p)
+  }
 }
