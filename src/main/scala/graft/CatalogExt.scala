@@ -342,6 +342,27 @@ object CatalogExt {
               |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // ── quality scoring (length / distinct / stopword components).
+    // ── Gopher-style repetition metrics: duplicate-token / duplicate-bigram
+    //    fractions and the top-bigram share — exact integer-count ratios
+    //    (one double division each, engine-portable, no rounding).
+    ("repetition_scores",
+      (spark, dir) =>
+        TextAnalysis.repetitionScores(Tables.documents(spark, dir))
+          .orderBy(col("doc_id")),
+      Some(s"""WITH t1 AS (SELECT doc_id, unnest(${sqlShingles(1)}) AS g FROM documents),
+              |c1 AS (SELECT doc_id, g, COUNT(*) AS c FROM t1 GROUP BY 1, 2),
+              |s1 AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS total, COUNT(*) AS dist
+              |       FROM c1 GROUP BY 1),
+              |t2 AS (SELECT doc_id, unnest(${sqlShingles(2)}) AS g FROM documents),
+              |c2 AS (SELECT doc_id, g, COUNT(*) AS c FROM t2 GROUP BY 1, 2),
+              |s2 AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS total, COUNT(*) AS dist, MAX(c) AS top
+              |       FROM c2 GROUP BY 1)
+              |SELECT s1.doc_id, s1.total AS n_tokens,
+              |       1.0 - CAST(s1.dist AS DOUBLE) / s1.total AS dup_token_frac,
+              |       1.0 - CAST(s2.dist AS DOUBLE) / s2.total AS dup_2gram_frac,
+              |       CAST(s2.top AS DOUBLE) / s2.total AS top_2gram_frac
+              |FROM s1 JOIN s2 ON s1.doc_id = s2.doc_id ORDER BY s1.doc_id""".stripMargin)),
+
     ("quality_scores",
       (spark, dir) => {
         val q = TextAnalysis.qualityColumns(col("text"))

@@ -123,4 +123,36 @@ object TextAnalysis {
   /** UDTF analogue (SURVEY §2.10): explode to one row per token. */
   def explodeTokens(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.select(col("doc_id"), explode(tokens(col(textCol))).as("token"))
+
+  /** Gopher-style intra-document repetition metrics — the standard quality
+    * gate for machine-generated/boilerplate text: fraction of duplicate
+    * tokens, fraction of duplicate word bigrams, and the share of the
+    * single most frequent bigram. All three are exact integer-count ratios
+    * (one double division each — engine-portable bit-for-bit, so no
+    * rounding). Shape: one explode + a two-level aggregate per n-gram
+    * order; the second level is one row per (doc, gram) — the first
+    * aggregate combines map-side, so the shuffle is bounded by distinct
+    * (doc, gram) pairs, not token count.
+    *
+    * Returns (doc_id, n_tokens, dup_token_frac, dup_2gram_frac,
+    * top_2gram_frac).
+    */
+  def repetitionScores(docs: DataFrame): DataFrame = {
+    def stats(n: Int, pfx: String) =
+      explodeShingles(docs, n, distinct = false)
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as(s"${pfx}_total"),
+             count(lit(1)).as(s"${pfx}_distinct"),
+             max(col("c")).as(s"${pfx}_top"))
+    stats(1, "tok").join(stats(2, "big"), Seq("doc_id"))
+      .select(col("doc_id"),
+              col("tok_total").as("n_tokens"),
+              (lit(1.0) - col("tok_distinct").cast("double") / col("tok_total"))
+                .as("dup_token_frac"),
+              (lit(1.0) - col("big_distinct").cast("double") / col("big_total"))
+                .as("dup_2gram_frac"),
+              (col("big_top").cast("double") / col("big_total"))
+                .as("top_2gram_frac"))
+  }
 }

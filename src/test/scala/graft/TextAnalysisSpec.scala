@@ -58,6 +58,22 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(1L) == "en" && out(2L) == "und")
   }
 
+  test("repetitionScores: exact fractions on a hand-computed doc") {
+    // "a b a b a": 5 tokens, 2 distinct → dup_token_frac = 3/5
+    // bigrams: [a b, b a, a b, b a] → 4 total, 2 distinct → dup = 1/2;
+    // top bigram "a b" appears 2/4 → 1/2
+    val df = Seq((1L, "a b a b a"), (2L, "x y z w")).toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionScores(df).orderBy("doc_id").collect()
+    assert(r(0).getAs[Long]("n_tokens") == 5L)
+    assert(r(0).getAs[Double]("dup_token_frac") == 1.0 - 2.0 / 5)
+    assert(r(0).getAs[Double]("dup_2gram_frac") == 0.5)
+    assert(r(0).getAs[Double]("top_2gram_frac") == 0.5)
+    // fully distinct doc: all zeros except top share 1/3
+    assert(r(1).getAs[Double]("dup_token_frac") == 0.0)
+    assert(r(1).getAs[Double]("dup_2gram_frac") == 0.0)
+    assert(r(1).getAs[Double]("top_2gram_frac") == 1.0 / 3)
+  }
+
   test("fingerprint min/max are stable hex strings") {
     val df = Seq((1L, "a b c d e f g h")).toDF("doc_id", "text")
     val f = TextAnalysis.fingerprint(col("text"))
