@@ -163,18 +163,19 @@ object Curation {
   def contaminationReport(docs: DataFrame, n: Int = 5, minShared: Int = 2,
                           maxShingleDf: Int = 50,
                           trainPct: Int = 80, valPct: Int = 10): DataFrame = {
-    val sh = TextAnalysis.explodeShingles(docs, n)
+    // materialize the raw postings once; the df cap is then a broadcast
+    // anti-join against the tiny Zipf-head overflow set, map-side over the
+    // checkpointed postings for both join sides (same shape + rationale as
+    // [[Dedup.ngramJaccardPairs]])
+    val sh = TextAnalysis.explodeShingles(docs, n).localCheckpoint()
     val capped =
       if (maxShingleDf > 0) {
-        val keep = sh.groupBy("g").agg(count(lit(1)).as("df"))
-          .filter(col("df") <= maxShingleDf).select("g")
-        sh.join(keep, Seq("g"), "left_semi")
+        val overflow = sh.groupBy("g").agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxShingleDf).select("g")
+        sh.join(broadcast(overflow), Seq("g"), "left_anti")
       } else sh
-    // both join sides derive from the capped postings — materialize once
-    // (the persisted inverted-index intermediate at cluster scale)
     val p = capped
       .withColumn("split", assignSplit(col("doc_id"), trainPct, valPct))
-      .localCheckpoint()
     val tr = p.filter(col("split") === "train")
       .select(col("doc_id").as("train_id"), col("g"))
     val ev = p.filter(col("split") =!= "train")

@@ -232,19 +232,25 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double,
                         maxShingleDf: Int = 0): DataFrame = {
-    val sh = TextAnalysis.explodeShingles(docs, n)
-    val postings =
+    // Materialize the raw postings once (the natural persisted
+    // inverted-index intermediate at cluster scale) — every consumer below
+    // (df-cap aggregate, both self-join sides, sizes) derives from it, and
+    // without the checkpoint the shingle explode re-runs per consumer.
+    val sh = TextAnalysis.explodeShingles(docs, n).localCheckpoint()
+    // The df cap drops the OVERFLOW shingles (df > cap) — a Zipf-head set
+    // orders of magnitude smaller than the kept universe, so the cap is a
+    // broadcast anti-join (map-side over the checkpointed postings) instead
+    // of a full postings-shuffle semi-join (measured 1.4 → 1.2 s at sf0.1;
+    // one full shuffle fewer at any scale). Pathological corpora where the
+    // overflow head itself is huge would want the semi-join form back —
+    // with natural-language shingles it is bounded by a few thousand stop
+    // phrases.
+    val p =
       if (maxShingleDf > 0) {
-        val keep = sh.groupBy("g").agg(count(lit(1)).as("df"))
-          .filter(col("df") <= maxShingleDf).select("g")
-        sh.join(keep, Seq("g"), "left_semi")
-      } else sh
-    // Materialize the postings relation before the self-join: both sides
-    // derive from it, and without the checkpoint the whole shingle
-    // explode(+df-cap semi-join) pipeline runs once per side. The relation is
-    // (doc_id, shingle) — the natural persisted inverted-index intermediate
-    // at cluster scale.
-    val p = postings.select("doc_id", "g").localCheckpoint()
+        val overflow = sh.groupBy("g").agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxShingleDf).select("g")
+        sh.join(broadcast(overflow), Seq("g"), "left_anti").select("doc_id", "g")
+      } else sh.select("doc_id", "g")
     // Per-doc (capped-universe) set sizes join onto the PAIR AGGREGATE, not
     // onto the postings: the only full-size shuffles are then the inverted-
     // index self-join on `g` and the pair aggregation, while the sizes
