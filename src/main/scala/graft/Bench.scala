@@ -109,7 +109,7 @@ object Bench {
     // Pinned comparator (BASELINE.md "Measured comparator"): the DuckDB
     // oracle-suite total on the identical sf0.1 parquet, 32 threads,
     // 3-pass per-query min. Override via env when re-measuring.
-    val baselineQuiet = sys.env.getOrElse("SPARK_GRAFT_BASELINE_SEC", "18.3").toDouble
+    val baselineQuiet = sys.env.getOrElse("SPARK_GRAFT_BASELINE_SEC", "18.1").toDouble
     // Host-speed calibration (BASELINE.md "Host-speed calibration"): the
     // shared build host has multi-minute windows where EVERYTHING runs
     // 20-85% slower (hypervisor-level; guest vmstat shows idle CPU while

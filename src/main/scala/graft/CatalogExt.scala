@@ -497,6 +497,36 @@ object CatalogExt {
               |       COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens
               |FROM o GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // ── materialized packed sequences: the actual training-file payload —
+    //    member docs concatenated in packing order per (shard, seq).
+    ("packed_text",
+      (spark, dir) =>
+        Curation.packedText(Tables.documents(spark, dir), budget = 2048)
+          .orderBy(col("shard"), col("seq_id")),
+      Some(s"""WITH t AS (
+              |  SELECT source AS shard, doc_id, text, len($sqlTokens) AS n_tokens FROM documents),
+              |o AS (
+              |  SELECT shard, doc_id, text,
+              |         SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+              |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS start_off
+              |  FROM t)
+              |SELECT shard, CAST(floor(CAST(start_off AS DOUBLE) / 2048) AS BIGINT) AS seq_id,
+              |       COUNT(*) AS n_docs, string_agg(text, ' ' ORDER BY doc_id) AS seq_text
+              |FROM o GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ── deterministic stratified sample: k smallest-hash docs per language
+    //    (partial-agg top-k — no per-stratum ranking window).
+    ("stratified_sample",
+      (spark, dir) =>
+        Curation.stratifiedSample(Tables.documents(spark, dir), 10)
+          .orderBy(col("lang"), col("doc_id")),
+      Some(s"""SELECT lang, doc_id FROM documents
+              |QUALIFY row_number() OVER (
+              |  PARTITION BY lang
+              |  ORDER BY CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS UBIGINT) AS BIGINT),
+              |           doc_id) <= 10
+              |ORDER BY lang, doc_id""".stripMargin)),
+
     // ── mixture rebalancing: language-balanced deterministic downsample —
     //    per-language keep-rates from two tiny aggregates, then a map-side
     //    hash-threshold filter; summarized per language.

@@ -87,6 +87,28 @@ object Curation {
       .groupBy(col("shard"), col("seq_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("seq_tokens"))
 
+  /** Materialized packed sequences: the actual training-file payload —
+    * per (shard, seq_id), member docs concatenated in the packing order
+    * ((doc_id, n_tokens), same tie rule as [[packSequences]]). The ordered
+    * concat is `array_sort(collect_list(struct(...)))` inside one
+    * aggregate: per-group state is bounded by the token budget's document
+    * count, so the writer stage stays one shuffle with map-side partial
+    * collection — no window, no global order. Requires unique `doc_id`s
+    * (the text join key; [[packSequences]] itself does not).
+    */
+  def packedText(docs: DataFrame, budget: Int,
+                 shardCol: String = "source"): DataFrame =
+    packSequences(docs, budget, shardCol)
+      .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+      .groupBy(col("shard"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+           array_join(
+             transform(
+               array_sort(collect_list(struct(col("doc_id"), col("n_tokens"),
+                                              col("text")))),
+               e => e.getField("text")),
+             " ").as("seq_text"))
+
   /** Mixture rebalancing: deterministically downsample every group to the
     * size of the smallest (here: language-balanced sampling). Two tiny
     * aggregates produce per-group keep-rates (`keep_per_10k =
@@ -200,6 +222,33 @@ object Curation {
       .join(contaminationReport(docs, n, minShared, maxShingleDf, trainPct, valPct)
               .select("doc_id"),
             Seq("doc_id"), "left_anti")
+
+  /** Deterministic stratified sample: the `k` documents with the smallest
+    * key-hash per group — a fixed-size per-stratum eval/debug sample that,
+    * like everything here, is a pure function of the keys (growing the
+    * corpus only displaces a doc when a smaller-hash doc enters its group).
+    *
+    * Routed through the partial-aggregating [[TopKByScore]] (score =
+    * negated 48-bit hash — exact in a double, ties toward the smaller id),
+    * so each map task reduces its slice to ≤ k rows before the shuffle —
+    * the ranking-window form would hold a whole stratum in one task, the
+    * 100 TB top-k killer shape (same rationale as `Similarity.cosineTopK`).
+    */
+  def stratifiedSample(docs: DataFrame, k: Int, groupCol: String = "lang",
+                       keyCol: String = "doc_id"): DataFrame = {
+    require(k > 0, s"sample size must be positive, got $k")
+    val h48 = conv(substring(md5(col(keyCol).cast("string").cast("binary")), 1, 12), 16, 10)
+      .cast("long")
+    val topk = udaf(new TopKByScore(k),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaDouble))
+    docs.select(col(groupCol), col(keyCol).cast("long").as("__id"),
+                negate(h48.cast("double")).as("__s"))
+      .groupBy(col(groupCol))
+      .agg(topk(col("__id"), col("__s")).as("tk"))
+      .select(col(groupCol), explode(col("tk")).as("e"))
+      .select(col(groupCol), col("e._1").as(keyCol))
+  }
 
   def balancedSample(docs: DataFrame, groupCol: String = "lang",
                      keyCol: String = "doc_id", mod: Int = 10000): DataFrame = {

@@ -146,6 +146,35 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("packedText: seq texts in seq order reconstruct each shard's doc concat exactly") {
+    val packed = Curation.packedText(docs, budget = 512).collect()
+    val docsByShard = docs.select(col("source"), col("doc_id"), col("text")).collect()
+      .groupBy(_.getString(0))
+    packed.groupBy(_.getAs[String]("shard")).foreach { case (shard, rows) =>
+      val whole = rows.sortBy(_.getAs[Long]("seq_id"))
+        .map(_.getAs[String]("seq_text")).mkString(" ")
+      val expect = docsByShard(shard).sortBy(_.getLong(1)).map(_.getString(2)).mkString(" ")
+      assert(whole == expect, s"shard $shard: packed text does not reconstruct the corpus")
+    }
+  }
+
+  test("stratifiedSample: k per full stratum, subset-monotone in k, stable under repartitioning") {
+    val s10 = Curation.stratifiedSample(docs, 10).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val counts = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val by = s10.groupBy(_._1)
+    counts.foreach { case (lang, n) =>
+      assert(by(lang).length == math.min(10L, n), s"$lang sample size off") }
+    // the min-hash prefix property: a smaller k samples a subset
+    val s5 = Curation.stratifiedSample(docs, 5).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(s5.subsetOf(s10.toSet), "k=5 must be a prefix of k=10")
+    val again = Curation.stratifiedSample(docs.repartition(7), 10).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(again == s10.toSet, "sample moved under repartitioning")
+  }
+
   test("contaminationReport flags exactly the train docs sharing eval shingles; decontaminatedTrain drops them") {
     // classify ids by the real hash split, then plant a leaked text into two
     // train docs and one eval doc; remaining train docs get fully
