@@ -176,7 +176,10 @@ object Similarity {
       argmaxAssign(corpus, centroids)
         .groupBy(col("cluster_id"))
         .agg(array(meanLanes: _*).as("centroid"))
-        .localCheckpoint() // sever per-iteration lineage (same rule as dupClusters)
+        // sever per-iteration lineage: measured against carrying the nested
+        // broadcast chain to one deep final plan — the checkpoint form wins
+        // (planning/codegen of the deep plan costs more than 3 small jobs)
+        .localCheckpoint()
     }
   }
 
