@@ -200,6 +200,29 @@ class CurationSpec extends AnyFunSuite {
       "decontaminated train = train minus flagged, nothing else")
   }
 
+  test("curation ops are total on an empty corpus") {
+    val empty = Seq.empty[(Long, String, String, String)]
+      .toDF("doc_id", "text", "lang", "source")
+    assert(Curation.packSequences(empty, 8).count() == 0)
+    assert(Curation.packedText(empty, 8).count() == 0)
+    assert(Curation.packingManifest(empty, 8).count() == 0)
+    assert(Curation.contaminationReport(empty).count() == 0)
+    assert(Curation.decontaminatedTrain(empty).count() == 0)
+    assert(Curation.stratifiedSample(empty, 5).count() == 0)
+    assert(Curation.balancedSample(empty).count() == 0)
+    assert(Curation.weightedSample(empty, Map("en" -> 1.0)).count() == 0)
+  }
+
+  test("decontamination partitions the train split: kept ⊎ flagged = train") {
+    val train = docs.filter(Curation.assignSplit(col("doc_id")) === "train")
+    val flagged = Curation.contaminationReport(docs).select("doc_id")
+    val kept = Curation.decontaminatedTrain(docs)
+    assert(kept.count() + flagged.count() == train.count(),
+      "every flagged doc is a train doc and is removed exactly once")
+    assert(kept.join(flagged, Seq("doc_id"), "left_semi").count() == 0,
+      "kept and flagged are disjoint")
+  }
+
   test("balancedSample keeps the minority group whole and downsamples the rest deterministically") {
     val out = Curation.balancedSample(docs).cache()
     val before = docs.groupBy("lang").count().collect()
