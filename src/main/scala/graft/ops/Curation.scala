@@ -223,6 +223,23 @@ object Curation {
               .select("doc_id"),
             Seq("doc_id"), "left_anti")
 
+  /** Write a packed dataset ([[packedText]] output) as the training-ready
+    * disk layout: parquet partitioned by shard, sequences sorted within
+    * each shard file, file sizes bounded by `maxRecordsPerFile` — the
+    * shape a loader streams sequentially per shard. One shuffle
+    * (repartition on the partition key so each shard writes one file run,
+    * not one fragment per input task — the classic small-files failure at
+    * 1000 executors).
+    */
+  def writeShards(packed: DataFrame, path: String,
+                  maxRecordsPerFile: Int = 100000): Unit =
+    packed.repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("seq_id"))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile.toLong)
+      .partitionBy("shard")
+      .parquet(path)
+
   /** Deterministic stratified sample: the `k` documents with the smallest
     * key-hash per group — a fixed-size per-stratum eval/debug sample that,
     * like everything here, is a pure function of the keys (growing the

@@ -200,6 +200,24 @@ class CurationSpec extends AnyFunSuite {
       "decontaminated train = train minus flagged, nothing else")
   }
 
+  test("writeShards round-trips the packed dataset through a shard-partitioned layout") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    val packed = Curation.packedText(docs, budget = 512)
+    Curation.writeShards(packed, dir)
+    val back = spark.read.parquet(dir)
+    // partition discovery restores the shard column; content identical
+    assert(back.columns.toSet == packed.columns.toSet)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[String]("shard"), r.getAs[Long]("seq_id"),
+       r.getAs[Long]("n_docs"), r.getAs[String]("seq_text"))
+    assert(back.collect().map(key).toSet == packed.collect().map(key).toSet)
+    // one directory per shard (hive layout)
+    val shardDirs = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("shard=")).toSet
+    assert(shardDirs == packed.select("shard").distinct().collect()
+      .map(r => s"shard=${r.getString(0)}").toSet)
+  }
+
   test("curation ops are total on an empty corpus") {
     val empty = Seq.empty[(Long, String, String, String)]
       .toDF("doc_id", "text", "lang", "source")
