@@ -66,13 +66,22 @@ object Curation {
     * property).
     */
   def packSequences(docs: DataFrame, budget: Int,
-                    shardCol: String = "source"): DataFrame = {
+                    shardCol: String = "source"): DataFrame =
+    packedRows(docs, budget, shardCol, carryText = false)
+
+  /** Shared packing core: the shard-partitioned running sum, optionally
+    * carrying `text` through the window shuffle (one wider shuffle beats a
+    * second shuffle + doc_id join for the materialized form).
+    */
+  private def packedRows(docs: DataFrame, budget: Int, shardCol: String,
+                         carryText: Boolean): DataFrame = {
     require(budget > 0, s"token budget must be positive, got $budget")
     val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"), col("n_tokens"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = Seq(col(shardCol).as("shard"), col("doc_id"),
+                   size(TextAnalysis.tokens(col("text"))).as("n_tokens"))
     docs
-      .select(col(shardCol).as("shard"), col("doc_id"),
-              size(TextAnalysis.tokens(col("text"))).as("n_tokens"))
+      .select((if (carryText) base :+ col("text") else base): _*)
       .withColumn("start_off", sum(col("n_tokens")).over(w) - col("n_tokens"))
       .withColumn("seq_id", floor(col("start_off") / budget))
       .drop("start_off")
@@ -92,14 +101,14 @@ object Curation {
     * ((doc_id, n_tokens), same tie rule as [[packSequences]]). The ordered
     * concat is `array_sort(collect_list(struct(...)))` inside one
     * aggregate: per-group state is bounded by the token budget's document
-    * count, so the writer stage stays one shuffle with map-side partial
-    * collection — no window, no global order. Requires unique `doc_id`s
-    * (the text join key; [[packSequences]] itself does not).
+    * count, so the writer stage is one aggregate with map-side partial
+    * collection on top of the packing window — the text rides the window
+    * shuffle instead of paying a second shuffle + doc_id join (which would
+    * also re-impose a unique-id requirement this form does not have).
     */
   def packedText(docs: DataFrame, budget: Int,
                  shardCol: String = "source"): DataFrame =
-    packSequences(docs, budget, shardCol)
-      .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+    packedRows(docs, budget, shardCol, carryText = true)
       .groupBy(col("shard"), col("seq_id"))
       .agg(count(lit(1)).as("n_docs"),
            array_join(
