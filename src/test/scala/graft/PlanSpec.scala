@@ -142,6 +142,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("packed_text: text rides the packing window — no join in the plan") {
+    val p = plan("packed_text")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("Window"), p)
+  }
+
   test("decontamination_report: shuffle-hash inverted-index join, no nested loops") {
     val p = plan("decontamination_report")
     assert(p.contains("ShuffledHashJoin"), p)
