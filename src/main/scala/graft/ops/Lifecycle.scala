@@ -101,6 +101,32 @@ object Lifecycle {
   def newRecords(incoming: DataFrame, status: DataFrame, keys: Seq[String]): DataFrame =
     incoming.join(status, keys, "left_anti")
 
+  /** Bloom prescreen for J1/J2 at 100 TB: flag each incoming id with
+    * `maybe_existing` from a Bloom sketch of the status keys — `false` is
+    * definitive (no false negatives), so those rows skip the exact
+    * anti-join entirely; only the `true` slice (existing + ~fpp false
+    * positives) pays the shuffle. This is the runtime-filter pattern
+    * Spark applies to joins internally, surfaced as an explicit operator:
+    * the sketch is one aggregate over the status table (bits, not rows)
+    * and the probe is a map-side broadcast — no shuffle of `incoming` at
+    * all. With a daily incoming batch orders of magnitude smaller than
+    * the accumulated status table, the exact join's build side shrinks to
+    * the prescreen survivors.
+    *
+    * `numBits` defaults to ~10 bits/key (≈1% false-positive rate).
+    */
+  def bloomPrescreen(incoming: DataFrame, status: DataFrame,
+                     keyCol: String = "replay_id",
+                     expectedItems: Long = 1L << 20,
+                     numBitsPerKey: Int = 10): DataFrame = {
+    val bloom = status.agg(
+      org.apache.spark.sql.graft.SketchExpressions
+        .bloomAgg(col(keyCol), expectedItems, expectedItems * numBitsPerKey)
+        .as("__bf"))
+    incoming.withColumn("maybe_existing",
+      org.apache.spark.sql.graft.SketchExpressions.mightContain(bloom, col(keyCol)))
+  }
+
   /** J3 — membership of status rows in an observed id set (semi join),
     * fix_compacted_status.py:196.
     */

@@ -84,4 +84,23 @@ class LifecycleSpec extends AnyFunSuite {
     assert(failed.filter($"is_downloaded" ||
       coalesce($"is_retry_attempted", lit(false))).count() == 0)
   }
+
+  test("bloomPrescreen: no false negatives, few false positives, map-side plan") {
+    // incoming = every real status id (must ALL flag maybe) + synthetic
+    // ids absent from status (mostly definitely-new at ~1% fpp)
+    val real = status.select(col("replay_id"))
+    val fake = spark.range(1000000L, 1002000L)
+      .selectExpr("concat('zz-', id) AS replay_id")
+    val flagged = Lifecycle.bloomPrescreen(real.unionByName(fake), status).cache()
+    assert(flagged.filter(!col("maybe_existing")).join(real, Seq("replay_id"), "left_semi")
+      .count() == 0, "a present id was flagged definitely-new (false negative)")
+    val fakeFlagged = flagged.join(fake, Seq("replay_id"), "left_semi")
+      .filter(col("maybe_existing")).count()
+    assert(fakeFlagged < 100, s"false-positive rate too high: $fakeFlagged / 2000")
+    // the probe itself is map-side: broadcast of the one-row sketch, no
+    // shuffle join anywhere in the prescreen plan
+    val p = Lifecycle.bloomPrescreen(fake, status).queryExecution.executedPlan.toString
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+    flagged.unpersist()
+  }
 }
