@@ -142,6 +142,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("catalog-wide lint: no query plans a non-broadcast cartesian product") {
+    // tiny-relation crossJoin(broadcast(...)) plans as BroadcastNestedLoopJoin
+    // (bounded by the broadcast side — fine); a bare CartesianProduct means a
+    // full N×M shuffle product and is never acceptable in this catalog
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val p = fn(spark, TestSpark.sfDir).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product:\n$p")
+    }
+  }
+
   test("packed_text: text rides the packing window — no join in the plan") {
     val p = plan("packed_text")
     assert(!p.contains("Join"), p)
