@@ -17,9 +17,54 @@ case class FetchResult(replay_id: String, attempts: Int,
   * download.py:115,177-213, becomes `repartition(n)`).
   *
   * The transport is injected (`(id, attempt) => Either[(message, retryable),
-  * payload]`); production wires an HTTP client here, tests and the
-  * zero-egress environment wire a deterministic simulator.
+  * payload]`): [[HttpTransport.forUrl]] is the production HTTP client
+  * (exercised in FetchTopKSpec against a live in-process server — retries,
+  * backoff, and non-retryable classes verified over a real socket); the
+  * oracle'd catalog entry keeps a deterministic simulator so results stay
+  * hash-comparable.
   */
+/** Production HTTP transport for [[Fetch.fetchAll]] (reference
+  * `api.py:31,58-63,88-90`): GET `urlFor(id)` with the reference's timeout
+  * profile (3.05 s connect / 20 s read) and its status classification —
+  * 2xx ⇒ payload; 401/403/404 ⇒ non-retryable (a missing or forbidden
+  * replay never resolves by retrying); every other status, timeout, or
+  * connect error ⇒ retryable, feeding [[Fetch.fetchAll]]'s bounded
+  * exponential backoff.
+  *
+  * The `HttpClient` is a per-JVM lazy singleton (thread-safe, pooled
+  * connections), so every task on an executor shares one client — the
+  * returned transport closure captures only the pure `urlFor` function and
+  * the timeout, never the client itself, and stays serializable.
+  */
+object HttpTransport {
+
+  @transient private lazy val client: java.net.http.HttpClient =
+    java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofMillis(3050))
+      .build()
+
+  def forUrl(urlFor: String => String, readTimeoutMs: Long = 20000L)
+      : (String, Int) => Either[(String, Boolean), String] =
+    (id, _) =>
+      try {
+        val req = java.net.http.HttpRequest
+          .newBuilder(java.net.URI.create(urlFor(id)))
+          .timeout(java.time.Duration.ofMillis(readTimeoutMs))
+          .GET().build()
+        val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+        resp.statusCode() match {
+          case ok if ok >= 200 && ok < 300 => Right(resp.body())
+          case nr @ (401 | 403 | 404)      => Left((s"HTTP $nr", false))
+          case other                        => Left((s"HTTP $other", true))
+        }
+      } catch {
+        case e: java.net.http.HttpTimeoutException =>
+          Left((s"timeout: ${e.getMessage}", true))
+        case scala.util.control.NonFatal(e) =>
+          Left((s"${e.getClass.getSimpleName}: ${e.getMessage}", true))
+      }
+}
+
 object Fetch {
 
   def fetchAll(spark: SparkSession, ids: DataFrame,

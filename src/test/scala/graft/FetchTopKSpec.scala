@@ -37,6 +37,47 @@ class FetchTopKSpec extends AnyFunSuite {
     assert(r.attempts == 3 && r.error.contains("HTTP 503"))
   }
 
+  test("fetch over a live HTTP socket: backoff on 5xx, non-retryable 403/404 (S2 real transport)") {
+    // an in-process HTTP server standing in for the replay API: local[*]
+    // executors share the JVM, so the flaky-endpoint hit counter is visible
+    val hits = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/replay/", ex => {
+      val id = ex.getRequestURI.getPath.stripPrefix("/replay/").stripSuffix(".json")
+      val n = hits.merge(id, 1, (a, b) => a + b)
+      val (code, body) = id match {
+        case "flaky"     => if (n <= 2) (500, "err") else (200, s"""{"id":"$id"}""")
+        case "gone"      => (404, "nf")
+        case "locked"    => (403, "fb")
+        case "always500" => (500, "err")
+        case _           => (200, s"""{"id":"$id"}""")
+      }
+      val bytes = body.getBytes("UTF-8")
+      ex.sendResponseHeaders(code, bytes.length)
+      ex.getResponseBody.write(bytes); ex.close()
+    })
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      val ids = Seq("ok-1", "ok-2", "flaky", "gone", "locked", "always500").toDF("replay_id")
+      val out = Fetch.fetchAll(spark, ids,
+          graft.ops.HttpTransport.forUrl(id => s"http://127.0.0.1:$port/replay/$id.json"),
+          maxAttempts = 3, baseBackoffMs = 1L)
+        .collect().map(r => r.replay_id -> r).toMap
+      assert(out("ok-1").payload.contains("""{"id":"ok-1"}""") && out("ok-1").attempts == 1)
+      assert(out("flaky").payload.isDefined && out("flaky").attempts == 3,
+        "5xx retries with backoff until the endpoint recovers")
+      assert(out("gone").error.contains("HTTP 404") && out("gone").attempts == 1,
+        "404 never retries (api.py:88-90)")
+      assert(out("locked").error.contains("HTTP 403") && out("locked").attempts == 1)
+      assert(out("always500").error.contains("HTTP 500") && out("always500").attempts == 3,
+        "retry budget exhausts into the error channel")
+      assert(hits.get("flaky") == 3 && hits.get("gone") == 1,
+        "server-side hit counts confirm the classification went over the wire")
+    } finally server.stop(0)
+  }
+
   test("TopKByScore matches the window-based top-k (custom Aggregator)") {
     val emb = Tables.embeddings(spark, TestSpark.sfDir)
     val exact = graft.ops.Similarity
