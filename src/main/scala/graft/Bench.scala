@@ -10,6 +10,12 @@ object Bench {
               sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
       .config("spark.sql.adaptive.enabled",
               sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+      // re-measurement probes (SCALE.md "Measured config defaults"):
+      // AQE coalesce floor + advisory target, overridable per run
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+              sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION", "1m"))
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+              sys.env.getOrElse("SPARK_GRAFT_ADVISORY", "64m"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -536,20 +536,25 @@ object CatalogExt {
         // CurationSpec). keep_per_10k comes from the RATES relation, not
         // from the surviving rows — a group that keeps zero docs by hash
         // chance must still report its true threshold (as the oracle's
-        // `thr` CTE does), not a coalesced 0.
+        // `thr` CTE does). The rates relation is referenced exactly ONCE
+        // (broadcast into the corpus pass) and n_kept is a conditional sum
+        // in the same aggregate — every doc of every group flows in, so
+        // zero-kept groups survive without a second rates reference and
+        // the left-join + coalesce it needed (each extra reference of a
+        // derived relation is a re-execution or a checkpoint barrier).
         val docs = Tables.documents(spark, dir).select(col("lang"), col("doc_id"))
-        val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
-        val rates = counts.crossJoin(broadcast(counts.agg(min(col("n_docs")).as("min_n"))))
+        val rates = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+          .withColumn("min_n",
+            min(col("n_docs")).over(org.apache.spark.sql.expressions.Window.partitionBy()))
           .select(col("lang"), col("n_docs"),
                   floor(col("min_n").cast("double") * 10000 / col("n_docs"))
                     .cast("long").as("keep_per_10k"))
-        val keptCounts = docs
-          .join(broadcast(rates.select(col("lang"), col("keep_per_10k"))), Seq("lang"))
-          .filter(Curation.hashBucket(col("doc_id"), 10000) < col("keep_per_10k"))
-          .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
-        rates.join(keptCounts, Seq("lang"), "left")
-          .select(col("lang"), col("n_docs"), col("keep_per_10k"),
-                  coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+        docs.join(broadcast(rates), Seq("lang"))
+          .groupBy(col("lang"))
+          .agg(min(col("n_docs")).as("n_docs"),
+               min(col("keep_per_10k")).as("keep_per_10k"),
+               sum(when(Curation.hashBucket(col("doc_id"), 10000) < col("keep_per_10k"),
+                        1L).otherwise(0L)).as("n_kept"))
           .orderBy(col("lang"))
       },
       Some(s"""WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
@@ -571,15 +576,16 @@ object CatalogExt {
     //    (`s = min n/w`) and the binding-group exact-`mod` rule.
     ("weighted_mixture_sample",
       (spark, dir) => {
+        // same single-reference shape as lang_balanced_sample: rates
+        // broadcast into one corpus pass, n_kept as a conditional sum.
         val docs = Tables.documents(spark, dir).select(col("lang"), col("doc_id"))
         val rates = Curation.weightedRates(docs, mixtureWeights, groupCol = "lang")
-        val keptCounts = docs
-          .join(broadcast(rates.select(col("lang"), col("keep_per_10k"))), Seq("lang"))
-          .filter(Curation.hashBucket(col("doc_id"), 10000) < col("keep_per_10k"))
-          .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
-        rates.join(keptCounts, Seq("lang"), "left")
-          .select(col("lang"), col("n_docs"), col("keep_per_10k"),
-                  coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+        docs.join(broadcast(rates), Seq("lang"))
+          .groupBy(col("lang"))
+          .agg(min(col("n_docs")).as("n_docs"),
+               min(col("keep_per_10k")).as("keep_per_10k"),
+               sum(when(Curation.hashBucket(col("doc_id"), 10000) < col("keep_per_10k"),
+                        1L).otherwise(0L)).as("n_kept"))
           .orderBy(col("lang"))
       },
       Some(s"""WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
@@ -621,6 +627,94 @@ object CatalogExt {
               |SELECT train_id AS doc_id, COUNT(*) AS n_eval_docs, MAX(shared) AS max_shared,
               |       CAST(SUM(shared) AS BIGINT) AS total_shared
               |FROM pairs GROUP BY 1 ORDER BY doc_id""".stripMargin)),
+
+    // ── PII masking + markup scrub (ops/Scrub): the pre-dedup cleaning
+    //    pass of a training-data pipeline. The corpus is synthetic word
+    //    salad with no natural PII, so the query plants deterministic
+    //    doc_id-derived dirt (tag, email, phone, URL, IPv4) in every
+    //    document — the same synthesize-then-operate pattern as the
+    //    lifecycle model — and then runs the real operator. Entity counts
+    //    are mask-token counts in the output (literal-replace length
+    //    deltas — one codegen'd string op each, not four more regex scans;
+    //    equal to replacements made because the input reserves the bracket
+    //    vocabulary); residual_pii re-scans the cleaned text with the
+    //    one-pass PII alternation and must come out 0. Patterns are
+    //    RE2-safe and the oracle runs the identical strings, so the masked
+    //    text (and therefore chars_removed) is bit-for-bit portable.
+    ("pii_scrub_stats",
+      (spark, dir) => {
+        val dirty = concat(
+          col("text"),
+          lit(" <b>contact</b> user"), col("doc_id").cast("string"),
+          lit("@mail.example.org +1-555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit(" http://site"), (col("doc_id") % 7).cast("string"),
+          lit(".example.com/p/"), col("doc_id").cast("string"),
+          lit(" from 10."), (col("doc_id") % 200).cast("string"),
+          lit("."), ((col("doc_id") * 7) % 250).cast("string"),
+          lit("."), ((col("doc_id") * 13) % 250).cast("string"))
+        val staged = Tables.documents(spark, dir)
+          // ~15 regex passes per row make this pipeline CPU-bound, and the
+          // corpus arrives as few scan splits at small SF — spread the rows
+          // one slice per core before the scalar work (explicit N so AQE
+          // doesn't coalesce the exchange away; the shuffle carries only
+          // the input columns). On a cluster the scan already has the
+          // parallelism and this exchange is load-balancing, not rescue.
+          .repartition(spark.sparkContext.defaultParallelism)
+          .select(col("source"), dirty.as("s0"))
+          .withColumn("s1", Scrub.stripTags(col("s0")))
+          .withColumn("s2", Scrub.maskUrls(col("s1")))
+          .withColumn("s3", Scrub.maskEmails(col("s2")))
+          .withColumn("s4", Scrub.maskIps(col("s3")))
+          .withColumn("s5", Scrub.maskPhones(col("s4")))
+          .withColumn("clean", Scrub.normalizeWhitespace(col("s5")))
+        staged.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+               sum(Scrub.countMatches(col("s0"), Scrub.tagPattern)).as("n_tags"),
+               sum(Scrub.tokenCount(col("s5"), Scrub.urlToken)).as("n_urls"),
+               sum(Scrub.tokenCount(col("s5"), Scrub.emailToken)).as("n_emails"),
+               sum(Scrub.tokenCount(col("s5"), Scrub.ipToken)).as("n_ips"),
+               sum(Scrub.tokenCount(col("s5"), Scrub.phoneToken)).as("n_phones"),
+               countDistinct(Scrub.urlDomain(col("s1"))).as("n_domains"),
+               sum((length(col("s0")) - length(col("clean"))).cast("long"))
+                 .as("chars_removed"),
+               sum(Scrub.countMatches(col("clean"), Scrub.urlPattern) +
+                   Scrub.countMatches(col("clean"), Scrub.emailPattern) +
+                   Scrub.countMatches(col("clean"), Scrub.ipPattern) +
+                   Scrub.countMatches(col("clean"), Scrub.phonePattern))
+                 .as("residual_pii"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH d0 AS (
+             |  SELECT source,
+             |         text || ' <b>contact</b> user' || CAST(doc_id AS VARCHAR)
+             |              || '@mail.example.org +1-555-'
+             |              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+             |              || ' http://site' || CAST(doc_id % 7 AS VARCHAR)
+             |              || '.example.com/p/' || CAST(doc_id AS VARCHAR)
+             |              || ' from 10.' || CAST(doc_id % 200 AS VARCHAR)
+             |              || '.' || CAST((doc_id * 7) % 250 AS VARCHAR)
+             |              || '.' || CAST((doc_id * 13) % 250 AS VARCHAR) AS s0
+             |  FROM documents),
+             |d1 AS (SELECT *, regexp_replace(s0, '<[^<>]+>', ' ', 'g') AS s1 FROM d0),
+             |d2 AS (SELECT *, regexp_replace(s1, 'https?://[^ ]+', '[URL]', 'g') AS s2 FROM d1),
+             |d3 AS (SELECT *, regexp_replace(s2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g') AS s3 FROM d2),
+             |d4 AS (SELECT *, regexp_replace(s3, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '[IP]', 'g') AS s4 FROM d3),
+             |d5 AS (SELECT *, regexp_replace(s4, '\+?[0-9]{1,3}[-.][0-9]{3}[-.][0-9]{4}', '[PHONE]', 'g') AS s5 FROM d4),
+             |d6 AS (SELECT *, trim(regexp_replace(s5, '[ \t\n\r]+', ' ', 'g')) AS clean FROM d5)
+             |SELECT source, COUNT(*) AS n_docs,
+             |       CAST(SUM(len(regexp_extract_all(s0, '<[^<>]+>'))) AS BIGINT) AS n_tags,
+             |       CAST(SUM((length(s5) - length(replace(s5, '[URL]', ''))) // 5) AS BIGINT) AS n_urls,
+             |       CAST(SUM((length(s5) - length(replace(s5, '[EMAIL]', ''))) // 7) AS BIGINT) AS n_emails,
+             |       CAST(SUM((length(s5) - length(replace(s5, '[IP]', ''))) // 4) AS BIGINT) AS n_ips,
+             |       CAST(SUM((length(s5) - length(replace(s5, '[PHONE]', ''))) // 7) AS BIGINT) AS n_phones,
+             |       COUNT(DISTINCT regexp_extract(s1, 'https?://([^/ ]+)', 1)) AS n_domains,
+             |       CAST(SUM(length(s0) - length(clean)) AS BIGINT) AS chars_removed,
+             |       CAST(SUM(len(regexp_extract_all(clean, 'https?://[^ ]+'))
+             |              + len(regexp_extract_all(clean, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+             |              + len(regexp_extract_all(clean, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}'))
+             |              + len(regexp_extract_all(clean, '\+?[0-9]{1,3}[-.][0-9]{3}[-.][0-9]{4}'))) AS BIGINT) AS residual_pii
+             |FROM d6 GROUP BY source ORDER BY source""".stripMargin)),
 
     // ── IVF approximate NN: float-mean k-means centroids are not
     //    engine-portable (FP summation order), so no DuckDB twin exists —

@@ -157,18 +157,22 @@ object Curation {
     val spark = docs.sparkSession
     import spark.implicits._
     val wRel = weights.toSeq.toDF(groupCol, "__w")
-    // materialize the tiny counts relation: it feeds both the scale
-    // aggregate and the rate projection, and Spark does not dedupe common
-    // subplans — without this the full-corpus groupBy would run twice
     val counts = docs.groupBy(col(groupCol)).agg(count(lit(1)).as("n_docs"))
       .join(broadcast(wRel), Seq(groupCol))
-      .localCheckpoint()
     val perGroup = col("n_docs").cast("double") / col("__w")
-    val scale = counts.agg(min(perGroup).as("__s"))
-    // the binding group (n/w == s, bit-identical double recomputation) gets
-    // exactly `mod`: routing it through floor(s·w·mod/n) can land on mod-1
-    // when s carries rounding error, silently dropping scarcest-group docs
-    counts.crossJoin(broadcast(scale))
+    // the feasible scale s = min_g n_g/w_g rides a GLOBAL window over the
+    // counts relation — counts is |groups| rows post-aggregation (tiny by
+    // construction: groups are languages/sources), so one window task is
+    // free and the plan stays a single pass over counts. The earlier
+    // agg(min) + crossJoin(broadcast) form was two more jobs plus a
+    // localCheckpoint to stop the counts subtree running twice — measured
+    // locally, those scheduler round-trips were the whole cost of the op.
+    // The binding group (n/w == s, bit-identical double recomputation)
+    // gets exactly `mod`: routing it through floor(s·w·mod/n) can land on
+    // mod-1 when s carries rounding error, silently dropping
+    // scarcest-group docs.
+    counts
+      .withColumn("__s", min(perGroup).over(Window.partitionBy()))
       .select(col(groupCol), col("n_docs"),
               when(perGroup === col("__s"), lit(mod.toLong))
                 .otherwise(least(lit(mod.toLong),
@@ -278,14 +282,14 @@ object Curation {
 
   def balancedSample(docs: DataFrame, groupCol: String = "lang",
                      keyCol: String = "doc_id", mod: Int = 10000): DataFrame = {
-    // materialized for the same two-consumer reason as in [[weightedSample]]
-    val counts = docs.groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
-      .localCheckpoint()
-    val minN = counts.agg(min(col("n")).as("min_n"))
+    // min-group size rides a global window over the tiny counts relation
+    // (|groups| rows) — same single-pass shape and rationale as
+    // [[weightedRates]].
     // exact for any realistic counts: min_n·mod ≤ 2^53 keeps the double
     // product exact, and floor pins the integer threshold on both engines
     // (the minority group divides exactly: min_n·mod/min_n = mod)
-    val rates = counts.crossJoin(broadcast(minN))
+    val rates = docs.groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
+      .withColumn("min_n", min(col("n")).over(Window.partitionBy()))
       .select(col(groupCol),
               floor(col("min_n").cast("double") * mod / col("n"))
                 .cast("long").as("keep_per_10k"))
