@@ -868,8 +868,13 @@ object CatalogCore {
           // its child with a full extra pass, which would re-run the whole
           // synth→extract→anti-join pipeline; the surviving import batch is
           // small relative to the corpus (the same bounded-result argument as
-          // the LSH signature checkpoint, SCALE.md)
-          .localCheckpoint()
+          // the LSH signature checkpoint, SCALE.md). Lazy persist, not
+          // localCheckpoint: with a single consumer the sort's sampling pass
+          // doubles as the materialization, saving the eager job (measured
+          // 1.31 → 1.07 s; the reverse holds for the self-join
+          // materializations — see SCALE.md "Checkpoint only what
+          // re-executes expensively")
+          .persist()
           .orderBy(col("replay_id")),
       Some(s"""$S,
               |files AS (
