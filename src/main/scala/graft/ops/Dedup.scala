@@ -59,7 +59,11 @@ object Dedup {
     * scales out with the shuffle instead of per-row lambda depth).
     */
   def minhashSignatureTable(docs: DataFrame, k: Int = 8, shingleN: Int = 3): DataFrame =
-    TextAnalysis.explodeShingles(docs, shingleN)
+    // spread: k md5 evaluations per exploded shingle make this the
+    // heaviest map stage in the dedup family — the one place the
+    // parallelism-rescue shuffle repays itself (see
+    // TextAnalysis.ensureParallelism; measured 1.23 -> 0.60 s at sf0.1)
+    TextAnalysis.explodeShingles(docs, shingleN, spread = true)
       .groupBy("doc_id")
       .agg(
         min(md5(concat(col("g"), lit("#0")).cast("binary"))).as("s0"),

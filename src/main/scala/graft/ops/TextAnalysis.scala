@@ -16,6 +16,28 @@ object TextAnalysis {
   /** Whitespace tokenization — the shared basis for every operator here. */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** Guarantee a CPU-bound pipeline at least default-parallelism input
+    * slices. A corpus that arrives as fewer scan splits than cores (at
+    * test SF: one single-row-group parquet file = ONE task) runs its
+    * map-side stages serially; at cluster scale a large table scans as far
+    * more splits than cores, the condition is false, and this is a no-op —
+    * the shuffle exists exactly when parallelism is starved, never on the
+    * scale path.
+    *
+    * Opt-in per pipeline, NOT default: measured at sf0.1, it pays only
+    * where the per-row compute after the explode is heavy (the MinHash
+    * signature build — k md5s per shingle — went 1.23 → 0.60 s, and the
+    * banding query sharing the signature table 1.55 → 0.77 s), and LOSES
+    * where the explode feeds a cheap aggregate or a join (the extra
+    * shuffle plus the partition-count planning pass cost top_tokens
+    * 0.19 → 0.50 s, ngram_jaccard_dups 1.57 → 2.35 s). Parallelism is
+    * bought with a shuffle; only CPU-heavy stages repay it.
+    */
+  private[ops] def ensureParallelism(df: DataFrame): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
+  }
+
   /** A small English stopword list (intersects the corpus vocabulary). */
   val stopwords: Seq[String] =
     Seq("the", "a", "an", "and", "or", "of", "to", "in", "on", "for", "with", "is")
@@ -93,8 +115,9 @@ object TextAnalysis {
     * keeps the exploded row count down before it ever hits the pipeline.
     */
   def explodeShingles(docs: DataFrame, n: Int, textCol: String = "text",
-                      distinct: Boolean = true): DataFrame =
-    docs.select(col("doc_id"),
+                      distinct: Boolean = true,
+                      spread: Boolean = false): DataFrame =
+    (if (spread) ensureParallelism(docs) else docs).select(col("doc_id"),
       explode(org.apache.spark.sql.graft.TextExpressions
         .wordShingles(col(textCol), n, distinct)).as("g"))
 
