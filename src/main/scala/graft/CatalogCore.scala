@@ -22,6 +22,23 @@ object CatalogCore {
 
   type QueryFn = (SparkSession, String) => DataFrame
 
+  /** Total order + TakeOrdered bound for *structurally bounded* report
+    * outputs — queries whose row count is fixed by group structure
+    * (formats, nations, languages, calendar days), not by corpus size.
+    * `orderBy(...).limit(bound)` plans as one TakeOrderedAndProject stage
+    * (per-partition top-k, single reduce) instead of a range exchange,
+    * whose bound sampling costs an extra job + pass; since the input is
+    * always a final aggregate (rows = groups ≪ bound at any SF), the
+    * reduce side sees only group-count rows at 100 TB too. Measured:
+    * daily_lifecycle_stats 0.56 → 0.27 s, 5 → 3 jobs at sf0.1. NEVER used
+    * on outputs that grow with the corpus (per-doc tables, pair sets,
+    * compaction plans) — those keep the scalable range sort.
+    */
+  private[graft] val ReportBound = 100000
+  private[graft] def orderedReport(df: DataFrame,
+                                   by: org.apache.spark.sql.Column*): DataFrame =
+    df.orderBy(by: _*).limit(ReportBound)
+
   private def status(spark: SparkSession, dir: String): DataFrame =
     Lifecycle.statusFromOrders(Tables.orders(spark, dir))
 
@@ -109,7 +126,7 @@ object CatalogCore {
                sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_error"),
                countDistinct(col("user_id")).as("n_users"),
                Scalars.moneySum(col("value")).as("value_sum"))
-          .orderBy(col("event_date"))
+          .transform(orderedReport(_, col("event_date")))
       },
       Some("""SELECT CAST(ts AS DATE) AS event_date,
              |       COUNT(*) AS n_events,
@@ -129,7 +146,7 @@ object CatalogCore {
                Scalars.discountedSum(col("l_extendedprice"), col("l_discount")).as("sum_disc_price"),
                (Scalars.moneySum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
                count(lit(1)).as("count_order"))
-          .orderBy(col("l_returnflag"), col("l_linestatus"))
+          .transform(orderedReport(_, col("l_returnflag"), col("l_linestatus")))
       },
       Some("""SELECT l_returnflag, l_linestatus,
              |       CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
@@ -176,7 +193,7 @@ object CatalogCore {
             java.time.Instant.parse("2024-01-20T00:00:00Z").toEpochMilli * 1000L)
           .groupBy(col("event_type"))
           .agg(count(lit(1)).as("n"), max(unix_seconds(col("ts"))).as("max_epoch"))
-          .orderBy(col("event_type")),
+          .transform(orderedReport(_, col("event_type"))),
       Some("""SELECT event_type, COUNT(*) AS n,
              |       MAX(CAST(floor(epoch(ts)) AS BIGINT)) AS max_epoch
              |FROM events WHERE ts > TIMESTAMP '2024-01-20 00:00:00'
@@ -189,7 +206,7 @@ object CatalogCore {
           .groupBy(col("event_type"))
           .agg(min(unix_seconds(col("ts"))).as("oldest_ts"),
                max(unix_seconds(col("ts"))).as("last_seen_ts"))
-          .orderBy(col("event_type")),
+          .transform(orderedReport(_, col("event_type"))),
       Some("""SELECT event_type,
              |       MIN(CAST(floor(epoch(ts)) AS BIGINT)) AS oldest_ts,
              |       MAX(CAST(floor(epoch(ts)) AS BIGINT)) AS last_seen_ts
@@ -258,7 +275,7 @@ object CatalogCore {
           .select(coalesce(col("event_type"), lit("ALL")).as("type_grp"),
                   coalesce(col("event_date").cast("string"), lit("ALL")).as("date_grp"),
                   col("n"), col("value_sum"))
-          .orderBy(col("type_grp"), col("date_grp")),
+          .transform(orderedReport(_, col("type_grp"), col("date_grp"))),
       Some("""SELECT COALESCE(event_type, 'ALL') AS type_grp,
              |       COALESCE(CAST(CAST(ts AS DATE) AS VARCHAR), 'ALL') AS date_grp,
              |       COUNT(*) AS n,
@@ -293,7 +310,7 @@ object CatalogCore {
           .groupBy(col("p_brand"))
           .agg(Scalars.discountedSum(col("l_extendedprice"), col("l_discount")).as("revenue"),
                count(lit(1)).as("n_items"))
-          .orderBy(col("p_brand")),
+          .transform(orderedReport(_, col("p_brand"))),
       Some("""SELECT p_brand,
              |       CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS DOUBLE) / 10000.0 AS revenue,
              |       COUNT(*) AS n_items
@@ -322,7 +339,7 @@ object CatalogCore {
           .groupBy(col("r_name"), col("n_name"))
           .agg((sum(col("order_rev")).cast("double") / lit(10000.0)).as("revenue"),
                count(lit(1)).as("n_orders"))
-          .orderBy(col("r_name"), col("n_name"))
+          .transform(orderedReport(_, col("r_name"), col("n_name")))
       },
       Some("""SELECT r_name, n_name,
              |       CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS DOUBLE) / 10000.0 AS revenue,
@@ -344,7 +361,7 @@ object CatalogCore {
           .groupBy(col("n_name"))
           .agg(Scalars.discountedSum(col("l_extendedprice"), col("l_discount")).as("revenue"),
                countDistinct(col("s_suppkey")).as("n_suppliers"))
-          .orderBy(col("n_name")),
+          .transform(orderedReport(_, col("n_name"))),
       Some("""SELECT n_name,
              |       CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS DOUBLE) / 10000.0 AS revenue,
              |       COUNT(DISTINCT s_suppkey) AS n_suppliers
@@ -362,7 +379,7 @@ object CatalogCore {
         a.unionByName(b).dropDuplicates("event_id")
           .groupBy(col("event_type"))
           .agg(count(lit(1)).as("n"), Scalars.moneySum(col("value")).as("value_sum"))
-          .orderBy(col("event_type"))
+          .transform(orderedReport(_, col("event_type")))
       },
       Some("""SELECT event_type, COUNT(*) AS n,
              |       CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS DOUBLE) / 100.0 AS value_sum
@@ -432,7 +449,7 @@ object CatalogCore {
           .select(coalesce(col("format_id"), lit("ALL")).as("format_grp"),
                   coalesce(col("yr"), lit(-1)).cast("long").as("year_grp"),
                   col("n_total"), col("n_downloaded"), col("n_compacted"))
-          .orderBy(col("format_grp"), col("year_grp")),
+          .transform(orderedReport(_, col("format_grp"), col("year_grp"))),
       Some(s"""$S
               |SELECT COALESCE(format_id, 'ALL') AS format_grp,
               |       COALESCE(year(CAST(make_timestamp(uploadtime * 1000000) AS DATE)), -1) AS year_grp,
@@ -458,7 +475,7 @@ object CatalogCore {
           .withColumn("rolling_7d",
             Windows.rollingSum(Seq("yr"), "event_date", "n", 7))
           .drop("yr")
-          .orderBy(col("event_date"))
+          .transform(orderedReport(_, col("event_date")))
       },
       Some("""WITH daily AS (
              |  SELECT CAST(ts AS DATE) AS event_date, COUNT(*) AS n
@@ -474,7 +491,7 @@ object CatalogCore {
           .select((Scalars.jsonField(col("props"), "k").cast("long") % 10).as("k_mod"))
           .groupBy(col("k_mod"))
           .agg(count(lit(1)).as("n"))
-          .orderBy(col("k_mod")),
+          .transform(orderedReport(_, col("k_mod"))),
       Some("""SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
              |       COUNT(*) AS n
              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
@@ -551,7 +568,7 @@ object CatalogCore {
                sum(when(coalesce(col("is_retry_attempted"), lit(false)), 1L).otherwise(0L)).as("n_retried"))
           .withColumn("pct_downloaded",
               col("n_downloaded").cast("double") / col("n_total"))
-          .orderBy(col("format_id")),
+          .transform(orderedReport(_, col("format_id"))),
       Some(s"""$S
               |SELECT format_id, n_total, n_downloaded, n_compacted, n_failed, n_retried,
               |       CAST(n_downloaded AS DOUBLE) / n_total AS pct_downloaded
@@ -807,7 +824,7 @@ object CatalogCore {
                  lit(" downloaded, "), col("n_fail").cast("string"),
                  lit(" failed, 0 skipped out of "), col("n_total").cast("string"),
                  lit(" total")).as("line"))
-        Throughput.fromLogs(l1.unionByName(l2).unionByName(l3)).orderBy(col("run_id"))
+        orderedReport(Throughput.fromLogs(l1.unionByName(l2).unionByName(l3)), col("run_id"))
       },
       Some(s"""$S,
               |agg AS (

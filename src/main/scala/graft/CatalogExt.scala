@@ -226,7 +226,7 @@ object CatalogExt {
           .agg(round(expr("percentile(value, 0.5)"), 6).as("p50"),
                round(expr("percentile(value, 0.95)"), 6).as("p95"),
                Scalars.moneySum(col("value")).as("value_sum"))
-          .orderBy(col("event_type")),
+          .transform(CatalogCore.orderedReport(_, col("event_type"))),
       Some("""SELECT event_type,
              |       round(quantile_cont(value, 0.5), 6) AS p50,
              |       round(quantile_cont(value, 0.95), 6) AS p95,
@@ -474,7 +474,7 @@ object CatalogExt {
                   col("source"), col("n_chars"))
           .groupBy(col("split"), col("source"))
           .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
-          .orderBy(col("split"), col("source")),
+          .transform(CatalogCore.orderedReport(_, col("split"), col("source"))),
       Some(s"""SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
               |       source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
               |FROM (SELECT source, n_chars, $sqlHashBucket100 AS b FROM documents)
@@ -555,7 +555,7 @@ object CatalogExt {
                min(col("keep_per_10k")).as("keep_per_10k"),
                sum(when(Curation.hashBucket(col("doc_id"), 10000) < col("keep_per_10k"),
                         1L).otherwise(0L)).as("n_kept"))
-          .orderBy(col("lang"))
+          .transform(CatalogCore.orderedReport(_, col("lang")))
       },
       Some(s"""WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
               |m AS (SELECT MIN(n) AS min_n FROM c),
@@ -586,7 +586,7 @@ object CatalogExt {
                min(col("keep_per_10k")).as("keep_per_10k"),
                sum(when(Curation.hashBucket(col("doc_id"), 10000) < col("keep_per_10k"),
                         1L).otherwise(0L)).as("n_kept"))
-          .orderBy(col("lang"))
+          .transform(CatalogCore.orderedReport(_, col("lang")))
       },
       Some(s"""WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
               |w(lang, wt) AS (VALUES $sqlMixtureWeights),
@@ -683,7 +683,7 @@ object CatalogExt {
                    Scrub.countMatches(col("clean"), Scrub.ipPattern) +
                    Scrub.countMatches(col("clean"), Scrub.phonePattern))
                  .as("residual_pii"))
-          .orderBy(col("source"))
+          .transform(CatalogCore.orderedReport(_, col("source")))
       },
       Some("""WITH d0 AS (
              |  SELECT source,
