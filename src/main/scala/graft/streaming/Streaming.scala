@@ -70,6 +70,23 @@ object Streaming {
       .agg(count(lit(1)).as("n_events"),
            sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_error"))
 
+  /** Gap-based session windows over a watermarked stream — the streaming
+    * twin of the batch sessionizer (`AsOf.sessionize`, `user_sessions`
+    * query): a session closes when `gap` passes with no event for the key,
+    * exactly the lag-&gt;running-sum rule the batch form expresses. Uses the
+    * built-in `session_window` (dynamic merging windows), so state per key
+    * is one open window, bounded by the watermark — at ingest scale the
+    * state store holds only sessions that could still grow, the same
+    * bounded-state argument as [[dedupStream]].
+    */
+  def sessionStats(src: DataFrame, keyCol: String, eventTimeCol: String,
+                   gap: String, lateness: String): DataFrame =
+    src.withWatermark(eventTimeCol, lateness)
+      .groupBy(col(keyCol), session_window(col(eventTimeCol), gap).as("session"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(keyCol), col("session.start").as("session_start"),
+              col("session.end").as("session_end"), col("n_events"))
+
   /** Streaming dedup-on-append (U5's streaming twin; the training-data
     * surface's exact-dedup pass as a stream): drop rows whose `keys` were
     * already seen, holding per-key state only while the watermark allows a

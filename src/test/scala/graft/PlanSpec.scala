@@ -49,6 +49,31 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("bounded report outputs plan as TakeOrdered; corpus-sized outputs keep the range sort") {
+    // structurally bounded (groups don't grow with the corpus): one
+    // TakeOrderedAndProject stage, no range exchange + bound sampling
+    Seq("daily_lifecycle_stats", "nation_revenue", "lifecycle_rollup",
+        "pii_scrub_stats", "weighted_mixture_sample").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("TakeOrderedAndProject"), s"$q lost its TakeOrdered plan:\n$p")
+      assert(!p.contains("rangepartitioning"), s"$q still range-sorts:\n$p")
+    }
+    // corpus-sized outputs must NOT funnel through a single-reduce top-k
+    Seq("dedup_lineitem", "minhash_signatures", "quality_scores").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("rangepartitioning"), s"$q should keep the scalable range sort:\n$p")
+      assert(!p.contains("TakeOrderedAndProject"), s"$q must not TakeOrdered a corpus-sized output:\n$p")
+    }
+  }
+
+  test("mixture reports reference the rates relation once (no checkpoint barrier, no re-execution)") {
+    // the rates subtree appears exactly once: one scan of documents feeds
+    // the counts aggregate, one more feeds the corpus pass = 2 scans total
+    val p = plan("weighted_mixture_sample")
+    val scans = "FileScan parquet".r.findAllIn(p).length
+    assert(scans == 2, s"expected 2 documents scans (rates + corpus), got $scans:\n$p")
+  }
+
   test("additional_info_encode prunes the events scan to the three used columns") {
     val p = plan("additional_info_encode")
     assert(p.contains("ReadSchema: struct<event_id:bigint,user_id:bigint,props:string>"), p)

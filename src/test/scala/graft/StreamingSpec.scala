@@ -39,6 +39,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("gap-based session windows: events within the gap merge, beyond it split") {
+    val src = tmp("session-src")
+    rows(Seq(
+      ("u1", "2024-01-01 01:00:00", "click", false),
+      ("u1", "2024-01-01 01:10:00", "click", false),  // 10 min later: same session
+      ("u1", "2024-01-01 03:00:00", "click", false),  // > 30 min gap: new session
+      ("u2", "2024-01-01 01:05:00", "click", false)   // other key: own session
+    )).write.mode("append").parquet(src)
+    val stream = spark.readStream.schema(schema).parquet(src)
+    val q = Streaming.sessionStats(stream, "id", "ts", "30 minutes", "1 hour")
+      .writeStream.outputMode("complete").format("memory").queryName("sessions").start()
+    try {
+      q.processAllAvailable()
+      val out = spark.sql(
+          "SELECT id, date_format(session_start,'HH:mm') s, date_format(session_end,'HH:mm') e, n_events FROM sessions")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+      // session end = last event + gap (session_window semantics)
+      assert(out == Set(
+        ("u1", "01:00", "01:40", 2L),
+        ("u1", "03:00", "03:30", 1L),
+        ("u2", "01:05", "01:35", 1L)), out)
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState retry machine resolves and drops state (T5)") {
     implicit val s = spark
     val src = tmp("retry-src")
