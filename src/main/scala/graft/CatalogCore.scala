@@ -215,8 +215,9 @@ object CatalogCore {
     // ── W1 latest-row-per-key (db.py:133-154).
     ("latest_event_per_user",
       (spark, dir) =>
-        Windows.latestPerKey(Tables.events(spark, dir), Seq("user_id"),
-            Seq(col("ts").desc, col("event_id").desc))
+        Windows.latestPerKey(
+            Tables.events(spark, dir).repartitionByRange(col("user_id")),
+            Seq("user_id"), Seq(col("ts").desc, col("event_id").desc))
           .select(col("user_id"), col("event_id"), col("event_type"),
                   unix_seconds(col("ts")).as("epoch_s"))
           .orderBy(col("user_id")),
@@ -413,7 +414,9 @@ object CatalogCore {
     // ── A5 duplicate-key audit (cleanup_db.py:130-135).
     ("duplicate_order_audit",
       (spark, dir) =>
-        Lifecycle.duplicateAudit(Tables.lineitem(spark, dir), Seq("l_orderkey"))
+        Lifecycle.duplicateAudit(
+            Tables.lineitem(spark, dir).repartitionByRange(col("l_orderkey")),
+            Seq("l_orderkey"))
           .orderBy(col("l_orderkey")),
       Some("""SELECT l_orderkey, COUNT(*) AS n FROM lineitem
              |GROUP BY l_orderkey HAVING COUNT(*) > 1 ORDER BY l_orderkey""".stripMargin)),
@@ -429,7 +432,8 @@ object CatalogCore {
         // LifecycleSpec pins the two forms equal on this precedence.
         Lifecycle.dedupKeepFirstAgg(
             Tables.lineitem(spark, dir)
-              .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity")),
+              .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+              .repartitionByRange(col("l_orderkey")),
             Seq("l_orderkey"), Seq("l_linenumber", "l_quantity"))
           .orderBy(col("l_orderkey")),
       Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem

@@ -33,9 +33,15 @@ object TextAnalysis {
     * 0.19 → 0.50 s, ngram_jaccard_dups 1.57 → 2.35 s). Parallelism is
     * bought with a shuffle; only CPU-heavy stages repay it.
     */
-  private[ops] def ensureParallelism(df: DataFrame): DataFrame = {
+  private[ops] def ensureParallelism(df: DataFrame,
+                                     rangeKey: String = "doc_id"): DataFrame = {
     val cores = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
+    // range partitioning, not round-robin: rows with one key land together,
+    // so a downstream per-key aggregate needs no further exchange and a
+    // key-ordered output sorts within partitions (RangePartitioning
+    // satisfies both the clustered and the ordered distribution)
+    if (df.rdd.getNumPartitions < cores) df.repartitionByRange(cores, col(rangeKey))
+    else df
   }
 
   /** A small English stopword list (intersects the corpus vocabulary). */
