@@ -216,7 +216,7 @@ object CatalogCore {
     ("latest_event_per_user",
       (spark, dir) =>
         Windows.latestPerKey(
-            Tables.events(spark, dir).repartitionByRange(col("user_id")),
+            Tables.spread(Tables.events(spark, dir), col("user_id")),
             Seq("user_id"), Seq(col("ts").desc, col("event_id").desc))
           .select(col("user_id"), col("event_id"), col("event_type"),
                   unix_seconds(col("ts")).as("epoch_s"))
@@ -415,7 +415,7 @@ object CatalogCore {
     ("duplicate_order_audit",
       (spark, dir) =>
         Lifecycle.duplicateAudit(
-            Tables.lineitem(spark, dir).repartitionByRange(col("l_orderkey")),
+            Tables.spread(Tables.lineitem(spark, dir), col("l_orderkey")),
             Seq("l_orderkey"))
           .orderBy(col("l_orderkey")),
       Some("""SELECT l_orderkey, COUNT(*) AS n FROM lineitem
@@ -433,7 +433,7 @@ object CatalogCore {
         Lifecycle.dedupKeepFirstAgg(
             Tables.lineitem(spark, dir)
               .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
-              .repartitionByRange(col("l_orderkey")),
+              .transform(Tables.spread(_, col("l_orderkey"))),
             Seq("l_orderkey"), Seq("l_linenumber", "l_quantity"))
           .orderBy(col("l_orderkey")),
       Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
@@ -659,7 +659,8 @@ object CatalogCore {
     //    analytics surface, SURVEY §2.9 T7 extension).
     ("user_sessions",
       (spark, dir) =>
-        AsOf.sessionize(Tables.events(spark, dir), "user_id", "ts", col("event_id"), 1800)
+        AsOf.sessionize(Tables.spread(Tables.events(spark, dir), col("user_id")),
+            "user_id", "ts", col("event_id"), 1800)
           .groupBy(col("user_id"), col("session_no"))
           .agg(min(unix_seconds(col("ts"))).as("start_epoch"),
                max(unix_seconds(col("ts"))).as("end_epoch"),

@@ -328,7 +328,7 @@ object CatalogExt {
     ("lang_id",
       (spark, dir) => {
         val (ratio, predicted) = TextAnalysis.langId(col("text"))
-        Tables.documents(spark, dir)
+        Tables.spread(Tables.documents(spark, dir), col("doc_id"))
           .select(col("doc_id"), col("lang"),
                   ratio.as("en_ratio"), predicted.as("predicted"))
           .orderBy(col("doc_id"))
@@ -366,7 +366,7 @@ object CatalogExt {
     ("quality_scores",
       (spark, dir) => {
         val q = TextAnalysis.qualityColumns(col("text"))
-        Tables.documents(spark, dir)
+        Tables.spread(Tables.documents(spark, dir), col("doc_id"))
           .select(col("doc_id"), q("n_tokens").cast("long").as("n_tokens"),
                   q("n_distinct").cast("long").as("n_distinct"),
                   q("avg_token_len").as("avg_token_len"),
@@ -393,7 +393,7 @@ object CatalogExt {
     ("token_counts",
       (spark, dir) => {
         val (ws, bpe) = TextAnalysis.tokenCounts(col("text"))
-        Tables.documents(spark, dir)
+        Tables.spread(Tables.documents(spark, dir), col("doc_id"))
           // long, matching DuckDB's BIGINT len()/length()
           .select(col("doc_id"), ws.cast("long").as("ws_tokens"),
                   bpe.cast("long").as("bpe_tokens"),

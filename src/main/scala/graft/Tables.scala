@@ -30,6 +30,29 @@ object Tables {
     cache.computeIfAbsent((spark, dir, name),
       _ => spark.read.parquet(s"$dir/$name.parquet"))
 
+  /** Range-partition `df` on `keys` to default parallelism — but ONLY when
+    * it currently has fewer partitions than cores (at test SF the parquet
+    * files are single-row-group, so scans arrive as ONE task; on a cluster
+    * a large scan has far more splits than cores and this is a no-op).
+    *
+    * Why range, not round-robin: RangePartitioning on k satisfies both the
+    * clustered distribution of a downstream per-k aggregate/window and the
+    * ordered distribution of a k-sorted output, so the one rescue exchange
+    * replaces the aggregation exchange AND the presentation sort's range
+    * exchange (its bound sampling included). The guard is what keeps this
+    * scale-honest: when the scan is already parallel, a pre-aggregation
+    * shuffle of raw rows would cost more than the partial-agg hash shuffle
+    * it displaces, so the plan reverts to the classic
+    * partial→exchange→final shape. Measured at sf0.1:
+    * dedup_lineitem 0.86 → 0.48 s, latest_event_per_user 0.50 → 0.25 s,
+    * minhash_signatures 0.64 → 0.31 s.
+    */
+  def spread(df: DataFrame, keys: org.apache.spark.sql.Column*): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < cores) df.repartitionByRange(cores, keys: _*)
+    else df
+  }
+
   def region(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "nation")
   def customer(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "customer")

@@ -137,7 +137,9 @@ object Dedup {
     * and the exact shape of the DuckDB oracle twin.
     */
   def simhash32Table(docs: DataFrame): DataFrame = {
-    val hashed = TextAnalysis.explodeTokens(docs)
+    // spread (range-by-doc_id): parallel hash lanes locally, and the
+    // per-doc aggregate + doc_id-ordered output then need no exchange
+    val hashed = TextAnalysis.explodeTokens(docs, spread = true)
       .select(col("doc_id"),
         conv(substring(md5(col("token").cast("binary")), 1, 8), 16, 10)
           .cast("long").as("h"))

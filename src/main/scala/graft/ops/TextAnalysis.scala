@@ -34,15 +34,8 @@ object TextAnalysis {
     * bought with a shuffle; only CPU-heavy stages repay it.
     */
   private[ops] def ensureParallelism(df: DataFrame,
-                                     rangeKey: String = "doc_id"): DataFrame = {
-    val cores = df.sparkSession.sparkContext.defaultParallelism
-    // range partitioning, not round-robin: rows with one key land together,
-    // so a downstream per-key aggregate needs no further exchange and a
-    // key-ordered output sorts within partitions (RangePartitioning
-    // satisfies both the clustered and the ordered distribution)
-    if (df.rdd.getNumPartitions < cores) df.repartitionByRange(cores, col(rangeKey))
-    else df
-  }
+                                     rangeKey: String = "doc_id"): DataFrame =
+    graft.Tables.spread(df, col(rangeKey))
 
   /** A small English stopword list (intersects the corpus vocabulary). */
   val stopwords: Seq[String] =
@@ -132,7 +125,7 @@ object TextAnalysis {
     * shingle instead of an interpreted per-element lambda.
     */
   def fingerprintTable(docs: DataFrame, n: Int = 5): DataFrame =
-    explodeShingles(docs, n, distinct = false)
+    explodeShingles(docs, n, distinct = false, spread = true)
       .select(col("doc_id"), md5(col("g").cast("binary")).as("h"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shingles"),
@@ -150,8 +143,10 @@ object TextAnalysis {
   }
 
   /** UDTF analogue (SURVEY §2.10): explode to one row per token. */
-  def explodeTokens(docs: DataFrame, textCol: String = "text"): DataFrame =
-    docs.select(col("doc_id"), explode(tokens(col(textCol))).as("token"))
+  def explodeTokens(docs: DataFrame, textCol: String = "text",
+                    spread: Boolean = false): DataFrame =
+    (if (spread) ensureParallelism(docs) else docs)
+      .select(col("doc_id"), explode(tokens(col(textCol))).as("token"))
 
   /** Gopher-style intra-document repetition metrics — the standard quality
     * gate for machine-generated/boilerplate text: fraction of duplicate
@@ -168,7 +163,9 @@ object TextAnalysis {
     */
   def repetitionScores(docs: DataFrame): DataFrame = {
     def stats(n: Int, pfx: String) =
-      explodeShingles(docs, n, distinct = false)
+      // spread: both gram orders share the one rescue exchange (reused) and
+      // the doc_id join + ordered output need no further shuffle
+      explodeShingles(docs, n, distinct = false, spread = true)
         .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
         .groupBy(col("doc_id"))
         .agg(sum(col("c")).as(s"${pfx}_total"),
