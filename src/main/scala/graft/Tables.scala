@@ -46,6 +46,13 @@ object Tables {
     * partial→exchange→final shape. Measured at sf0.1:
     * dedup_lineitem 0.86 → 0.48 s, latest_event_per_user 0.50 → 0.25 s,
     * minhash_signatures 0.64 → 0.31 s.
+    *
+    * Only worth it when the spread ELIDES at least one additional exchange
+    * (an aggregate/window between it and the sort) or feeds genuinely
+    * CPU-heavy per-row work: on map-only sort-terminated queries the sort's
+    * range exchange already does everything this would, and the added
+    * partition-count probe + sampling made batch_extract 0.26 → 0.33 s
+    * (measured, reverted).
     */
   def spread(df: DataFrame, keys: org.apache.spark.sql.Column*): DataFrame = {
     val cores = df.sparkSession.sparkContext.defaultParallelism
