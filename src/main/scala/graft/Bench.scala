@@ -119,7 +119,7 @@ object Bench {
     // (BASELINE.md round-4 re-pin) so the host-factor correction is
     // coherent: a bench run in a slower window scales the bar to what
     // DuckDB would have measured there.
-    val baselineQuiet = sys.env.getOrElse("SPARK_GRAFT_BASELINE_SEC", "16.5").toDouble
+    val baselineQuiet = sys.env.getOrElse("SPARK_GRAFT_BASELINE_SEC", "16.0").toDouble
     // Host-speed calibration (BASELINE.md "Host-speed calibration"): the
     // shared build host has multi-minute windows where EVERYTHING runs
     // 20-85% slower (hypervisor-level; guest vmstat shows idle CPU while

@@ -160,6 +160,36 @@ object CatalogExt {
            |ORDER BY doc_a, doc_b""".stripMargin
       }),
 
+    // ── cross-batch (incremental) LSH dedup: the new-batch-vs-existing-
+    //    corpus form a production ingest runs per batch — incoming docs
+    //    (doc_id % 5 = 0) banded against the rest as the standing corpus,
+    //    candidate = any shared band. The oracle rebuilds both band tables
+    //    and unions the per-band joins; n_bands counts colliding bands.
+    ("incremental_dedup_check",
+      (spark, dir) => {
+        val docs = Tables.documents(spark, dir)
+        Dedup.incrementalLshDups(
+            docs.filter(col("doc_id") % 5 === 0),
+            docs.filter(col("doc_id") % 5 =!= 0))
+          .orderBy(col("doc_id"), col("dup_of"))
+      },
+      Some {
+        val sigs = (0 until 8).map(i => s"${sqlMinhash(i)} AS s$i").mkString(", ")
+        val bandCols = (0 until 4).map(i => s"md5(s${2 * i} || '|' || s${2 * i + 1}) AS b$i").mkString(", ")
+        val joins = (0 until 4).map(i =>
+          s"""SELECT i.doc_id, e.doc_id AS dup_of
+             |FROM inc i JOIN ex e ON i.b$i = e.b$i""".stripMargin)
+          .mkString("\nUNION ALL\n")
+        s"""WITH sigs AS (SELECT doc_id, $sigs FROM documents),
+           |bands AS (SELECT doc_id, $bandCols FROM sigs),
+           |inc AS (SELECT * FROM bands WHERE doc_id % 5 = 0),
+           |ex AS (SELECT * FROM bands WHERE doc_id % 5 <> 0),
+           |pairs AS ($joins)
+           |SELECT doc_id, dup_of, COUNT(*) AS n_bands
+           |FROM pairs GROUP BY doc_id, dup_of
+           |ORDER BY doc_id, dup_of""".stripMargin
+      }),
+
     // ── exact 3-gram Jaccard near-dup pairs (threshold 0.5 separates the
     //    corpus's planted near-dups from background similarity). The df cap
     //    is the 100 TB stop-shingle guard; 50 is far above this corpus's max

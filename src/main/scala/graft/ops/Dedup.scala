@@ -104,6 +104,40 @@ object Dedup {
       .distinct()
   }
 
+  /** Banded bucket rows (doc_id, band, bucket) for a document set — the
+    * join-ready LSH shape shared by the self-join ([[lshCandidatePairs]])
+    * and the cross-batch form ([[incrementalLshDups]]).
+    */
+  private def bandRows(docs: DataFrame, k: Int, rowsPerBand: Int): DataFrame =
+    minhashSignatureTable(docs, k).select(col("doc_id"),
+      posexplode(array(lshBands((0 until k).map(i => col(s"s$i")), rowsPerBand): _*))
+        .as(Seq("band", "bucket")))
+
+  /** Cross-batch near-dup check — the INCREMENTAL form of LSH dedup that a
+    * production ingest actually runs: band the INCOMING batch and the
+    * EXISTING corpus separately and equi-join on (band, bucket), instead of
+    * self-joining the union. No checkpoint is needed (each side's signature
+    * subtree is referenced once), the join is never incoming×existing (it
+    * shuffles banded bucket rows on uniform md5 keys), and at 100 TB the
+    * existing side's band table is the persisted index the pipeline
+    * maintains between batches — only the incoming batch is signed per run.
+    * This is the corpus-scale analogue of the reference's
+    * already-downloaded skip (download.py:139-153): membership first, fetch
+    * (here: admit) only what's new.
+    *
+    * Returns one row per (incoming doc, existing doc) candidate pair with
+    * the number of colliding bands: (doc_id, dup_of, n_bands).
+    */
+  def incrementalLshDups(incoming: DataFrame, existing: DataFrame,
+                         k: Int = 8, rowsPerBand: Int = 2): DataFrame =
+    bandRows(incoming, k, rowsPerBand)
+      .hint("shuffle_hash")
+      .join(bandRows(existing, k, rowsPerBand)
+              .select(col("doc_id").as("dup_of"), col("band"), col("bucket")),
+            Seq("band", "bucket"))
+      .groupBy(col("doc_id"), col("dup_of"))
+      .agg(count(lit(1)).as("n_bands"))
+
   /** SimHash-32 fingerprint: per bit b, the sign of Σ_tokens ±1 (weighted by
     * occurrence) where the per-token bit comes from md5's first 8 hex chars.
     * One map-side HOF pipeline: tokens → 32-lane accumulator → packed long.

@@ -107,6 +107,31 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"df-capped Jaccard lost near-dups: recall=$recall")
   }
 
+  test("incrementalLshDups agrees with the self-join restricted to cross pairs") {
+    val docs = Tables.documents(spark, TestSpark.sfDir)
+    val inc = docs.filter(col("doc_id") % 5 === 0)
+    val ex = docs.filter(col("doc_id") % 5 =!= 0)
+    val cross = Dedup.incrementalLshDups(inc, ex)
+      .select("doc_id", "dup_of").as[(Long, Long)].collect()
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    // self-join over the whole corpus, keeping only pairs that straddle
+    // the split — must be exactly the incremental result
+    val self = Dedup.lshCandidatePairs(docs)
+      .as[(Long, Long)].collect()
+      .filter { case (a, b) => (a % 5 == 0) != (b % 5 == 0) }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    assert(cross == self, s"incremental=$cross self=$self")
+    assert(cross.nonEmpty, "fixture should plant at least one cross-split near-dup")
+  }
+
+  test("incrementalLshDups n_bands is bounded by the band count and positive") {
+    val docs = Tables.documents(spark, TestSpark.sfDir)
+    val out = Dedup.incrementalLshDups(
+      docs.filter(col("doc_id") % 5 === 0), docs.filter(col("doc_id") % 5 =!= 0))
+    val bad = out.filter(col("n_bands") < 1 || col("n_bands") > 4).count()
+    assert(bad == 0)
+  }
+
   test("maxShingleDf semantics: exact Jaccard over the df-filtered universe") {
     // 'x y z' appears in all three docs (df=3 > cap) → excluded from the
     // measure entirely; docs 1/2 then share 'a b c','b c d' of sizes 3/3
