@@ -119,7 +119,7 @@ object Bench {
     // (BASELINE.md round-4 re-pin) so the host-factor correction is
     // coherent: a bench run in a slower window scales the bar to what
     // DuckDB would have measured there.
-    val baselineQuiet = sys.env.getOrElse("SPARK_GRAFT_BASELINE_SEC", "16.0").toDouble
+    val baselineQuiet = sys.env.getOrElse("SPARK_GRAFT_BASELINE_SEC", "16.84").toDouble
     // Host-speed calibration (BASELINE.md "Host-speed calibration"): the
     // shared build host has multi-minute windows where EVERYTHING runs
     // 20-85% slower (hypervisor-level; guest vmstat shows idle CPU while
@@ -130,7 +130,7 @@ object Bench {
     // (bounds the mechanism; beyond that the run is junk — rerun it).
     // Every sample is emitted so the correction is fully auditable, and
     // vs_baseline_quiet carries the uncorrected ratio alongside.
-    val calibQuiet = sys.env.getOrElse("SPARK_GRAFT_CALIB_QUIET_SEC", "0.85").toDouble
+    val calibQuiet = sys.env.getOrElse("SPARK_GRAFT_CALIB_QUIET_SEC", "0.75").toDouble
     // min, not median: the per-query time is the MIN over the three
     // passes, which structurally gravitates to the fastest window the run
     // saw — so the factor must describe that same best window. Min is also

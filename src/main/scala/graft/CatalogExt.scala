@@ -160,6 +160,39 @@ object CatalogExt {
            |ORDER BY doc_a, doc_b""".stripMargin
       }),
 
+    // ── SimHash near-dup pairs via pigeonhole blocking (the pairing step
+    //    the fingerprints exist for): 60-bit simhash, 4×15-bit blocks —
+    //    Hamming ≤ 3 guarantees a shared block — equi-join on (block, key),
+    //    exact bit_count(xor) rescore. The oracle rebuilds the 60-lane
+    //    fingerprint and the same block join.
+    ("simhash_neardup_pairs",
+      (spark, dir) =>
+        Dedup.simhashNearDups(Tables.documents(spark, dir))
+          .orderBy(col("doc_a"), col("doc_b")),
+      Some {
+        val bitSums = (0 until 60)
+          .map(b => s"CAST(SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS s$b")
+          .mkString(",\n       ")
+        val pack = (0 until 60)
+          .map(b => s"(CASE WHEN s$b >= 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END)")
+          .mkString(" + ")
+        s"""WITH toks AS (SELECT doc_id, unnest($sqlTokens) AS t FROM documents),
+           |hs AS (SELECT doc_id, CAST(CAST('0x' || substr(md5(t), 1, 15) AS UBIGINT) AS BIGINT) AS h FROM toks),
+           |bitsums AS (
+           |  SELECT doc_id,
+           |       $bitSums
+           |  FROM hs GROUP BY doc_id),
+           |fp AS (SELECT doc_id, $pack AS simhash FROM bitsums),
+           |blk AS (
+           |  SELECT doc_id, simhash, b AS blk, (simhash >> (b * 15)) & 32767 AS key
+           |  FROM fp CROSS JOIN range(4) r(b))
+           |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+           |FROM blk a JOIN blk b ON a.blk = b.blk AND a.key = b.key AND a.doc_id < b.doc_id
+           |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+           |ORDER BY doc_a, doc_b""".stripMargin
+      }),
+
     // ── cross-batch (incremental) LSH dedup: the new-batch-vs-existing-
     //    corpus form a production ingest runs per batch — incoming docs
     //    (doc_id % 5 = 0) banded against the rest as the standing corpus,

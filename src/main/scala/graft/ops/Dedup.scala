@@ -104,6 +104,67 @@ object Dedup {
       .distinct()
   }
 
+  /** SimHash table at an arbitrary bit width (≤ 60: the per-token hash is
+    * the first 15 md5 hex chars = 60 bits, which stays positive in a
+    * signed 64-bit integer on BOTH engines — 16 hex chars would need
+    * unsigned wraparound games that SQL twins get wrong). Same shape as
+    * [[simhash32Table]]: explode tokens, hash each once, `bits`
+    * conditional-sum lanes in one partial+final aggregate, pack signs.
+    */
+  def simhashTable(docs: DataFrame, bits: Int): DataFrame = {
+    require(bits >= 1 && bits <= 60, s"simhash bits must be in [1,60], got $bits")
+    val hashed = TextAnalysis.explodeTokens(docs, spread = true)
+      .select(col("doc_id"),
+        conv(substring(md5(col("token").cast("binary")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+    val lanes = (0 until bits).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"s$b"))
+    val packed = (0 until bits)
+      .map(b => when(col(s"s$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    hashed.groupBy("doc_id")
+      .agg(lanes.head, lanes.tail: _*)
+      .select(col("doc_id"), packed.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs via pigeonhole blocking (Manku et al.'s
+    * simhash dedup scheme re-expressed relationally): split the `bits`-bit
+    * fingerprint into `blocks` contiguous blocks — any pair within Hamming
+    * distance `maxHamming ≤ blocks − 1` shares at least one intact block —
+    * equi-join on (block index, block value), then rescore exactly with
+    * `bit_count(xor)`. Shuffle is banded block rows, never doc×doc; block
+    * width sets the collision rate (15-bit blocks → 32 Ki buckets; a
+    * production 64/96-bit deployment widens blocks and adds permuted
+    * tables, same plan shape). Returns (doc_a, doc_b, hamming), doc_a <
+    * doc_b distinct.
+    */
+  def simhashNearDups(docs: DataFrame, maxHamming: Int = 3,
+                      bits: Int = 60, blocks: Int = 4): DataFrame = {
+    require(maxHamming < blocks,
+      s"pigeonhole needs maxHamming < blocks: $maxHamming >= $blocks")
+    require(bits % blocks == 0, s"blocks must divide bits: $bits % $blocks != 0")
+    val w = bits / blocks
+    val mask = (1L << w) - 1
+    // both join sides derive from the fingerprint table — materialize once
+    // (same rationale as the MinHash signature checkpoint above)
+    val fp = simhashTable(docs, bits).localCheckpoint()
+    val blk = fp.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until blocks).map(b =>
+        shiftright(col("simhash"), b * w).bitwiseAND(lit(mask))): _*))
+        .as(Seq("blk", "key")))
+    val l = blk.select(col("doc_id").as("doc_a"), col("simhash").as("h_a"),
+                       col("blk"), col("key"))
+    val r = blk.select(col("doc_id").as("doc_b"), col("simhash").as("h_b"),
+                       col("blk"), col("key"))
+    l.hint("shuffle_hash").join(r, Seq("blk", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+              bit_count(col("h_a").bitwiseXOR(col("h_b"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Banded bucket rows (doc_id, band, bucket) for a document set — the
     * join-ready LSH shape shared by the self-join ([[lshCandidatePairs]])
     * and the cross-batch form ([[incrementalLshDups]]).

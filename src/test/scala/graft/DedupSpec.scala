@@ -107,6 +107,34 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"df-capped Jaccard lost near-dups: recall=$recall")
   }
 
+  test("simhashNearDups: identical texts pair at hamming 0, distinct texts don't pair") {
+    val crafted = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),        // byte-identical: hamming 0
+      (3L, "alpha beta gamma delta epsilon eta"),          // one token swapped: near
+      (4L, "quick brown fox jumps over lazy dog pack")     // unrelated
+    ).toDF("doc_id", "text")
+    val out = Dedup.simhashNearDups(crafted)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out.get((1L, 2L)).contains(0L), s"identical docs must pair at 0: $out")
+    assert(!out.keySet.exists { case (a, b) => a == 4L || b == 4L },
+      s"unrelated doc must not pair within hamming 3: $out")
+  }
+
+  test("simhashNearDups pigeonhole recall: every pair within maxHamming is found") {
+    // exhaustive check against the fingerprint table on a corpus slice
+    val docs = Tables.documents(spark, TestSpark.sfDir).limit(120)
+    val fp = Dedup.simhashTable(docs, 60).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = (for {
+      (a, ha) <- fp.toSeq; (b, hb) <- fp.toSeq if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (a, b)).toSet
+    val got = Dedup.simhashNearDups(docs)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(got == expect, s"blocking lost pairs: missing=${expect -- got} extra=${got -- expect}")
+  }
+
   test("incrementalLshDups agrees with the self-join restricted to cross pairs") {
     val docs = Tables.documents(spark, TestSpark.sfDir)
     val inc = docs.filter(col("doc_id") % 5 === 0)
