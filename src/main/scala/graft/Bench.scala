@@ -103,9 +103,10 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // The DuckDB comparator covers exactly the oracle'd queries; catalog
-    // entries without an oracle (ivf_topk — float-mean centroids aren't
-    // engine-portable) have no denominator, so the headline ratio is
-    // computed over the comparable subset and the rest is itemized.
+    // entries without an oracle would have no denominator, so the headline
+    // ratio is computed over the comparable subset and the rest is itemized.
+    // (As of round 5 every catalog entry carries an oracle — the partition
+    // is kept so a future non-SQL-expressible op degrades gracefully.)
     val (comparable, noncomparable) = results.partition {
       case (k, _) => SparkEntry.oracleSql.contains(k)
     }

@@ -92,6 +92,49 @@ object CatalogExt {
   private def sqlCos(a: String, b: String): String =
     s"round(list_cosine_similarity(CAST($a.embedding AS DOUBLE[]), CAST($b.embedding AS DOUBLE[])), 6)"
 
+  /** DuckDB twin of [[Similarity.kmeansCentroids]] + final assignment as CTE
+    * text (to splice after `WITH `). Reproduces, step by step: seed centroids
+    * from the `k` lowest corpus vec_ids; per-iteration rounded-cosine argmax
+    * assignment (ties → lower cluster_id); the FIXED-POINT Lloyd update —
+    * per-lane `SUM(CAST(round(e·10⁶) AS BIGINT))` (exact, order-independent)
+    * divided by `n·10⁶` in double, rounded to float. Every operation is
+    * either exact integer arithmetic or an IEEE-defined double/float op on
+    * identical inputs, so the centroid bits — and the assignment built on
+    * them — match Spark's exactly. Produces CTEs `corpus(vec_id, emb)` and
+    * `cent$iters(cluster_id, centroid)`.
+    */
+  private def sqlKmeans(corpusFilter: String, k: Int, iters: Int,
+                        dim: Int = 64): String = {
+    val init = Seq(
+      s"corpus AS (",
+      s"  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb",
+      s"  FROM embeddings WHERE $corpusFilter),",
+      s"cent0 AS (",
+      s"  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cluster_id,",
+      s"         emb AS centroid",
+      s"  FROM (SELECT vec_id, emb FROM corpus ORDER BY vec_id LIMIT $k))")
+    val steps = (1 to iters).flatMap { i =>
+      Seq(
+        s",asg$i AS (",
+        s"  SELECT vec_id, cluster_id, emb FROM (",
+        s"    SELECT c.vec_id, kk.cluster_id, c.emb,",
+        s"           row_number() OVER (PARTITION BY c.vec_id",
+        s"             ORDER BY round(list_cosine_similarity(c.emb, kk.centroid), 6) DESC,",
+        s"                      kk.cluster_id) AS rn",
+        s"    FROM corpus c CROSS JOIN cent${i - 1} kk) WHERE rn = 1),",
+        s"cent$i AS (",
+        s"  SELECT cluster_id, list(CAST(lane AS DOUBLE) ORDER BY pos) AS centroid FROM (",
+        s"    SELECT cluster_id, pos,",
+        s"           CAST(CAST(SUM(fp) AS DOUBLE) / (COUNT(*) * 1000000.0) AS FLOAT) AS lane",
+        s"    FROM (SELECT cluster_id, unnest(range(1, ${dim + 1})) AS pos,",
+        s"                 CAST(round(unnest(emb) * 1000000.0) AS BIGINT) AS fp",
+        s"          FROM asg$i)",
+        s"    GROUP BY cluster_id, pos)",
+        s"  GROUP BY cluster_id)")
+    }
+    (init ++ steps).mkString("\n")
+  }
+
   /** DuckDB twin of [[Curation.hashBucket]]: first 8 md5 hex chars of the
     * stringified key as an integer, mod `mod`.
     */
@@ -782,18 +825,31 @@ object CatalogExt {
              |              + len(regexp_extract_all(clean, '\+?[0-9]{1,3}[-.][0-9]{3}[-.][0-9]{4}'))) AS BIGINT) AS residual_pii
              |FROM d6 GROUP BY source ORDER BY source""".stripMargin)),
 
-    // ── IVF approximate NN: float-mean k-means centroids are not
-    //    engine-portable (FP summation order), so no DuckDB twin exists —
-    //    the driver records a rows-only check here; the recall bound vs
-    //    exact top-k lives in SimilaritySpec. The catalog-bench surface
-    //    still exercises the full cluster→assign→probe→rescore plan.
-    ("ivf_topk",
-      (spark, dir) => {
-        val emb = Tables.embeddings(spark, dir)
-        Similarity.ivfTopK(emb.filter(col("vec_id") < 8),
-                           emb.filter(col("vec_id") >= 8), 5)
-          .orderBy(col("q_id"), col("cos_sim").desc, col("vec_id"))
-      },
-      None)
+    // ── IVF clustering + assignment, hash-checked end to end: fixed-point
+    //    k-means (seed from lowest vec_ids → one Lloyd round → final
+    //    rounded-cosine argmax assignment). Round 4's one no-oracle row
+    //    (ivf_topk) existed because float-mean centroids weren't
+    //    engine-portable; the fixed-point Lloyd update (exact BIGINT lane
+    //    sums — see [[graft.ops.Similarity.kmeansCentroids]]) removes that
+    //    barrier, so the DuckDB twin reproduces the whole clustering and the
+    //    driver hashes it. The composed probe/top-k surface (ivfTopK) stays
+    //    spec-bounded (recall vs exact top-k in SimilaritySpec) — its output
+    //    is k-truncated per query, so a single assignment flip would cascade;
+    //    this row pins the arithmetic those results are built from.
+    ("ivf_assign",
+      (spark, dir) =>
+        Similarity.ivfAssignments(
+            Tables.embeddings(spark, dir).filter(col("vec_id") >= 8),
+            nCentroids = 16, iters = 1)
+          .orderBy(col("vec_id")),
+      Some(s"""WITH ${sqlKmeans("vec_id >= 8", 16, 1)}
+              |SELECT vec_id, cluster_id, cos_sim FROM (
+              |  SELECT c.vec_id, kk.cluster_id,
+              |         round(list_cosine_similarity(c.emb, kk.centroid), 6) AS cos_sim,
+              |         row_number() OVER (PARTITION BY c.vec_id
+              |           ORDER BY round(list_cosine_similarity(c.emb, kk.centroid), 6) DESC,
+              |                    kk.cluster_id) AS rn
+              |  FROM corpus c CROSS JOIN cent1 kk) WHERE rn = 1
+              |ORDER BY vec_id""".stripMargin))
   )
 }

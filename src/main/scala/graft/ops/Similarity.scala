@@ -159,11 +159,22 @@ object Similarity {
     * (cosine objective): initialized from the `k` lowest `vec_id`s, then
     * `iters` Lloyd rounds — assign each vector to its max-cosine centroid
     * (broadcast centroids, one partial-agg argmax), recompute centroids as
-    * the component-wise mean, one `avg(element_at(embedding, p))` lane per
-    * dimension in a single aggregate: no posexplode, no per-(cluster, pos)
-    * shuffle — the map side combines straight down to `k` rows per task.
+    * the component-wise mean, one lane per dimension in a single aggregate:
+    * no posexplode, no per-(cluster, pos) shuffle — the map side combines
+    * straight down to `k` rows per task.
     * Every step is a deterministic DataFrame op; no RNG, no `.collect()`.
     * Returns (cluster_id, centroid: array<float>).
+    *
+    * The mean is computed in FIXED POINT: each lane sums
+    * `round(component · 10⁶)` as exact 64-bit integers (order-independent —
+    * a float `avg` depends on reduction order and is NOT portable across
+    * engines or even across partitionings), then divides by `n · 10⁶` in
+    * double and rounds to float. Every step is an exact-or-IEEE-defined
+    * operation on identical inputs, so the centroids — and therefore the
+    * whole clustering — are bit-identical in any engine with BIGINT + IEEE
+    * arithmetic; the `ivf_assign` catalog row hash-pins this against a
+    * DuckDB twin. Magnitudes: |component| ≤ ~10, ×10⁶ ≤ 2^24, summed over
+    * ≤ 2^39 rows stays < 2^63.
     */
   def kmeansCentroids(corpus: DataFrame, k: Int, iters: Int,
                       dim: Int = 64): DataFrame = {
@@ -171,7 +182,9 @@ object Similarity {
       .select(col("vec_id"), col("embedding"))
       .withColumn("cluster_id", row_number().over(Window.orderBy(col("vec_id"))) - 1)
       .select(col("cluster_id").cast("long").as("cluster_id"), col("embedding").as("centroid"))
-    val meanLanes = (1 to dim).map(p => avg(element_at(col("embedding"), p)).cast("float"))
+    val meanLanes = (1 to dim).map(p =>
+      (sum(round(element_at(col("embedding"), p) * lit(1e6), 0).cast("long")).cast("double")
+         / (count(lit(1)) * lit(1e6))).cast("float"))
     (1 to iters).foldLeft(init) { (centroids, _) =>
       argmaxAssign(corpus, centroids)
         .groupBy(col("cluster_id"))
@@ -188,17 +201,40 @@ object Similarity {
     * the map side combines down to one row per vector before the shuffle —
     * no 80k-row wide-tuple window sort, and the caller needs no re-join
     * against the corpus for the embedding. Ties break on lower cluster_id
-    * (same order the window form used). Returns (vec_id, cluster_id,
-    * embedding).
+    * (same order the window form used). The cosine is rounded to 6 decimals
+    * before the argmax — the same engine-portability trick every oracle'd
+    * cosine comparison here uses, so the assignment (and the k-means built
+    * on it) is hash-checkable against a SQL twin. Returns (vec_id,
+    * cluster_id, embedding).
     */
   private def argmaxAssign(vectors: DataFrame, centroids: DataFrame): DataFrame =
     vectors.select(col("vec_id"), col("embedding"))
       .crossJoin(broadcast(centroids))
       .groupBy(col("vec_id"))
       .agg(max_by(col("cluster_id"),
-                  struct(cosineSim(col("embedding"), col("centroid")),
+                  struct(round(cosineSim(col("embedding"), col("centroid")), 6),
                          -col("cluster_id"))).as("cluster_id"),
            first(col("embedding")).as("embedding"))
+
+  /** Per-vector IVF assignment surface — (vec_id, cluster_id, cos_sim):
+    * [[kmeansCentroids]] then one argmax pass that also emits the winning
+    * (rounded) cosine. This is the driver-oracle face of the IVF family: the
+    * fixed-point centroid arithmetic makes every step engine-portable, so a
+    * DuckDB twin reproduces k-means init → Lloyd update → assignment and
+    * hash-matches exactly (the `ivf_assign` catalog row) — the correctness
+    * pin for the machinery [[ivfTopK]] composes.
+    */
+  def ivfAssignments(corpus: DataFrame, nCentroids: Int, iters: Int,
+                     dim: Int = 64): DataFrame = {
+    val centroids = kmeansCentroids(corpus, nCentroids, iters, dim)
+    corpus.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(centroids))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(round(cosineSim(col("embedding"), col("centroid")), 6).as("cos_sim"),
+                      (-col("cluster_id")).as("neg_cid"))).as("m"))
+      .select(col("vec_id"), (-col("m.neg_cid")).as("cluster_id"),
+              col("m.cos_sim").as("cos_sim"))
+  }
 
   /** Nearest `nProbe` centroids per vector (broadcast centroid relation +
     * codegen'd cosine). `nProbe = 1` routes through the partial-agg argmax;
@@ -209,7 +245,7 @@ object Similarity {
                              nProbe: Int): DataFrame = {
     if (nProbe == 1) return argmaxAssign(vectors, centroids).select("vec_id", "cluster_id")
     val w = Window.partitionBy(col("vec_id"))
-      .orderBy(cosineSim(col("embedding"), col("centroid")).desc, col("cluster_id"))
+      .orderBy(round(cosineSim(col("embedding"), col("centroid")), 6).desc, col("cluster_id"))
     vectors.select(col("vec_id"), col("embedding"))
       .crossJoin(broadcast(centroids))
       .withColumn("__rn", row_number().over(w)).filter(col("__rn") <= nProbe)
@@ -224,10 +260,10 @@ object Similarity {
     * (cluster-partitioned layout on disk), and a query touches
     * `nProbe / nCentroids` of the corpus instead of all of it.
     *
-    * Library + spec surface only (recall bounded in SimilaritySpec against
-    * exact top-k): unlike the sign-LSH operators, float-mean centroids are
-    * not engine-portable (FP summation order), so an oracle-grade DuckDB
-    * twin is not possible — the hash-checked catalog scale path stays
+    * The k-means + assignment machinery is hash-pinned by the `ivf_assign`
+    * catalog row (fixed-point centroid arithmetic — see [[kmeansCentroids]]);
+    * the composed top-k surface is recall-bounded in SimilaritySpec against
+    * exact top-k, and the hash-checked catalog scale paths stay
     * [[lshNearDupPairs]]/[[annTopK]].
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,

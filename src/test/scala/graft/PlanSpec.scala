@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Physical-plan regression armor: the properties SCALE.md claims —
@@ -156,14 +157,29 @@ class PlanSpec extends AnyFunSuite {
            p.contains("BroadcastHashJoin"), p)
   }
 
-  test("ivf_topk: corpus assignment is a partial-agg argmax — no explode, no corpus re-join window") {
+  test("ivfTopK: corpus assignment is a partial-agg argmax — no explode, no corpus re-join window") {
     // the round-4 shape fix: nearest-centroid corpus assignment must be a
     // max_by aggregate (map-side combine), never a corpus-wide ranking
     // window; the only Generate allowed is topKPerQuery's result-array
-    // explode (kmeans' interior is behind its checkpoints and can't appear)
-    val p = plan("ivf_topk")
+    // explode (kmeans' interior is behind its checkpoints and can't appear).
+    // Built directly — the catalog's driver-hashed IVF face is ivf_assign.
+    val emb = Tables.embeddings(spark, TestSpark.sfDir)
+    val p = graft.ops.Similarity
+      .ivfTopK(emb.filter(col("vec_id") < 8), emb.filter(col("vec_id") >= 8), 5)
+      .queryExecution.executedPlan.toString
     assert(p.contains("max_by"), p)
     assert(!p.contains("posexplode"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("ivf_assign: one partial-agg argmax over broadcast centroids — no window over the corpus") {
+    val p = plan("ivf_assign")
+    // final assignment is a partial+final max of the (cos, -cid) struct
+    // (struct max isn't hash-aggregable, so it plans as SortAggregate — the
+    // map-side combine is what matters), with no ranking window over the
+    // corpus and no non-broadcast product anywhere in the assignment pass
+    assert(p.contains("partial_max"), p)
+    assert(!p.contains("Window"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
 
