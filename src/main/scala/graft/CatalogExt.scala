@@ -573,6 +573,29 @@ object CatalogExt {
              |       sha256(text) AS sha256
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // ── REAL multimodal decode, hash-checked through actual bytes: pack the
+    //    embeddings as GRFT binary media (header + int32 fixed-point
+    //    samples), decode the payloads in batched mapPartitions, reduce to
+    //    integer-exact features. The oracle computes the same numbers from
+    //    the numeric source column — any bug in the byte layout, header
+    //    handling, or sample extraction shifts the hash. (Replaces round 4's
+    //    decode *stub* as the driver-visible decode surface; the stub
+    //    remains only for free-form text payloads.)
+    ("multimodal_features",
+      (spark, dir) =>
+        Multimodal.mediaFeatures(spark,
+            Multimodal.encodeEmbeddings(spark, Tables.embeddings(spark, dir)))
+          .toDF().orderBy(col("vec_id")),
+      Some("""WITH s AS (
+             |  SELECT vec_id,
+             |         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS fp
+             |  FROM embeddings WHERE embedding IS NOT NULL)
+             |SELECT vec_id, COUNT(*) AS n_samples,
+             |       CAST(SUM(fp) AS BIGINT) AS sum_fp,
+             |       CAST(MAX(ABS(fp)) AS BIGINT) AS peak_fp,
+             |       CAST(SUM(fp * fp) AS BIGINT) AS energy_fp
+             |FROM s GROUP BY vec_id ORDER BY vec_id""".stripMargin)),
+
     // ── deterministic train/val/test split manifest: hash-of-key assignment
     //    (stable under reruns/repartitioning/corpus growth — randomSplit is
     //    neither), summarized per (split, source).

@@ -10,19 +10,117 @@ case class MediaRecord(doc_id: Long, payload: Array[Byte], mime: String)
 case class MediaFeatures(doc_id: Long, n_bytes: Int, sha256: String,
                          feature: Array[Float])
 
+/** One GRFT-container media item (see [[Multimodal.packSamples]]). */
+case class GrftMedia(vec_id: Long, payload: Array[Byte])
+
+/** Integer-exact features decoded from one GRFT payload. */
+case class GrftFeatures(vec_id: Long, n_samples: Long, sum_fp: Long,
+                        peak_fp: Long, energy_fp: Long)
+
 /** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, batched decode/feature-extraction over partitions.
   *
-  * The decode step is a clearly-marked STUB (media codecs aren't in this
-  * container): [[decodeStub]] produces a deterministic fake feature from the
-  * payload bytes. Everything around it — schema, typed Dataset plumbing,
-  * per-partition batching shape, partition sizing — is the real 100 TB
-  * design: payloads never hit the driver, feature extraction is
-  * `mapPartitions` with an amortized per-batch "model" warm-up, and metadata
-  * (length/checksum) is computed as codegen'd column expressions without
-  * materializing the payload twice.
+  * Two decode paths:
+  *  - the REAL one — a binary media container ("GRFT": magic + sample count
+  *    + scale header, int32 fixed-point PCM-style samples) built from the
+  *    embeddings table, decoded by [[decodeSamples]] (header validation,
+  *    sample extraction) and reduced to integer-exact features
+  *    ([[mediaFeatures]]). Because the samples are fixed-point, every
+  *    feature is exact 64-bit arithmetic and the `multimodal_features`
+  *    catalog row hash-matches a DuckDB oracle computing the same numbers
+  *    from the numeric source column — the decode round-trip itself is what
+  *    the hash pins (an encode or parse bug anywhere breaks it);
+  *  - [[decodeStub]] — the clearly-marked stand-in for codec-style decode of
+  *    free-form payloads (image/audio codecs aren't in this container);
+  *    kept for the text-payload path.
+  *
+  * Everything around them — schema, typed Dataset plumbing, per-partition
+  * batching shape, partition sizing — is the real 100 TB design: payloads
+  * never hit the driver, feature extraction is `mapPartitions` with an
+  * amortized per-batch "model" warm-up, and metadata (length/checksum) is
+  * computed as codegen'd column expressions without materializing the
+  * payload twice.
   */
 object Multimodal {
+
+  /** GRFT container magic ("GRFT" big-endian) and fixed-point scale. */
+  val GrftMagic: Int = 0x47524654
+  val GrftScale: Int = 1000000
+
+  /** Pack fixed-point samples into a GRFT payload: int32 magic, int32
+    * sample count, int32 scale, then big-endian int32 samples.
+    */
+  def packSamples(samples: Array[Int]): Array[Byte] = {
+    val buf = java.nio.ByteBuffer.allocate(12 + 4 * samples.length)
+    buf.putInt(GrftMagic).putInt(samples.length).putInt(GrftScale)
+    samples.foreach(buf.putInt)
+    buf.array()
+  }
+
+  /** Decode a GRFT payload back to its samples — the REAL decode step:
+    * validates magic, declared count vs physical length, and scale before
+    * touching the sample region. Malformed payloads fail loudly (a silent
+    * zero-fill would poison downstream statistics).
+    */
+  def decodeSamples(payload: Array[Byte]): Array[Int] = {
+    require(payload.length >= 12, s"GRFT payload too short: ${payload.length} bytes")
+    val buf = java.nio.ByteBuffer.wrap(payload)
+    val magic = buf.getInt()
+    require(magic == GrftMagic, f"bad GRFT magic: 0x$magic%08x")
+    val n = buf.getInt()
+    require(n >= 0 && payload.length == 12 + 4L * n,
+      s"GRFT length mismatch: declared $n samples, ${payload.length} bytes")
+    val scale = buf.getInt()
+    require(scale == GrftScale, s"unsupported GRFT scale: $scale")
+    Array.fill(n)(buf.getInt())
+  }
+
+  /** Embeddings → GRFT media records. The fixed-point conversion
+    * (`round(e·10⁶)` per component) runs as a codegen'd column expression —
+    * the repo's standard engine-portable rounding — and only the byte
+    * packing happens in the typed map, so the payload's sample values are
+    * exactly what a SQL twin computes from the source column.
+    */
+  def encodeEmbeddings(spark: SparkSession, embeddings: DataFrame): Dataset[GrftMedia] = {
+    import spark.implicits._
+    embeddings.filter(col("embedding").isNotNull)
+      .select(col("vec_id"),
+              expr("transform(embedding, e -> CAST(round(e * 1000000.0, 0) AS INT))").as("fp"))
+      .as[(Long, Array[Int])]
+      .map { case (id, fp) => GrftMedia(id, packSamples(fp)) }
+  }
+
+  /** Batched decode + feature extraction over GRFT payloads: `mapPartitions`
+    * in fixed-size batches (the vectorized-model-runner shape), producing
+    * integer-exact features per item — sample count, fixed-point sum, peak
+    * magnitude, energy (Σ fp²; |fp| ≤ 2^24 ⇒ a 64-dim energy stays well
+    * under 2^63). All 64-bit integer arithmetic: no reduction-order or
+    * rounding hazards, which is what lets the catalog hash the decode
+    * round-trip against a DuckDB twin.
+    */
+  def mediaFeatures(spark: SparkSession, media: Dataset[GrftMedia],
+                    batchSize: Int = 64): Dataset[GrftFeatures] = {
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      // per-partition warm-up would happen here (codec / model init)
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { m =>
+          val s = decodeSamples(m.payload)
+          var sum = 0L; var peak = 0L; var energy = 0L
+          var i = 0
+          while (i < s.length) {
+            val v = s(i).toLong
+            sum += v
+            val a = math.abs(v)
+            if (a > peak) peak = a
+            energy += v * v
+            i += 1
+          }
+          GrftFeatures(m.vec_id, s.length.toLong, sum, peak, energy)
+        }
+      }
+    }
+  }
 
   /** Wrap a text corpus as binary media records (the opaque-payload shape an
     * image/audio column would have).

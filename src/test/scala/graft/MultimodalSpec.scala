@@ -25,4 +25,41 @@ class MultimodalSpec extends AnyFunSuite {
     val payload = "some bytes".getBytes("UTF-8")
     assert(Multimodal.decodeStub(payload).toSeq == Multimodal.decodeStub(payload).toSeq)
   }
+
+  test("GRFT container round-trips: pack → decode recovers the samples exactly") {
+    val samples = Array(0, 1, -1, 123456, -7654321, Int.MaxValue / 2)
+    val payload = Multimodal.packSamples(samples)
+    assert(payload.length == 12 + 4 * samples.length)
+    assert(Multimodal.decodeSamples(payload).toSeq == samples.toSeq)
+    // empty media item is legal (zero samples, header only)
+    assert(Multimodal.decodeSamples(Multimodal.packSamples(Array.empty)).isEmpty)
+  }
+
+  test("GRFT decode rejects malformed payloads loudly") {
+    val good = Multimodal.packSamples(Array(1, 2, 3))
+    intercept[IllegalArgumentException](Multimodal.decodeSamples(good.take(8)))
+    val badMagic = good.clone(); badMagic(0) = 'X'.toByte
+    intercept[IllegalArgumentException](Multimodal.decodeSamples(badMagic))
+    val truncated = good.take(good.length - 4) // declared 3 samples, carries 2
+    intercept[IllegalArgumentException](Multimodal.decodeSamples(truncated))
+  }
+
+  test("encode→decode features equal direct computation from the source floats") {
+    val emb = Tables.embeddings(spark, TestSpark.sfDir).limit(32)
+    val feats = Multimodal
+      .mediaFeatures(spark, Multimodal.encodeEmbeddings(spark, emb), batchSize = 8)
+      .collect().map(f => f.vec_id -> f).toMap
+    val src = emb.select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+    assert(feats.size == src.length)
+    src.foreach { case (id, v) =>
+      // same HALF_UP fixed-point rule the codegen'd encode expression applies
+      val fp = v.map(x => BigDecimal(x.toDouble * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+      val f = feats(id)
+      assert(f.n_samples == v.length)
+      assert(f.sum_fp == fp.sum, s"vec $id sum")
+      assert(f.peak_fp == fp.map(math.abs).max, s"vec $id peak")
+      assert(f.energy_fp == fp.map(x => x * x).sum, s"vec $id energy")
+    }
+  }
 }
