@@ -559,6 +559,51 @@ object CatalogCore {
               |WHERE is_downloaded AND NOT is_compacted
               |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // ── S5/S6/T4 write path, driver-hashed end to end: two successive
+    //    Compaction.compact batches into a fresh date-partitioned parquet
+    //    dataset (batch 2 re-delivers every third record at a higher
+    //    precedence — exercising union-with-existing, LWW dedup, and dynamic
+    //    partition overwrite), then a read-back aggregate per (format, day).
+    //    The oracle computes the EXPECTED final state relationally from the
+    //    source table — any bug in the write/merge/overwrite/read cycle
+    //    (dropped partition, double row, wrong survivor) shifts the hash.
+    //    One month of uploadtimes: compaction is a per-day incremental task,
+    //    and the slice keeps the partition count (formats × days ≈ 150)
+    //    honest for a query that really writes files on every run.
+    //    Reference anchor: tasks/compaction.py:149,219-225 (rewrite day file
+    //    as union-dedup) — here only touched partitions rewrite, in parallel.
+    ("compaction_roundtrip",
+      (spark, dir) => {
+        val st = status(spark, dir)
+          .filter(col("uploadtime") < lit(791596800L)) // < 1995-02-01 UTC
+          .select(col("replay_id"), col("format_id"), col("uploadtime"),
+                  col("order_key"))
+        val b1 = st.withColumn("batch_seq", lit(1L)).withColumn("rev", lit("v1"))
+        val b2 = st.filter(col("order_key") % 3 === 0)
+          .withColumn("batch_seq", lit(2L)).withColumn("rev", lit("v2"))
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_compact_rt_").toString + "/compacted"
+        Compaction.compact(spark, b1, path, "replay_id", "batch_seq")
+        Compaction.compact(spark, b2, path, "replay_id", "batch_seq")
+        spark.read.parquet(path)
+          .groupBy(col("format_id"), col("day"))
+          .agg(count(lit(1)).as("n"),
+               sum(when(col("rev") === "v2", 1L).otherwise(0L)).as("n_updated"),
+               sum(Curation.hashBucket(col("replay_id"), 10000)).as("id_checksum"))
+          .transform(orderedReport(_, col("format_id"), col("day")))
+      },
+      Some(s"""$S,
+              |fin AS (
+              |  SELECT replay_id, format_id, uploadtime,
+              |         CASE WHEN order_key % 3 = 0 THEN 'v2' ELSE 'v1' END AS rev
+              |  FROM replay_status WHERE uploadtime < 791596800)
+              |SELECT format_id,
+              |       CAST(make_timestamp(uploadtime * 1000000) AS DATE) AS day,
+              |       COUNT(*) AS n,
+              |       CAST(SUM(CASE WHEN rev = 'v2' THEN 1 ELSE 0 END) AS BIGINT) AS n_updated,
+              |       CAST(SUM(CAST(CAST('0x' || substr(md5(replay_id), 1, 8) AS UBIGINT) AS BIGINT) % 10000) AS BIGINT) AS id_checksum
+              |FROM fin GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // ── A3 per-format lifecycle stats with exact rate arithmetic
     //    (db.py:629-664 + F13 zero-guarded rates).
     ("lifecycle_stats",

@@ -430,6 +430,57 @@ object CatalogExt {
               |QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) <= 5
               |ORDER BY q_id, cos_sim DESC, vec_id""".stripMargin)),
 
+    // ── ANN approximation quality as a driver-hashed number: per-query
+    //    recall of the sign-LSH top-k against the exact brute-force top-k.
+    //    Both sides are individually oracle-able (ann_lsh_topk, cosine_topk),
+    //    so their join is too — the hash pins not just the operators but the
+    //    approximation quality itself (a recall regression from a plane or
+    //    bucketing bug changes this row even if each side stays
+    //    self-consistent). The SimilaritySpec recall bound stays as the
+    //    library-level floor; this is its hash-exact catalog face.
+    ("ann_recall",
+      (spark, dir) => {
+        val emb = Tables.embeddings(spark, dir)
+        val qs = emb.filter(col("vec_id") < 8)
+        val corpus = emb.filter(col("vec_id") >= 8)
+        val exact = Similarity.cosineTopK(qs, corpus, 5).select(col("q_id"), col("vec_id"))
+        val ann = Similarity.annTopK(qs, corpus, 5)
+          .select(col("q_id"), col("vec_id")).withColumn("hit", lit(1L))
+        exact.join(ann, Seq("q_id", "vec_id"), "left_outer")
+          .groupBy(col("q_id"))
+          .agg(count(lit(1)).as("n_exact"),
+               sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+          .withColumn("recall", col("n_hit").cast("double") / col("n_exact"))
+          .transform(CatalogCore.orderedReport(_, col("q_id")))
+      },
+      Some(s"""WITH ${sqlSignBuckets(8, 4)},
+              |cand AS (
+              |  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS vec_id
+              |  FROM buckets q JOIN buckets c ON q.t = c.t AND q.bucket = c.bucket
+              |  WHERE q.vec_id < 8 AND c.vec_id >= 8),
+              |annscored AS (
+              |  SELECT cand.q_id, cand.vec_id, ${sqlCos("eq", "ec")} AS cos_sim
+              |  FROM cand
+              |  JOIN embeddings eq ON cand.q_id = eq.vec_id
+              |  JOIN embeddings ec ON cand.vec_id = ec.vec_id),
+              |ann AS (
+              |  SELECT q_id, vec_id FROM annscored
+              |  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) <= 5),
+              |exscored AS (
+              |  SELECT q.vec_id AS q_id, e.vec_id,
+              |         round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 6) AS cos_sim
+              |  FROM embeddings q CROSS JOIN embeddings e
+              |  WHERE q.vec_id < 8 AND e.vec_id >= 8),
+              |ex AS (
+              |  SELECT q_id, vec_id FROM exscored
+              |  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) <= 5)
+              |SELECT ex.q_id, COUNT(*) AS n_exact,
+              |       CAST(SUM(CASE WHEN ann.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+              |       CAST(SUM(CASE WHEN ann.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+              |         / COUNT(*) AS recall
+              |FROM ex LEFT JOIN ann ON ex.q_id = ann.q_id AND ex.vec_id = ann.vec_id
+              |GROUP BY ex.q_id ORDER BY ex.q_id""".stripMargin)),
+
     // ── language-ID heuristic (stopword-hit ratio).
     ("lang_id",
       (spark, dir) => {
