@@ -37,7 +37,11 @@ object CatalogCore {
   private[graft] val ReportBound = 100000
   private[graft] def orderedReport(df: DataFrame,
                                    by: org.apache.spark.sql.Column*): DataFrame =
+    // the observe metric + GraftSession.arm watcher make a bound hit LOUD:
+    // result rows == ReportBound can only mean the group structure outgrew
+    // the bound and limit() truncated (see GraftSession "truncation guard")
     df.orderBy(by: _*).limit(ReportBound)
+      .observe(GraftSession.BoundMetric, count(lit(1)).as("rows"))
 
   private def status(spark: SparkSession, dir: String): DataFrame =
     Lifecycle.statusFromOrders(Tables.orders(spark, dir))
@@ -940,7 +944,12 @@ object CatalogCore {
           // doubles as the materialization, saving the eager job (measured
           // 1.31 → 1.07 s; the reverse holds for the self-join
           // materializations — see SCALE.md "Checkpoint only what
-          // re-executes expensively")
+          // re-executes expensively").
+          // Lifecycle note: nothing unpersists this lazily-returned plan —
+          // Bench/Verify clear all caches between queries, and a long-lived
+          // session relies on LRU eviction of the (small) cached result; an
+          // application embedding this query long-term should unpersist
+          // after consuming it.
           .persist()
           .orderBy(col("replay_id")),
       Some(s"""$S,

@@ -53,11 +53,34 @@ object Tables {
     * range exchange already does everything this would, and the added
     * partition-count probe + sampling made batch_extract 0.26 → 0.33 s
     * (measured, reverted).
+    *
+    * PRECONDITION (enforced): the input must be scan-rooted — scans plus
+    * per-row ops (filter/project/generate) only. The partition-count probe
+    * reads `df.rdd`, which forces physical planning and, under AQE, would
+    * eagerly MATERIALIZE any shuffle stage in the input (real jobs fired
+    * from inside what looks like plan construction). Rather than trust
+    * call-site discipline, the guard walks the logical plan: any
+    * shuffle-inducing node (aggregate, join, window, sort, repartition, …)
+    * skips the probe and returns the input unchanged — such a plan already
+    * has an exchange to parallelize it, so the rescue has nothing to fix.
     */
   def spread(df: DataFrame, keys: org.apache.spark.sql.Column*): DataFrame = {
+    if (!scanRooted(df)) return df
     val cores = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < cores) df.repartitionByRange(cores, keys: _*)
     else df
+  }
+
+  /** True iff the analyzed plan is scans + per-row operators only (no node
+    * that could plan an exchange — so probing `.rdd` cannot run jobs).
+    */
+  private def scanRooted(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    df.queryExecution.analyzed.collectFirst {
+      case n if !(n.isInstanceOf[LeafNode] || n.isInstanceOf[Project] ||
+                  n.isInstanceOf[Filter] || n.isInstanceOf[SubqueryAlias] ||
+                  n.isInstanceOf[Generate]) => n
+    }.isEmpty
   }
 
   def region(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "region")
