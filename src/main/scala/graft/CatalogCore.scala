@@ -571,15 +571,17 @@ object CatalogCore {
     //    The oracle computes the EXPECTED final state relationally from the
     //    source table — any bug in the write/merge/overwrite/read cycle
     //    (dropped partition, double row, wrong survivor) shifts the hash.
-    //    One month of uploadtimes: compaction is a per-day incremental task,
-    //    and the slice keeps the partition count (formats × days ≈ 150)
-    //    honest for a query that really writes files on every run.
+    //    Three days of uploadtimes: compaction is a per-day incremental
+    //    task, and the slice bounds the partition count (formats × days)
+    //    for a query that really writes files on every bench/verify run —
+    //    the semantics pinned (overlap, LWW survivor, multi-partition
+    //    dynamic overwrite) don't depend on the day count.
     //    Reference anchor: tasks/compaction.py:149,219-225 (rewrite day file
     //    as union-dedup) — here only touched partitions rewrite, in parallel.
     ("compaction_roundtrip",
       (spark, dir) => {
         val st = status(spark, dir)
-          .filter(col("uploadtime") < lit(791596800L)) // < 1995-02-01 UTC
+          .filter(col("uploadtime") < lit(789177600L)) // < 1995-01-04 UTC
           .select(col("replay_id"), col("format_id"), col("uploadtime"),
                   col("order_key"))
         val b1 = st.withColumn("batch_seq", lit(1L)).withColumn("rev", lit("v1"))
@@ -600,7 +602,7 @@ object CatalogCore {
               |fin AS (
               |  SELECT replay_id, format_id, uploadtime,
               |         CASE WHEN order_key % 3 = 0 THEN 'v2' ELSE 'v1' END AS rev
-              |  FROM replay_status WHERE uploadtime < 791596800)
+              |  FROM replay_status WHERE uploadtime < 789177600)
               |SELECT format_id,
               |       CAST(make_timestamp(uploadtime * 1000000) AS DATE) AS day,
               |       COUNT(*) AS n,

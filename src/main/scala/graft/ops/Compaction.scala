@@ -58,6 +58,15 @@ object Compaction {
     }
     val merged = Lifecycle.dedupKeepFirst(all, Seq(key),
         Seq(col(precedenceCol).desc) ++ tiebreak ++ Seq(col(key)))
+      // One shuffle on the partition columns so each (format, day) directory
+      // is written by exactly one task — without it, partitionBy fans every
+      // write task across every touched directory (tasks × days small
+      // files: the classic 1000-executor small-files failure; measured
+      // locally 32 tasks × ~30 days ≈ 1000 files and 8.6 s → ~150 files).
+      // A day whose data outgrows one task would cap via maxRecordsPerFile
+      // at the writer — per-day volume is bounded by a day's ingest here,
+      // same as the reference's whole-day rewrite (compaction.py:219-225).
+      .repartition(col("format_id"), col("day"))
     // Materialize before overwriting partitions we just read from (plan-safe
     // at this scale; a production deployment stages to a temp prefix and
     // swaps atomically).

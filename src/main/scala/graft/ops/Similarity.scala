@@ -227,13 +227,17 @@ object Similarity {
   def ivfAssignments(corpus: DataFrame, nCentroids: Int, iters: Int,
                      dim: Int = 64): DataFrame = {
     val centroids = kmeansCentroids(corpus, nCentroids, iters, dim)
+    val rcos = round(cosineSim(col("embedding"), col("centroid")), 6)
+    // max_by + max, not max(struct): struct-max only plans as SortAggregate
+    // (sorts the whole corpus×centroids product per partition); these two
+    // pair into one ObjectHashAggregate with map-side combine. The winning
+    // cosine IS the max cosine, so the pair agrees with the argmax by
+    // construction.
     corpus.select(col("vec_id"), col("embedding"))
       .crossJoin(broadcast(centroids))
       .groupBy(col("vec_id"))
-      .agg(max(struct(round(cosineSim(col("embedding"), col("centroid")), 6).as("cos_sim"),
-                      (-col("cluster_id")).as("neg_cid"))).as("m"))
-      .select(col("vec_id"), (-col("m.neg_cid")).as("cluster_id"),
-              col("m.cos_sim").as("cos_sim"))
+      .agg(max_by(col("cluster_id"), struct(rcos, -col("cluster_id"))).as("cluster_id"),
+           max(rcos).as("cos_sim"))
   }
 
   /** Nearest `nProbe` centroids per vector (broadcast centroid relation +
