@@ -69,14 +69,16 @@ object Compaction {
       .repartition(col("format_id"), col("day"))
     // Materialize before overwriting partitions we just read from (plan-safe
     // at this scale; a production deployment stages to a temp prefix and
-    // swaps atomically).
-    val rows = merged.cache()
-    rows.count()
+    // swaps atomically). Only needed when an existing dataset was read:
+    // a first write has no read-overwrite hazard, so it streams straight
+    // from the incoming batch with no cache + count pass.
+    val rows = if (existing.isDefined) { val r = merged.cache(); r.count(); r }
+               else merged
     rows.write.mode("overwrite")
       // writer-scoped dynamic overwrite: only partitions present in `rows`
       // are replaced, and the shared session's conf is left untouched
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("format_id", "day").parquet(path)
-    rows.unpersist()
+    if (existing.isDefined) rows.unpersist()
   }
 }
