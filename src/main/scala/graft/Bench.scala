@@ -123,7 +123,7 @@ object Bench {
     // (BASELINE.md round-4 re-pin) so the host-factor correction is
     // coherent: a bench run in a slower window scales the bar to what
     // DuckDB would have measured there.
-    val baselineQuiet = sys.env.getOrElse("SPARK_GRAFT_BASELINE_SEC", "17.8").toDouble
+    val baselineQuiet = sys.env.getOrElse("SPARK_GRAFT_BASELINE_SEC", "18.6").toDouble
     // Host-speed calibration (BASELINE.md "Host-speed calibration"): the
     // shared build host has multi-minute windows where EVERYTHING runs
     // 20-85% slower (hypervisor-level; guest vmstat shows idle CPU while
@@ -142,7 +142,7 @@ object Bench {
     // vs_baseline_quiet in the JSON is therefore the primary gate number;
     // vs_baseline is the window-corrected diagnostic, ±(probe spread) in
     // sensitivity. Round-5 re-pin uses the window median (BASELINE.md).
-    val calibQuiet = sys.env.getOrElse("SPARK_GRAFT_CALIB_QUIET_SEC", "0.89").toDouble
+    val calibQuiet = sys.env.getOrElse("SPARK_GRAFT_CALIB_QUIET_SEC", "0.86").toDouble
     // min, not median: the per-query time is the MIN over the three
     // passes, which structurally gravitates to the fastest window the run
     // saw — so the factor must describe that same best window. Min is also

@@ -177,7 +177,7 @@ object Similarity {
     * ≤ 2^39 rows stays < 2^63.
     */
   def kmeansCentroids(corpus: DataFrame, k: Int, iters: Int,
-                      dim: Int = 64): DataFrame = {
+                      dim: Int = 64, checkpointLast: Boolean = true): DataFrame = {
     val init = corpus.orderBy(col("vec_id")).limit(k)
       .select(col("vec_id"), col("embedding"))
       .withColumn("cluster_id", row_number().over(Window.orderBy(col("vec_id"))) - 1)
@@ -185,14 +185,18 @@ object Similarity {
     val meanLanes = (1 to dim).map(p =>
       (sum(round(element_at(col("embedding"), p) * lit(1e6), 0).cast("long")).cast("double")
          / (count(lit(1)) * lit(1e6))).cast("float"))
-    (1 to iters).foldLeft(init) { (centroids, _) =>
-      argmaxAssign(corpus, centroids)
+    (1 to iters).foldLeft(init) { (centroids, i) =>
+      val next = argmaxAssign(corpus, centroids)
         .groupBy(col("cluster_id"))
         .agg(array(meanLanes: _*).as("centroid"))
-        // sever per-iteration lineage: measured against carrying the nested
-        // broadcast chain to one deep final plan — the checkpoint form wins
-        // (planning/codegen of the deep plan costs more than 3 small jobs)
-        .localCheckpoint()
+      // sever per-iteration lineage: measured against carrying the nested
+      // broadcast chain to one deep final plan — the checkpoint form wins
+      // (planning/codegen of the deep plan costs more than 3 small jobs).
+      // `checkpointLast = false` callers (single-consumer: ivfAssignments,
+      // whose one broadcast collect is itself the materialization) skip the
+      // final barrier; multi-consumer callers (ivfTopK broadcasts the
+      // centroids twice) keep it or the pipeline re-runs per consumer.
+      if (i < iters || checkpointLast) next.localCheckpoint() else next
     }
   }
 
@@ -226,13 +230,13 @@ object Similarity {
     */
   def ivfAssignments(corpus: DataFrame, nCentroids: Int, iters: Int,
                      dim: Int = 64): DataFrame = {
-    val centroids = kmeansCentroids(corpus, nCentroids, iters, dim)
+    val centroids = kmeansCentroids(corpus, nCentroids, iters, dim, checkpointLast = false)
     val rcos = round(cosineSim(col("embedding"), col("centroid")), 6)
-    // max_by + max, not max(struct): struct-max only plans as SortAggregate
-    // (sorts the whole corpus×centroids product per partition); these two
-    // pair into one ObjectHashAggregate with map-side combine. The winning
-    // cosine IS the max cosine, so the pair agrees with the argmax by
-    // construction.
+    // max_by + max in one partial+final aggregate (both carry struct-typed
+    // buffers, so either form plans as SortAggregate — A/B-measured
+    // equivalent to the max(struct) alternative within noise; this form
+    // reads cleaner and skips the unpack projection). The winning cosine IS
+    // the max cosine, so the pair agrees with the argmax by construction.
     corpus.select(col("vec_id"), col("embedding"))
       .crossJoin(broadcast(centroids))
       .groupBy(col("vec_id"))

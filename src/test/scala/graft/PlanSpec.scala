@@ -174,12 +174,13 @@ class PlanSpec extends AnyFunSuite {
 
   test("ivf_assign: one partial-agg argmax over broadcast centroids — no window over the corpus") {
     val p = plan("ivf_assign")
-    // final assignment is a partial+final max of the (cos, -cid) struct
-    // (struct max isn't hash-aggregable, so it plans as SortAggregate — the
-    // map-side combine is what matters), with no ranking window over the
-    // corpus and no non-broadcast product anywhere in the assignment pass
+    // final assignment is a partial+final max_by/max pair (map-side
+    // combine), with no PER-VECTOR ranking window: the ONLY Window allowed
+    // is the k-row seed numbering inside the broadcast kmeans subtree
+    // (visible here since round 5 skips the final-iteration checkpoint),
+    // and no non-broadcast product anywhere in the assignment pass
     assert(p.contains("partial_max"), p)
-    assert(!p.contains("Window"), p)
+    assert("Window \\[".r.findAllIn(p).length <= 1, p)
     assert(!p.contains("CartesianProduct"), p)
   }
 
