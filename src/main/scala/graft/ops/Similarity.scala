@@ -110,7 +110,12 @@ object Similarity {
     val b = embeddings.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
     // threshold inside the join condition: the nested-loop join then only
     // materializes surviving rows (tiny selectivity) instead of all N²/2
-    // candidate rows with both embedding arrays attached
+    // candidate rows with both embedding arrays attached. The surviving
+    // pairs re-evaluate the cosine once in the projection below — that
+    // duplicate work is survivors-only (≪ N²) and is the price of keeping
+    // the threshold IN the join; hoisting the cosine to a column before
+    // the filter would move the threshold out of the join condition and
+    // materialize the full candidate product (considered, rejected).
     a.join(b, col("vec_a") < col("vec_b") &&
               round(cosineSim(col("emb_a"), col("emb_b")), 6) >= threshold)
       .select(col("vec_a"), col("vec_b"),
