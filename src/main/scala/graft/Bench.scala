@@ -125,7 +125,7 @@ object Bench {
     // ratio (they ARE catalog queries); vs_baseline_symmetric is the
     // like-for-like diagnostic over the rows where both engines execute
     // comparable plans.
-    val asymmetric = Set("compaction_roundtrip", "stream_daily_parity")
+    val asymmetric = Set("compaction_roundtrip", "stream_daily_parity", "json_replay_roundtrip")
     val symmetricSec = comparable.collect {
       case (k, v) if !asymmetric.contains(k) => v
     }.sum

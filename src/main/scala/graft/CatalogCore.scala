@@ -943,6 +943,43 @@ object CatalogCore {
               |            THEN CAST(MAX(end_ep) - MAX(start_ep) AS DOUBLE) * 1000.0 / MAX(downloaded) ELSE 0.0 END AS avg_ms_per_download
               |FROM parsed GROUP BY run_id ORDER BY run_id""".stripMargin)),
 
+    // ── S3/S4/S8/P7 in one driver-hashed pass: write a day's replay
+    //    records as a JSON dataset (the reference's raw per-replay JSON
+    //    shape, format-partitioned), then discover them back via directory
+    //    listing + extension glob, scan with an explicit schema, and
+    //    aggregate. The oracle computes the expected aggregate straight
+    //    from the source table, so a serialization, listing, glob, or
+    //    schema-projection bug shifts the hash. (Work-asymmetric like
+    //    compaction_roundtrip — the twin never writes; itemized in Bench.)
+    ("json_replay_roundtrip",
+      (spark, dir) => {
+        val st = status(spark, dir)
+          .filter(col("uploadtime") < lit(789004800L)) // < 1995-01-02 UTC
+          .select(col("replay_id"), col("format_id"), col("uploadtime"),
+                  col("players"))
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_json_rt_").toString + "/replays"
+        st.repartition(col("format_id"))
+          .write.mode("overwrite").partitionBy("format_id").json(path)
+        spark.read
+          .schema("replay_id STRING, uploadtime BIGINT, players STRING, format_id STRING")
+          .option("pathGlobFilter", "*.json")
+          .json(path)
+          .groupBy(col("format_id"))
+          .agg(count(lit(1)).as("n"),
+               sum(Curation.hashBucket(col("replay_id"), 10000)).as("id_checksum"),
+               min(col("uploadtime")).as("min_up"), max(col("uploadtime")).as("max_up"),
+               sum(length(col("players")).cast("long")).as("players_len"))
+          .transform(orderedReport(_, col("format_id")))
+      },
+      Some(s"""$S
+              |SELECT format_id, COUNT(*) AS n,
+              |       CAST(SUM(CAST(CAST('0x' || substr(md5(replay_id), 1, 8) AS UBIGINT) AS BIGINT) % 10000) AS BIGINT) AS id_checksum,
+              |       MIN(uploadtime) AS min_up, MAX(uploadtime) AS max_up,
+              |       CAST(SUM(length(players)) AS BIGINT) AS players_len
+              |FROM replay_status WHERE uploadtime < 789004800
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ── T7 batch-parity, driver-hashed through a REAL streaming execution:
     //    stage the events table as a file-stream source, run the watermarked
     //    tumbling daily aggregate (Streaming.dailyStats — the T1/T7 surface)
