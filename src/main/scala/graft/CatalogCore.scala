@@ -943,6 +943,40 @@ object CatalogCore {
               |            THEN CAST(MAX(end_ep) - MAX(start_ep) AS DOUBLE) * 1000.0 / MAX(downloaded) ELSE 0.0 END AS avg_ms_per_download
               |FROM parsed GROUP BY run_id ORDER BY run_id""".stripMargin)),
 
+    // ── M3 integrity audit, driver-hashed (reference cleanup script's
+    //    pre-repair report): duplicate-key and null-key violations are
+    //    PLANTED deterministically (every 100th key re-delivered, every
+    //    97th key null'd) so the audit exercises its non-zero paths; the
+    //    oracle recomputes the same report from the same planted relation.
+    //    Note the null-key group also counts as a duplicate key when ≥2
+    //    null rows exist — mirrored exactly on both sides.
+    ("integrity_audit",
+      (spark, dir) => {
+        val st = status(spark, dir).select(col("replay_id"), col("order_key"))
+        val dirty = st
+          .unionByName(st.filter(col("order_key") % 100 === 0))
+          .unionByName(st.filter(col("order_key") % 97 === 0)
+            .withColumn("replay_id", lit(null).cast("string")))
+        Maintenance.integrityReport(dirty, "replay_id")
+          .orderBy(col("n_rows"))
+      },
+      Some(s"""$S,
+              |st AS (SELECT replay_id, order_key FROM replay_status),
+              |dirty AS (
+              |  SELECT replay_id FROM st
+              |  UNION ALL SELECT replay_id FROM st WHERE order_key % 100 = 0
+              |  UNION ALL SELECT NULL FROM st WHERE order_key % 97 = 0),
+              |dk AS (SELECT replay_id, COUNT(*) AS n FROM dirty
+              |       GROUP BY replay_id HAVING COUNT(*) > 1),
+              |agg1 AS (SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n_rows_in_dup_keys,
+              |                COUNT(*) AS n_dup_keys FROM dk),
+              |agg2 AS (SELECT COUNT(*) AS n_rows,
+              |                COUNT(DISTINCT replay_id) AS n_distinct_keys,
+              |                CAST(SUM(CASE WHEN replay_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_keys
+              |         FROM dirty)
+              |SELECT n_rows, n_distinct_keys, n_null_keys, n_rows_in_dup_keys, n_dup_keys
+              |FROM agg2 CROSS JOIN agg1 ORDER BY n_rows""".stripMargin)),
+
     // ── S3/S4/S8/P7 in one driver-hashed pass: write a day's replay
     //    records as a JSON dataset (the reference's raw per-replay JSON
     //    shape, format-partitioned), then discover them back via directory
