@@ -50,6 +50,7 @@ object CatalogCore {
     * the query several times — bench passes, verify + specs).
     */
   private val ParityRun = new java.util.concurrent.atomic.AtomicLong(0)
+  private val ObsRun = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** One staged stream-source copy of `events` per (session, dir): the
     * operator under test is the streaming execution — in production the
@@ -69,6 +70,34 @@ object CatalogCore {
     })
 
   private val S = Lifecycle.statusSql // WITH replay_status AS (...)
+
+  /** One pair of bucketed tables per (session, dir) for bucketed_join_counts
+    * (S9): the DDL write is one-time layout preparation (in production the
+    * state table is bucketed once at creation, db.py:73-76's CREATE INDEX
+    * analog) — repeated invocations measure the bucketed-scan join, not the
+    * write. Table names are unique per staging so concurrent sessions and
+    * re-created sessions never collide in a shared metastore namespace.
+    */
+  private val BucketStage =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (String, String)]()
+  private val BucketRun = new java.util.concurrent.atomic.AtomicLong(0)
+  private def stagedBucketedTables(spark: SparkSession, dir: String): (String, String) =
+    BucketStage.computeIfAbsent((spark, dir), _ => {
+      val run = BucketRun.incrementAndGet()
+      val (ta, tb) = (s"graft_status_b_$run", s"graft_results_b_$run")
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_bucketed_").toString
+      val st = status(spark, dir)
+      st.write.mode("overwrite").option("path", s"$base/$ta")
+        .bucketBy(8, "replay_id").sortBy("replay_id").saveAsTable(ta)
+      // results side: only a subset of replays has an attempt outcome, so
+      // the inner join below actually selects (not an identity join)
+      st.filter(col("order_key") % 5 < 4)
+        .select(col("replay_id"), (col("order_key") % 3 === 0).as("success"))
+        .write.mode("overwrite").option("path", s"$base/$tb")
+        .bucketBy(8, "replay_id").sortBy("replay_id").saveAsTable(tb)
+      (ta, tb)
+    })
 
   /** §3.3 composed disk→state reconciliation, pre-sort form (the catalog
     * entry checkpoints + totally orders it; exposed so PlanSpec can assert
@@ -1113,6 +1142,106 @@ object CatalogCore {
               |       f.uploadtime, f.players,
               |       '{"date_dir":"' || f.date_dir || '","imported":"true"}' AS additional_info
               |FROM fresh f LEFT JOIN compacted c ON f.replay_id = c.replay_id
-              |ORDER BY f.replay_id""".stripMargin))
+              |ORDER BY f.replay_id""".stripMargin)),
+
+    // ── S9 driver-hashed through the real DDL path: both join sides are
+    //    written as bucketed tables (bucketBy + sortBy saveAsTable — the
+    //    reference's CREATE INDEX analog, db.py:73-76) and the lifecycle
+    //    join runs over the bucketed scans. The zero-Exchange property of
+    //    that join is plan-asserted in BucketingSpec; this row pins the
+    //    bucketed write→catalog→scan→join round-trip's RESULTS with the
+    //    driver's hash. 100 TB shape: bucket count scales with the corpus,
+    //    the join stays co-located either way.
+    ("bucketed_join_counts",
+      (spark, dir) => {
+        val (ta, tb) = stagedBucketedTables(spark, dir)
+        spark.table(ta)
+          .join(spark.table(tb), Seq("replay_id"))
+          .groupBy(col("format_id"))
+          .agg(count(lit(1)).as("n_attempted"),
+               sum(when(col("success"), 1L).otherwise(0L)).as("n_success"),
+               sum(Curation.hashBucket(col("replay_id"), 10000)).as("id_checksum"))
+          .transform(orderedReport(_, col("format_id")))
+      },
+      Some(s"""$S
+              |SELECT format_id, COUNT(*) AS n_attempted,
+              |       CAST(SUM(CASE WHEN order_key % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_success,
+              |       CAST(SUM(CAST(CAST('0x' || substr(md5(replay_id), 1, 8) AS UBIGINT) AS BIGINT) % 10000) AS BIGINT) AS id_checksum
+              |FROM replay_status WHERE order_key % 5 < 4
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ── A8 driver-hashed through the real observe channel: the run-summary
+    //    counters the reference accumulates in Python dicts
+    //    (compaction.py:120-132, download.py:246-266) ride a CollectMetrics
+    //    node on an action that runs anyway (noop write), aggregate across
+    //    executors in the accumulator bus, and surface via Observation.get.
+    //    The returned row IS the observed metric values — a broken metric
+    //    channel (dropped updates, double-counted retries of a task) shifts
+    //    the hash. A fresh Observation per invocation: observations are
+    //    single-use by API contract.
+    ("observed_metrics",
+      (spark, dir) => {
+        val obs = new org.apache.spark.sql.Observation(
+          s"graft_obs_${ObsRun.incrementAndGet()}")
+        Metrics.observed(status(spark, dir), obs, Metrics.lifecycleCounters)
+          .write.format("noop").mode("overwrite").save()
+        val m = obs.get
+        import spark.implicits._
+        Seq((m("n_total").asInstanceOf[Long],
+             m("n_downloaded").asInstanceOf[Long],
+             m("n_failed").asInstanceOf[Long]))
+          .toDF("n_total", "n_downloaded", "n_failed")
+          .orderBy(col("n_total"))
+      },
+      Some(s"""$S
+              |SELECT COUNT(*) AS n_total,
+              |       CAST(SUM(CASE WHEN is_downloaded THEN 1 ELSE 0 END) AS BIGINT) AS n_downloaded,
+              |       CAST(SUM(CASE WHEN download_details LIKE 'Failed:%' THEN 1 ELSE 0 END) AS BIGINT) AS n_failed
+              |FROM replay_status ORDER BY 1""".stripMargin)),
+
+    // ── T6 driver-hashed through a REAL throttled micro-batch execution:
+    //    the paged source streams with maxPagesPerTrigger=7 (the reference's
+    //    max_pages pacing, constants.py:26 + discovery.py:78-79), and each
+    //    micro-batch's row count / uploadtime span / id checksum is recorded
+    //    from inside foreachBatch. Batch boundaries are a pure function of
+    //    (cursor, pageSize, maxPagesPerTrigger) via SupportsAdmissionControl,
+    //    so the per-batch rows are deterministic: a throttle bug (wrong
+    //    advance, re-delivered or skipped pages, no exhaustion stop) changes
+    //    the batch structure and the hash. Fresh checkpoint per invocation —
+    //    resuming a finished checkpoint would replay zero batches.
+    ("throttled_stream_stats",
+      (spark, dir) => {
+        val buf = new java.util.concurrent.ConcurrentLinkedQueue[
+          (Long, Long, Long, Long, Long)]()
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("graft_throttle_ckpt_").toString
+        val q = spark.readStream.format("paged-replays")
+          .option("format", "gen9ou").option("total", "1000")
+          .option("pageSize", "51").option("maxPagesPerTrigger", "7")
+          .load()
+          .writeStream
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            val r = batch.agg(
+              count(lit(1)), min(col("uploadtime")), max(col("uploadtime")),
+              sum(Curation.hashBucket(col("replay_id"), 10000))).head()
+            buf.add((batchId, r.getLong(0), r.getLong(1), r.getLong(2),
+                     r.getLong(3)))
+            ()
+          }
+          .option("checkpointLocation", ckpt)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        import spark.implicits._
+        scala.jdk.CollectionConverters.IteratorHasAsScala(buf.iterator())
+          .asScala.toSeq
+          .toDF("batch_id", "n_rows", "min_up", "max_up", "id_checksum")
+          .orderBy(col("batch_id"))
+      },
+      Some("""SELECT CAST((i // 51) // 7 AS BIGINT) AS batch_id,
+             |       COUNT(*) AS n_rows,
+             |       MIN(1704067200 - i * 37) AS min_up,
+             |       MAX(1704067200 - i * 37) AS max_up,
+             |       CAST(SUM(CAST(CAST('0x' || substr(md5('gen9ou-' || CAST(1704067200 - i * 37 AS VARCHAR)), 1, 8) AS UBIGINT) AS BIGINT) % 10000) AS BIGINT) AS id_checksum
+             |FROM range(1000) t(i) GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }
