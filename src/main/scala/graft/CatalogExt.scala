@@ -924,6 +924,85 @@ object CatalogExt {
               |           ORDER BY round(list_cosine_similarity(c.emb, kk.centroid), 6) DESC,
               |                    kk.cluster_id) AS rn
               |  FROM corpus c CROSS JOIN cent1 kk) WHERE rn = 1
-              |ORDER BY vec_id""".stripMargin))
+              |ORDER BY vec_id""".stripMargin)),
+
+    // ── Sliding-window chunking (long doc → training examples): 50-token
+    //    windows every 25 tokens, trailing short windows kept. Hash-only
+    //    output (withText=false) — the chunk payload is pinned through
+    //    md5(chunk), so a boundary off-by-one or a dropped trailing window
+    //    shifts the hash while the shuffled bytes stay narrow. Map-side
+    //    explode; the only exchange is the output sort.
+    ("doc_chunks",
+      (spark, dir) =>
+        Curation.chunkDocs(Tables.documents(spark, dir),
+                           window = 50, stride = 25, withText = false)
+          .orderBy(col("doc_id"), col("chunk_idx")),
+      Some(s"""WITH base AS (SELECT doc_id, $sqlTokens AS toks FROM documents),
+              |idx AS (
+              |  SELECT doc_id, toks,
+              |         CAST(unnest(range(0, CAST(floor((len(toks) + 24) / 25) AS BIGINT))) AS INTEGER) AS chunk_idx
+              |  FROM base),
+              |ch AS (
+              |  SELECT doc_id, chunk_idx,
+              |         array_to_string(toks[(chunk_idx*25+1):(chunk_idx*25+50)], ' ') AS chunk_text
+              |  FROM idx)
+              |SELECT doc_id, chunk_idx,
+              |       CAST(len(string_split(chunk_text, ' ')) AS BIGINT) AS n_tokens,
+              |       md5(chunk_text) AS chunk_hash
+              |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin)),
+
+    // ── Line-level boilerplate removal (the web-corpus cleaning pass:
+    //    lines shared by ≥2 distinct docs are chrome/footer repeats, not
+    //    prose). The corpus has no newline structure, so the row stages it
+    //    deterministically — 7-token lines — and then runs the REAL
+    //    operator: line explode → distinct-doc frequency → anti-join →
+    //    ordered reassembly. Planted near-dup docs share full lines, so the
+    //    removal path is genuinely exercised (nonzero drops at every SF).
+    //    Cleaned text is pinned via md5; docs reduced to nothing stay as
+    //    rows with empty-text hash.
+    ("boilerplate_line_stats",
+      (spark, dir) => {
+        val docs = Tables.documents(spark, dir)
+        val toks = split(col("text"), " ")
+        val nLines = floor((size(toks) + 6) / 7).cast("int")
+        val staged = docs.select(col("doc_id"),
+          array_join(
+            transform(sequence(lit(0), nLines - 1),
+                      i => array_join(slice(toks, i * 7 + 1, lit(7)), " ")),
+            "\n").as("text"))
+        Dedup.dropBoilerplateLines(staged, minDocs = 2)
+          .select(col("doc_id"), col("n_lines_kept"), col("n_lines_dropped"),
+                  md5(col("clean_text").cast("binary")).as("clean_hash"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH base AS (SELECT doc_id, $sqlTokens AS toks FROM documents),
+              |ln AS (
+              |  SELECT doc_id, toks,
+              |         unnest(range(0, CAST(floor((len(toks) + 6) / 7) AS BIGINT))) AS line_idx
+              |  FROM base),
+              |lines AS (
+              |  SELECT doc_id, line_idx,
+              |         array_to_string(toks[(line_idx*7+1):(line_idx*7+7)], ' ') AS line
+              |  FROM ln),
+              |boiler AS (
+              |  SELECT line FROM (
+              |    SELECT line, COUNT(DISTINCT doc_id) AS nd FROM lines GROUP BY 1)
+              |  WHERE nd >= 2),
+              |kept AS (
+              |  SELECT l.* FROM lines l ANTI JOIN boiler b ON l.line = b.line),
+              |agg AS (
+              |  SELECT doc_id, COUNT(*) AS n_lines_kept,
+              |         md5(string_agg(line, chr(10) ORDER BY line_idx)) AS clean_hash
+              |  FROM kept GROUP BY 1),
+              |tot AS (
+              |  SELECT doc_id,
+              |         CAST(floor((len(toks) + 6) / 7) AS BIGINT) AS n_total
+              |  FROM base)
+              |SELECT t.doc_id,
+              |       COALESCE(a.n_lines_kept, 0) AS n_lines_kept,
+              |       t.n_total - COALESCE(a.n_lines_kept, 0) AS n_lines_dropped,
+              |       COALESCE(a.clean_hash, md5('')) AS clean_hash
+              |FROM tot t LEFT JOIN agg a USING (doc_id)
+              |ORDER BY t.doc_id""".stripMargin))
   )
 }

@@ -296,4 +296,34 @@ object Curation {
     docs.join(broadcast(rates), Seq(groupCol))
       .filter(hashBucket(col(keyCol), mod) < col("keep_per_10k"))
   }
+
+  /** Sliding-window document chunking — the standard long-document →
+    * training-example split: token windows of `window` tokens starting every
+    * `stride` tokens (overlap = window − stride), trailing windows shorter
+    * than `window` kept (the tokenizer's packing stage pads or merges them;
+    * dropping content here would silently lose corpus tail text). Chunk
+    * count per doc = ⌈n/stride⌉, a pure function of the token count.
+    *
+    * Scale shape: one map-side HOF pipeline (split → sequence → transform →
+    * posexplode) inside the scan stage — zero shuffle; a downstream sort or
+    * write re-partitions the chunk stream as usual. `withText=false` emits
+    * only the md5 chunk hash (dedup/audit use) and keeps the shuffled bytes
+    * narrow.
+    */
+  def chunkDocs(docs: DataFrame, window: Int, stride: Int,
+                textCol: String = "text", withText: Boolean = true): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    val toks = split(col(textCol), " ")
+    val nChunks = floor((size(toks) + stride - 1) / stride).cast("int")
+    val chunks = transform(sequence(lit(0), nChunks - 1),
+      i => array_join(slice(toks, i * stride + 1, lit(window)), " "))
+    val exploded = docs.select(col("doc_id"),
+        posexplode(chunks).as(Seq("chunk_idx", "chunk_text")))
+      .withColumn("n_tokens",
+        size(split(col("chunk_text"), " ")).cast("long"))
+      .withColumn("chunk_hash", md5(col("chunk_text").cast("binary")))
+    if (withText) exploded
+    else exploded.select("doc_id", "chunk_idx", "n_tokens", "chunk_hash")
+  }
 }

@@ -377,4 +377,52 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
+
+  /** Lines (split on `\n`) occurring in at least `minDocs` *distinct*
+    * documents — the corpus-frequency table behind line-level boilerplate
+    * removal (the classic web-corpus cleaning pass: navigation chrome,
+    * cookie banners, footer text repeat across pages far more often than
+    * real prose). One explode + one hash-aggregate; the shuffle is
+    * proportional to distinct lines, and the returned head is the Zipf
+    * head — orders of magnitude smaller than the corpus.
+    */
+  def boilerplateLines(docs: DataFrame, minDocs: Int,
+                       textCol: String = "text"): DataFrame =
+    docs.select(col("doc_id"), explode(split(col(textCol), "\n")).as("line"))
+      .groupBy("line").agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+
+  /** Line-level boilerplate removal: drop every line that appears in ≥
+    * `minDocs` distinct documents, preserve the original order of the
+    * surviving lines, and report per-document keep/drop counts alongside
+    * the cleaned text. Documents whose every line is boilerplate survive
+    * with empty text (the downstream length/quality gate is the right place
+    * to drop them, not a silent row disappearance here).
+    *
+    * Scale shape: map-side posexplode → anti-join against the (small,
+    * broadcastable) boilerplate head → one groupBy(doc_id) whose
+    * sort_array-of-structs reassembly shuffles each surviving line exactly
+    * once. No window, no second pass over the corpus.
+    */
+  def dropBoilerplateLines(docs: DataFrame, minDocs: Int,
+                           textCol: String = "text"): DataFrame = {
+    val lines = docs.select(col("doc_id"),
+      posexplode(split(col(textCol), "\n")).as(Seq("line_idx", "line")))
+    val boiler = boilerplateLines(docs, minDocs, textCol).select("line")
+    val kept = lines.join(broadcast(boiler), Seq("line"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_lines_kept"),
+           array_join(
+             transform(array_sort(collect_list(struct(col("line_idx"), col("line")))),
+                       s => s.getField("line")),
+             "\n").as("clean_text"))
+    val totals = docs.select(col("doc_id"),
+      size(split(col(textCol), "\n")).cast("long").as("n_lines_total"))
+    totals.join(kept, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+              coalesce(col("n_lines_kept"), lit(0L)).as("n_lines_kept"),
+              (col("n_lines_total") - coalesce(col("n_lines_kept"), lit(0L)))
+                .as("n_lines_dropped"),
+              coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
 }

@@ -258,4 +258,38 @@ class CurationSpec extends AnyFunSuite {
     assert(again.select("doc_id").except(out.select("doc_id")).count() == 0)
     out.unpersist()
   }
+
+  test("chunkDocs: window/stride boundaries, trailing tail, reconstruction") {
+    // 11 tokens, window 4, stride 2 → starts 0,2,4,6,8,10 (⌈11/2⌉ = 6 chunks)
+    val toks = (1 to 11).map(i => s"t$i")
+    val crafted = Seq((1L, toks.mkString(" "))).toDF("doc_id", "text")
+    val chunks = Curation.chunkDocs(crafted, window = 4, stride = 2)
+      .orderBy("chunk_idx").collect()
+    assert(chunks.length == 6)
+    val texts = chunks.map(_.getAs[String]("chunk_text"))
+    assert(texts(0) == "t1 t2 t3 t4")
+    assert(texts(1) == "t3 t4 t5 t6")
+    assert(texts(4) == "t9 t10 t11")      // short tail kept
+    assert(texts(5) == "t11")             // last start < n
+    assert(chunks.map(_.getAs[Long]("n_tokens")).toSeq == Seq(4L, 4L, 4L, 4L, 3L, 1L))
+    // stride == window → exact partition, concatenation reconstructs the doc
+    val exact = Curation.chunkDocs(crafted, window = 4, stride = 4)
+      .orderBy("chunk_idx").collect().map(_.getAs[String]("chunk_text"))
+    assert(exact.mkString(" ") == toks.mkString(" "))
+  }
+
+  test("chunkDocs hash-only form carries the md5 of the text form") {
+    val crafted = Seq((1L, "a b c d e f g")).toDF("doc_id", "text")
+    val withText = Curation.chunkDocs(crafted, 3, 2)
+      .select("chunk_idx", "chunk_text", "chunk_hash").collect()
+    withText.foreach { r =>
+      assert(r.getString(2) ==
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(r.getString(1).getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString)
+    }
+    val hashOnly = Curation.chunkDocs(crafted, 3, 2, withText = false)
+    assert(hashOnly.columns.toSeq ==
+      Seq("doc_id", "chunk_idx", "n_tokens", "chunk_hash"))
+  }
 }

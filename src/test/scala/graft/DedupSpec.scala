@@ -173,4 +173,34 @@ class DedupSpec extends AnyFunSuite {
     assert(out.keySet == Set((1L, 2L)))
     assert(math.abs(out((1L, 2L)) - 1.0) < 1e-12)
   }
+
+  test("dropBoilerplateLines: shared lines go, unique lines keep order, empty docs survive") {
+    val crafted = Seq(
+      (1L, "nav home about\nreal prose one\ncopyright footer"),
+      (2L, "nav home about\nreal prose two\ncopyright footer"),
+      (3L, "nav home about\ncopyright footer"),
+      (4L, "solo document line")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dropBoilerplateLines(crafted, minDocs = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(1L) == ((1L, 2L, "real prose one")))
+    assert(out(2L) == ((1L, 2L, "real prose two")))
+    // every line boilerplate → empty text, row still present
+    assert(out(3L) == ((0L, 2L, "")))
+    assert(out(4L) == ((1L, 0L, "solo document line")))
+  }
+
+  test("dropBoilerplateLines preserves multi-line order and within-doc repeats") {
+    val crafted = Seq(
+      (1L, "keep A\nshared\nkeep B\nkeep A\nkeep C"),
+      (2L, "shared\nunrelated")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dropBoilerplateLines(crafted, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    // 'keep A' repeats within doc 1 only (one distinct doc) → both kept,
+    // original positions preserved
+    assert(out(1L) == "keep A\nkeep B\nkeep A\nkeep C")
+    assert(out(2L) == "unrelated")
+  }
 }
