@@ -934,8 +934,9 @@ object CatalogExt {
     //    explode; the only exchange is the output sort.
     ("doc_chunks",
       (spark, dir) =>
-        Curation.chunkDocs(Tables.documents(spark, dir),
-                           window = 50, stride = 25, withText = false)
+        Curation.chunkDocs(
+            Tables.spread(Tables.documents(spark, dir), col("doc_id")),
+            window = 50, stride = 25, withText = false)
           .orderBy(col("doc_id"), col("chunk_idx")),
       Some(s"""WITH base AS (SELECT doc_id, $sqlTokens AS toks FROM documents),
               |idx AS (
@@ -962,7 +963,10 @@ object CatalogExt {
     //    rows with empty-text hash.
     ("boilerplate_line_stats",
       (spark, dir) => {
-        val docs = Tables.documents(spark, dir)
+        // staging + line explode are CPU-heavy per-row HOF work over a
+        // single-row-group scan — spread to all cores first (the
+        // minhash/tfidf parallelism rescue)
+        val docs = Tables.spread(Tables.documents(spark, dir), col("doc_id"))
         val toks = split(col("text"), " ")
         val nLines = floor((size(toks) + 6) / 7).cast("int")
         val staged = docs.select(col("doc_id"),

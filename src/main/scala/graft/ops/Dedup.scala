@@ -272,7 +272,7 @@ object Dedup {
     val baseline = persistentIds
     val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
       .unionByName(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
-      .localCheckpoint()
+      
     val edgeIds = persistentIds -- baseline
     // Fused first iteration: with identity labels the generic step
     // (join labels, min over neighbor labels, least with own) collapses to
@@ -283,7 +283,7 @@ object Dedup {
     var labels = edges.groupBy(col("a"))
       .agg(least(col("a"), min(col("b"))).as("canonical_id"))
       .select(col("a").as("doc_id"), col("canonical_id"))
-      .localCheckpoint()
+      
     var labelIds = persistentIds -- baseline -- edgeIds
     var converged = false
     var i = 1
@@ -301,7 +301,7 @@ object Dedup {
                 least(col("canonical_id"), coalesce(col("nmin"), col("canonical_id")))
                   .as("canonical_id"),
                 col("canonical_id").as("__old"))
-        .localCheckpoint()
+        
       val updatedIds = persistentIds -- beforeUpd
       val changed = updated.filter(col("canonical_id") =!= col("__old")).count()
       // previous labels are superseded — release their blocks now
@@ -406,9 +406,23 @@ object Dedup {
     */
   def dropBoilerplateLines(docs: DataFrame, minDocs: Int,
                            textCol: String = "text"): DataFrame = {
+    // One explode shared by three consumers (frequency pass, anti-join
+    // probe side, per-doc totals). Lazy persist, not localCheckpoint: the
+    // explode is map-side work that parallelizes with the scan, and the
+    // eager checkpoint job costs more than the recompute it saves
+    // (measured on the catalog row at sf0.1: localCheckpoint 1.56 s,
+    // no materialization 0.94 s, lazy persist 0.9 s — the persist wins or
+    // ties because the first consumer's shuffle materializes it for the
+    // other two without an extra job). Nothing unpersists the (small,
+    // line-form) cache: Bench/Verify clear caches between queries; a
+    // long-lived session relies on LRU eviction, as with
+    // reconcile_disk_state.
     val lines = docs.select(col("doc_id"),
       posexplode(split(col(textCol), "\n")).as(Seq("line_idx", "line")))
-    val boiler = boilerplateLines(docs, minDocs, textCol).select("line")
+      .persist()
+    val boiler = lines.groupBy("line")
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= minDocs).select("line")
     val kept = lines.join(broadcast(boiler), Seq("line"), "left_anti")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_lines_kept"),
@@ -416,8 +430,10 @@ object Dedup {
              transform(array_sort(collect_list(struct(col("line_idx"), col("line")))),
                        s => s.getField("line")),
              "\n").as("clean_text"))
-    val totals = docs.select(col("doc_id"),
-      size(split(col(textCol), "\n")).cast("long").as("n_lines_total"))
+    // totals from the exploded form, not a re-split of the input: every doc
+    // has ≥1 line (split("") = [""]), so no rows are lost, and the join
+    // below co-partitions with `kept` on doc_id anyway.
+    val totals = lines.groupBy("doc_id").agg(count(lit(1)).as("n_lines_total"))
     totals.join(kept, Seq("doc_id"), "left_outer")
       .select(col("doc_id"),
               coalesce(col("n_lines_kept"), lit(0L)).as("n_lines_kept"),
