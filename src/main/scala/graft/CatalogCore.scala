@@ -64,7 +64,7 @@ object CatalogCore {
     parityStage.computeIfAbsent((spark, dir), _ => {
       val staged = java.nio.file.Files
         .createTempDirectory("graft_stream_parity_").toString
-      Tables.events(spark, dir).select("ts", "event_type")
+      Tables.events(spark, dir).select("ts", "event_type", "user_id")
         .write.mode("overwrite").parquet(s"$staged/src")
       staged
     })
@@ -1074,6 +1074,38 @@ object CatalogCore {
              |       COUNT(*) AS n_events,
              |       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ── U5's streaming twin driver-hashed through a REAL micro-batch
+    //    execution: the staged events stream through
+    //    `dropDuplicatesWithinWatermark` (watermark-bounded dedup state —
+    //    the 100 TB ingest's exact-dedup pass) keyed on
+    //    (user_id, event_type), and the emitted KEY SET is hashed against
+    //    the batch DISTINCT. Keys only: within one micro-batch the surviving
+    //    row's non-key columns depend on partition arrival order, but the
+    //    key set is arrival-order-free — so the query is deterministic
+    //    while still exercising the state store's insert/lookup path for
+    //    every input row. Same one-file ⇒ one-batch staging argument as
+    //    stream_daily_parity.
+    ("stream_dedup_parity",
+      (spark, dir) => {
+        import org.apache.spark.sql.types._
+        val staged = stagedEvents(spark, dir)
+        val schema = StructType(Seq(StructField("ts", TimestampType),
+                                    StructField("event_type", StringType),
+                                    StructField("user_id", LongType)))
+        val run = ParityRun.incrementAndGet()
+        val name = s"graft_dedup_parity_$run"
+        val src = spark.readStream.schema(schema).parquet(s"$staged/src")
+        val q = graft.streaming.Streaming
+          .dedupStream(src, Seq("user_id", "event_type"), "ts", "1 hour")
+          .select(col("user_id"), col("event_type"))
+          .writeStream.outputMode("append").format("memory").queryName(name)
+          .option("checkpointLocation", s"$staged/ckpt_dd_$run").start()
+        try q.processAllAvailable() finally q.stop()
+        spark.table(name).orderBy(col("user_id"), col("event_type"))
+      },
+      Some("""SELECT DISTINCT user_id, event_type FROM events
+             |ORDER BY 1, 2""".stripMargin)),
 
     // ── §3.3 composed disk↔state reconciliation, end to end (reference
     //    import_existing_replays.py:103-228 + fix_compacted_status.py:158-211):

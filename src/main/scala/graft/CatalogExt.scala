@@ -1007,6 +1007,30 @@ object CatalogExt {
               |       t.n_total - COALESCE(a.n_lines_kept, 0) AS n_lines_dropped,
               |       COALESCE(a.clean_hash, md5('')) AS clean_hash
               |FROM tot t LEFT JOIN agg a USING (doc_id)
-              |ORDER BY t.doc_id""".stripMargin))
+              |ORDER BY t.doc_id""".stripMargin)),
+
+    // ── Token-distribution Shannon entropy (diversity signal, the
+    //    complement of the Gopher repetition fractions). Hash-exact across
+    //    engines by the integer-units trick: per-type contributions rounded
+    //    to BIGINT micro-nats, per-doc value = the integer sum (order-
+    //    independent; micro-nat rounding absorbs ln() last-ulp differences
+    //    — same tolerance class the rounded-cosine oracles already prove).
+    ("token_entropy",
+      (spark, dir) =>
+        TextAnalysis.tokenEntropy(Tables.documents(spark, dir))
+          .orderBy(col("doc_id")),
+      Some(s"""WITH toks AS (
+              |  SELECT doc_id, unnest($sqlTokens) AS t FROM documents),
+              |counts AS (
+              |  SELECT doc_id, t, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+              |wn AS (
+              |  SELECT doc_id, c,
+              |         CAST(SUM(c) OVER (PARTITION BY doc_id) AS BIGINT) AS n
+              |  FROM counts)
+              |SELECT doc_id,
+              |       MAX(n) AS n_tokens,
+              |       COUNT(*) AS n_types,
+              |       CAST(SUM(CAST(round((c / n) * ln(n / c) * 1000000) AS BIGINT)) AS BIGINT) AS entropy_unats
+              |FROM wn GROUP BY 1 ORDER BY doc_id""".stripMargin))
   )
 }

@@ -181,4 +181,34 @@ object TextAnalysis {
               (col("big_top").cast("double") / col("big_total"))
                 .as("top_2gram_frac"))
   }
+
+  /** Shannon entropy of each document's token distribution, in integer
+    * micro-nats — the diversity complement to [[repetitionScores]] (low
+    * entropy = templated/repetitive text; the standard cut alongside the
+    * Gopher fractions). Engine-portable by the integer-units trick: each
+    * token type contributes round((c/n)·ln(n/c)·10⁶) as a BIGINT and the
+    * per-doc value is the *integer* sum — order-independent, so parallel
+    * aggregation can't drift, and the micro-nat rounding absorbs any
+    * last-ulp disagreement between `ln` implementations (the same tolerance
+    * argument as the rounded-cosine oracles; c/n and n/c themselves are
+    * IEEE-exact divisions).
+    *
+    * Shape: one explode → (doc, token) count aggregate (map-side combine;
+    * shuffle bounded by distinct pairs) → window total per doc (one
+    * exchange on doc_id) → final sum already co-partitioned. Returns
+    * (doc_id, n_tokens, n_types, entropy_unats).
+    */
+  def tokenEntropy(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = explodeTokens(docs, textCol, spread = true)
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("c"))
+    val withN = counts.withColumn("n",
+      sum(col("c")).over(Window.partitionBy("doc_id")))
+    withN.groupBy("doc_id")
+      .agg(max(col("n")).as("n_tokens"),
+           count(lit(1)).as("n_types"),
+           sum(round((col("c").cast("double") / col("n"))
+                 * log(col("n").cast("double") / col("c")) * 1e6)
+             .cast("long")).as("entropy_unats"))
+  }
 }

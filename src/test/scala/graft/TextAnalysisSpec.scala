@@ -74,6 +74,25 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r(1).getAs[Double]("top_2gram_frac") == 1.0 / 3)
   }
 
+  test("tokenEntropy: hand-computed micro-nat values, zero for degenerate docs") {
+    val df = Seq(
+      (1L, "a a b b"),       // two types at p=1/2 → 2·round(0.5·ln2·1e6)
+      (2L, "a b c d"),       // uniform over 4 → 4·round(0.25·ln4·1e6)
+      (3L, "x"),             // single token → 0
+      (4L, "a a a a a")      // single type → 0
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.tokenEntropy(df).orderBy("doc_id").collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+    val half = math.round(0.5 * math.log(2.0) * 1e6)       // 346574
+    val quarter = math.round(0.25 * math.log(4.0) * 1e6)
+    assert(r(1L) == ((4L, 2L, 2 * half)))
+    assert(r(2L) == ((4L, 4L, 4 * quarter)))
+    assert(r(3L) == ((1L, 1L, 0L)))
+    assert(r(4L) == ((5L, 1L, 0L)))
+    // more types at equal mass ⇒ strictly higher entropy
+    assert(r(2L)._3 > r(1L)._3)
+  }
+
   test("fingerprint min/max are stable hex strings") {
     val df = Seq((1L, "a b c d e f g h")).toDF("doc_id", "text")
     val f = TextAnalysis.fingerprint(col("text"))
