@@ -130,6 +130,8 @@ object Bench {
       // real throttled micro-batch execution (3 triggers + checkpoint dir)
       // vs a pure range() arithmetic twin
       "throttled_stream_stats",
+      // real watermarked-dedup micro-batch execution vs a batch DISTINCT
+      "stream_dedup_parity",
       // bucketed-table staging writes on first invocation; the twin never
       // writes (steady-state reads are symmetric, the 3-pass min usually
       // lands there, but the stage can be charged to pass 1 in a cold run)
@@ -145,14 +147,14 @@ object Bench {
     // (BASELINE.md round-4 re-pin) so the host-factor correction is
     // coherent: a bench run in a slower window scales the bar to what
     // DuckDB would have measured there.
-    // 80-query pin = the 75-query quiet pin (18.6 s @ calib 0.86) plus the
-    // five rows added after it, whose DuckDB cost was measured in a
-    // calib-1.03 window (0.43 s) and probe-normalized to the quiet window
-    // (×0.86/1.03 ≈ 0.36 s). Probe normalization UNDERSTATES DuckDB's
-    // quiet-window cost (DuckDB degrades less than the scan/ALU probe:
-    // measured 0.92 vs 0.835 between these two windows), so the increment
-    // is conservative — the bar is if anything slightly low.
-    val baselineQuiet = sys.env.getOrElse("SPARK_GRAFT_BASELINE_SEC", "18.96").toDouble
+    // 82-query pin = the 75-query quiet pin (18.6 s @ calib 0.86) plus the
+    // seven rows added after it, whose DuckDB cost was measured in a
+    // calib-1.03 window (0.43 + 0.07 s) and probe-normalized to the quiet
+    // window (×0.86/1.03 ≈ 0.36 + 0.06 s). Probe normalization UNDERSTATES
+    // DuckDB's quiet-window cost (DuckDB degrades less than the scan/ALU
+    // probe: measured 0.92 vs 0.835 between these two windows), so the
+    // increment is conservative — the bar is if anything slightly low.
+    val baselineQuiet = sys.env.getOrElse("SPARK_GRAFT_BASELINE_SEC", "19.02").toDouble
     // Host-speed calibration (BASELINE.md "Host-speed calibration"): the
     // shared build host has multi-minute windows where EVERYTHING runs
     // 20-85% slower (hypervisor-level; guest vmstat shows idle CPU while

@@ -422,23 +422,24 @@ object Dedup {
       .persist()
     val boiler = lines.groupBy("line")
       .agg(countDistinct(col("doc_id")).as("n_docs"))
-      .filter(col("n_docs") >= minDocs).select("line")
-    val kept = lines.join(broadcast(boiler), Seq("line"), "left_anti")
+      .filter(col("n_docs") >= minDocs)
+      .select(col("line"), lit(true).as("is_boiler"))
+    // One aggregate computes keep/drop counts AND the reassembly: the
+    // boilerplate head joins as a broadcast flag (map-side), and
+    // collect_list's skip-nulls contract drops flagged lines from the
+    // rebuild — no anti-join pass, no separate totals pass, no final join.
+    // Every doc keeps a row (split("") = [""] ⇒ ≥1 line per doc), and an
+    // all-boilerplate doc reassembles as array_join([]) = "".
+    lines.join(broadcast(boiler), Seq("line"), "left_outer")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_lines_kept"),
-           array_join(
-             transform(array_sort(collect_list(struct(col("line_idx"), col("line")))),
-                       s => s.getField("line")),
-             "\n").as("clean_text"))
-    // totals from the exploded form, not a re-split of the input: every doc
-    // has ≥1 line (split("") = [""]), so no rows are lost, and the join
-    // below co-partitions with `kept` on doc_id anyway.
-    val totals = lines.groupBy("doc_id").agg(count(lit(1)).as("n_lines_total"))
-    totals.join(kept, Seq("doc_id"), "left_outer")
-      .select(col("doc_id"),
-              coalesce(col("n_lines_kept"), lit(0L)).as("n_lines_kept"),
-              (col("n_lines_total") - coalesce(col("n_lines_kept"), lit(0L)))
-                .as("n_lines_dropped"),
-              coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .agg(
+        sum(when(col("is_boiler"), 0L).otherwise(1L)).as("n_lines_kept"),
+        sum(when(col("is_boiler"), 1L).otherwise(0L)).as("n_lines_dropped"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("is_boiler").isNull, struct(col("line_idx"), col("line"))))),
+            s => s.getField("line")),
+          "\n").as("clean_text"))
   }
 }
