@@ -1031,6 +1031,74 @@ object CatalogExt {
               |       MAX(n) AS n_tokens,
               |       COUNT(*) AS n_types,
               |       CAST(SUM(CAST(round((c / n) * ln(n / c) * 1000000) AS BIGINT)) AS BIGINT) AS entropy_unats
-              |FROM wn GROUP BY 1 ORDER BY doc_id""".stripMargin))
+              |FROM wn GROUP BY 1 ORDER BY doc_id""".stripMargin)),
+
+    // ── MinHash-LSH candidate quality, hash-checked (the ann_recall
+    //    pattern applied to the text-dedup path): exact Jaccard ≥ 0.5 pairs
+    //    are the ground truth, the banded LSH pairs are the approximation,
+    //    and one full-outer-join aggregate reports truth size, candidate
+    //    size, hits, and recall. Both sides are deterministic and already
+    //    individually oracle'd — this row pins the approximation quality
+    //    itself with the driver's hash (a banding/threshold regression
+    //    changes the counts).
+    ("lsh_recall",
+      (spark, dir) => {
+        val docs = Tables.documents(spark, dir)
+        val truth = Dedup.ngramJaccardPairs(docs, 3, 0.5)
+          .select(col("doc_a"), col("doc_b")).withColumn("t", lit(1L))
+        val cand = Dedup.lshCandidatePairs(docs, 8, 2)
+          .withColumn("hit", lit(1L))
+        truth.join(cand, Seq("doc_a", "doc_b"), "full_outer")
+          .agg(count(col("t")).as("n_true"),
+               count(col("hit")).as("n_candidates"),
+               sum(when(col("t").isNotNull && col("hit").isNotNull, 1L)
+                 .otherwise(0L)).as("n_hit"))
+          .select(col("n_true"), col("n_candidates"), col("n_hit"),
+                  (col("n_hit").cast("double") / col("n_true")).as("recall"))
+          .orderBy(col("n_true"))
+      },
+      Some {
+        val sigs = (0 until 8).map(i => s"${sqlMinhash(i)} AS s$i").mkString(", ")
+        val bands = (0 until 4).map(i => s"md5(s${2 * i} || '|' || s${2 * i + 1}) AS b$i").mkString(", ")
+        val joins = (0 until 4).map(i =>
+          s"""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+             |FROM bands a JOIN bands b ON a.b$i = b.b$i AND a.doc_id < b.doc_id""".stripMargin)
+          .mkString("\nUNION\n")
+        s"""WITH sh AS (
+           |  SELECT DISTINCT doc_id, unnest(${sqlShingles(3)}) AS g FROM documents),
+           |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+           |p AS (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+           |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2),
+           |truth AS (
+           |  SELECT doc_a, doc_b FROM p
+           |  JOIN sizes sa ON doc_a = sa.doc_id
+           |  JOIN sizes sb ON doc_b = sb.doc_id
+           |  WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= 0.5),
+           |sigs AS (SELECT doc_id, $sigs FROM documents),
+           |bands AS (SELECT doc_id, $bands FROM sigs),
+           |cand AS (SELECT DISTINCT doc_a, doc_b FROM ($joins))
+           |SELECT COUNT(t.doc_a) AS n_true,
+           |       COUNT(c.doc_a) AS n_candidates,
+           |       CAST(SUM(CASE WHEN t.doc_a IS NOT NULL AND c.doc_a IS NOT NULL
+           |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+           |       CAST(SUM(CASE WHEN t.doc_a IS NOT NULL AND c.doc_a IS NOT NULL
+           |                     THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(t.doc_a) AS recall
+           |FROM truth t FULL JOIN cand c
+           |  ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+           |ORDER BY 1""".stripMargin
+      }),
+
+    // ── Tokenizer-training prep: the first BPE merge iteration — top-50
+    //    adjacent-pair frequencies over the corpus with a pinned
+    //    (count desc, pair asc) boundary tie-break. TakeOrdered plan.
+    ("bpe_merge_candidates",
+      (spark, dir) =>
+        TextAnalysis.bpeMergeCandidates(Tables.documents(spark, dir), 50),
+      Some(s"""WITH grams AS (
+              |  SELECT unnest(${sqlShingles(2)}) AS pair FROM documents)
+              |SELECT pair, COUNT(*) AS n FROM grams GROUP BY pair
+              |ORDER BY n DESC, pair ASC LIMIT 50""".stripMargin))
   )
 }

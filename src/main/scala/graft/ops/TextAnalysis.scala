@@ -198,6 +198,22 @@ object TextAnalysis {
     * exchange on doc_id) → final sum already co-partitioned. Returns
     * (doc_id, n_tokens, n_types, entropy_unats).
     */
+  /** Top-k adjacent-token-pair frequencies — the first iteration of BPE
+    * merge selection (tokenizer training over the corpus starts by counting
+    * adjacent pairs and merging the most frequent). Deterministic total
+    * order: count desc, pair asc, so the k-boundary tie is pinned. One
+    * explode + one hash-aggregate; the top-k is a TakeOrdered (per-partition
+    * heads, single reduce) — no full sort of the pair space at any scale.
+    * Word-level pairs here; a byte/char-level tokenizer would explode
+    * characters instead, same plan.
+    */
+  def bpeMergeCandidates(docs: DataFrame, k: Int,
+                         textCol: String = "text"): DataFrame =
+    explodeShingles(docs, 2, textCol, distinct = false, spread = true)
+      .groupBy(col("g").as("pair")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair").asc)
+      .limit(k)
+
   def tokenEntropy(docs: DataFrame, textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val counts = explodeTokens(docs, textCol, spread = true)

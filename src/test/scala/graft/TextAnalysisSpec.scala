@@ -93,6 +93,20 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r(2L)._3 > r(1L)._3)
   }
 
+  test("bpeMergeCandidates: frequency order with pinned boundary tie-break") {
+    val df = Seq(
+      (1L, "a b a b a b"),   // 'a b' ×3, 'b a' ×2
+      (2L, "c d c d"),       // 'c d' ×2, 'd c' ×1
+      (3L, "z z z")          // 'z z' ×2
+    ).toDF("doc_id", "text")
+    val top = TextAnalysis.bpeMergeCandidates(df, 3).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(top(0) == (("a b", 3L)))
+    // three pairs tie at n=2 → lexicographic pair order breaks the tie and
+    // the k-boundary cut is deterministic
+    assert(top.slice(1, 3).toSeq == Seq(("b a", 2L), ("c d", 2L)))
+  }
+
   test("fingerprint min/max are stable hex strings") {
     val df = Seq((1L, "a b c d e f g h")).toDF("doc_id", "text")
     val f = TextAnalysis.fingerprint(col("text"))
