@@ -1090,6 +1090,67 @@ object CatalogExt {
            |ORDER BY 1""".stripMargin
       }),
 
+    // ── The dedup pipeline's actual OUTPUT, driver-hashed: survivors of
+    //    exact + near-dup removal (Pipeline.dedupedDocs — drop every
+    //    non-canonical member of a byte-identical group or a Jaccard ≥ 0.5
+    //    cluster, df-capped universe as in ngram_jaccard_dups). The cluster
+    //    and exact-group steps are green individually; this row pins the
+    //    composed survivor rule a real corpus run applies, as per-
+    //    (lang, source) counts + id checksum + char mass. Oracle rebuilds
+    //    both loser sets (window-framed exact groups, recursive-CTE
+    //    transitive closure) and anti-joins them away.
+    ("dedup_survivor_stats",
+      (spark, dir) =>
+        Pipeline.dedupedDocs(Tables.documents(spark, dir))
+          .groupBy(col("lang"), col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+               sum(Curation.hashBucket(col("doc_id"), 10000)).as("id_checksum"),
+               sum(col("n_chars")).as("chars_total"))
+          .transform(CatalogCore.orderedReport(_, col("lang"), col("source"))),
+      Some(s"""WITH RECURSIVE exact_losers AS (
+              |  SELECT doc_id FROM (
+              |    SELECT doc_id,
+              |           MIN(doc_id) OVER (PARTITION BY md5(text)) AS canon,
+              |           COUNT(*) OVER (PARTITION BY md5(text)) AS n
+              |    FROM documents)
+              |  WHERE n > 1 AND doc_id <> canon),
+              |sh0 AS (
+              |  SELECT DISTINCT doc_id, unnest(${sqlShingles(3)}) AS g FROM documents),
+              |keep AS (
+              |  SELECT g FROM (SELECT g, COUNT(*) AS df FROM sh0 GROUP BY g)
+              |  WHERE df <= 50),
+              |sh AS (SELECT sh0.doc_id, sh0.g FROM sh0 JOIN keep USING (g)),
+              |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+              |cnt AS (
+              |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+              |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2),
+              |pairs0 AS (
+              |  SELECT doc_a, doc_b FROM cnt
+              |  JOIN sizes sa ON doc_a = sa.doc_id
+              |  JOIN sizes sb ON doc_b = sb.doc_id
+              |  WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= 0.5),
+              |edges AS (
+              |  SELECT doc_a AS a, doc_b AS b FROM pairs0
+              |  UNION ALL SELECT doc_b, doc_a FROM pairs0),
+              |reach(a, b) AS (
+              |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+              |  UNION
+              |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+              |near_losers AS (
+              |  SELECT a AS doc_id FROM (
+              |    SELECT a, MIN(b) AS canonical FROM reach GROUP BY a)
+              |  WHERE a <> canonical),
+              |losers AS (
+              |  SELECT doc_id FROM exact_losers
+              |  UNION SELECT doc_id FROM near_losers),
+              |surv AS (
+              |  SELECT d.* FROM documents d ANTI JOIN losers l ON d.doc_id = l.doc_id)
+              |SELECT lang, source, COUNT(*) AS n_docs,
+              |       CAST(SUM(CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS UBIGINT) AS BIGINT) % 10000) AS BIGINT) AS id_checksum,
+              |       CAST(SUM(n_chars) AS BIGINT) AS chars_total
+              |FROM surv GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // ── Tokenizer-training prep: the first BPE merge iteration — top-50
     //    adjacent-pair frequencies over the corpus with a pinned
     //    (count desc, pair asc) boundary tie-break. TakeOrdered plan.

@@ -207,4 +207,37 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("partial_"), p)
   }
+
+  test("doc_chunks: map-side explode, no join") {
+    val p = plan("doc_chunks")
+    assert(p.contains("Generate"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("boilerplate_line_stats: broadcast flag join feeding one fused aggregate") {
+    val p = plan("boilerplate_line_stats")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // reassembly + counts live in a single aggregate (collect_list ⇒
+    // ObjectHashAggregate), not an aggregate-join-aggregate chain
+    assert(p.contains("ObjectHashAggregate"), p)
+  }
+
+  test("bpe_merge_candidates: top-k plans as TakeOrdered, not a global sort") {
+    val p = plan("bpe_merge_candidates")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("token_entropy: partial+final counts below the per-doc window total") {
+    val p = plan("token_entropy")
+    assert(p.contains("partial_"), p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("lsh_recall: inverted-index joins stay hash joins, no nested loops") {
+    val p = plan("lsh_recall")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("ShuffledHashJoin"), p)
+  }
 }
