@@ -272,7 +272,7 @@ object Dedup {
     val baseline = persistentIds
     val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
       .unionByName(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
-      
+      .localCheckpoint()
     val edgeIds = persistentIds -- baseline
     // Fused first iteration: with identity labels the generic step
     // (join labels, min over neighbor labels, least with own) collapses to
@@ -283,7 +283,7 @@ object Dedup {
     var labels = edges.groupBy(col("a"))
       .agg(least(col("a"), min(col("b"))).as("canonical_id"))
       .select(col("a").as("doc_id"), col("canonical_id"))
-      
+      .localCheckpoint()
     var labelIds = persistentIds -- baseline -- edgeIds
     var converged = false
     var i = 1
@@ -301,7 +301,7 @@ object Dedup {
                 least(col("canonical_id"), coalesce(col("nmin"), col("canonical_id")))
                   .as("canonical_id"),
                 col("canonical_id").as("__old"))
-        
+        .localCheckpoint()
       val updatedIds = persistentIds -- beforeUpd
       val changed = updated.filter(col("canonical_id") =!= col("__old")).count()
       // previous labels are superseded — release their blocks now
