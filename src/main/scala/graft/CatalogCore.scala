@@ -1092,9 +1092,17 @@ object CatalogCore {
                                     StructField("event_type", StringType)))
         val run = ParityRun.incrementAndGet()
         val name = s"graft_daily_parity_$run"
-        val q = graft.streaming.Streaming.dailyStats(spark, s"$staged/src", schema)
-          .writeStream.outputMode("complete").format("memory").queryName(name)
-          .option("checkpointLocation", s"$staged/ckpt_$run").start()
+        // state-store partition count is fixed at query start (see
+        // stream_retry_parity): 8 partitions for a ~30-key (day) state,
+        // session default restored immediately after start
+        val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+        val q =
+          try {
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+            graft.streaming.Streaming.dailyStats(spark, s"$staged/src", schema)
+              .writeStream.outputMode("complete").format("memory").queryName(name)
+              .option("checkpointLocation", s"$staged/ckpt_$run").start()
+          } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
         try q.processAllAvailable() finally q.stop()
         spark.table(name)
           .select(to_date(col("day.start")).as("event_date"),
@@ -1127,11 +1135,18 @@ object CatalogCore {
         val run = ParityRun.incrementAndGet()
         val name = s"graft_dedup_parity_$run"
         val src = spark.readStream.schema(schema).parquet(s"$staged/src")
-        val q = graft.streaming.Streaming
-          .dedupStream(src, Seq("user_id", "event_type"), "ts", "1 hour")
-          .select(col("user_id"), col("event_type"))
-          .writeStream.outputMode("append").format("memory").queryName(name)
-          .option("checkpointLocation", s"$staged/ckpt_dd_$run").start()
+        // 8 state-store partitions (see stream_retry_parity) — the dedup
+        // key set is small and the 32-partition store is commit overhead
+        val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+        val q =
+          try {
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+            graft.streaming.Streaming
+              .dedupStream(src, Seq("user_id", "event_type"), "ts", "1 hour")
+              .select(col("user_id"), col("event_type"))
+              .writeStream.outputMode("append").format("memory").queryName(name)
+              .option("checkpointLocation", s"$staged/ckpt_dd_$run").start()
+          } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
         try q.processAllAvailable() finally q.stop()
         spark.table(name).orderBy(col("user_id"), col("event_type"))
       },

@@ -81,12 +81,35 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("dupClusters: refuses to return partial labels on non-convergence") {
-    // a 5-hop chain cannot converge in 1 iteration of min-label propagation
+    // a 5-hop chain cannot converge in 1 iteration of min-label propagation;
+    // threshold 0 forces the distributed loop (the local union-find path
+    // always converges)
     val chain = (1L to 5L).sliding(2).map(w => (w.head, w.last)).toSeq
       .toDF("doc_a", "doc_b")
-    intercept[IllegalStateException] {
+    spark.conf.set("spark.graft.components.localThreshold", "0")
+    try intercept[IllegalStateException] {
       Dedup.dupClusters(chain, maxIters = 1)
-    }
+    } finally spark.conf.unset("spark.graft.components.localThreshold")
+  }
+
+  test("dupClusters: local union-find and distributed loop agree") {
+    // two chains, a triangle-with-tail, and a singleton pair — exercises
+    // path compression, min-through-chain, and string ids on both paths
+    val pairs = Seq(
+      ("d07", "d03"), ("d03", "d09"), ("d09", "d01"),
+      ("x2", "x1"), ("x2", "x3"), ("x1", "x3"), ("x3", "x4"),
+      ("solo_b", "solo_a")).toDF("doc_a", "doc_b")
+    val local = Dedup.dupClusters(pairs).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    spark.conf.set("spark.graft.components.localThreshold", "0")
+    val dist =
+      try Dedup.dupClusters(pairs).collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      finally spark.conf.unset("spark.graft.components.localThreshold")
+    assert(local == dist)
+    assert(local("d07") == "d01" && local("d01") == "d01")
+    assert(local("x4") == "x1" && local("solo_a") == "solo_a" &&
+           local("solo_b") == "solo_a")
   }
 
   test("ngram jaccard equals a driver-side reference on crafted docs") {
