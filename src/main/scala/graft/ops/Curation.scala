@@ -202,12 +202,19 @@ object Curation {
     // anti-join against the tiny Zipf-head overflow set, map-side over the
     // checkpointed postings for both join sides (same shape + rationale as
     // [[Dedup.ngramJaccardPairs]])
-    val sh = TextAnalysis.explodeShingles(docs, n).localCheckpoint()
+    // 64-bit-hashed shingles (Broder trick, see [[Dedup.ngramJaccardPairs]]:
+    // shuffles move longs, not strings; collision odds ~d²·2⁻⁶⁵) and the
+    // CAPPED relation materialized once — it feeds both the train and eval
+    // sides, and without its own checkpoint each side re-runs the overflow
+    // aggregate and anti-join over the full postings.
+    val sh = TextAnalysis.explodeShingles(docs, n)
+      .select(col("doc_id"), xxhash64(col("g")).as("g"))
+      .localCheckpoint()
     val capped =
       if (maxShingleDf > 0) {
         val overflow = sh.groupBy("g").agg(count(lit(1)).as("df"))
           .filter(col("df") > maxShingleDf).select("g")
-        sh.join(broadcast(overflow), Seq("g"), "left_anti")
+        sh.join(broadcast(overflow), Seq("g"), "left_anti").localCheckpoint()
       } else sh
     val p = capped
       .withColumn("split", assignSplit(col("doc_id"), trainPct, valPct))

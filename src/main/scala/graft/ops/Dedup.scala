@@ -421,7 +421,17 @@ object Dedup {
     // inverted-index intermediate at cluster scale) — every consumer below
     // (df-cap aggregate, both self-join sides, sizes) derives from it, and
     // without the checkpoint the shingle explode re-runs per consumer.
-    val sh = TextAnalysis.explodeShingles(docs, n).localCheckpoint()
+    // Shingle strings are 64-bit-hashed at the explode (Broder's shingle
+    // hashing): every downstream shuffle — df-cap aggregate, both self-join
+    // sides, sizes — moves 8-byte longs instead of ~20-char strings, and
+    // the join compares/hashes primitives. The measure is then Jaccard over
+    // hashed shingle sets, which equals string-shingle Jaccard unless two
+    // distinct shingles collide: P ≈ d²·2⁻⁶⁵ for d distinct shingles —
+    // ~10⁻⁹ at sf0.1's 2.6·10⁵ and still ~10⁻⁴ at 10⁹ distinct shingles,
+    // far below any near-dup threshold's sensitivity.
+    val sh = TextAnalysis.explodeShingles(docs, n)
+      .select(col("doc_id"), xxhash64(col("g")).as("g"))
+      .localCheckpoint()
     // The df cap drops the OVERFLOW shingles (df > cap) — a Zipf-head set
     // orders of magnitude smaller than the kept universe, so the cap is a
     // broadcast anti-join (map-side over the checkpointed postings) instead
@@ -430,11 +440,18 @@ object Dedup {
     // overflow head itself is huge would want the semi-join form back —
     // with natural-language shingles it is bounded by a few thousand stop
     // phrases.
+    // The CAPPED postings are materialized too: they are referenced four
+    // times below (both self-join sides + both size lookups), and without
+    // their own checkpoint each reference re-runs the df-cap aggregate and
+    // the anti-join — the executed plan showed FOUR overflow aggregates,
+    // each a full postings shuffle. One materialization replaces three
+    // redundant postings-wide passes, locally and at any scale.
     val p =
       if (maxShingleDf > 0) {
         val overflow = sh.groupBy("g").agg(count(lit(1)).as("df"))
           .filter(col("df") > maxShingleDf).select("g")
         sh.join(broadcast(overflow), Seq("g"), "left_anti").select("doc_id", "g")
+          .localCheckpoint()
       } else sh.select("doc_id", "g")
     // Per-doc (capped-universe) set sizes join onto the PAIR AGGREGATE, not
     // onto the postings: the only full-size shuffles are then the inverted-
@@ -443,7 +460,9 @@ object Dedup {
     // candidate-pair set on its doc keys. An earlier window-count formulation
     // carried sz on every posting row — a second full shuffle of the postings
     // by doc_id that this shape simply does not need, locally or at 100 TB.
-    val sizes = p.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    // Checkpointed (one tiny row per doc) so the sz_a and sz_b broadcast
+    // builds share one aggregation instead of re-running it.
+    val sizes = p.groupBy("doc_id").agg(count(lit(1)).as("sz")).localCheckpoint()
     // shuffle-hash, not sort-merge: the join key is a high-cardinality
     // shingle whose per-key group is bounded by the df cap, so the build
     // side is small per partition and there is nothing to gain from sorting
