@@ -40,10 +40,29 @@ object Compaction {
     // Only "dataset does not exist yet" maps to None — any other read
     // failure must abort: treating it as empty would dynamic-overwrite the
     // touched partitions with incoming-only data and drop compacted history.
+    //
+    // The touched-partition restriction is a STATIC partition predicate,
+    // not a semi-join: the touched set is bounded by the batch's
+    // formats × days (the reference's batches are per-day slices), so it
+    // collects driver-side and the OR-chain of partition-column equalities
+    // prunes at the file index — the scan lists only touched directories.
+    // The semi-join form read the ENTIRE compacted dataset to keep the
+    // rows a partition filter eliminates for free; at 100 TB that is a
+    // full-table read per daily batch. A batch touching >1000 partitions
+    // falls back to the semi-join (an OR-chain that wide plans worse than
+    // one shuffle).
     val existing =
-      try Some(spark.read.parquet(path).join(
-        partitioned.select("format_id", "day").distinct(),
-        Seq("format_id", "day"), "left_semi"))
+      try {
+        val ds = spark.read.parquet(path)
+        val touched = partitioned.select("format_id", "day").distinct().collect()
+        if (touched.nonEmpty && touched.length <= 1000)
+          Some(ds.filter(touched.map(r =>
+            col("format_id") === lit(r.get(0)) && col("day") === lit(r.get(1)))
+            .reduce(_ || _)))
+        else
+          Some(ds.join(partitioned.select("format_id", "day").distinct(),
+                       Seq("format_id", "day"), "left_semi"))
+      }
       catch {
         // PATH_NOT_FOUND: no directory; UNABLE_TO_INFER_SCHEMA: dir exists
         // but holds no parquet yet — both mean "first compaction here"
