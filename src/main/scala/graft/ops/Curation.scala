@@ -198,10 +198,11 @@ object Curation {
   def contaminationReport(docs: DataFrame, n: Int = 5, minShared: Int = 2,
                           maxShingleDf: Int = 50,
                           trainPct: Int = 80, valPct: Int = 10): DataFrame = {
-    // materialize the raw postings once; the df cap is then a broadcast
-    // anti-join against the tiny Zipf-head overflow set, map-side over the
-    // checkpointed postings for both join sides (same shape + rationale as
-    // [[Dedup.ngramJaccardPairs]])
+    // Same materialization policy as [[Dedup.ngramJaccardPairs]]: the df
+    // cap is a broadcast anti-join against the tiny Zipf-head overflow set,
+    // and only the CAPPED relation checkpoints (the raw explode is cheap
+    // enough to re-run for its two consumers; an extra checkpoint job
+    // measured as a net loss).
     // 64-bit-hashed shingles (Broder trick, see [[Dedup.ngramJaccardPairs]]:
     // shuffles move longs, not strings; collision odds ~d²·2⁻⁶⁵) and the
     // CAPPED relation materialized once — it feeds both the train and eval
@@ -209,7 +210,6 @@ object Curation {
     // aggregate and anti-join over the full postings.
     val sh = TextAnalysis.explodeShingles(docs, n)
       .select(col("doc_id"), xxhash64(col("g")).as("g"))
-      .localCheckpoint()
     val capped =
       if (maxShingleDf > 0) {
         val overflow = sh.groupBy("g").agg(count(lit(1)).as("df"))

@@ -417,10 +417,6 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double,
                         maxShingleDf: Int = 0): DataFrame = {
-    // Materialize the raw postings once (the natural persisted
-    // inverted-index intermediate at cluster scale) — every consumer below
-    // (df-cap aggregate, both self-join sides, sizes) derives from it, and
-    // without the checkpoint the shingle explode re-runs per consumer.
     // Shingle strings are 64-bit-hashed at the explode (Broder's shingle
     // hashing): every downstream shuffle — df-cap aggregate, both self-join
     // sides, sizes — moves 8-byte longs instead of ~20-char strings, and
@@ -431,7 +427,6 @@ object Dedup {
     // far below any near-dup threshold's sensitivity.
     val sh = TextAnalysis.explodeShingles(docs, n)
       .select(col("doc_id"), xxhash64(col("g")).as("g"))
-      .localCheckpoint()
     // The df cap drops the OVERFLOW shingles (df > cap) — a Zipf-head set
     // orders of magnitude smaller than the kept universe, so the cap is a
     // broadcast anti-join (map-side over the checkpointed postings) instead
@@ -440,12 +435,17 @@ object Dedup {
     // overflow head itself is huge would want the semi-join form back —
     // with natural-language shingles it is bounded by a few thousand stop
     // phrases.
-    // The CAPPED postings are materialized too: they are referenced four
-    // times below (both self-join sides + both size lookups), and without
-    // their own checkpoint each reference re-runs the df-cap aggregate and
-    // the anti-join — the executed plan showed FOUR overflow aggregates,
-    // each a full postings shuffle. One materialization replaces three
-    // redundant postings-wide passes, locally and at any scale.
+    // ONE materialization point: the CAPPED postings. They are referenced
+    // four times below (both self-join sides + both size lookups), and
+    // without a checkpoint each reference re-runs explode → df-cap
+    // aggregate → anti-join — the executed plan showed FOUR overflow
+    // aggregates, each a full postings shuffle. The raw explode, by
+    // contrast, is cheap enough that its two consumers (the overflow
+    // aggregate and the anti-join probe side) just re-run it: checkpointing
+    // it as well was measured a net loss (the extra materialization job
+    // costs more than the repeated map-side explode), and the same held for
+    // the tiny sizes relation (two broadcast builds over the checkpointed
+    // postings beat an extra eager job).
     val p =
       if (maxShingleDf > 0) {
         val overflow = sh.groupBy("g").agg(count(lit(1)).as("df"))
@@ -462,7 +462,7 @@ object Dedup {
     // by doc_id that this shape simply does not need, locally or at 100 TB.
     // Checkpointed (one tiny row per doc) so the sz_a and sz_b broadcast
     // builds share one aggregation instead of re-running it.
-    val sizes = p.groupBy("doc_id").agg(count(lit(1)).as("sz")).localCheckpoint()
+    val sizes = p.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     // shuffle-hash, not sort-merge: the join key is a high-cardinality
     // shingle whose per-key group is bounded by the df cap, so the build
     // side is small per partition and there is nothing to gain from sorting
