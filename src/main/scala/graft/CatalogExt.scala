@@ -593,8 +593,11 @@ object CatalogExt {
         // spread: parallelizes the token explode + lets the (doc_id, token)
         // aggregate run in place (range on doc_id satisfies its clustering);
         // measured 0.78 -> 0.70 s
+        // tf is referenced twice (probe side + dfreq) — checkpoint it once
+        // or the token explode + (doc, token) aggregate run twice
         val tf = TextAnalysis.explodeTokens(docs, spread = true)
           .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+          .localCheckpoint()
         val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
         val n = docs.agg(count(lit(1)).as("n_docs"))
         tf.join(dfreq, Seq("token")).crossJoin(n)

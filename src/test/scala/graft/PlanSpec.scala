@@ -157,30 +157,33 @@ class PlanSpec extends AnyFunSuite {
            p.contains("BroadcastHashJoin"), p)
   }
 
-  test("ivfTopK: corpus assignment is a partial-agg argmax — no explode, no corpus re-join window") {
-    // the round-4 shape fix: nearest-centroid corpus assignment must be a
-    // max_by aggregate (map-side combine), never a corpus-wide ranking
-    // window; the only Generate allowed is topKPerQuery's result-array
-    // explode (kmeans' interior is behind its checkpoints and can't appear).
+  test("ivfTopK: corpus assignment is a literal projection — no explode, no corpus re-join window") {
+    // the round-5 shape: nearest-centroid corpus assignment is a pure
+    // map-side projection over collected centroid LITERALS (array_max +
+    // array_position argmax — no join, no aggregate, no shuffle); the only
+    // Generate allowed is topKPerQuery's result-array explode, and the only
+    // ranking window is the nProbe cluster selection on the (small) query
+    // side. kmeans' interior runs at collect time and cannot appear.
     // Built directly — the catalog's driver-hashed IVF face is ivf_assign.
     val emb = Tables.embeddings(spark, TestSpark.sfDir)
     val p = graft.ops.Similarity
       .ivfTopK(emb.filter(col("vec_id") < 8), emb.filter(col("vec_id") >= 8), 5)
       .queryExecution.executedPlan.toString
-    assert(p.contains("max_by"), p)
+    assert(p.contains("array_position"), p)
     assert(!p.contains("posexplode"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("ivf_assign: one partial-agg argmax over broadcast centroids — no window over the corpus") {
+  test("ivf_assign: assignment is a scan-shaped literal projection — no join, no window, no aggregate") {
     val p = plan("ivf_assign")
-    // final assignment is a partial+final max_by/max pair (map-side
-    // combine), with no PER-VECTOR ranking window: the ONLY Window allowed
-    // is the k-row seed numbering inside the broadcast kmeans subtree
-    // (visible here since round 5 skips the final-iteration checkpoint),
-    // and no non-broadcast product anywhere in the assignment pass
-    assert(p.contains("partial_max"), p)
-    assert("Window \\[".r.findAllIn(p).length <= 1, p)
+    // the whole assignment pass is one projection over the corpus scan
+    // (array_max + array_position over centroid literals) plus the output
+    // sort: no ranking window anywhere (the k-means seed numbering runs at
+    // centroid-collect time, outside this plan), no join of any kind, and
+    // no aggregate in the final pass
+    assert(p.contains("array_position"), p)
+    assert(!p.contains("Window ["), p)
+    assert(!p.contains("Join"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
 
