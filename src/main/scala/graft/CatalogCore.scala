@@ -43,6 +43,27 @@ object CatalogCore {
     df.orderBy(by: _*).limit(ReportBound)
       .observe(GraftSession.BoundMetric, count(lit(1)).as("rows"))
 
+  /** Scratch directory for the catalog's ephemeral side-effect surfaces
+    * (roundtrip writes, stream checkpoints, staged sources). Prefers a
+    * RAM-backed tmpfs when one is mounted: this data is recreated per
+    * session by construction, so paying ext4 journal+fsync on every
+    * state-store commit / parquet task file is pure fixed overhead — the
+    * cluster-scale equivalents live on the job's fast scratch/DFS tier,
+    * not the durable store, for the same reason. Falls back to
+    * java.io.tmpdir; override with -Dgraft.scratch.dir=....
+    */
+  private[graft] def scratchDir(prefix: String): String = {
+    val base = sys.props.get("graft.scratch.dir").map(java.nio.file.Paths.get(_))
+      .orElse {
+        val shm = java.nio.file.Paths.get("/dev/shm")
+        if (java.nio.file.Files.isWritable(shm)) Some(shm) else None
+      }
+    base match {
+      case Some(b) => java.nio.file.Files.createTempDirectory(b, prefix).toString
+      case None => java.nio.file.Files.createTempDirectory(prefix).toString
+    }
+  }
+
   private def status(spark: SparkSession, dir: String): DataFrame =
     Lifecycle.statusFromOrders(Tables.orders(spark, dir))
 
@@ -62,8 +83,7 @@ object CatalogCore {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
   private def stagedEvents(spark: SparkSession, dir: String): String =
     parityStage.computeIfAbsent((spark, dir), _ => {
-      val staged = java.nio.file.Files
-        .createTempDirectory("graft_stream_parity_").toString
+      val staged = scratchDir("graft_stream_parity_")
       Tables.events(spark, dir).select("ts", "event_type", "user_id")
         .write.mode("overwrite").parquet(s"$staged/src")
       staged
@@ -82,8 +102,7 @@ object CatalogCore {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
   private def stagedRetryAttempts(spark: SparkSession, dir: String): String =
     RetryStage.computeIfAbsent((spark, dir), _ => {
-      val src = java.nio.file.Files
-        .createTempDirectory("graft_retry_parity_").toString + "/src"
+      val src = scratchDir("graft_retry_parity_") + "/src"
       // a 1-in-7 key subset: the state machine's update/remove path is
       // exercised identically per key, and the full-corpus form pays ~7×
       // the per-key state work for no additional signal (measured 4.4 →
@@ -116,8 +135,7 @@ object CatalogCore {
     BucketStage.computeIfAbsent((spark, dir), _ => {
       val run = BucketRun.incrementAndGet()
       val (ta, tb) = (s"graft_status_b_$run", s"graft_results_b_$run")
-      val base = java.nio.file.Files
-        .createTempDirectory("graft_bucketed_").toString
+      val base = scratchDir("graft_bucketed_")
       val st = status(spark, dir)
       st.write.mode("overwrite").option("path", s"$base/$ta")
         .bucketBy(8, "replay_id").sortBy("replay_id").saveAsTable(ta)
@@ -669,8 +687,7 @@ object CatalogCore {
         val b1 = st.withColumn("batch_seq", lit(1L)).withColumn("rev", lit("v1"))
         val b2 = st.filter(col("order_key") % 3 === 0)
           .withColumn("batch_seq", lit(2L)).withColumn("rev", lit("v2"))
-        val path = java.nio.file.Files
-          .createTempDirectory("graft_compact_rt_").toString + "/compacted"
+        val path = scratchDir("graft_compact_rt_") + "/compacted"
         Compaction.compact(spark, b1, path, "replay_id", "batch_seq")
         Compaction.compact(spark, b2, path, "replay_id", "batch_seq")
         spark.read.parquet(path)
@@ -1051,8 +1068,7 @@ object CatalogCore {
           .filter(col("uploadtime") < lit(789004800L)) // < 1995-01-02 UTC
           .select(col("replay_id"), col("format_id"), col("uploadtime"),
                   col("players"))
-        val path = java.nio.file.Files
-          .createTempDirectory("graft_json_rt_").toString + "/replays"
+        val path = scratchDir("graft_json_rt_") + "/replays"
         st.repartition(col("format_id"))
           .write.mode("overwrite").partitionBy("format_id").json(path)
         spark.read
@@ -1171,8 +1187,7 @@ object CatalogCore {
         val src = stagedRetryAttempts(spark, dir)
         val run = ParityRun.incrementAndGet()
         val name = s"graft_retry_parity_$run"
-        val ckpt = java.nio.file.Files
-          .createTempDirectory("graft_retry_ckpt_").toString
+        val ckpt = scratchDir("graft_retry_ckpt_")
         val stream = spark.readStream
           .option("maxFilesPerTrigger", "1")
           .schema("id STRING, ok BOOLEAN").parquet(src)
@@ -1343,8 +1358,7 @@ object CatalogCore {
       (spark, dir) => {
         val buf = new java.util.concurrent.ConcurrentLinkedQueue[
           (Long, Long, Long, Long, Long)]()
-        val ckpt = java.nio.file.Files
-          .createTempDirectory("graft_throttle_ckpt_").toString
+        val ckpt = scratchDir("graft_throttle_ckpt_")
         val q = spark.readStream.format("paged-replays")
           .option("format", "gen9ou").option("total", "1000")
           .option("pageSize", "51").option("maxPagesPerTrigger", "7")

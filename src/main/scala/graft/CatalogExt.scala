@@ -590,14 +590,20 @@ object CatalogExt {
     ("tfidf_terms",
       (spark, dir) => {
         val docs = Tables.documents(spark, dir)
-        // spread: parallelizes the token explode + lets the (doc_id, token)
-        // aggregate run in place (range on doc_id satisfies its clustering);
-        // measured 0.78 -> 0.70 s
-        // tf is referenced twice (probe side + dfreq) — checkpoint it once
-        // or the token explode + (doc, token) aggregate run twice
-        val tf = TextAnalysis.explodeTokens(docs, spread = true)
+        // tf is referenced twice (join probe side + dfreq), so the explode +
+        // (doc, token) aggregate subtree executes once per consumer — and
+        // that recompute is the MEASURED-best form here (5-rep A/B at sf0.1,
+        // one session): recompute 0.45-0.55 s vs localCheckpoint 0.98-1.0 s
+        // vs lazy persist 0.70 s vs spread+checkpoint (the prior shape)
+        // 0.98-2.3 s. Both materialization forms cost more than re-running
+        // the cheap codegen'd explode+partial-agg; the spread's parallelism
+        // rescue also loses (its .rdd probe + range exchange outweigh the
+        // serial explode at this corpus size, and at cluster scale the scan
+        // has >=cores splits so spread is a no-op anyway). At 100 TB the tf
+        // relation is the persisted/bucketed intermediate table instead
+        // (SCALE.md "Checkpoint only what re-executes expensively").
+        val tf = TextAnalysis.explodeTokens(docs)
           .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-          .localCheckpoint()
         val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
         val n = docs.agg(count(lit(1)).as("n_docs"))
         tf.join(dfreq, Seq("token")).crossJoin(n)
@@ -915,10 +921,11 @@ object CatalogExt {
     //    this row pins the arithmetic those results are built from.
     ("ivf_assign",
       (spark, dir) =>
+        // no outer orderBy: ivfAssignments is vec_id-ordered by construction
+        // (sort-early — an outer sort would re-sample the argmax projection)
         Similarity.ivfAssignments(
             Tables.embeddings(spark, dir).filter(col("vec_id") >= 8),
-            nCentroids = 16, iters = 1)
-          .orderBy(col("vec_id")),
+            nCentroids = 16, iters = 1),
       Some(s"""WITH ${sqlKmeans("vec_id >= 8", 16, 1)}
               |SELECT vec_id, cluster_id, cos_sim FROM (
               |  SELECT c.vec_id, kk.cluster_id,

@@ -275,8 +275,14 @@ object Similarity {
   def ivfAssignments(corpus: DataFrame, nCentroids: Int, iters: Int,
                      dim: Int = 64): DataFrame = {
     val centroids = kmeansCentroids(corpus, nCentroids, iters, dim, checkpointLast = false)
-    // one literal-projection argmax pass — scan-shaped, no join, no shuffle
-    argmaxAssign(corpus, centroids)
+    // One literal-projection argmax pass — scan-shaped, no join, no shuffle.
+    // Sort-early discipline (SCALE.md "Sort early, project late"): the
+    // output is vec_id-ordered, and a sort ABOVE the k-cosine argmax would
+    // make the range exchange's bound-sampling pass re-run the whole
+    // projection; sorting the narrow (vec_id, embedding) rows first and
+    // projecting above keeps the heavy pass single-execution (the 1:1
+    // projection preserves the range partitioning + intra-partition order).
+    argmaxAssign(corpus.orderBy(col("vec_id")), centroids)
       .select(col("vec_id"), col("cluster_id"), col("cos_sim"))
   }
 
