@@ -1043,6 +1043,36 @@ object CatalogExt {
               |       CAST(SUM(CAST(round((c / n) * ln(n / c) * 1000000) AS BIGINT)) AS BIGINT) AS entropy_unats
               |FROM wn GROUP BY 1 ORDER BY doc_id""".stripMargin)),
 
+    // ── CCNet-style corpus-LM quality score: unigram LM fit on the corpus
+    //    (top-30 vocab head, OOV floor p = 1/N), every doc scored by mean
+    //    per-token NLL. Integer micro-nat NLLs (round(ln(N/c)·10⁶)) make
+    //    per-doc sums exact BIGINT arithmetic — the token_entropy tolerance
+    //    class; the vocab cutoff is pinned (count desc, token asc). At the
+    //    test vocabulary (31 types) the top-30 head leaves exactly one OOV
+    //    type, so the floor path is driver-hashed, not just spec'd.
+    ("unigram_perplexity",
+      (spark, dir) =>
+        TextAnalysis.unigramNll(Tables.documents(spark, dir), vocabSize = 30)
+          .orderBy(col("doc_id")),
+      Some(s"""WITH toks AS (
+              |  SELECT doc_id, unnest($sqlTokens) AS t FROM documents),
+              |counts AS (SELECT t, COUNT(*) AS c FROM toks GROUP BY 1),
+              |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM counts),
+              |head AS (
+              |  SELECT t, CAST(round(ln(CAST((SELECT n FROM tot) AS DOUBLE) / c) * 1000000) AS BIGINT) AS nll
+              |  FROM counts ORDER BY c DESC, t ASC LIMIT 30),
+              |scored AS (
+              |  SELECT k.doc_id,
+              |         COALESCE(h.nll,
+              |                  CAST(round(ln(CAST((SELECT n FROM tot) AS DOUBLE)) * 1000000) AS BIGINT)) AS nll,
+              |         CASE WHEN h.t IS NULL THEN 1 ELSE 0 END AS oov
+              |  FROM toks k LEFT JOIN head h ON k.t = h.t)
+              |SELECT doc_id, COUNT(*) AS n_tokens,
+              |       CAST(SUM(oov) AS BIGINT) AS n_oov,
+              |       CAST(SUM(nll) AS BIGINT) AS nll_unats,
+              |       CAST(SUM(nll) AS DOUBLE) / COUNT(*) AS mean_nll_unats
+              |FROM scored GROUP BY 1 ORDER BY doc_id""".stripMargin)),
+
     // ── MinHash-LSH candidate quality, hash-checked (the ann_recall
     //    pattern applied to the text-dedup path): exact Jaccard ≥ 0.5 pairs
     //    are the ground truth, the banded LSH pairs are the approximation,

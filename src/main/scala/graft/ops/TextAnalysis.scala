@@ -227,4 +227,57 @@ object TextAnalysis {
                  * log(col("n").cast("double") / col("c")) * 1e6)
              .cast("long")).as("entropy_unats"))
   }
+
+  /** CCNet-style corpus-LM quality score: fit a unigram language model on
+    * the corpus itself (pass 1), then score every document by its mean
+    * per-token negative log-likelihood under that model (pass 2) — the
+    * standard perplexity filter of web-scale curation, where low-NLL
+    * documents look like the corpus head and high-NLL documents are
+    * gibberish/outliers. The LM is the top-`vocabSize` tokens by frequency
+    * (ties pinned by token asc — the k-boundary is deterministic, same
+    * discipline as [[bpeMergeCandidates]]); out-of-vocabulary tokens score
+    * at the corpus floor p = 1/N.
+    *
+    * Scale shape — exactly two corpus passes, the minimum for fit+score:
+    * pass 1 is one explode + hash-aggregate whose shuffle is bounded by
+    * DISTINCT tokens (vocabulary, not corpus), materialized once
+    * (localCheckpoint — vocab-sized) and read twice by two driver-tiny
+    * reductions (total N, top-V head); pass 2 is scan-shaped — the fitted
+    * head rides in the plan as a literal token→NLL map (the
+    * [[graft.ops.Similarity]] argmaxAssign / SignLshBuckets pattern: small
+    * reference data as plan literals, the corpus touched once, nothing
+    * broadcast and nothing shuffled but the final per-doc aggregate). NLLs
+    * are integer micro-nats (round(ln(N/c)·10⁶)) so per-doc sums are exact
+    * BIGINT arithmetic — order-independent and engine-portable, the same
+    * tolerance class as [[tokenEntropy]]; the mean surfaces as one double
+    * division of two exact integers.
+    *
+    * Returns (doc_id, n_tokens, n_oov, nll_unats, mean_nll_unats).
+    */
+  def unigramNll(docs: DataFrame, vocabSize: Int = 30,
+                 textCol: String = "text"): DataFrame = {
+    val toks = explodeTokens(docs, textCol)
+    // Pass 1: vocabulary counts — the ONE materialization point (referenced
+    // by both the total-N reduction and the top-V head; without the barrier
+    // each re-runs the corpus explode).
+    val counts = toks.groupBy(col("token")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val n = counts.agg(sum(col("c"))).head.getLong(0)
+    val head = counts.orderBy(col("c").desc, col("token").asc).limit(vocabSize)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    def unats(c: Long): Long = math.round(math.log(n.toDouble / c) * 1e6)
+    val nllMap = head.map { case (t, c) => t -> unats(c) }.toMap
+    val oovNll = unats(1L)
+    // Pass 2: scan-shaped scoring — literal map lookup, no join, no
+    // broadcast; the only exchange is the per-doc aggregate.
+    val nll = coalesce(element_at(typedLit(nllMap), col("token")), lit(oovNll))
+    val isOov = element_at(typedLit(nllMap), col("token")).isNull
+    toks.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+           sum(when(isOov, 1L).otherwise(0L)).as("n_oov"),
+           sum(nll).as("nll_unats"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"), col("nll_unats"),
+              (col("nll_unats").cast("double") / col("n_tokens"))
+                .as("mean_nll_unats"))
+  }
 }

@@ -93,6 +93,29 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r(2L)._3 > r(1L)._3)
   }
 
+  test("unigramNll: hand-computed NLLs, OOV floor, vocab cutoff pinned") {
+    val df = Seq(
+      (1L, "a a a b"),       // in-vocab mix
+      (2L, "a z"),           // 'z' is OOV at vocabSize=2
+      (3L, "b b")
+    ).toDF("doc_id", "text")
+    // corpus: a×4, b×3, z×1, N=8; top-2 vocab = {a, b}; z OOV → floor 1/N
+    val r = TextAnalysis.unigramNll(df, vocabSize = 2).orderBy("doc_id").collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+    def u(c: Long) = math.round(math.log(8.0 / c) * 1e6)
+    assert(r(1L) == ((4L, 0L, 3 * u(4) + u(3))))
+    assert(r(2L) == ((2L, 1L, u(4) + u(1))), "OOV token scores at the 1/N floor")
+    assert(r(3L) == ((2L, 0L, 2 * u(3))))
+    // mean = exact integer division surfaced as double
+    val m = TextAnalysis.unigramNll(df, vocabSize = 2)
+      .filter(col("doc_id") === 2L).select("mean_nll_unats").head.getDouble(0)
+    assert(m == (u(4) + u(1)).toDouble / 2)
+    // cutoff tie-break: b and c tie at count 2 → token asc keeps 'b'
+    val tie = Seq((1L, "a a b b c c")).toDF("doc_id", "text")
+    val rt = TextAnalysis.unigramNll(tie, vocabSize = 2).head
+    assert(rt.getLong(2) == 2L, "the 2 'c' tokens fall OOV, 'b' stays in-vocab")
+  }
+
   test("bpeMergeCandidates: frequency order with pinned boundary tie-break") {
     val df = Seq(
       (1L, "a b a b a b"),   // 'a b' ×3, 'b a' ×2
