@@ -6,12 +6,13 @@ import org.apache.spark.sql.functions._
 /** Loaders for the driver-provided parquet test tables (TESTDATA.md).
   *
   * All tables load as plain parquet scans so Catalyst keeps full pushdown /
-  * pruning freedom. The one normalization: `events.ts` is written as parquet
-  * TIMESTAMP(NANOS), which Spark's vectorized reader rejects
-  * ([PARQUET_TYPE_ILLEGAL]). We read it as nanosecond longs
-  * (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to microsecond
-  * TimestampType — the same truncation DuckDB applies when it reads the file,
-  * so oracle comparisons agree to the microsecond.
+  * pruning freedom. The one normalization: `events.ts` has shipped in two
+  * physical encodings across driver rounds — parquet TIMESTAMP(NANOS)
+  * (which Spark's vectorized reader rejects at inference,
+  * [PARQUET_TYPE_ILLEGAL]) and native timestamp[us]. The loader inspects the
+  * footer once per (session, dir) and normalizes both to microsecond
+  * TimestampType — the same value DuckDB sees, so oracle comparisons agree
+  * to the microsecond either way.
   */
 object Tables {
   val relational: Seq[String] =
@@ -93,42 +94,63 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 
-  /** `events` with `ts` still the raw nanosecond long — the column filters
-    * can push to the parquet scan (row-group min/max skipping).
-    *
-    * Read with an explicit schema (ts as BIGINT): schema *inference* on a
-    * TIMESTAMP(NANOS) column requires the global
-    * `spark.sql.legacy.parquet.nanosAsLong` conf, but a user-supplied
-    * LongType for the INT64 physical column reads fine without it — so the
-    * loader no longer mutates session state (a conf set inside a reader is
-    * a global side effect on the caller's session). The schema doubles as
-    * the pinned contract for this table (TESTDATA.md).
+  /** True iff this dir's events.ts is a Spark-native timestamp (inference
+    * succeeds and yields TimestampType). TIMESTAMP(NANOS) footers make
+    * inference throw without the global `nanosAsLong` legacy conf — that
+    * failure IS the detection signal, so the loader never mutates session
+    * state. Cached: one footer decode per (session, dir).
     */
-  private val eventsSchema =
+  private val tsKind =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Boolean]()
+
+  private def nativeTs(spark: SparkSession, dir: String): Boolean =
+    tsKind.computeIfAbsent((spark, dir), _ =>
+      try spark.read.parquet(s"$dir/events.parquet").schema("ts")
+            .dataType == org.apache.spark.sql.types.TimestampType
+      catch { case scala.util.control.NonFatal(_) => false })
+
+  /** Explicit-schema read for the TIMESTAMP(NANOS) encoding: a user-supplied
+    * LongType for the INT64 physical column reads fine without the legacy
+    * conf, giving raw nanosecond longs.
+    */
+  private val eventsNanosSchema =
     "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
 
-  def eventsRaw(spark: SparkSession, dir: String): DataFrame =
-    cache.computeIfAbsent((spark, dir, "events#raw"),
-      _ => spark.read.schema(eventsSchema).parquet(s"$dir/events.parquet"))
+  private def eventsNanos(spark: SparkSession, dir: String): DataFrame =
+    cache.computeIfAbsent((spark, dir, "events#nanos"),
+      _ => spark.read.schema(eventsNanosSchema).parquet(s"$dir/events.parquet"))
 
   private def nanosToTs(df: DataFrame): DataFrame =
     df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
 
-  /** `events` with `ts` normalized from parquet TIMESTAMP(NANOS) to
-    * microsecond TimestampType. Integer division (never double math — ns
-    * magnitudes exceed 2^53) keeps the truncation exact.
+  /** Full-width events scan in the file's on-disk shape — bench probe use
+    * only (timing a scan-and-hash of every column).
+    */
+  def eventsRaw(spark: SparkSession, dir: String): DataFrame =
+    if (nativeTs(spark, dir)) table(spark, dir, "events")
+    else eventsNanos(spark, dir)
+
+  /** `events` with `ts` normalized to microsecond TimestampType. For nanos
+    * files: integer division (never double math — ns magnitudes exceed 2^53)
+    * keeps the truncation exact. For native micros files the scan is already
+    * the right type and stays untouched (full pushdown on ts).
     */
   def events(spark: SparkSession, dir: String): DataFrame =
-    nanosToTs(eventsRaw(spark, dir))
+    if (nativeTs(spark, dir)) table(spark, dir, "events")
+    else nanosToTs(eventsNanos(spark, dir))
 
   /** Pushdown-friendly incremental scan (SURVEY §2.9 T1): the watermark is
-    * applied to the *raw* nanosecond column, so it reaches the parquet
-    * reader as `GreaterThan(ts, …)` — a predicate on the derived
-    * `timestamp_micros(ts DIV 1000)` column stays a post-scan DataFilter and
-    * reads every row group at 100 TB. `ns > 1000·W_µs + 999` is exactly
-    * `trunc(ns/1000) > W_µs`, so results match the derived-column filter.
+    * applied in the column's on-disk unit, so it reaches the parquet reader
+    * as `GreaterThan(ts, …)` (row-group min/max skipping) — a predicate on a
+    * derived column would stay a post-scan DataFilter and read every row
+    * group at 100 TB. Native micros: a foldable timestamp literal compares
+    * directly. Nanos: `ns > 1000·W_µs + 999` is exactly
+    * `trunc(ns/1000) > W_µs`, so results match the normalized-column filter.
     */
   def eventsSinceMicros(spark: SparkSession, dir: String, watermarkMicros: Long): DataFrame =
-    nanosToTs(eventsRaw(spark, dir)
-      .filter(col("ts") > lit(watermarkMicros * 1000L + 999L)))
+    if (nativeTs(spark, dir))
+      table(spark, dir, "events").filter(col("ts") > timestamp_micros(lit(watermarkMicros)))
+    else
+      nanosToTs(eventsNanos(spark, dir)
+        .filter(col("ts") > lit(watermarkMicros * 1000L + 999L)))
 }
