@@ -94,20 +94,54 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 
-  /** True iff this dir's events.ts is a Spark-native timestamp (inference
-    * succeeds and yields TimestampType). TIMESTAMP(NANOS) footers make
-    * inference throw without the global `nanosAsLong` legacy conf — that
-    * failure IS the detection signal, so the loader never mutates session
-    * state. Cached: one footer decode per (session, dir).
+  /** The three physical encodings `events.ts` has shipped in across driver
+    * rounds, classified from the parquet footer's logical-type annotation
+    * directly (no inference-exception games: a transient FS error here
+    * PROPAGATES — computeIfAbsent caches nothing on throw — instead of
+    * silently routing to the wrong decode path):
+    *
+    *  - TIMESTAMP(MICROS/MILLIS, adjustedToUTC=true)  → Spark TimestampType
+    *  - TIMESTAMP(MICROS, adjustedToUTC=false)        → Spark TimestampNTZType
+    *  - TIMESTAMP(NANOS) / bare INT64                 → raw nanosecond longs
+    *
+    * Cached per (session, dir): dirs are immutable within a round (the
+    * driver writes testdata before the JVM starts), which is the same
+    * lifetime assumption the relation cache above already makes.
     */
-  private val tsKind =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Boolean]()
+  private sealed trait TsEnc
+  private case object TsNative    extends TsEnc
+  private case object TsNativeNtz extends TsEnc
+  private case object TsNanos     extends TsEnc
 
-  private def nativeTs(spark: SparkSession, dir: String): Boolean =
-    tsKind.computeIfAbsent((spark, dir), _ =>
-      try spark.read.parquet(s"$dir/events.parquet").schema("ts")
-            .dataType == org.apache.spark.sql.types.TimestampType
-      catch { case scala.util.control.NonFatal(_) => false })
+  private val tsKind =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), TsEnc]()
+
+  private def tsEncoding(spark: SparkSession, dir: String): TsEnc =
+    tsKind.computeIfAbsent((spark, dir), _ => {
+      import org.apache.parquet.hadoop.ParquetFileReader
+      import org.apache.parquet.hadoop.util.HadoopInputFile
+      import org.apache.parquet.schema.LogicalTypeAnnotation.{TimeUnit, TimestampLogicalTypeAnnotation}
+      val conf = spark.sessionState.newHadoopConf()
+      val root = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
+      val fs   = root.getFileSystem(conf)
+      val file =
+        if (fs.getFileStatus(root).isDirectory)
+          fs.listStatus(root).map(_.getPath)
+            .filter(p => p.getName.endsWith(".parquet")).minBy(_.getName)
+        else root
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+      val annotation =
+        try {
+          val schema = reader.getFooter.getFileMetaData.getSchema
+          schema.getFields.get(schema.getFieldIndex("ts")).getLogicalTypeAnnotation
+        } finally reader.close()
+      annotation match {
+        case t: TimestampLogicalTypeAnnotation if t.getUnit == TimeUnit.NANOS => TsNanos
+        case t: TimestampLogicalTypeAnnotation if t.isAdjustedToUTC           => TsNative
+        case _: TimestampLogicalTypeAnnotation                                => TsNativeNtz
+        case _ => TsNanos // un-annotated INT64: the reference's raw-nanos export
+      }
+    })
 
   /** Explicit-schema read for the TIMESTAMP(NANOS) encoding: a user-supplied
     * LongType for the INT64 physical column reads fine without the legacy
@@ -123,34 +157,59 @@ object Tables {
   private def nanosToTs(df: DataFrame): DataFrame =
     df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
 
+  /** NTZ → instant cast. Session TZ is pinned to UTC (GraftSession), so the
+    * naive microsecond value IS the epoch-microsecond value — bit-identical
+    * to what DuckDB reads from the same footer.
+    */
+  private def ntzToTs(df: DataFrame): DataFrame =
+    df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+
+  /** A TimestampNTZType literal for epoch-microsecond `micros` (UTC). */
+  private def ntzLit(micros: Long): org.apache.spark.sql.Column =
+    lit(java.time.LocalDateTime.ofEpochSecond(
+      Math.floorDiv(micros, 1000000L), (Math.floorMod(micros, 1000000L) * 1000L).toInt,
+      java.time.ZoneOffset.UTC))
+
   /** Full-width events scan in the file's on-disk shape — bench probe use
     * only (timing a scan-and-hash of every column).
     */
   def eventsRaw(spark: SparkSession, dir: String): DataFrame =
-    if (nativeTs(spark, dir)) table(spark, dir, "events")
-    else eventsNanos(spark, dir)
+    tsEncoding(spark, dir) match {
+      case TsNanos => eventsNanos(spark, dir)
+      case _       => table(spark, dir, "events")
+    }
 
   /** `events` with `ts` normalized to microsecond TimestampType. For nanos
     * files: integer division (never double math — ns magnitudes exceed 2^53)
-    * keeps the truncation exact. For native micros files the scan is already
-    * the right type and stays untouched (full pushdown on ts).
+    * keeps the truncation exact. NTZ files: a zero-cost reinterpret cast
+    * (UTC session). Native micros files: the scan is already the right type
+    * and stays untouched (full pushdown on ts).
     */
   def events(spark: SparkSession, dir: String): DataFrame =
-    if (nativeTs(spark, dir)) table(spark, dir, "events")
-    else nanosToTs(eventsNanos(spark, dir))
+    tsEncoding(spark, dir) match {
+      case TsNative    => table(spark, dir, "events")
+      case TsNativeNtz => ntzToTs(table(spark, dir, "events"))
+      case TsNanos     => nanosToTs(eventsNanos(spark, dir))
+    }
 
   /** Pushdown-friendly incremental scan (SURVEY §2.9 T1): the watermark is
-    * applied in the column's on-disk unit, so it reaches the parquet reader
-    * as `GreaterThan(ts, …)` (row-group min/max skipping) — a predicate on a
-    * derived column would stay a post-scan DataFilter and read every row
-    * group at 100 TB. Native micros: a foldable timestamp literal compares
-    * directly. Nanos: `ns > 1000·W_µs + 999` is exactly
-    * `trunc(ns/1000) > W_µs`, so results match the normalized-column filter.
+    * applied in the column's on-disk unit AND type, so it reaches the
+    * parquet reader as `GreaterThan(ts, …)` (row-group min/max skipping) — a
+    * predicate on a derived/cast column would stay a post-scan DataFilter
+    * and read every row group at 100 TB. Native micros: a foldable timestamp
+    * literal compares directly. NTZ: an NTZ literal against the NTZ scan
+    * column, cast applied only downstream of the filter. Nanos:
+    * `ns > 1000·W_µs + 999` is exactly `trunc(ns/1000) > W_µs`, so results
+    * match the normalized-column filter.
     */
   def eventsSinceMicros(spark: SparkSession, dir: String, watermarkMicros: Long): DataFrame =
-    if (nativeTs(spark, dir))
-      table(spark, dir, "events").filter(col("ts") > timestamp_micros(lit(watermarkMicros)))
-    else
-      nanosToTs(eventsNanos(spark, dir)
-        .filter(col("ts") > lit(watermarkMicros * 1000L + 999L)))
+    tsEncoding(spark, dir) match {
+      case TsNative =>
+        table(spark, dir, "events").filter(col("ts") > timestamp_micros(lit(watermarkMicros)))
+      case TsNativeNtz =>
+        ntzToTs(table(spark, dir, "events").filter(col("ts") > ntzLit(watermarkMicros)))
+      case TsNanos =>
+        nanosToTs(eventsNanos(spark, dir)
+          .filter(col("ts") > lit(watermarkMicros * 1000L + 999L)))
+    }
 }
