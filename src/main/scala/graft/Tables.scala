@@ -130,15 +130,17 @@ object Tables {
             .filter(p => p.getName.endsWith(".parquet")).minBy(_.getName)
         else root
       val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
-      val annotation =
+      val tsType =
         try {
           val schema = reader.getFooter.getFileMetaData.getSchema
-          schema.getFields.get(schema.getFieldIndex("ts")).getLogicalTypeAnnotation
+          schema.getFields.get(schema.getFieldIndex("ts")).asPrimitiveType()
         } finally reader.close()
-      annotation match {
+      tsType.getLogicalTypeAnnotation match {
         case t: TimestampLogicalTypeAnnotation if t.getUnit == TimeUnit.NANOS => TsNanos
         case t: TimestampLogicalTypeAnnotation if t.isAdjustedToUTC           => TsNative
         case _: TimestampLogicalTypeAnnotation                                => TsNativeNtz
+        case _ if tsType.getPrimitiveTypeName ==
+          org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT96     => TsNative
         case _ => TsNanos // un-annotated INT64: the reference's raw-nanos export
       }
     })
