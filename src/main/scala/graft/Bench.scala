@@ -49,8 +49,11 @@ object Bench {
       // noop sink: every output column is fully computed (count() would let
       // Catalyst prune projection-only queries to a bare scan), no I/O cost.
       val ok =
-        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
-        catch { case _: Throwable => false }
+        try {
+          Tuning.withTuned(spark, name) {
+            fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+          }; true
+        } catch { case _: Throwable => false }
       val dt = (System.nanoTime() - t0) / 1e9
       // isolate queries from each other: drop caches / localCheckpoint
       // blocks a query may have left behind (iterative ops checkpoint), so

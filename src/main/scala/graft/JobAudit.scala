@@ -57,8 +57,11 @@ object JobAudit {
       jobs.set(0); stages.set(0); tasks.set(0L)
       val t0 = System.nanoTime()
       val ok =
-        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
-        catch { case _: Throwable => false }
+        try {
+          Tuning.withTuned(spark, name) {
+            fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+          }; true
+        } catch { case _: Throwable => false }
       org.apache.spark.sql.graft.ListenerSync.drain(spark.sparkContext)
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
