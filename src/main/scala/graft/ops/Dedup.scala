@@ -469,6 +469,11 @@ object Dedup {
     // 20-char strings on both sides (measured 1.8× on this query). Sizing at
     // scale: the per-partition build side is postings/shuffle-partitions —
     // keep shuffle partitions proportional to corpus size as usual.
+    // (A fused alternative — groupBy(g).collect_list + map-side i<j
+    // combination explode, one postings shuffle instead of two — was
+    // measured SLOWER here, 0.95 → 1.68 s at sf0.1: the object-hash
+    // collect_list aggregate plus non-codegen higher-order-function
+    // evaluation costs more than the codegen'd second shuffle it saves.)
     p.select(col("doc_id").as("doc_a"), col("g")).hint("shuffle_hash")
       .join(p.select(col("doc_id").as("doc_b"), col("g")), Seq("g"))
       .filter(col("doc_a") < col("doc_b"))
