@@ -437,13 +437,22 @@ object CatalogCore {
         val orderRev = li.groupBy(col("l_orderkey"))
           .agg(sum(Scalars.discountedCents(col("l_extendedprice"), col("l_discount")))
                  .as("order_rev"))
-        orderRev.join(o, col("l_orderkey") === col("o_orderkey"))
-          .join(c, col("o_custkey") === col("c_custkey"))
+        // Aggregate to CUSTOMER grain before the dimension chain: after the
+        // one unavoidable fact join (orderRev ⋈ orders, both order-grain),
+        // collapse to (custkey, rev, n_orders) — the dimension joins and
+        // the final rollup then move one narrow row per customer instead of
+        // one per order (~15× fewer at TPC-H ratios; the same factor at any
+        // scale). Sums/counts are associative so the two-level aggregation
+        // is exact.
+        val custRev = orderRev.join(o, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_custkey"))
+          .agg(sum(col("order_rev")).as("cust_rev"), count(lit(1)).as("cust_orders"))
+        custRev.join(c, col("o_custkey") === col("c_custkey"))
           .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
           .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
           .groupBy(col("r_name"), col("n_name"))
-          .agg((sum(col("order_rev")).cast("double") / lit(10000.0)).as("revenue"),
-               count(lit(1)).as("n_orders"))
+          .agg((sum(col("cust_rev")).cast("double") / lit(10000.0)).as("revenue"),
+               sum(col("cust_orders")).as("n_orders"))
           .transform(orderedReport(_, col("r_name"), col("n_name")))
       },
       Some("""SELECT r_name, n_name,
