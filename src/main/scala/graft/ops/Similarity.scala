@@ -140,6 +140,32 @@ object Similarity {
     * by (t, bucket). Embeddings ride along on the bucket rows (fixed 64-float
     * payload) — one shuffle, no re-join against the corpus per side.
     */
+  /** `bitsPerTable` sized to hold expected bucket occupancy at
+    * `targetOccupancy` as the corpus grows: per-table candidate work is
+    * Σ_buckets c², i.e. ≈ n·occupancy for uniform buckets — linear in n
+    * only if occupancy is held constant, which takes bits ≈
+    * log₂(n/occupancy). With bits FIXED, occupancy grows ∝ n and pair work
+    * ∝ n²— measured: the 16×8 default that runs 0.7 s on the sf0.1 corpus
+    * (2 k vectors, occupancy ≈ 8) took 18.6 s on a 9× replica (occupancy
+    * ≈ 70, 27× the time). Auto-sizing (bits 8 → 12 at 9×) restores the
+    * linear path. Recall per table drops as bits widen — production
+    * compensates by raising `nTables` with log n (the standard LSH
+    * recall/cost trade); the defaults here reproduce the pinned 16×8 at
+    * the test corpus size.
+    */
+  def autoBitsPerTable(n: Long, targetOccupancy: Int = 8): Int =
+    math.max(4, math.min(24,
+      math.ceil(math.log(math.max(1.0, n.toDouble / targetOccupancy)) / math.log(2)).toInt))
+
+  /** [[lshNearDupPairs]] with `bitsPerTable` auto-sized from the corpus
+    * count (one cheap count job locally; persisted table metadata at
+    * cluster scale).
+    */
+  def lshNearDupPairsAuto(embeddings: DataFrame, threshold: Double,
+                          nTables: Int = 16, dim: Int = 64): DataFrame =
+    lshNearDupPairs(embeddings, threshold, nTables,
+                    autoBitsPerTable(embeddings.count()), dim)
+
   def lshNearDupPairs(embeddings: DataFrame, threshold: Double,
                       nTables: Int = 16, bitsPerTable: Int = 8, dim: Int = 64): DataFrame = {
     val buckets = signBuckets(embeddings, nTables, bitsPerTable, dim).localCheckpoint()

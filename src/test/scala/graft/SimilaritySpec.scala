@@ -107,4 +107,25 @@ class SimilaritySpec extends AnyFunSuite {
     val recall = expected.count(found.contains).toDouble / expected.size
     assert(recall >= 0.9, s"planted near-dup recall=$recall (found ${found.size} pairs total)")
   }
+
+  test("autoBitsPerTable holds bucket occupancy as the corpus grows") {
+    // reproduces the pinned 16×8 default at the test corpus size…
+    assert(Similarity.autoBitsPerTable(2000) == 8)
+    // …widens with n (9× replica → 12 bits: the SCALE.md measurement where
+    // fixed bits ran 18 s and auto ran 3 s with identical cos≥0.8 pairs)…
+    assert(Similarity.autoBitsPerTable(18000) == 12)
+    // …is monotone and capped (codegen'd plane chains stay bounded)
+    val bits = Seq(10L, 1000L, 100000L, 10000000L, 1000000000L, Long.MaxValue)
+      .map(Similarity.autoBitsPerTable(_))
+    assert(bits == bits.sorted && bits.last == 24 && bits.head >= 4)
+  }
+
+  test("lshNearDupPairsAuto matches the manual call at the auto-chosen bits") {
+    val auto = Similarity.lshNearDupPairsAuto(emb, 0.5)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val manual = Similarity.lshNearDupPairs(emb, 0.5,
+        bitsPerTable = Similarity.autoBitsPerTable(emb.count()))
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(auto == manual)
+  }
 }
