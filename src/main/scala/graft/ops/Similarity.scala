@@ -211,6 +211,9 @@ object Similarity {
                       dim: Int = 64, checkpointLast: Boolean = true): DataFrame = {
     val init = corpus.orderBy(col("vec_id")).limit(k)
       .select(col("vec_id"), col("embedding"))
+      // Unpartitioned window — Spark logs its single-partition WARN, but the
+      // input here is the k-row limit above (k ≤ 128 centroids), bounded by
+      // construction at any corpus scale.
       .withColumn("cluster_id", row_number().over(Window.orderBy(col("vec_id"))) - 1)
       .select(col("cluster_id").cast("long").as("cluster_id"), col("embedding").as("centroid"))
     val meanLanes = (1 to dim).map(p =>
