@@ -128,7 +128,7 @@ object Bench {
     // ratio (they ARE catalog queries); vs_baseline_symmetric is the
     // like-for-like diagnostic over the rows where both engines execute
     // comparable plans.
-    val asymmetric = Set("compaction_roundtrip", "stream_daily_parity",
+    val asymmetric = Set("compaction_roundtrip", "glob_directory_scan", "stream_daily_parity",
       "json_replay_roundtrip",
       // real throttled micro-batch execution (3 triggers + checkpoint dir)
       // vs a pure range() arithmetic twin

@@ -718,6 +718,47 @@ object CatalogCore {
               |       CAST(SUM(CAST(CAST('0x' || substr(md5(replay_id), 1, 8) AS UBIGINT) AS BIGINT) % 10000) AS BIGINT) AS id_checksum
               |FROM fin GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // ── S8 directory-listing scan + P7 extension glob, driver-hashed: the
+    //    downloaded slice is written out as a format-partitioned JSON
+    //    document tree (the reference's per-replay file layout, discovered
+    //    by directory walk — discovery.py), with .txt decoy manifests
+    //    appended into the SAME partition dirs; the read back goes through
+    //    partition discovery (format_id from dir names) + pathGlobFilter
+    //    (*.json only). A listing or glob bug — decoys read, partition
+    //    dropped, file missed — shifts the hash. The oracle computes the
+    //    expected aggregate relationally from the source table. Same 3-day
+    //    slice discipline as compaction_roundtrip: bounds the files written
+    //    per run without weakening the pinned semantics.
+    ("glob_directory_scan",
+      (spark, dir) => {
+        val st = status(spark, dir).filter(col("uploadtime") < lit(789177600L))
+        val root = scratchDir("graft_glob_") + "/replays"
+        st.filter(col("is_downloaded"))
+          .select(col("format_id"), col("replay_id"), col("uploadtime"))
+          .coalesce(2)
+          .write.partitionBy("format_id").json(root)
+        st.filter(!col("is_downloaded"))
+          .select(col("format_id"), col("replay_id").as("value"))
+          .coalesce(1)
+          .write.partitionBy("format_id").mode("append").text(root)
+        spark.read
+          .schema("replay_id STRING, uploadtime BIGINT, format_id STRING")
+          .option("pathGlobFilter", "*.json")
+          .json(root)
+          .groupBy(col("format_id"))
+          .agg(count(lit(1)).as("n_docs"),
+               sum(Curation.hashBucket(col("replay_id"), 10000)).as("id_checksum"),
+               max(col("uploadtime")).as("max_upload"))
+          .transform(orderedReport(_, col("format_id")))
+      },
+      Some(s"""$S
+              |SELECT format_id, COUNT(*) AS n_docs,
+              |       CAST(SUM(CAST(CAST('0x' || substr(md5(replay_id), 1, 8) AS UBIGINT) AS BIGINT) % 10000) AS BIGINT) AS id_checksum,
+              |       MAX(uploadtime) AS max_upload
+              |FROM replay_status
+              |WHERE is_downloaded AND uploadtime < 789177600
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ── A3 per-format lifecycle stats with exact rate arithmetic
     //    (db.py:629-664 + F13 zero-guarded rates).
     ("lifecycle_stats",

@@ -38,7 +38,8 @@ object Tuning {
     * re-checked whenever a query's plan changes.
     */
   val fixedShape: Set[String] = Set(
-    "additional_info_encode", "compaction_roundtrip", "repetition_scores",
+    "additional_info_encode", "compaction_roundtrip", "glob_directory_scan",
+    "repetition_scores",
     "scalar_showcase", "stream_dedup_parity", "ivf_assign",
     "boilerplate_line_stats", "stream_retry_parity", "packed_text",
     "dedup_survivor_stats", "retry_queue", "user_sessions",
