@@ -161,10 +161,11 @@ object Bench {
     // less than the scan/ALU probe: measured 0.92 vs 0.835 between two
     // reference windows), so every increment is conservative — the bar is
     // if anything low, and the blended ratio correspondingly reads HIGH.
-    // 24.76 = the 86-query composed pin (24.66, BASELINE.md) + the round-5
-    // late addition unigram_perplexity: DuckDB 0.119 s measured in a
-    // calib≈1.1 window, probe-normalized to ≈0.10 s quiet.
-    val baselineQuiet = sys.env.getOrElse("SPARK_GRAFT_BASELINE_SEC", "24.76").toDouble
+    // 24.78 = the 86-query composed pin (24.66, BASELINE.md) + the round-5
+    // late addition unigram_perplexity (DuckDB 0.119 s in a calib≈1.1
+    // window → ≈0.10 s quiet) + round-6's glob_directory_scan relational
+    // twin (0.018 s; the Spark side also writes the tree — asymmetric set).
+    val baselineQuiet = sys.env.getOrElse("SPARK_GRAFT_BASELINE_SEC", "24.78").toDouble
     // Host-speed calibration (BASELINE.md "Host-speed calibration"): the
     // shared build host has multi-minute windows where EVERYTHING runs
     // 20-85% slower (hypervisor-level; guest vmstat shows idle CPU while
