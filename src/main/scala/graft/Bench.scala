@@ -161,11 +161,13 @@ object Bench {
     // less than the scan/ALU probe: measured 0.92 vs 0.835 between two
     // reference windows), so every increment is conservative — the bar is
     // if anything low, and the blended ratio correspondingly reads HIGH.
-    // 24.78 = the 86-query composed pin (24.66, BASELINE.md) + the round-5
-    // late addition unigram_perplexity (DuckDB 0.119 s in a calib≈1.1
-    // window → ≈0.10 s quiet) + round-6's glob_directory_scan relational
-    // twin (0.018 s; the Spark side also writes the tree — asymmetric set).
-    val baselineQuiet = sys.env.getOrElse("SPARK_GRAFT_BASELINE_SEC", "24.78").toDouble
+    // 26.28 = the 86-query composed pin (24.66, BASELINE.md) + round-5's
+    // late unigram_perplexity (DuckDB 0.119 s in a calib≈1.1 window →
+    // ≈0.10 s quiet) + round-6's glob_directory_scan twin (0.018 s;
+    // asymmetric — Spark also writes the tree) + round-6's semantic_dedup
+    // twin (DuckDB 1.748 s at calib≈1.15 → ≈1.50 s quiet; Spark wins this
+    // row head-to-head at 1.23 s).
+    val baselineQuiet = sys.env.getOrElse("SPARK_GRAFT_BASELINE_SEC", "26.28").toDouble
     // Host-speed calibration (BASELINE.md "Host-speed calibration"): the
     // shared build host has multi-minute windows where EVERYTHING runs
     // 20-85% slower (hypervisor-level; guest vmstat shows idle CPU while

@@ -104,11 +104,19 @@ object CatalogExt {
     * `cent$iters(cluster_id, centroid)`.
     */
   private def sqlKmeans(corpusFilter: String, k: Int, iters: Int,
-                        dim: Int = 64): String = {
+                        dim: Int = 64): String =
+    sqlKmeansCorpus(
+      s"SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings WHERE $corpusFilter",
+      k, iters, dim)
+
+  /** [[sqlKmeans]] with a caller-supplied corpus SELECT (vec_id, emb) —
+    * for rows that stage/augment the corpus before clustering.
+    */
+  private def sqlKmeansCorpus(corpusSelect: String, k: Int, iters: Int,
+                              dim: Int = 64): String = {
     val init = Seq(
       s"corpus AS (",
-      s"  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb",
-      s"  FROM embeddings WHERE $corpusFilter),",
+      s"  $corpusSelect),",
       s"cent0 AS (",
       s"  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cluster_id,",
       s"         emb AS centroid",
@@ -935,6 +943,75 @@ object CatalogExt {
               |                    kk.cluster_id) AS rn
               |  FROM corpus c CROSS JOIN cent1 kk) WHERE rn = 1
               |ORDER BY vec_id""".stripMargin)),
+
+    // ── SemDeDup-style semantic dedup, hash-checked end to end: fixed-point
+    //    k-means clustering → within-cluster exact-cosine pairs (the scale
+    //    bound — pairwise work is per-cluster, never corpus²) → connected
+    //    components → lowest-vec_id survivor per component. The oracle
+    //    rebuilds the identical pipeline relationally (sqlKmeans clustering,
+    //    within-cluster pair join, recursive-CTE transitive closure, anti
+    //    join), so a wrong assignment, a missed pair, or a wrong survivor
+    //    shifts the hash.
+    //    The natural corpus has no cos≥0.8 pairs (max pairwise ≈0.60 at
+    //    every SF), so the row STAGES deterministic near-dups — jittered
+    //    copies of the 50 lowest vec_ids (x·1.01 + 0.001, float-cast on
+    //    both engines) at vec_id+1_000_000 — and the removal path then
+    //    genuinely runs: the planted copies land in their original's
+    //    cluster, pair above threshold, and lose to the lower id. Same
+    //    staging discipline as boilerplate_line_stats.
+    ("semantic_dedup",
+      (spark, dir) => {
+        val base = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+        val planted = base.filter(col("vec_id") < 50)
+          .select((col("vec_id") + 1000000L).as("vec_id"),
+                  expr("transform(embedding, x -> CAST(x * 1.01D + 0.001D AS FLOAT))")
+                    .as("embedding"))
+        Similarity.semanticDedup(base.unionByName(planted), 0.8,
+            nCentroids = 16, iters = 1)
+          .groupBy(col("cluster_id"))
+          .agg(count(lit(1)).as("n_survivors"),
+               sum(col("vec_id")).as("id_sum"),
+               min(col("vec_id")).as("min_vec"))
+          .transform(CatalogCore.orderedReport(_, col("cluster_id")))
+      },
+      Some(s"""WITH RECURSIVE ${sqlKmeansCorpus(
+                """SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+                  |  UNION ALL
+                  |  SELECT vec_id + 1000000,
+                  |         CAST(list_transform(embedding,
+                  |                x -> CAST(x * 1.01 + 0.001 AS FLOAT)) AS DOUBLE[])
+                  |  FROM embeddings WHERE vec_id < 50""".stripMargin, 16, 1)},
+              |assign AS (
+              |  SELECT vec_id, cluster_id FROM (
+              |    SELECT c.vec_id, kk.cluster_id,
+              |           row_number() OVER (PARTITION BY c.vec_id
+              |             ORDER BY round(list_cosine_similarity(c.emb, kk.centroid), 6) DESC,
+              |                      kk.cluster_id) AS rn
+              |    FROM corpus c CROSS JOIN cent1 kk) WHERE rn = 1),
+              |p AS (
+              |  SELECT a.vec_id AS va, b.vec_id AS vb
+              |  FROM assign a JOIN assign b
+              |    ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+              |  JOIN corpus ca ON ca.vec_id = a.vec_id
+              |  JOIN corpus cb ON cb.vec_id = b.vec_id
+              |  WHERE round(list_cosine_similarity(ca.emb, cb.emb), 6) >= 0.8),
+              |edges AS (SELECT va AS a, vb AS b FROM p
+              |          UNION ALL SELECT vb AS a, va AS b FROM p),
+              |reach(a, b) AS (
+              |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+              |  UNION
+              |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+              |losers AS (
+              |  SELECT a AS vec_id
+              |  FROM (SELECT a, MIN(b) AS canonical FROM reach GROUP BY a)
+              |  WHERE a <> canonical),
+              |surv AS (
+              |  SELECT s.vec_id, s.cluster_id FROM assign s
+              |  ANTI JOIN losers l ON s.vec_id = l.vec_id)
+              |SELECT cluster_id, COUNT(*) AS n_survivors,
+              |       CAST(SUM(vec_id) AS BIGINT) AS id_sum,
+              |       MIN(vec_id) AS min_vec
+              |FROM surv GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // ── Sliding-window chunking (long doc → training examples): 50-token
     //    windows every 25 tokens, trailing short windows kept. Hash-only

@@ -186,6 +186,42 @@ object Similarity {
       .dropDuplicates("vec_a", "vec_b")
   }
 
+  /** SemDeDup-style semantic dedup (cluster-then-dedup over embeddings):
+    * cluster the corpus with the fixed-point [[kmeansCentroids]], generate
+    * candidate pairs ONLY within a cluster — the scale bound: pairwise work
+    * is Σ_c n_c² instead of the corpus's N², and nCentroids grows with the
+    * corpus so per-cluster membership stays bounded — score candidates with
+    * the exact rounded cosine, take connected components over the
+    * ≥ `threshold` pairs ([[Dedup.dupClusters]]: min-label propagation),
+    * and keep the lowest `vec_id` per component. What is approximate is
+    * recall only (cross-cluster near-dups are not candidates — the
+    * SemDeDup trade); every removal is exact-cosine-verified.
+    * Deterministic end to end (fixed-point centroids, rounded cosines,
+    * min-label survivors), so a DuckDB twin reproduces it exactly — the
+    * `semantic_dedup` catalog row. Returns survivors:
+    * (vec_id, cluster_id, centroid_sim).
+    */
+  def semanticDedup(embeddings: DataFrame, threshold: Double,
+                    nCentroids: Int = 16, iters: Int = 1, dim: Int = 64): DataFrame = {
+    val centroids = kmeansCentroids(embeddings, nCentroids, iters, dim)
+    // referenced three times (both pair-join sides + the survivor base):
+    // one scan-shaped materialization, the lshNearDupPairs discipline
+    val a = argmaxAssign(embeddings, centroids).localCheckpoint()
+    val l = a.select(col("vec_id").as("vec_a"), col("cluster_id"),
+                     col("embedding").as("emb_a"))
+    val r = a.select(col("vec_id").as("vec_b"), col("cluster_id"),
+                     col("embedding").as("emb_b"))
+    val pairs = l.join(r, Seq("cluster_id"))
+      .filter(col("vec_a") < col("vec_b"))
+      .filter(round(cosineSim(col("emb_a"), col("emb_b")), 6) >= threshold)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    val losers = Dedup.dupClusters(pairs)
+      .filter(col("doc_id") =!= col("canonical_id"))
+      .select(col("doc_id").as("vec_id"))
+    a.join(losers, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cluster_id"), col("cos_sim").as("centroid_sim"))
+  }
+
   /** Deterministic fixed-iteration k-means over an embedding corpus
     * (cosine objective): initialized from the `k` lowest `vec_id`s, then
     * `iters` Lloyd rounds — assign each vector to its max-cosine centroid

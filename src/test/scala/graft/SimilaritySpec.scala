@@ -120,6 +120,18 @@ class SimilaritySpec extends AnyFunSuite {
     assert(bits == bits.sorted && bits.last == 24 && bits.head >= 4)
   }
 
+  test("semanticDedup removes planted within-cluster near-dups, keeps originals") {
+    val base = emb.select("vec_id", "embedding")
+    val planted = base.filter($"vec_id" < 20)
+      .selectExpr("vec_id + 1000000 AS vec_id",
+                  "transform(embedding, x -> CAST(x * 1.01D + 0.001D AS FLOAT)) AS embedding")
+    val surv = Similarity.semanticDedup(base.unionByName(planted), 0.8)
+      .select("vec_id").as[Long].collect().toSet
+    val nBase = base.count()
+    assert(surv.size == nBase, s"expected all $nBase originals to survive, got ${surv.size}")
+    assert(surv.forall(_ < 1000000L), "every planted copy must lose to its lower-id original")
+  }
+
   test("lshNearDupPairsAuto matches the manual call at the auto-chosen bits") {
     val auto = Similarity.lshNearDupPairsAuto(emb, 0.5)
       .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
