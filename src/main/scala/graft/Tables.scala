@@ -29,7 +29,62 @@ object Tables {
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     cache.computeIfAbsent((spark, dir, name),
-      _ => spark.read.parquet(s"$dir/$name.parquet"))
+      _ => loadNormalized(spark, dir, name))
+
+  /** Generic TIMESTAMP(NANOS) armor for EVERY table (the events-only round-5
+    * lesson, generalized): driver testdata has shipped with nanosecond
+    * timestamp columns before, and schema inference rejects them outright
+    * ([PARQUET_TYPE_ILLEGAL]) — which would take down every query on the
+    * affected table, not just the timestamp ones. The footer is decoded
+    * once per (session, dir, table) anyway for the relation cache; when it
+    * declares top-level TIMESTAMP(NANOS) columns, the scan schema is built
+    * with Spark's own converter in nanosAsLong mode (raw 8-byte longs —
+    * no session-global legacy conf) and each such column is normalized to
+    * microsecond TimestampType with exact integer division. Tables without
+    * nanos columns (all current ones) take the plain inference path.
+    */
+  private def loadNormalized(spark: SparkSession, dir: String, name: String): DataFrame = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation.{TimeUnit, TimestampLogicalTypeAnnotation}
+    val msgType = footerSchema(spark, s"$dir/$name.parquet")
+    val nanosCols = msgType.getFields.asScala.collect {
+      case f if f.isPrimitive &&
+        (f.getLogicalTypeAnnotation match {
+          case t: TimestampLogicalTypeAnnotation => t.getUnit == TimeUnit.NANOS
+          case _ => false
+        }) => f.getName
+    }.toSeq
+    if (nanosCols.isEmpty) spark.read.parquet(s"$dir/$name.parquet")
+    else {
+      val schema =
+        new org.apache.spark.sql.execution.datasources.parquet.ParquetToSparkSchemaConverter(
+          nanosAsLong = true)
+          .convert(msgType)
+      val raw = spark.read.schema(schema).parquet(s"$dir/$name.parquet")
+      nanosCols.foldLeft(raw) { (df, c) =>
+        df.withColumn(c, timestamp_micros(expr(s"`$c` DIV 1000")))
+      }
+    }
+  }
+
+  private def footerSchema(spark: SparkSession,
+                           path: String): org.apache.parquet.schema.MessageType = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs   = root.getFileSystem(conf)
+    val file =
+      if (fs.getFileStatus(root).isDirectory)
+        fs.listStatus(root).map(_.getPath)
+          .filter(p => p.getName.endsWith(".parquet")).minBy(_.getName)
+      else root
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+    try reader.getFooter.getFileMetaData.getSchema finally reader.close()
+  }
+
+  private implicit class JListOps[A](l: java.util.List[A]) {
+    def asScala: Seq[A] = scala.jdk.CollectionConverters.ListHasAsScala(l).asScala.toSeq
+  }
 
   /** Range-partition `df` on `keys` to default parallelism — but ONLY when
     * it currently has fewer partitions than cores (at test SF the parquet
@@ -118,23 +173,9 @@ object Tables {
 
   private def tsEncoding(spark: SparkSession, dir: String): TsEnc =
     tsKind.computeIfAbsent((spark, dir), _ => {
-      import org.apache.parquet.hadoop.ParquetFileReader
-      import org.apache.parquet.hadoop.util.HadoopInputFile
       import org.apache.parquet.schema.LogicalTypeAnnotation.{TimeUnit, TimestampLogicalTypeAnnotation}
-      val conf = spark.sessionState.newHadoopConf()
-      val root = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
-      val fs   = root.getFileSystem(conf)
-      val file =
-        if (fs.getFileStatus(root).isDirectory)
-          fs.listStatus(root).map(_.getPath)
-            .filter(p => p.getName.endsWith(".parquet")).minBy(_.getName)
-        else root
-      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
-      val tsType =
-        try {
-          val schema = reader.getFooter.getFileMetaData.getSchema
-          schema.getFields.get(schema.getFieldIndex("ts")).asPrimitiveType()
-        } finally reader.close()
+      val schema = footerSchema(spark, s"$dir/events.parquet")
+      val tsType = schema.getFields.get(schema.getFieldIndex("ts")).asPrimitiveType()
       tsType.getLogicalTypeAnnotation match {
         case t: TimestampLogicalTypeAnnotation if t.getUnit == TimeUnit.NANOS => TsNanos
         case t: TimestampLogicalTypeAnnotation if t.isAdjustedToUTC           => TsNative

@@ -76,6 +76,36 @@ class TablesEncodingSpec extends AnyFunSuite {
     }
   }
 
+  private def fixtureDir(resource: String, as: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tsenc-real").toString
+    val in = getClass.getResourceAsStream(s"/graft/$resource")
+    java.nio.file.Files.copy(in, java.nio.file.Paths.get(s"$dir/$as"))
+    in.close(); dir
+  }
+
+  test("real TIMESTAMP(NANOS) events fixture decodes to exact micros") {
+    // pyarrow-written timestamp[ns] — the encoding Spark inference rejects
+    // outright; the events loader must route it through the raw-long path
+    val dir = fixtureDir("nanos_events.parquet", "events.parquet")
+    assert(readMicros(dir) == microsVals.zipWithIndex.map { case (us, i) => i.toLong -> us }.toMap)
+    val got = Tables.eventsSinceMicros(spark, dir, microsVals(2))
+      .select(unix_micros(col("ts"))).as[Long].collect().sorted.toSeq
+    assert(got == microsVals.drop(3))
+  }
+
+  test("generic tables with TIMESTAMP(NANOS) columns normalize via the footer path") {
+    // any OTHER table shipping a nanos column must not take down its scans:
+    // Tables.table builds the schema in nanosAsLong mode and normalizes
+    val dir = fixtureDir("nanos_table.parquet", "t.parquet")
+    val df = Tables.table(spark, dir, "t")
+    assert(df.schema("ts").dataType == org.apache.spark.sql.types.TimestampType)
+    val got = df.select(col("id"), unix_micros(col("ts"))).as[(Long, Long)]
+      .collect().toMap
+    assert(got == microsVals.zipWithIndex.map { case (us, i) => i.toLong -> us }.toMap)
+    // non-timestamp columns ride through the explicit schema untouched
+    assert(df.select(sum(col("x"))).as[Double].head() == (0 until 5).map(_ * 1.5).sum)
+  }
+
   test("NTZ watermark predicate reaches the parquet scan as a pushed filter") {
     val plan = Tables.eventsSinceMicros(spark, ntzDir, microsVals(2))
       .queryExecution.executedPlan.toString
