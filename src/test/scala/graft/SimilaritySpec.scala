@@ -132,6 +132,44 @@ class SimilaritySpec extends AnyFunSuite {
     assert(surv.forall(_ < 1000000L), "every planted copy must lose to its lower-id original")
   }
 
+  test("semanticDedup collapses transitive chains to one survivor") {
+    // a ~ b ~ c where a-c may fall below threshold: connected components
+    // must still merge the chain (single survivor = lowest id), not just
+    // pairwise winners.
+    val base = emb.filter($"vec_id" < 5).select("vec_id", "embedding")
+    def jitter(ids: org.apache.spark.sql.DataFrame, off: Long, eps: String) =
+      ids.selectExpr(s"vec_id + $off AS vec_id",
+        s"transform(embedding, x -> CAST(x * (1.0D + $eps) + $eps AS FLOAT)) AS embedding")
+    // two successive small steps: copy1 ≈ original, copy2 ≈ copy1
+    val all = base
+      .unionByName(jitter(base, 1000000L, "0.004D"))
+      .unionByName(jitter(base, 2000000L, "0.008D"))
+    // nCentroids=2: the 15-vector corpus must share clusters at all (with
+    // the default 16 every vector is its own singleton cluster)
+    val surv = Similarity.semanticDedup(all, 0.9, nCentroids = 2)
+      .select("vec_id").as[Long].collect().toSet
+    assert(surv == base.select("vec_id").as[Long].collect().toSet,
+      s"each chain must keep only its lowest-id member, got $surv")
+  }
+
+  test("semanticDedup invariant: no two same-cluster survivors at/above threshold") {
+    val base = emb.select("vec_id", "embedding")
+    val planted = base.filter($"vec_id" < 30)
+      .selectExpr("vec_id + 1000000 AS vec_id",
+                  "transform(embedding, x -> CAST(x * 1.02D + 0.002D AS FLOAT)) AS embedding")
+    val surv = Similarity.semanticDedup(base.unionByName(planted), 0.8)
+    val offending = surv.as("a").join(surv.as("b"),
+        $"a.cluster_id" === $"b.cluster_id" && $"a.vec_id" < $"b.vec_id")
+      .join(base.unionByName(planted).select($"vec_id".as("va"), $"embedding".as("ea")),
+            $"a.vec_id" === $"va")
+      .join(base.unionByName(planted).select($"vec_id".as("vb"), $"embedding".as("eb")),
+            $"b.vec_id" === $"vb")
+      .filter(round(org.apache.spark.sql.graft.VectorExpressions.cosineSim($"ea", $"eb"), 6) >= 0.8)
+      .count()
+    assert(offending == 0L,
+      "two surviving same-cluster vectors at >= threshold means a missed pair or wrong closure")
+  }
+
   test("lshNearDupPairsAuto matches the manual call at the auto-chosen bits") {
     val auto = Similarity.lshNearDupPairsAuto(emb, 0.5)
       .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
