@@ -58,11 +58,31 @@ object CatalogCore {
         val shm = java.nio.file.Paths.get("/dev/shm")
         if (java.nio.file.Files.isWritable(shm)) Some(shm) else None
       }
-    base match {
-      case Some(b) => java.nio.file.Files.createTempDirectory(b, prefix).toString
-      case None => java.nio.file.Files.createTempDirectory(prefix).toString
+    val dir = base match {
+      case Some(b) => java.nio.file.Files.createTempDirectory(b, prefix)
+      case None => java.nio.file.Files.createTempDirectory(prefix)
     }
+    // Every invocation makes a fresh tree (often under /dev/shm) that the
+    // query itself never deletes — across 3-pass bench + verify + audit runs
+    // they would accumulate, so each JVM sweeps its own trees at exit.
+    scratchCreated.add(dir)
+    scratchHookArmed
+    dir.toString
   }
+
+  private val scratchCreated =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
+  private lazy val scratchHookArmed: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      scratchCreated.forEach { root =>
+        try {
+          val walk = java.nio.file.Files.walk(root)
+          try walk.sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => { try java.nio.file.Files.deleteIfExists(p)
+                            catch { case _: java.io.IOException => () } })
+          finally walk.close()
+        } catch { case scala.util.control.NonFatal(_) => () }
+      }))
 
   private def status(spark: SparkSession, dir: String): DataFrame =
     Lifecycle.statusFromOrders(Tables.orders(spark, dir))

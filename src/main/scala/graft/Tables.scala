@@ -66,21 +66,34 @@ object Tables {
     }
   }
 
-  private def footerSchema(spark: SparkSession,
-                           path: String): org.apache.parquet.schema.MessageType = {
+  /** Footer of `path` (or, for a directory, of its lexicographically-first
+    * part file — ASSUMPTION: all part files of one dataset share a schema,
+    * which Spark's own writers guarantee; a hand-assembled dir mixing ts
+    * encodings across part files would be classified from the first file
+    * only). Empty/nested-only directories fail loudly here instead of as a
+    * bare minBy UnsupportedOperationException.
+    */
+  private def footerMeta(spark: SparkSession,
+                         path: String): org.apache.parquet.hadoop.metadata.ParquetMetadata = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     val conf = spark.sessionState.newHadoopConf()
     val root = new org.apache.hadoop.fs.Path(path)
     val fs   = root.getFileSystem(conf)
     val file =
-      if (fs.getFileStatus(root).isDirectory)
-        fs.listStatus(root).map(_.getPath)
-          .filter(p => p.getName.endsWith(".parquet")).minBy(_.getName)
-      else root
+      if (fs.getFileStatus(root).isDirectory) {
+        val parts = fs.listStatus(root).map(_.getPath)
+          .filter(p => p.getName.endsWith(".parquet"))
+        require(parts.nonEmpty, s"no .parquet files directly under $path")
+        parts.minBy(_.getName)
+      } else root
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
-    try reader.getFooter.getFileMetaData.getSchema finally reader.close()
+    try reader.getFooter finally reader.close()
   }
+
+  private def footerSchema(spark: SparkSession,
+                           path: String): org.apache.parquet.schema.MessageType =
+    footerMeta(spark, path).getFileMetaData.getSchema
 
   private implicit class JListOps[A](l: java.util.List[A]) {
     def asScala: Seq[A] = scala.jdk.CollectionConverters.ListHasAsScala(l).asScala.toSeq
@@ -174,7 +187,8 @@ object Tables {
   private def tsEncoding(spark: SparkSession, dir: String): TsEnc =
     tsKind.computeIfAbsent((spark, dir), _ => {
       import org.apache.parquet.schema.LogicalTypeAnnotation.{TimeUnit, TimestampLogicalTypeAnnotation}
-      val schema = footerSchema(spark, s"$dir/events.parquet")
+      val meta = footerMeta(spark, s"$dir/events.parquet")
+      val schema = meta.getFileMetaData.getSchema
       val tsType = schema.getFields.get(schema.getFieldIndex("ts")).asPrimitiveType()
       tsType.getLogicalTypeAnnotation match {
         case t: TimestampLogicalTypeAnnotation if t.getUnit == TimeUnit.NANOS => TsNanos
@@ -182,9 +196,41 @@ object Tables {
         case _: TimestampLogicalTypeAnnotation                                => TsNativeNtz
         case _ if tsType.getPrimitiveTypeName ==
           org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT96     => TsNative
-        case _ => TsNanos // un-annotated INT64: the reference's raw-nanos export
+        case _ =>
+          // un-annotated INT64: the reference's raw-nanos export — but an
+          // epoch-seconds/millis/micros export would silently decode to
+          // 1970-adjacent garbage under DIV 1000, so sanity-check the
+          // magnitude against the footer's row-group max before committing
+          // (epoch-nanos this century are ~1e18; micros ≤ ~4e15).
+          requirePlausibleNanos(meta)
+          TsNanos
       }
     })
+
+  /** Fails loudly when row-group stats say an un-annotated INT64 `ts` cannot
+    * be epoch-nanos. Stats-less files pass through on the pre-existing
+    * assumption (the driver's own exports always carry stats).
+    */
+  private def requirePlausibleNanos(
+      meta: org.apache.parquet.hadoop.metadata.ParquetMetadata): Unit = {
+    val maxes = meta.getBlocks.asScala.flatMap { b =>
+      b.getColumns.asScala.collect {
+        case c if c.getPath.toDotString == "ts" &&
+                  c.getStatistics != null && !c.getStatistics.isEmpty &&
+                  c.getStatistics.hasNonNullValue =>
+          c.getStatistics.genericGetMax match {
+            case l: java.lang.Long => l.longValue
+            case other => other.toString.toLong
+          }
+      }
+    }
+    maxes.reduceOption(math.max(_: Long, _: Long)).foreach { mx =>
+      require(mx > 100000000000000000L, // 1e17 ns ≈ 1973; anything below is not epoch-nanos
+        s"events.ts is un-annotated INT64 with row-group max $mx — implausible as " +
+        "epoch-nanoseconds (expected ~1e18). Refusing the nanos decode; check the " +
+        "file's actual time unit.")
+    }
+  }
 
   /** Explicit-schema read for the TIMESTAMP(NANOS) encoding: a user-supplied
     * LongType for the INT64 physical column reads fine without the legacy

@@ -122,24 +122,6 @@ object Similarity {
               round(cosineSim(col("emb_a"), col("emb_b")), 6).as("cos_sim"))
   }
 
-  /** Near-dup pairs via sign-LSH bucketing + exact cosine rescore — the
-    * 100 TB pairs path replacing the O(N²) [[nearDupPairs]] scan. Candidate
-    * generation is a self-equi-join on (table, bucket): shuffle ∝ collisions,
-    * never N². Collided pairs are deduped across tables (each pair pays the
-    * cosine once) and rescored with the exact codegen'd [[cosineSim]], so
-    * every emitted pair genuinely clears the threshold; what is approximate
-    * is recall only. Sign-LSH collision probability is (1 − θ/π)^bits per
-    * table — steep in angle, so recall is high for true near-dups (θ small)
-    * and intentionally low for weakly-similar pairs; size `nTables` ×
-    * `bitsPerTable` to the similarity band that matters (defaults: 16×8,
-    * ≈94% recall at cosine 0.8, ~14× candidate pruning on uniform vectors).
-    *
-    * The bucket table is checkpointed: both join sides derive from it, and
-    * without materialization the plane-projection pipeline runs once per
-    * side. At cluster scale it would be a persisted intermediate, bucketed
-    * by (t, bucket). Embeddings ride along on the bucket rows (fixed 64-float
-    * payload) — one shuffle, no re-join against the corpus per side.
-    */
   /** `bitsPerTable` sized to hold expected bucket occupancy at
     * `targetOccupancy` as the corpus grows: per-table candidate work is
     * Σ_buckets c², i.e. ≈ n·occupancy for uniform buckets — linear in n
@@ -166,6 +148,27 @@ object Similarity {
     lshNearDupPairs(embeddings, threshold, nTables,
                     autoBitsPerTable(embeddings.count()), dim)
 
+  /** Near-dup pairs via sign-LSH bucketing + exact cosine rescore — the
+    * 100 TB pairs path replacing the O(N²) [[nearDupPairs]] scan. Candidate
+    * generation is a self-equi-join on (table, bucket): shuffle ∝ collisions,
+    * never N². Collided pairs are deduped across tables (each pair pays the
+    * cosine once) and rescored with the exact codegen'd [[cosineSim]], so
+    * every emitted pair genuinely clears the threshold; what is approximate
+    * is recall only. Sign-LSH collision probability is (1 − θ/π)^bits per
+    * table — steep in angle, so recall is high for true near-dups (θ small)
+    * and intentionally low for weakly-similar pairs; size `nTables` ×
+    * `bitsPerTable` to the similarity band that matters (defaults: 16×8,
+    * ≈94% recall at cosine 0.8, ~14× candidate pruning on uniform vectors).
+    * Prefer [[lshNearDupPairsAuto]] for growing corpora: FIXED bits make
+    * bucket occupancy ∝ n and pair work quadratic (the measured 9× finding —
+    * see [[autoBitsPerTable]]).
+    *
+    * The bucket table is checkpointed: both join sides derive from it, and
+    * without materialization the plane-projection pipeline runs once per
+    * side. At cluster scale it would be a persisted intermediate, bucketed
+    * by (t, bucket). Embeddings ride along on the bucket rows (fixed 64-float
+    * payload) — one shuffle, no re-join against the corpus per side.
+    */
   def lshNearDupPairs(embeddings: DataFrame, threshold: Double,
                       nTables: Int = 16, bitsPerTable: Int = 8, dim: Int = 64): DataFrame = {
     val buckets = signBuckets(embeddings, nTables, bitsPerTable, dim).localCheckpoint()
