@@ -167,7 +167,10 @@ object Bench {
     // asymmetric — Spark also writes the tree) + round-6's semantic_dedup
     // twin (DuckDB 1.748 s at calib≈1.15 → ≈1.50 s quiet; Spark wins this
     // row head-to-head at 1.23 s).
-    val baselineQuiet = sys.env.getOrElse("SPARK_GRAFT_BASELINE_SEC", "26.28").toDouble
+    // 27.03 = that + round-7's embedding_neardup_auto twin (DuckDB 0.855 s
+    // measured 3-pass min, probe-normalized ≈0.75 s quiet; Spark wins the
+    // row head-to-head at 0.52 s).
+    val baselineQuiet = sys.env.getOrElse("SPARK_GRAFT_BASELINE_SEC", "27.03").toDouble
     // Host-speed calibration (BASELINE.md "Host-speed calibration"): the
     // shared build host has multi-minute windows where EVERYTHING runs
     // 20-85% slower (hypervisor-level; guest vmstat shows idle CPU while

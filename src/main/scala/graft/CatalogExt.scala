@@ -88,6 +88,42 @@ object CatalogExt {
     s"         CAST(SUM(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS bucket",
     s"  FROM dots GROUP BY 1, 2)").mkString("\n")
 
+  /** [[sqlSignBuckets]] with `bits` COMPUTED from the corpus count the same
+    * way [[graft.ops.Similarity.autoBitsPerTable]] does — smallest b with
+    * 2^b ≥ count/8, clamped [4, 24], as a pure integer comparison (no
+    * float log whose 1-ulp boundary behavior could diverge between
+    * engines). Planes are generated to the 24-bit maximum and filtered to
+    * `nTables · bits`, so the CTE shape stays static while the bucket
+    * width tracks the corpus. Produces CTEs `nb(bits)` and
+    * `buckets(vec_id, t, bucket)`.
+    */
+  private def sqlSignBucketsAuto(nTables: Int, dim: Int = 64): String = Seq(
+    s"nb AS (",
+    s"  SELECT GREATEST(4, LEAST(24, (",
+    s"    SELECT MIN(b) FROM range(25) tb(b)",
+    s"    WHERE (CAST(8 AS BIGINT) << b) >= (SELECT COUNT(*) FROM embeddings)))) AS bits),",
+    s"planes AS (",
+    s"  SELECT CAST(j // bits AS BIGINT) AS t, CAST(j % bits AS BIGINT) AS p, i,",
+    s"         CAST(CAST(h AS DOUBLE) / 2147483648.0 - 1.0 AS FLOAT) AS w",
+    s"  FROM (",
+    s"    SELECT j, i, bits,",
+    s"           (j * 104729 + i * 7919 + 12345) AS x0,",
+    s"           (x0 * 2654435761) & 4294967295 AS x1,",
+    s"           xor(x1, x1 >> 16) AS x2,",
+    s"           ((x2 & 2147483647) * 1597334677) & 4294967295 AS x3,",
+    s"           xor(x3, x3 >> 13) AS h",
+    s"    FROM range(${nTables * 24}) a(j) CROSS JOIN range($dim) b(i) CROSS JOIN nb",
+    s"    WHERE j < $nTables * bits)),",
+    s"dots AS (",
+    s"  SELECT e.vec_id, pl.t, pl.p,",
+    s"         SUM(CAST(e.embedding[pl.i + 1] AS DOUBLE) * CAST(pl.w AS DOUBLE)) AS dot",
+    s"  FROM embeddings e CROSS JOIN planes pl",
+    s"  GROUP BY 1, 2, 3),",
+    s"buckets AS (",
+    s"  SELECT vec_id, t,",
+    s"         CAST(SUM(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS bucket",
+    s"  FROM dots GROUP BY 1, 2)").mkString("\n")
+
   /** DuckDB fragment: exact cosine between two embedding-table aliases. */
   private def sqlCos(a: String, b: String): String =
     s"round(list_cosine_similarity(CAST($a.embedding AS DOUBLE[]), CAST($b.embedding AS DOUBLE[])), 6)"
@@ -397,11 +433,42 @@ object CatalogExt {
     //    buckets → collisions → rescore), so the hash match pins the
     //    algorithm itself, independent of recall: a recall-lossy candidate
     //    set would diverge from an exact-pairs oracle by design.
+    //    SF CEILING (measured, SCALE.md "Measured scale-up"): this row pins
+    //    FIXED 16×8 buckets for hash reproducibility at the test SFs; with
+    //    bits fixed, occupancy grows ∝ corpus and pair work ∝ corpus² (27×
+    //    time at 9× data). The production entry point is the auto-sized
+    //    `embedding_neardup_auto` row below — this fixed row is a
+    //    known-width audit, valid to ~10× the sf0.1 corpus.
     ("embedding_neardup_lsh",
       (spark, dir) =>
         Similarity.lshNearDupPairs(Tables.embeddings(spark, dir), 0.4)
           .orderBy(col("vec_a"), col("vec_b")),
       Some(s"""WITH ${sqlSignBuckets(16, 8)},
+              |cand AS (
+              |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+              |  FROM buckets a JOIN buckets b
+              |    ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+              |scored AS (
+              |  SELECT vec_a, vec_b, ${sqlCos("ea", "eb")} AS cos_sim
+              |  FROM cand
+              |  JOIN embeddings ea ON vec_a = ea.vec_id
+              |  JOIN embeddings eb ON vec_b = eb.vec_id)
+              |SELECT vec_a, vec_b, cos_sim FROM scored
+              |WHERE cos_sim >= 0.4 ORDER BY vec_a, vec_b""".stripMargin)),
+
+    // ── the PRODUCTION near-dup path, driver-hashed: bits auto-sized from
+    //    the corpus count ([[Similarity.autoBitsPerTable]] — smallest b with
+    //    2^b ≥ n/8, held-occupancy scaling, the shape that survived the 9×
+    //    scale test). The oracle recomputes the SAME bits from its own
+    //    COUNT(*) with the same integer comparison, then runs the same
+    //    plane/bucket/rescore pipeline — so the hash pins not just the LSH
+    //    but the auto-sizing policy itself: a bits drift at any SF breaks
+    //    the row on both engines identically or not at all.
+    ("embedding_neardup_auto",
+      (spark, dir) =>
+        Similarity.lshNearDupPairsAuto(Tables.embeddings(spark, dir), 0.4)
+          .orderBy(col("vec_a"), col("vec_b")),
+      Some(s"""WITH ${sqlSignBucketsAuto(16)},
               |cand AS (
               |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
               |  FROM buckets a JOIN buckets b

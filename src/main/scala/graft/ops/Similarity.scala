@@ -135,9 +135,15 @@ object Similarity {
     * recall/cost trade); the defaults here reproduce the pinned 16×8 at
     * the test corpus size.
     */
-  def autoBitsPerTable(n: Long, targetOccupancy: Int = 8): Int =
-    math.max(4, math.min(24,
-      math.ceil(math.log(math.max(1.0, n.toDouble / targetOccupancy)) / math.log(2)).toInt))
+  def autoBitsPerTable(n: Long, targetOccupancy: Int = 8): Int = {
+    // smallest b with 2^b ≥ n/occupancy, clamped [4, 24] — PURE INTEGER
+    // comparison, mathematically identical to ceil(log2(n/occupancy)) but
+    // with no float-log boundary risk: a 1-ulp log disagreement at an exact
+    // power of two would flip the bucket width between engines, and the
+    // `embedding_neardup_auto` oracle recomputes these bits in SQL.
+    val b = (0 to 24).find(b => (targetOccupancy.toLong << b) >= n).getOrElse(24)
+    math.max(4, math.min(24, b))
+  }
 
   /** [[lshNearDupPairs]] with `bitsPerTable` auto-sized from the corpus
     * count (one cheap count job locally; persisted table metadata at
