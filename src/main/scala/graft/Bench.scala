@@ -170,7 +170,10 @@ object Bench {
     // 27.03 = that + round-7's embedding_neardup_auto twin (DuckDB 0.855 s
     // measured 3-pass min, probe-normalized ≈0.75 s quiet; Spark wins the
     // row head-to-head at 0.52 s).
-    val baselineQuiet = sys.env.getOrElse("SPARK_GRAFT_BASELINE_SEC", "27.03").toDouble
+    // 27.49 = that + round-7's multimodal_text_features twin (DuckDB
+    // 0.519 s 3-pass min, probe-normalized ≈0.46 s quiet; Spark wins the
+    // row head-to-head at 0.28 s).
+    val baselineQuiet = sys.env.getOrElse("SPARK_GRAFT_BASELINE_SEC", "27.49").toDouble
     // Host-speed calibration (BASELINE.md "Host-speed calibration"): the
     // shared build host has multi-minute windows where EVERYTHING runs
     // 20-85% slower (hypervisor-level; guest vmstat shows idle CPU while

@@ -698,8 +698,8 @@ object CatalogExt {
              |WHERE t.tf >= 3
              |ORDER BY t.doc_id, t.token""".stripMargin)),
 
-    // ── multimodal metadata over the opaque binary payload (decode itself is
-    //    a stub — see [[graft.ops.Multimodal]]).
+    // ── multimodal metadata over the opaque binary payload — pure column
+    //    expressions, no decode (see [[graft.ops.Multimodal]]).
     ("multimodal_meta",
       (spark, dir) =>
         Multimodal.metadata(Multimodal.toMedia(Tables.documents(spark, dir)))
@@ -707,6 +707,48 @@ object CatalogExt {
       Some("""SELECT doc_id, octet_length(encode(text)) AS n_bytes,
              |       sha256(text) AS sha256
              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ── REAL text-payload decode, driver-hashed (replaces the retired
+    //    round-6 decodeStub): wrap documents as binary media, strict-UTF-8
+    //    decode in batched mapPartitions, reduce to the integer-exact 8-lane
+    //    profile. The twin recomputes every lane from the source text with
+    //    regexp/list functions, so a decode bug, a wrong char class, or a
+    //    tokenizer drift shifts the hash. Lanes surface as BIGINTs (counts
+    //    are exact in the Float lanes below 2^24 by construction).
+    ("multimodal_text_features",
+      (spark, dir) => {
+        val lanes = Seq("n_chars", "n_letters", "n_digits", "n_ws",
+                        "n_other", "n_tokens", "max_token_len", "n_lines")
+        Multimodal.extractFeatures(spark,
+            Multimodal.toMedia(Tables.spread(Tables.documents(spark, dir), col("doc_id"))))
+          .toDF()
+          .select(col("doc_id") +: col("n_bytes").cast("long").as("n_bytes") +:
+                  col("sha256") +:
+                  lanes.zipWithIndex.map { case (n, i) =>
+                    element_at(col("feature"), i + 1).cast("long").as(n)
+                  }: _*)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH f AS (
+             |  SELECT doc_id, text,
+             |         octet_length(encode(text)) AS n_bytes,
+             |         sha256(text) AS sha256,
+             |         length(text) AS n_chars,
+             |         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_letters,
+             |         length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits,
+             |         length(regexp_replace(text, '[^ \t\n\r]', '', 'g')) AS n_ws,
+             |         list_filter(string_split_regex(text, '[ \t\n\r]+'), x -> x <> '') AS toks
+             |  FROM documents)
+             |SELECT doc_id, n_bytes, sha256,
+             |       CAST(n_chars AS BIGINT) AS n_chars,
+             |       CAST(n_letters AS BIGINT) AS n_letters,
+             |       CAST(n_digits AS BIGINT) AS n_digits,
+             |       CAST(n_ws AS BIGINT) AS n_ws,
+             |       CAST(n_chars - n_letters - n_digits - n_ws AS BIGINT) AS n_other,
+             |       CAST(len(toks) AS BIGINT) AS n_tokens,
+             |       CAST(COALESCE(list_max(list_transform(toks, x -> length(x))), 0) AS BIGINT) AS max_token_len,
+             |       CAST(length(text) - length(replace(text, chr(10), '')) + 1 AS BIGINT) AS n_lines
+             |FROM f ORDER BY doc_id""".stripMargin)),
 
     // ── REAL multimodal decode, hash-checked through actual bytes: pack the
     //    embeddings as GRFT binary media (header + int32 fixed-point

@@ -20,8 +20,8 @@ case class GrftFeatures(vec_id: Long, n_samples: Long, sum_fp: Long,
 /** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, batched decode/feature-extraction over partitions.
   *
-  * Two decode paths:
-  *  - the REAL one — a binary media container ("GRFT": magic + sample count
+  * Two decode paths, both REAL (the round-6 `decodeStub` is retired):
+  *  - a binary media container ("GRFT": magic + sample count
   *    + scale header, int32 fixed-point PCM-style samples) built from the
   *    embeddings table, decoded by [[decodeSamples]] (header validation,
   *    sample extraction) and reduced to integer-exact features
@@ -30,9 +30,14 @@ case class GrftFeatures(vec_id: Long, n_samples: Long, sum_fp: Long,
   *    catalog row hash-matches a DuckDB oracle computing the same numbers
   *    from the numeric source column — the decode round-trip itself is what
   *    the hash pins (an encode or parse bug anywhere breaks it);
-  *  - [[decodeStub]] — the clearly-marked stand-in for codec-style decode of
-  *    free-form payloads (image/audio codecs aren't in this container);
-  *    kept for the text-payload path.
+  *  - [[decodeText]] — strict UTF-8 decode for `text/`-prefixed mimes (malformed
+  *    byte sequences fail loudly, never replacement-char'd), reduced by
+  *    [[textFeatures]] to an integer-exact 8-lane profile; the
+  *    `multimodal_text_features` catalog row hashes this path against a
+  *    DuckDB twin computing the same counts from the source text column.
+  *    Image/audio/video codecs stay out of scope for an oracle-checked
+  *    engine: [[extractFeatures]] REJECTS unknown mimes loudly instead of
+  *    faking a decode.
   *
   * Everything around them — schema, typed Dataset plumbing, per-partition
   * batching shape, partition sizing — is the real 100 TB design: payloads
@@ -138,36 +143,73 @@ object Multimodal {
                  octet_length(col("payload")).cast("long").as("n_bytes"),
                  sha2(col("payload"), 256).as("sha256"))
 
-  /** STUB decode: a real pipeline would decode the payload (image decode,
-    * audio resample, video frame-sample) here. This fake is deterministic —
-    * an 8-lane folded byte histogram scaled to [0,1) — so the plumbing is
-    * testable without codecs.
+  /** REAL text decode: strict UTF-8 — a malformed byte sequence throws
+    * (same loud-failure discipline as [[decodeSamples]]; the JDK default of
+    * silent U+FFFD replacement would poison every downstream count).
     */
-  def decodeStub(payload: Array[Byte]): Array[Float] = {
-    val acc = new Array[Float](8)
-    var i = 0
-    while (i < payload.length) {
-      acc(i % 8) += (payload(i) & 0xff) / 255.0f
-      i += 1
+  def decodeText(payload: Array[Byte]): String =
+    try {
+      java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+        .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+        .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+        .decode(java.nio.ByteBuffer.wrap(payload)).toString
+    } catch {
+      case e: java.nio.charset.CharacterCodingException =>
+        throw new IllegalArgumentException(
+          s"payload is not valid UTF-8 (${payload.length} bytes): $e")
     }
-    acc
+
+  /** Integer-exact 8-lane profile of a decoded text: code points, letters
+    * [A-Za-z], digits, whitespace [ \t\n\r], other, token count, longest
+    * token, line count (newlines + 1). Counts are exact in Float below 2^24
+    * (documents are far shorter), and every lane is reproducible in SQL —
+    * the `multimodal_text_features` oracle recomputes them with
+    * regexp/list functions and hash-matches.
+    */
+  def textFeatures(text: String): Array[Float] = {
+    var chars = 0L; var letters = 0L; var digits = 0L; var ws = 0L
+    var newlines = 0L; var tokens = 0L; var maxTok = 0L; var cur = 0L
+    var i = 0
+    while (i < text.length) {
+      val cp = text.codePointAt(i)
+      chars += 1
+      val isWs = cp == ' ' || cp == '\t' || cp == '\n' || cp == '\r'
+      if ((cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z')) letters += 1
+      else if (cp >= '0' && cp <= '9') digits += 1
+      else if (isWs) ws += 1
+      if (cp == '\n') newlines += 1
+      if (isWs) {
+        if (cur > 0) { tokens += 1; if (cur > maxTok) maxTok = cur }; cur = 0
+      } else cur += 1
+      i += Character.charCount(cp)
+    }
+    if (cur > 0) { tokens += 1; if (cur > maxTok) maxTok = cur }
+    Array(chars, letters, digits, ws, chars - letters - digits - ws,
+          tokens, maxTok, newlines + 1).map(_.toFloat)
   }
 
   /** Batched feature extraction: `mapPartitions` with fixed-size batches —
     * the shape a vectorized model runner needs (load weights once per
-    * partition, infer per batch). Returns a typed Dataset.
+    * partition, infer per batch). Dispatches on the mime column: `text/`-prefixed mimes
+    * take the real strict-UTF-8 decode + [[textFeatures]]; any other mime
+    * fails loudly (no codec in this container — a real deployment registers
+    * image/audio decoders here). Returns a typed Dataset.
     */
   def extractFeatures(spark: SparkSession, media: DataFrame,
                       batchSize: Int = 64): Dataset[MediaFeatures] = {
     import spark.implicits._
-    media.select("doc_id", "payload").as[(Long, Array[Byte])]
+    media.select("doc_id", "payload", "mime").as[(Long, Array[Byte], String)]
       .mapPartitions { rows =>
         // per-partition warm-up would happen here (model load / codec init)
         rows.grouped(batchSize).flatMap { batch =>
-          batch.map { case (id, payload) =>
+          batch.map { case (id, payload, mime) =>
             val digest = java.security.MessageDigest.getInstance("SHA-256")
               .digest(payload).map("%02x".format(_)).mkString
-            MediaFeatures(id, payload.length, digest, decodeStub(payload))
+            val feature =
+              if (mime.startsWith("text/")) textFeatures(decodeText(payload))
+              else throw new IllegalArgumentException(
+                s"no decoder registered for mime '$mime'")
+            MediaFeatures(id, payload.length, digest, feature)
           }
         }
       }

@@ -17,13 +17,29 @@ class MultimodalSpec extends AnyFunSuite {
       val (nBytes, sha) = meta(f.doc_id)
       assert(f.n_bytes == nBytes, "column-expression length == partition-side length")
       assert(f.sha256 == sha, "sha2 expression == MessageDigest")
-      assert(f.feature.length == 8, "stub decode emits fixed-width feature")
+      assert(f.feature.length == 8, "text decode emits fixed-width feature")
     }
   }
 
-  test("stub decode is deterministic") {
-    val payload = "some bytes".getBytes("UTF-8")
-    assert(Multimodal.decodeStub(payload).toSeq == Multimodal.decodeStub(payload).toSeq)
+  test("text decode is real: features count the decoded characters exactly") {
+    val feats = Multimodal.textFeatures("Hello, wide   world 42\nbye")
+    // chars, letters, digits, ws, other, tokens, max token len, lines
+    assert(feats.toSeq == Seq(26f, 17f, 2f, 6f, 1f, 5f, 6f, 2f))
+    assert(Multimodal.textFeatures("").toSeq == Seq(0f, 0f, 0f, 0f, 0f, 0f, 0f, 1f))
+  }
+
+  test("strict UTF-8 decode rejects malformed payloads loudly") {
+    assert(Multimodal.decodeText("héllo".getBytes("UTF-8")) == "héllo")
+    val bad = Array[Byte](0x68, 0x65, 0xC3.toByte) // truncated 2-byte sequence
+    intercept[IllegalArgumentException](Multimodal.decodeText(bad))
+    // unknown mime fails (wrapped in the task-failure SparkException), not fakes
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.extractFeatures(spark,
+        Multimodal.toMedia(Tables.documents(spark, TestSpark.sfDir).limit(1))
+          .withColumn("mime", org.apache.spark.sql.functions.lit("image/png")))
+        .collect()
+    }
+    assert(e.getMessage.contains("no decoder registered for mime"))
   }
 
   test("GRFT container round-trips: pack → decode recovers the samples exactly") {
