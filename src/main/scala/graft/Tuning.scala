@@ -45,10 +45,44 @@ object Tuning {
     "dedup_survivor_stats", "retry_queue", "user_sessions",
     "mark_downloaded", "simhash_fingerprints", "incremental_dedup_check",
     "last_purchase_asof", "value_percentiles", "ngram_jaccard_dups",
-    "ann_lsh_topk", "json_replay_roundtrip")
+    "ann_lsh_topk", "json_replay_roundtrip",
+    // round-7 additions (graft.TailAB, 2 interleaved-pass validations —
+    // 3-pass min per variant per run): download_status_check 0.77→0.53/0.48,
+    // compaction_plan 0.39→0.27/0.19, customers_with_orders 0.30→0.20/0.21
+    // (all with the lowShuffle tag below compounding), backfill_pages
+    // 0.32→0.24/0.20 (AQE off alone)
+    "download_status_check", "compaction_plan", "customers_with_orders",
+    "backfill_pages")
   // NOT tagged despite a small A/B win: dup_clusters — iterative
   // data-dependent join loop (the classification rule says AQE on), and its
   // −0.10 s reading did not reproduce (+0.53 s in the validation run).
+  // NOT tagged from the round-7 sweep (direction consistent but wins under
+  // the 0.08 s reproduce bar): nation_revenue, cosine_topk, batch_extract,
+  // daily_lifecycle_stats, quality_scores, latest_event_per_user,
+  // union_dedup_counts.
+
+  /** Catalog queries that run with `spark.sql.shuffle.partitions = 8`
+    * instead of the session's 32 (round-7 A/B, `graft.TailAB`): bounded
+    * reports and small-intermediate plans where 32-way exchanges cost more
+    * task-scheduling than they buy in parallelism at the bench profile.
+    * Composes with [[fixedShape]] (a query can carry both tags). Same
+    * serving-tier framing as the AQE policy: the tag encodes a measured
+    * LOCAL latency fact; at cluster scale the partition count comes from
+    * table statistics (or AQE coalescing), not this constant — see the
+    * scaladoc above and SCALE.md "AQE policy".
+    */
+  val lowShuffle: Set[String] = Set(
+    // measured (2 interleaved-pass validation runs each, graft.TailAB):
+    // download_status_check, compaction_plan, customers_with_orders compound
+    // with the AQE-off tag above; pii_scrub_stats 0.50→0.32/0.29 and
+    // reconcile_disk_state 0.70→0.61/0.47 win on partition count alone
+    // (AQE-off regressed pii_scrub_stats in one run — left on).
+    // Result-stability note: every catalog aggregate is integer-exact or
+    // order-insensitive by the determinism conventions (CatalogCore
+    // scaladoc), so partition count cannot move a hash — re-verified by the
+    // full selfcheck after tagging.
+    "download_status_check", "compaction_plan", "customers_with_orders",
+    "pii_scrub_stats", "reconcile_disk_state")
 
   /** Run `body` with the per-query conf overrides for `name`, restoring the
     * previous session values afterwards (exception-safe, so one query's
@@ -56,8 +90,12 @@ object Tuning {
     */
   def withTuned[A](spark: SparkSession, name: String)(body: => A): A = {
     val overrides: Map[String, String] =
-      if (fixedShape.contains(name)) Map("spark.sql.adaptive.enabled" -> "false")
-      else Map.empty
+      (if (fixedShape.contains(name))
+         Map("spark.sql.adaptive.enabled" -> "false")
+       else Map.empty[String, String]) ++
+      (if (lowShuffle.contains(name))
+         Map("spark.sql.shuffle.partitions" -> "8")
+       else Map.empty[String, String])
     if (overrides.isEmpty) body
     else {
       val prev = overrides.keys.map(k => k -> spark.conf.getOption(k)).toMap

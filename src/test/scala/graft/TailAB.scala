@@ -60,9 +60,11 @@ object TailAB {
     for (name <- names) {
       // warm each variant once (plan cache, codegen)
       variants.foreach { case (_, c) => run(name, c) }
-      val mins = variants.map { case (v, c) =>
-        val ts = (1 to 3).map(_ => run(name, c))
-        v -> ts.min
+      // pass loop OUTER, variant loop INNER: a host stall then lands on all
+      // variants of one pass instead of biasing a single variant's 3-pass min
+      val times = (1 to 3).map(_ => variants.map { case (_, c) => run(name, c) })
+      val mins = variants.zipWithIndex.map { case ((v, _), i) =>
+        v -> times.map(_(i)).min
       }
       val base = mins.head._2
       val line = mins.map { case (v, t) =>

@@ -27,8 +27,24 @@ class TuningSpec extends AnyFunSuite {
     assert(spark.conf.get(Key) == before, "exception path must restore too")
   }
 
+  test("withTuned lowers shuffle partitions for lowShuffle queries and restores") {
+    val SKey = "spark.sql.shuffle.partitions"
+    val before = spark.conf.get(SKey)
+    val seen = Tuning.withTuned(spark, "pii_scrub_stats") { spark.conf.get(SKey) }
+    assert(seen == "8", "tagged query must run with 8 shuffle partitions")
+    assert(spark.conf.get(SKey) == before, "previous value must be restored")
+  }
+
+  test("both tags compose on a doubly-tagged query") {
+    val SKey = "spark.sql.shuffle.partitions"
+    val (aqe, shuf) = Tuning.withTuned(spark, "download_status_check") {
+      (spark.conf.get(Key), spark.conf.get(SKey))
+    }
+    assert(aqe == "false" && shuf == "8")
+  }
+
   test("every tagged name is a real catalog query") {
-    val unknown = Tuning.fixedShape -- SparkEntry.queries.keySet
+    val unknown = (Tuning.fixedShape ++ Tuning.lowShuffle) -- SparkEntry.queries.keySet
     assert(unknown.isEmpty, s"stale tuning tags: $unknown")
   }
 }
