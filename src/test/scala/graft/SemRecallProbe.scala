@@ -20,8 +20,9 @@ import graft.ops.{Dedup, Similarity}
 object SemRecallProbe {
   def main(args: Array[String]): Unit = {
     val threshold = args.headOption.map(_.toDouble).getOrElse(0.8)
-    val dirs = Seq("1x" -> "/root/testdata/sf0.1", "3x" -> "/tmp/sf03",
-                   "9x" -> "/tmp/sf09")
+    val dirs = (if (args.length > 1) args.drop(1).toSeq.map(d => d -> d)
+                else Seq("1x" -> "/root/testdata/sf0.1", "3x" -> "/tmp/sf03",
+                         "9x" -> "/tmp/sf09"))
       .filter { case (_, d) => new java.io.File(s"$d/embeddings.parquet").exists() }
     val spark = GraftSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")

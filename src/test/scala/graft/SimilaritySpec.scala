@@ -120,6 +120,42 @@ class SimilaritySpec extends AnyFunSuite {
     assert(bits == bits.sorted && bits.last == 24 && bits.head >= 4)
   }
 
+  test("semanticDedup recall bound: near-dup band complete, weak band pinned") {
+    // The SemDeDup trade quantified (SCALE.md "Semantic-dedup recall",
+    // graft.SemRecallProbe): cross-cluster pairs are invisible by design,
+    // and that loss is confined to the weakly-similar band. Measured at
+    // 1×/3×/9× of the sf0.1 corpus: cos≥0.8 pair recall = 1.0 at every
+    // scale and config, cos≥0.4 recall ≈ 0.15–0.31. Deterministic
+    // fixed-point pipeline ⇒ the test-corpus numbers are exact pins, not
+    // tolerances: 66 exact 0.4-pairs, 17 same-cluster at iters=1 (19 at
+    // iters=3 — extra Lloyd rounds buy ~nothing, the iters=1 default).
+    val assign = Similarity.ivfAssignments(emb, 16, 1)
+      .join(emb.select("vec_id", "embedding"), Seq("vec_id"))
+    def pairsAtLeast(df: org.apache.spark.sql.DataFrame, t: Double) = {
+      val l = df.select($"cluster_id", $"vec_id".as("vec_a"), $"embedding".as("ea"))
+      val r = df.select($"cluster_id", $"vec_id".as("vec_b"), $"embedding".as("eb"))
+      l.join(r, Seq("cluster_id")).filter($"vec_a" < $"vec_b")
+        .filter(round(cosineSim($"ea", $"eb"), 6) >= t).count()
+    }
+    val exactWeak = Similarity.nearDupPairs(emb, 0.4).count()
+    val foundWeak = pairsAtLeast(assign, 0.4)
+    assert(exactWeak == 66L, s"exact 0.4-band pair set moved: $exactWeak")
+    assert(foundWeak == 17L, s"within-cluster 0.4-band pairs moved: $foundWeak")
+    // near-dup band: every exact cos≥0.8 pair must be same-cluster (here
+    // planted, since the raw corpus has none at 0.8)
+    val planted = emb.filter($"vec_id" < 50)
+      .selectExpr("vec_id + 1000000 AS vec_id",
+                  "transform(embedding, x -> CAST(x * 1.01D + 0.001D AS FLOAT)) AS embedding")
+    val corpus = emb.select("vec_id", "embedding").unionByName(planted)
+    val assign2 = Similarity.ivfAssignments(corpus, 16, 1)
+      .join(corpus, Seq("vec_id"))
+    val exactNear = Similarity.nearDupPairs(corpus, 0.8).count()
+    val foundNear = pairsAtLeast(assign2, 0.8)
+    assert(exactNear >= 50L, "planted near-dups must register in the exact set")
+    assert(foundNear == exactNear,
+      s"cos>=0.8 recall must be 1.0: found $foundNear of $exactNear")
+  }
+
   test("semanticDedup removes planted within-cluster near-dups, keeps originals") {
     val base = emb.select("vec_id", "embedding")
     val planted = base.filter($"vec_id" < 20)
