@@ -82,7 +82,16 @@ object Tuning {
     // scaladoc), so partition count cannot move a hash — re-verified by the
     // full selfcheck after tagging.
     "download_status_check", "compaction_plan", "customers_with_orders",
-    "pii_scrub_stats", "reconcile_disk_state")
+    "pii_scrub_stats", "reconcile_disk_state",
+    // second sweep over the JobAudit job-count outliers (both already
+    // AQE-off-tagged; the partition-count increment halves them):
+    // last_purchase_asof 0.49→0.25/0.33, boilerplate_line_stats
+    // 0.41→0.23 / 0.53→0.34 (2-of-3 runs ≥0.16, one stall-contaminated).
+    // NOT tagged from that sweep: tfidf_terms, unigram_perplexity,
+    // ann_recall, duplicate_order_audit — direction flips run to run; the
+    // 9-single-task-job shapes are AQE stage pauses that 8 partitions do
+    // not remove.
+    "last_purchase_asof", "boilerplate_line_stats")
 
   /** Run `body` with the per-query conf overrides for `name`, restoring the
     * previous session values afterwards (exception-safe, so one query's
