@@ -153,27 +153,17 @@ object Bench {
     // (BASELINE.md round-4 re-pin) so the host-factor correction is
     // coherent: a bench run in a slower window scales the bar to what
     // DuckDB would have measured there.
-    // 86-query pin = the 75-query quiet pin (18.6 s @ calib 0.86) plus the
-    // eleven rows added after it, whose DuckDB cost was measured in
-    // calib-1.0–1.4 windows (0.43 + 0.07 + 2.49 + 5.11 + 0.19 s) and
-    // probe-normalized to the quiet window (≈ 2.50 + 3.40 + 0.16 s). Probe
-    // normalization UNDERSTATES DuckDB's quiet-window cost (DuckDB degrades
-    // less than the scan/ALU probe: measured 0.92 vs 0.835 between two
-    // reference windows), so every increment is conservative — the bar is
-    // if anything low, and the blended ratio correspondingly reads HIGH.
-    // 26.28 = the 86-query composed pin (24.66, BASELINE.md) + round-5's
-    // late unigram_perplexity (DuckDB 0.119 s in a calib≈1.1 window →
-    // ≈0.10 s quiet) + round-6's glob_directory_scan twin (0.018 s;
-    // asymmetric — Spark also writes the tree) + round-6's semantic_dedup
-    // twin (DuckDB 1.748 s at calib≈1.15 → ≈1.50 s quiet; Spark wins this
-    // row head-to-head at 1.23 s).
-    // 27.03 = that + round-7's embedding_neardup_auto twin (DuckDB 0.855 s
-    // measured 3-pass min, probe-normalized ≈0.75 s quiet; Spark wins the
-    // row head-to-head at 0.52 s).
-    // 27.49 = that + round-7's multimodal_text_features twin (DuckDB
-    // 0.519 s 3-pass min, probe-normalized ≈0.46 s quiet; Spark wins the
-    // row head-to-head at 0.28 s).
-    val baselineQuiet = sys.env.getOrElse("SPARK_GRAFT_BASELINE_SEC", "27.49").toDouble
+    // 24.8 = the round-7 MEASURED re-pin of the full 91-query suite
+    // (BASELINE.md "Round-7 re-pin"): median of 5 process runs
+    // (range 23.4–27.3), probe-bracketed in one quiet window (8 probe
+    // samples 0.646–0.990, median 0.76 — the calib_quiet companion pin
+    // below). This retires the 4-layer composed-increment estimate the
+    // previous 27.49 default carried (75-query quiet pin + 16
+    // probe-normalized increments): the measured 91-query quiet bar came
+    // out LOWER than the composition — the conservative direction (a lower
+    // bar can only raise the reported ratio). `baseline_per_query.json`
+    // holds the same pin's per-query medians.
+    val baselineQuiet = sys.env.getOrElse("SPARK_GRAFT_BASELINE_SEC", "24.8").toDouble
     // Host-speed calibration (BASELINE.md "Host-speed calibration"): the
     // shared build host has multi-minute windows where EVERYTHING runs
     // 20-85% slower (hypervisor-level; guest vmstat shows idle CPU while
@@ -191,8 +181,9 @@ object Bench {
     // window, pinning at the median is conservative. The UNCORRECTED
     // vs_baseline_quiet in the JSON is therefore the primary gate number;
     // vs_baseline is the window-corrected diagnostic, ±(probe spread) in
-    // sensitivity. Round-5 re-pin uses the window median (BASELINE.md).
-    val calibQuiet = sys.env.getOrElse("SPARK_GRAFT_CALIB_QUIET_SEC", "0.86").toDouble
+    // sensitivity. Round-7 re-pin uses the window median (BASELINE.md):
+    // 0.76 = median of the 8 probe samples bracketing the 24.8 s pin.
+    val calibQuiet = sys.env.getOrElse("SPARK_GRAFT_CALIB_QUIET_SEC", "0.76").toDouble
     // min, not median: the per-query time is the MIN over the three
     // passes, which structurally gravitates to the fastest window the run
     // saw — so the factor must describe that same best window. Min is also
