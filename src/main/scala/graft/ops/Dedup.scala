@@ -259,11 +259,11 @@ object Dedup {
     * anti-join downstream can broadcast it.
     */
   private def localComponents(spark: org.apache.spark.sql.SparkSession,
-                              pinned: DataFrame): DataFrame = {
+                              pairRows: Array[org.apache.spark.sql.Row],
+                              schema: org.apache.spark.sql.types.StructType): DataFrame = {
     import scala.collection.mutable
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{StructField, StructType}
-    val pairRows = pinned.collect()
     val index = mutable.HashMap.empty[Any, Int]
     val vals = mutable.ArrayBuffer.empty[Any]
     def idx(v: Any): Int =
@@ -288,7 +288,7 @@ object Dedup {
       val cur = canon.get(r)
       if (cur.isEmpty || lt(vals(i), cur.get)) canon(r) = vals(i)
     }
-    val dt = pinned.schema.head.dataType
+    val dt = schema.head.dataType
     val out = new java.util.ArrayList[Row](vals.size)
     vals.indices.foreach { i => out.add(Row(vals(i), canon(find(i)))) }
     spark.createDataFrame(out, StructType(Seq(
@@ -332,15 +332,24 @@ object Dedup {
     val baseline = persistentIds
     val pinned = pairs.select(col("doc_a"), col("doc_b")).localCheckpoint()
     val pinnedIds = persistentIds -- baseline
-    val nPairs = pinned.count()
     val localThreshold = spark.conf
       .getOption("spark.graft.components.localThreshold").map(_.toLong)
       .getOrElse(4000000L)
-    if (nPairs <= localThreshold) {
-      val out = localComponents(spark, pinned)
+    // Size gate and small-graph input in ONE job: a bounded
+    // limit(threshold+1) collect over the checkpointed graph. At or below
+    // the threshold the probe IS the edge list (the driver union-find's
+    // input — the old shape paid a count job and then re-collected the same
+    // rows); above it the probe stops at threshold+1 driver rows (bounded
+    // by construction) and the distributed path takes over, paying its
+    // count only where it is negligible against the loop it sizes.
+    val probe = pinned
+      .limit(math.min(localThreshold + 1, Int.MaxValue.toLong - 1).toInt).collect()
+    if (probe.length <= localThreshold) {
+      val out = localComponents(spark, probe, pinned.schema)
       pinnedIds.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
       return out
     }
+    val nPairs = pinned.count()
     val edgeIds = pinnedIds
     // Distributed path. Size the loop to the DUP GRAPH, not the corpus:
     // the session's shuffle-partition default tracks corpus scale, but
