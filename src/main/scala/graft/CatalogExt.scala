@@ -66,18 +66,26 @@ object CatalogExt {
     * Built with explicit newline joins, not stripMargin, so it can be
     * interpolated into stripMargin'd oracle strings safely.
     */
-  private def sqlSignBuckets(nTables: Int, bits: Int, dim: Int = 64): String = Seq(
+  /** Shared DuckDB sign-LSH pipeline (planes → dots → buckets). The integer
+    * hash chain mirrors [[graft.ops.Similarity.planeComponent]] bit for
+    * bit; the two faces below differ ONLY in where `bits` comes from
+    * (a literal vs the `nb` CTE), injected through `bitsExpr` and the
+    * inner SELECT/FROM — one copy, so a hash or bucket-packing fix cannot
+    * drift between the fixed and auto oracles (round-7 review finding).
+    */
+  private def sqlSignBucketsCore(bitsExpr: String, innerSelect: String,
+                                 innerFrom: String): String = Seq(
     s"planes AS (",
-    s"  SELECT CAST(j // $bits AS BIGINT) AS t, CAST(j % $bits AS BIGINT) AS p, i,",
+    s"  SELECT CAST(j // $bitsExpr AS BIGINT) AS t, CAST(j % $bitsExpr AS BIGINT) AS p, i,",
     s"         CAST(CAST(h AS DOUBLE) / 2147483648.0 - 1.0 AS FLOAT) AS w",
     s"  FROM (",
-    s"    SELECT j, i,",
+    s"    SELECT $innerSelect,",
     s"           (j * 104729 + i * 7919 + 12345) AS x0,",
     s"           (x0 * 2654435761) & 4294967295 AS x1,",
     s"           xor(x1, x1 >> 16) AS x2,",
     s"           ((x2 & 2147483647) * 1597334677) & 4294967295 AS x3,",
     s"           xor(x3, x3 >> 13) AS h",
-    s"    FROM range(${nTables * bits}) a(j) CROSS JOIN range($dim) b(i))),",
+    s"    FROM $innerFrom)),",
     s"dots AS (",
     s"  SELECT e.vec_id, pl.t, pl.p,",
     s"         SUM(CAST(e.embedding[pl.i + 1] AS DOUBLE) * CAST(pl.w AS DOUBLE)) AS dot",
@@ -87,6 +95,10 @@ object CatalogExt {
     s"  SELECT vec_id, t,",
     s"         CAST(SUM(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS bucket",
     s"  FROM dots GROUP BY 1, 2)").mkString("\n")
+
+  private def sqlSignBuckets(nTables: Int, bits: Int, dim: Int = 64): String =
+    sqlSignBucketsCore(bits.toString, "j, i",
+      s"range(${nTables * bits}) a(j) CROSS JOIN range($dim) b(i)")
 
   /** [[sqlSignBuckets]] with `bits` COMPUTED from the corpus count the same
     * way [[graft.ops.Similarity.autoBitsPerTable]] does — smallest b with
@@ -101,28 +113,9 @@ object CatalogExt {
     s"nb AS (",
     s"  SELECT GREATEST(4, LEAST(24, (",
     s"    SELECT MIN(b) FROM range(25) tb(b)",
-    s"    WHERE (CAST(8 AS BIGINT) << b) >= (SELECT COUNT(*) FROM embeddings)))) AS bits),",
-    s"planes AS (",
-    s"  SELECT CAST(j // bits AS BIGINT) AS t, CAST(j % bits AS BIGINT) AS p, i,",
-    s"         CAST(CAST(h AS DOUBLE) / 2147483648.0 - 1.0 AS FLOAT) AS w",
-    s"  FROM (",
-    s"    SELECT j, i, bits,",
-    s"           (j * 104729 + i * 7919 + 12345) AS x0,",
-    s"           (x0 * 2654435761) & 4294967295 AS x1,",
-    s"           xor(x1, x1 >> 16) AS x2,",
-    s"           ((x2 & 2147483647) * 1597334677) & 4294967295 AS x3,",
-    s"           xor(x3, x3 >> 13) AS h",
-    s"    FROM range(${nTables * 24}) a(j) CROSS JOIN range($dim) b(i) CROSS JOIN nb",
-    s"    WHERE j < $nTables * bits)),",
-    s"dots AS (",
-    s"  SELECT e.vec_id, pl.t, pl.p,",
-    s"         SUM(CAST(e.embedding[pl.i + 1] AS DOUBLE) * CAST(pl.w AS DOUBLE)) AS dot",
-    s"  FROM embeddings e CROSS JOIN planes pl",
-    s"  GROUP BY 1, 2, 3),",
-    s"buckets AS (",
-    s"  SELECT vec_id, t,",
-    s"         CAST(SUM(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS bucket",
-    s"  FROM dots GROUP BY 1, 2)").mkString("\n")
+    s"    WHERE (CAST(8 AS BIGINT) << b) >= (SELECT COUNT(*) FROM embeddings)))) AS bits),").mkString("\n") +
+    "\n" + sqlSignBucketsCore("bits", "j, i, bits",
+      s"range(${nTables * 24}) a(j) CROSS JOIN range($dim) b(i) CROSS JOIN nb\n    WHERE j < $nTables * bits")
 
   /** DuckDB fragment: exact cosine between two embedding-table aliases. */
   private def sqlCos(a: String, b: String): String =
@@ -1038,12 +1031,17 @@ object CatalogExt {
     //    this row pins the arithmetic those results are built from.
     ("ivf_assign",
       (spark, dir) =>
-        // report-bound TakeOrdered, not a global sort: top-K runs inside the
-        // scan stage (no range-bounds sampling job over the argmax input)
+        // global range sort, NOT orderedReport: the assignment table is one
+        // row per corpus vector, so the report bound's limit(100000) would
+        // silently truncate at >=100k embeddings while the LIMIT-less
+        // oracle doesn't — exactly the corpus-growing case the
+        // orderedReport scaladoc forbids. The range-bounds sampling job is
+        // the price of a scalable total order on a corpus-proportional
+        // output (round-7 review finding).
         Similarity.ivfAssignments(
             Tables.embeddings(spark, dir).filter(col("vec_id") >= 8),
             nCentroids = 16, iters = 1)
-          .transform(CatalogCore.orderedReport(_, col("vec_id"))),
+          .orderBy(col("vec_id")),
       Some(s"""WITH ${sqlKmeans("vec_id >= 8", 16, 1)}
               |SELECT vec_id, cluster_id, cos_sim FROM (
               |  SELECT c.vec_id, kk.cluster_id,

@@ -332,18 +332,27 @@ object Dedup {
     val baseline = persistentIds
     val pinned = pairs.select(col("doc_a"), col("doc_b")).localCheckpoint()
     val pinnedIds = persistentIds -- baseline
-    val localThreshold = spark.conf
-      .getOption("spark.graft.components.localThreshold").map(_.toLong)
-      .getOrElse(4000000L)
+    // The driver union-find indexes edges with Int arrays, so the local
+    // path cannot hold more than ~Int.MaxValue pairs regardless of the
+    // conf — clamp BEFORE the +1 so a Long.MaxValue-style "always local"
+    // setting cannot overflow into limit(0) and silently report an empty
+    // dup graph (round-7 review finding).
+    val localThreshold = math.min(
+      spark.conf.getOption("spark.graft.components.localThreshold")
+        .map(_.toLong).getOrElse(4000000L),
+      Int.MaxValue.toLong - 2)
     // Size gate and small-graph input in ONE job: a bounded
     // limit(threshold+1) collect over the checkpointed graph. At or below
     // the threshold the probe IS the edge list (the driver union-find's
     // input — the old shape paid a count job and then re-collected the same
-    // rows); above it the probe stops at threshold+1 driver rows (bounded
-    // by construction) and the distributed path takes over, paying its
-    // count only where it is negligible against the loop it sizes.
-    val probe = pinned
-      .limit(math.min(localThreshold + 1, Int.MaxValue.toLong - 1).toInt).collect()
+    // rows); above it the probe stops at threshold+1 driver rows and the
+    // distributed path takes over. The big-graph path thus pays one
+    // transient threshold-bounded collect it previously avoided — bounded
+    // by the same budget the sub-threshold union-find needs anyway (the
+    // driver is sized for it by construction), and negligible against the
+    // min-label loop that follows; the steady saving is one job on the
+    // sub-threshold path every composed dedup query actually takes.
+    val probe = pinned.limit((localThreshold + 1).toInt).collect()
     if (probe.length <= localThreshold) {
       val out = localComponents(spark, probe, pinned.schema)
       pinnedIds.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))

@@ -112,6 +112,20 @@ class DedupSpec extends AnyFunSuite {
            local("solo_b") == "solo_a")
   }
 
+  test("dupClusters: an always-local Long.MaxValue threshold cannot overflow the probe") {
+    // regression (round-7 review): localThreshold + 1 overflowing to
+    // Long.MinValue made the probe limit(0) and silently reported an empty
+    // dup graph; the threshold is now clamped to the Int-indexed driver
+    // union-find's actual capacity before the +1
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    spark.conf.set("spark.graft.components.localThreshold", Long.MaxValue.toString)
+    val out =
+      try Dedup.dupClusters(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      finally spark.conf.unset("spark.graft.components.localThreshold")
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("ngram jaccard equals a driver-side reference on crafted docs") {
     val crafted = Seq((1L, "a b c d e f"), (2L, "a b c d e g")).toDF("doc_id", "text")
     // 4 shared 3-grams ("a b c","b c d","c d e"), sizes 4 and 4 → 3/(4+4-3)=0.6

@@ -63,13 +63,10 @@ object NationAB {
       f.write.mode("overwrite").format("noop").save()
       (System.nanoTime() - t0) / 1e9
     }
-    // warm both
+    // warm all three (the AQE-off variant from the SCALE.md table is
+    // measured by graft.TailAB, which owns per-conf interleaving)
     time(preAgg(spark, sfDir)); time(direct(spark, sfDir))
-    def aqeOff[A](body: => A): A = {
-      spark.conf.set("spark.sql.adaptive.enabled", "false")
-      try body finally spark.conf.set("spark.sql.adaptive.enabled", "true")
-    }
-    time(spreadVariant(spark, sfDir)) // warm
+    time(spreadVariant(spark, sfDir))
     val (as, bs, cs) = (1 to 3).map { _ =>
       (time(preAgg(spark, sfDir)), time(direct(spark, sfDir)),
        time(spreadVariant(spark, sfDir)))
