@@ -330,6 +330,33 @@ object CatalogExt {
               |WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= 0.5
               |ORDER BY doc_a, doc_b""".stripMargin)),
 
+    // ── duplicated token spans (the substring-dedup pass of Lee et al.
+    //    2021, restated relationally): every maximal span of ≥8 consecutive
+    //    tokens whose every 8-token window appears in ≥2 distinct documents.
+    //    Gaps-and-islands over duplicated window positions replaces the
+    //    suffix array — no global suffix sort, shuffle ∝ distinct window
+    //    hashes. The oracle recomputes the identical md5-prefix window keys
+    //    (engine-portable; production swaps xxhash64 — Dedup scaladoc).
+    ("duplicate_spans",
+      (spark, dir) =>
+        Dedup.duplicateSpans(Tables.documents(spark, dir), 8, 2)
+          .orderBy(col("doc_id"), col("span_start")),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |grams AS (
+             |  SELECT doc_id, i - 1 AS pos,
+             |         substr(md5(array_to_string(list_slice(t, i, i + 7), ' ')), 1, 16) AS gkey
+             |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS i
+             |        FROM toks WHERE len(t) >= 8)),
+             |dup AS (SELECT gkey FROM grams GROUP BY gkey HAVING COUNT(DISTINCT doc_id) >= 2),
+             |dp AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gkey)),
+             |isl AS (SELECT doc_id, pos,
+             |               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+             |        FROM dp)
+             |SELECT doc_id, MIN(pos) AS span_start,
+             |       MAX(pos) - MIN(pos) + 8 AS span_tokens
+             |FROM isl GROUP BY doc_id, island
+             |ORDER BY doc_id, span_start""".stripMargin)),
+
     // ── near-dup clustering: connected components over the Jaccard pair
     //    graph (iterative min-label propagation) vs a DuckDB recursive-CTE
     //    transitive closure — the canonical-doc selection step of a dedup

@@ -568,4 +568,104 @@ object Dedup {
             s => s.getField("line")),
           "\n").as("clean_text"))
   }
+
+  /** Token-level n-grams with POSITIONS, hashed for the shuffle: one row per
+    * (doc, pos) with a 16-hex-char key over the n words starting at `pos`
+    * (0-based). The md5 prefix is the engine-portable stand-in for a 64-bit
+    * rolling hash — the DuckDB oracle computes the identical key; production
+    * would swap in `xxhash64` for an 8-byte primitive shuffle key (the
+    * [[ngramJaccardPairs]] hashing note applies: collision ≈ d²·2⁻⁶⁵).
+    * Docs shorter than `n` tokens contribute nothing.
+    */
+  def positionedGramKeys(docs: DataFrame, n: Int,
+                         textCol: String = "text"): DataFrame =
+    // The codegen'd WordShingles emits one window per starting position in
+    // order, so posexplode's ordinal IS the token offset; the md5 runs in a
+    // codegen Project over the exploded rows. The builtin-HOF formulation
+    // (transform(sequence(0, size−n), i → md5(concat_ws(slice(…))))) was
+    // measured 2.6× slower on the catalog row (interpreted lambda per
+    // window + blocked whole-stage codegen — the WordShingles scaladoc
+    // trade, repeated here at position grain). The size() guard keeps
+    // short docs out BEFORE the expression: WordShingles' short-doc
+    // fallback emits [text], which would masquerade as a pos-0 "window".
+    docs.filter(size(split(col(textCol), " ")) >= n)
+      .select(col("doc_id"),
+        posexplode(org.apache.spark.sql.graft.TextExpressions
+          .wordShingles(col(textCol), n)))
+      .select(col("doc_id"), col("pos"),
+        substring(md5(col("col").cast("binary")), 1, 16).as("gkey"))
+
+  /** Duplicated-substring detection at token granularity (the
+    * train-data pass popularized by "Deduplicating Training Data Makes
+    * Language Models Better", Lee et al. 2021): every MAXIMAL span of ≥ `n`
+    * consecutive tokens whose every length-`n` window also appears in at
+    * least `minDocs` distinct documents. Returns one row per (doc, span):
+    * `(doc_id, span_start, span_tokens)` with `span_start` the 0-based
+    * token offset.
+    *
+    * Exactly the suffix-array duplicate-span semantics restated in
+    * relational form: a duplicated span of length L ≥ n is precisely a run
+    * of L−n+1 consecutive duplicated n-gram windows, so gaps-and-islands
+    * over the duplicated window positions reconstructs the maximal spans
+    * without any suffix sorting. (Spans duplicated only WITHIN one document
+    * are intentionally out: `minDocs` counts distinct docs, the cross-doc
+    * contamination signal; raise granularity by lowering `n`.)
+    *
+    * Scale shape (100 TB): the explode is map-side (grams never exceed
+    * tokens×1), the only full-width shuffle groups by the uniform 16-char
+    * hash key with partial aggregation (shuffle ∝ distinct grams), the
+    * duplicated-key set joining back is the Zipf head (orders of magnitude
+    * smaller than the corpus — broadcast at moderate dup rates, shuffle-hash
+    * semi-join beyond), and the island window partitions by doc_id —
+    * per-doc state, no global sort. No stage is quadratic in corpus size;
+    * contrast the true suffix-array construction, which needs a global sort
+    * of every suffix.
+    */
+  def duplicateSpans(docs: DataFrame, n: Int = 8, minDocs: Int = 2,
+                     textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // Two consumers of the gram table (dup-key aggregate; join probe side):
+    // the explode is cheap map-side work over the scan — re-running it
+    // beats materializing 40× the corpus row count (the dropBoilerplateLines
+    // persist note, same trade at gram grain).
+    val grams = positionedGramKeys(docs, n, textCol)
+    // minDocs == 2 (the common contamination gate) needs only "two distinct
+    // docs exist", i.e. min(doc_id) ≠ max(doc_id): a plain min/max aggregate
+    // partial-aggregates map-side, so the shuffle carries one row per
+    // DISTINCT gram — the general countDistinct form plans two full-width
+    // exchanges (by (gkey, doc_id), then by gkey) of every occurrence
+    // (measured on the catalog row: 1.41 → 1.15 s at sf0.1, and at corpus
+    // scale the saved exchange is the full gram table).
+    val dupKeys =
+      (if (minDocs == 2)
+         grams.groupBy("gkey")
+           .agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+           .filter(col("lo") =!= col("hi"))
+       else
+         grams.groupBy("gkey")
+           .agg(countDistinct(col("doc_id")).as("nd"))
+           .filter(col("nd") >= minDocs))
+        .select("gkey")
+    // Inner join ≡ semi-join here (dupKeys is unique per gkey); each
+    // surviving row is one duplicated window occurrence. NO broadcast hint:
+    // the dup head is the Zipf head locally but grows with the corpus's
+    // duplication rate — a forced broadcast OOMs the driver on a heavily
+    // duplicated 100 TB crawl. AQE's runtime stats pick broadcast at this
+    // head size anyway (verified in the executed plan; same measured time
+    // as the hinted form at 1× and 3×) and degrade to a shuffle join when
+    // the head is genuinely large — measured at the 9× replica: AQE flips
+    // to shuffle at 5.5 → 7.8 s, the insurance premium paid exactly when
+    // a forced broadcast would start threatening the driver.
+    val dupPos = grams.join(dupKeys, Seq("gkey"))
+    // Gaps-and-islands: consecutive duplicated window starts share
+    // (pos − row_number), and an island of windows [s .. e] covers tokens
+    // s .. e+n−1 ⇒ span_tokens = e − s + n.
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    dupPos
+      .withColumn("island", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+           (max(col("pos")) - min(col("pos")) + n).cast("long").as("span_tokens"))
+      .select(col("doc_id"), col("span_start"), col("span_tokens"))
+  }
 }

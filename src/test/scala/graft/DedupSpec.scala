@@ -240,4 +240,49 @@ class DedupSpec extends AnyFunSuite {
     assert(out(1L) == "keep A\nkeep B\nkeep A\nkeep C")
     assert(out(2L) == "unrelated")
   }
+
+  test("duplicateSpans: maximal cross-doc spans via gaps-and-islands") {
+    // docs 1 and 2 share "a b c d" (4 tokens) at different offsets; doc 3 is
+    // disjoint. With n=3 the shared region yields 2 consecutive duplicated
+    // windows per doc, which must merge into ONE maximal 4-token span.
+    val crafted = Seq(
+      (1L, "x1 x2 a b c d y1 y2"),
+      (2L, "a b c d z1 z2 z3 z4"),
+      (3L, "p q r s t u v w")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(crafted, n = 3, minDocs = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(spans == Set((1L, 2L, 4L), (2L, 0L, 4L)))
+  }
+
+  test("duplicateSpans: within-doc-only repeats don't count, short docs are safe") {
+    val crafted = Seq(
+      (1L, "a b c a b c a b c"), // repeats only within itself
+      (2L, "u v"),               // shorter than n — must not blow up
+      (3L, "d e f g h")
+    ).toDF("doc_id", "text")
+    assert(Dedup.duplicateSpans(crafted, n = 3, minDocs = 2).count() == 0)
+  }
+
+  test("duplicateSpans: two disjoint shared regions stay separate islands") {
+    // doc 1 shares its head with doc 2 and its tail with doc 3; the gap
+    // between them must produce two spans for doc 1, not one merged span.
+    val crafted = Seq(
+      (1L, "a b c GAP1 GAP2 GAP3 x y z"),
+      (2L, "a b c q1 q2 q3 q4 q5 q6"),
+      (3L, "r1 r2 r3 r4 r5 r6 x y z")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(crafted, n = 3, minDocs = 2)
+      .filter(col("doc_id") === 1L)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(spans == Set((0L, 3L), (6L, 3L)))
+  }
+
+  test("duplicate_spans catalog row finds the corpus's planted near-dup spans") {
+    val spans = Dedup.duplicateSpans(docs, n = 8, minDocs = 2)
+    assert(spans.count() > 0, "planted near-dups share >=8-token runs")
+    // every span is at least the window length and starts in-bounds
+    val bad = spans.filter(col("span_tokens") < 8 || col("span_start") < 0).count()
+    assert(bad == 0)
+  }
 }

@@ -243,4 +243,24 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("ShuffledHashJoin"), p)
   }
+
+  test("duplicate_spans: codegen shingle explode, partial-agg dup head, no forced broadcast") {
+    val df = SparkEntry.queries("duplicate_spans")(spark, TestSpark.sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    // codegen'd WordShingles explode, not an interpreted HOF lambda
+    assert(p.contains("word_shingles"), p)
+    assert(!p.contains("lambdafunction"), p)
+    // minDocs=2 dup head is min/max with map-side combine (shuffle ∝
+    // distinct grams), NOT the two-exchange distinct aggregate
+    assert(p.contains("partial_min"), p)
+    assert(!p.contains("partial_count(distinct"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // no broadcast HINT in the logical plan (scale safety: the dup head
+    // grows with corpus duplication) — AQE still picks a broadcast join at
+    // this head size from runtime stats
+    assert(!df.queryExecution.logical.toString.contains("ResolvedHint"), "no forced broadcast")
+    df.write.mode("overwrite").format("noop").save()
+    assert(df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "AQE should broadcast the small dup head at test SF")
+  }
 }
