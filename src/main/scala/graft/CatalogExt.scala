@@ -357,6 +357,37 @@ object CatalogExt {
              |FROM isl GROUP BY doc_id, island
              |ORDER BY doc_id, span_start""".stripMargin)),
 
+    // ── the removal half of substring dedup: rewrite the corpus dropping
+    //    every duplicated 8-token window outside its owner (min-doc_id)
+    //    occurrence. The hash covers the full rewritten text of every doc,
+    //    so the oracle pins the rewrite byte-for-byte, not just the counts.
+    ("span_deduped_docs",
+      (spark, dir) =>
+        Dedup.spanDedupedDocs(Tables.documents(spark, dir), 8)
+          .orderBy(col("doc_id")),
+      Some("""WITH toks0 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |grams AS (
+             |  SELECT doc_id, i - 1 AS pos,
+             |         substr(md5(array_to_string(list_slice(t, i, i + 7), ' ')), 1, 16) AS gkey
+             |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS i
+             |        FROM toks0 WHERE len(t) >= 8)),
+             |owners AS (
+             |  SELECT gkey, MIN(doc_id) AS owner_doc FROM grams
+             |  GROUP BY gkey HAVING MIN(doc_id) <> MAX(doc_id)),
+             |covered AS (
+             |  SELECT DISTINCT doc_id, pos + unnest(range(0, 8)) AS tpos
+             |  FROM (SELECT g.doc_id, g.pos FROM grams g JOIN owners o USING (gkey)
+             |        WHERE g.doc_id <> o.owner_doc)),
+             |toks AS (
+             |  SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) - 1 AS i FROM toks0)
+             |SELECT t.doc_id,
+             |       COUNT(*) AS n_tokens,
+             |       COUNT(c.tpos) AS n_tokens_removed,
+             |       COALESCE(string_agg(CASE WHEN c.tpos IS NULL THEN t.tok END, ' ' ORDER BY t.i), '') AS clean_text
+             |FROM toks t LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.i = c.tpos
+             |GROUP BY t.doc_id
+             |ORDER BY t.doc_id""".stripMargin)),
+
     // ── near-dup clustering: connected components over the Jaccard pair
     //    graph (iterative min-label propagation) vs a DuckDB recursive-CTE
     //    transitive closure — the canonical-doc selection step of a dedup

@@ -668,4 +668,57 @@ object Dedup {
            (max(col("pos")) - min(col("pos")) + n).cast("long").as("span_tokens"))
       .select(col("doc_id"), col("span_start"), col("span_tokens"))
   }
+
+  /** The REMOVAL half of substring dedup ([[duplicateSpans]] is the
+    * detection half): rewrite the corpus with every non-canonical
+    * duplicated window dropped, Lee et al. 2021's "remove all but one
+    * occurrence of each duplicated substring" with a deterministic owner
+    * rule — a window occurrence survives iff its doc is the MINIMUM doc_id
+    * among the docs sharing that window (within-owner repeats are kept:
+    * conservative, and within-doc-only repeats are not duplication here by
+    * the [[duplicateSpans]] cross-doc convention). Returns every input doc
+    * as `(doc_id, n_tokens, n_tokens_removed, clean_text)` — untouched docs
+    * ride through with 0 removed, and a fully-duplicated doc survives as
+    * empty text (the downstream length gate drops it, not a silent row
+    * disappearance — the [[dropBoilerplateLines]] contract).
+    *
+    * Scale shape: the only token-grain shuffle is the `distinct` over
+    * covered positions of NON-OWNED duplicated windows — i.e. ∝ the text
+    * actually being removed, not the corpus; the per-doc covered sets then
+    * aggregate doc-grain and join back on doc_id, and the rewrite itself is
+    * a map-side indexed-`filter` HOF over the original token array (no
+    * corpus-grain explode/anti-join/reassembly shuffle, which is the
+    * alternative formulation and pays two full-corpus token-grain
+    * exchanges). The HOF's membership probe is a linear `array_contains`
+    * per token — fine while per-doc covered sets are small; a corpus whose
+    * docs carry ~10⁴⁺ covered positions would want the sorted-array binary
+    * search or the explode/anti-join form back.
+    */
+  def spanDedupedDocs(docs: DataFrame, n: Int = 8,
+                      textCol: String = "text"): DataFrame = {
+    val grams = positionedGramKeys(docs, n, textCol)
+    // owner = min doc_id per cross-doc-duplicated window: the same one-
+    // exchange min/max partial aggregate as [[duplicateSpans]]' dup head,
+    // carrying the min as the owner instead of discarding it.
+    val owners = grams.groupBy("gkey")
+      .agg(min(col("doc_id")).as("owner_doc"), max(col("doc_id")).as("hi"))
+      .filter(col("owner_doc") =!= col("hi"))
+      .select("gkey", "owner_doc")
+    val covered = grams.join(owners, Seq("gkey"))
+      .filter(col("doc_id") =!= col("owner_doc"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + n - 1)).as("tpos"))
+      .distinct()
+    val covByDoc = covered.groupBy("doc_id")
+      .agg(collect_list(col("tpos")).as("cov"))
+    val toks = split(col(textCol), " ")
+    docs.join(covByDoc, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        coalesce(size(col("cov")), lit(0)).cast("long").as("n_tokens_removed"),
+        when(col("cov").isNull, col(textCol))
+          .otherwise(array_join(
+            filter(toks, (t, i) => !array_contains(col("cov"), i)), " "))
+          .as("clean_text"))
+  }
 }

@@ -278,6 +278,43 @@ class DedupSpec extends AnyFunSuite {
     assert(spans == Set((0L, 3L), (6L, 3L)))
   }
 
+  test("spanDedupedDocs: owner keeps the span, later docs lose it, counts agree") {
+    val crafted = Seq(
+      (1L, "a b c d e x1 x2 x3"),   // owner of the shared 5-token run
+      (2L, "y1 y2 a b c d e y3"),   // loses tokens 2..6
+      (3L, "p q r s t u v w")       // untouched
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanDedupedDocs(crafted, n = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((8L, 0L, "a b c d e x1 x2 x3")))
+    assert(out(2L) == ((8L, 5L, "y1 y2 y3")))
+    assert(out(3L) == ((8L, 0L, "p q r s t u v w")))
+  }
+
+  test("spanDedupedDocs: a fully-duplicated doc survives as an empty-text row") {
+    val crafted = Seq(
+      (1L, "a b c d e"),
+      (2L, "a b c d e")
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanDedupedDocs(crafted, n = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((0L, "a b c d e")))
+    assert(out(2L) == ((5L, "")))
+  }
+
+  test("spanDedupedDocs composes with duplicateSpans: rewritten corpus has no cross-doc spans left") {
+    // Every dup window's surviving copies live only in its owner doc, so
+    // post-rewrite cross-doc windows can only be NEW ones formed at removal
+    // seams (tokens made adjacent by a dropped span). Zero here is a
+    // property of this corpus (seam grams don't collide); a corpus where
+    // they did would need a second detection/removal round — the standard
+    // iterate-to-fixpoint story, not a defect of either half.
+    val cleaned = Dedup.spanDedupedDocs(docs, n = 8)
+      .select(col("doc_id"), col("clean_text").as("text"))
+    assert(Dedup.duplicateSpans(cleaned, n = 8, minDocs = 2).count() == 0,
+      "removal must clear every detectable duplicated window")
+  }
+
   test("duplicate_spans catalog row finds the corpus's planted near-dup spans") {
     val spans = Dedup.duplicateSpans(docs, n = 8, minDocs = 2)
     assert(spans.count() > 0, "planted near-dups share >=8-token runs")
