@@ -335,8 +335,11 @@ object CatalogExt {
     //    tokens whose every 8-token window appears in ≥2 distinct documents.
     //    Gaps-and-islands over duplicated window positions replaces the
     //    suffix array — no global suffix sort, shuffle ∝ distinct window
-    //    hashes. The oracle recomputes the identical md5-prefix window keys
-    //    (engine-portable; production swaps xxhash64 — Dedup scaladoc).
+    //    hashes. The window key is internal (no output column carries it),
+    //    so each engine uses its natural hash — Spark xxhash64 (8-byte
+    //    primitive shuffle key), the oracle an md5 prefix — and the row
+    //    hash pins the SEMANTICS: the engines agree on every span unless a
+    //    64-bit collision hits either side (Dedup scaladoc).
     ("duplicate_spans",
       (spark, dir) =>
         Dedup.duplicateSpans(Tables.documents(spark, dir), 8, 2)

@@ -570,12 +570,13 @@ object Dedup {
   }
 
   /** Token-level n-grams with POSITIONS, hashed for the shuffle: one row per
-    * (doc, pos) with a 16-hex-char key over the n words starting at `pos`
-    * (0-based). The md5 prefix is the engine-portable stand-in for a 64-bit
-    * rolling hash — the DuckDB oracle computes the identical key; production
-    * would swap in `xxhash64` for an 8-byte primitive shuffle key (the
-    * [[ngramJaccardPairs]] hashing note applies: collision ≈ d²·2⁻⁶⁵).
-    * Docs shorter than `n` tokens contribute nothing.
+    * (doc, pos) with an 8-byte `xxhash64` key over the n words starting at
+    * `pos` (0-based). The key never reaches any output — only its equality
+    * structure matters (which positions share a window) — so the oracle is
+    * free to use a different injective-enough hash (it uses an md5 prefix)
+    * and still match every emitted row; the engines can only diverge on a
+    * hash collision either side (the [[ngramJaccardPairs]] note:
+    * P ≈ d²·2⁻⁶⁵). Docs shorter than `n` tokens contribute nothing.
     */
   def positionedGramKeys(docs: DataFrame, n: Int,
                          textCol: String = "text"): DataFrame =
@@ -592,8 +593,7 @@ object Dedup {
       .select(col("doc_id"),
         posexplode(org.apache.spark.sql.graft.TextExpressions
           .wordShingles(col(textCol), n)))
-      .select(col("doc_id"), col("pos"),
-        substring(md5(col("col").cast("binary")), 1, 16).as("gkey"))
+      .select(col("doc_id"), col("pos"), xxhash64(col("col")).as("gkey"))
 
   /** Duplicated-substring detection at token granularity (the
     * train-data pass popularized by "Deduplicating Training Data Makes

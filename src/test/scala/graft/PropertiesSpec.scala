@@ -98,4 +98,66 @@ class PropertiesSpec extends AnyFunSuite {
       assert((semi intersect anti).isEmpty)
     }
   }
+
+  // Brute-force reference for the substring-dedup pair: tiny 4-symbol vocab
+  // forces heavy window collisions, so the gaps-and-islands merge, the
+  // cross-doc dup rule, and the owner rule all get exercised hard.
+  private def randomCorpus(rnd: Random): Seq[(Long, String)] = {
+    val vocab = Array("a", "b", "c", "d")
+    (0 until (6 + rnd.nextInt(3))).map { id =>
+      val len = 5 + rnd.nextInt(16)
+      id.toLong -> Array.fill(len)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    }
+  }
+
+  private def refGrams(docs: Seq[(Long, String)], n: Int) = for {
+    (id, t) <- docs
+    tk = t.split(" ", -1)
+    if tk.length >= n
+    i <- 0 to tk.length - n
+  } yield (id, i, tk.slice(i, i + n).mkString(" "))
+
+  test("duplicateSpans matches a brute-force reference on random corpora") {
+    trials(5) { rnd =>
+      val docs = randomCorpus(rnd)
+      val n = 3
+      val grams = refGrams(docs, n)
+      val nDocs = grams.groupBy(_._3).map { case (g, o) => g -> o.map(_._1).distinct.size }
+      val expected = grams.filter(g => nDocs(g._3) >= 2).groupBy(_._1).flatMap {
+        case (id, occ) =>
+          val ps = occ.map(_._2).distinct.sorted
+          val spans = scala.collection.mutable.ListBuffer[(Int, Int)]()
+          var s = ps.head; var p = ps.head
+          for (q <- ps.tail) { if (q == p + 1) p = q else { spans += ((s, p)); s = q; p = q } }
+          spans += ((s, p))
+          spans.map { case (a, b) => (id, a.toLong, (b - a + n).toLong) }
+      }.toSet
+      val got = graft.ops.Dedup.duplicateSpans(docs.toDF("doc_id", "text"), n, 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == expected, s"corpus: $docs")
+    }
+  }
+
+  test("spanDedupedDocs matches a brute-force owner-rule reference on random corpora") {
+    trials(5) { rnd =>
+      val docs = randomCorpus(rnd)
+      val n = 3
+      val grams = refGrams(docs, n)
+      val byGram = grams.groupBy(_._3)
+      val owners = byGram.collect {
+        case (g, occ) if occ.map(_._1).distinct.size >= 2 => g -> occ.map(_._1).min
+      }
+      val expected = docs.map { case (id, t) =>
+        val tk = t.split(" ", -1)
+        val covered = grams.collect {
+          case (d, i, g) if d == id && owners.get(g).exists(_ != id) => i until (i + n)
+        }.flatten.toSet
+        val kept = tk.zipWithIndex.collect { case (w, i) if !covered.contains(i) => w }
+        id -> ((tk.length.toLong, covered.size.toLong, kept.mkString(" ")))
+      }.toMap
+      val got = graft.ops.Dedup.spanDedupedDocs(docs.toDF("doc_id", "text"), n)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+      assert(got == expected, s"corpus: $docs")
+    }
+  }
 }
