@@ -157,17 +157,18 @@ object Bench {
     // (BASELINE.md "Round-7 re-pin": median of 5 process runs, range
     // 23.4–27.3, probe-bracketed in one quiet window — 8 probe samples
     // 0.646–0.990, median 0.76 = the calib_quiet companion pin below)
-    // plus TWO measured increments for the rows added after that pin
+    // plus THREE measured increments for the rows added after that pin
     // (each a 5-run × 3-pass-min DuckDB median on the same sf0.1 tables,
     // normalized by the bracketing bench-probe factor — conservative,
     // since DuckDB measurably degrades less than the probe, BASELINE.md
     // drift record): `duplicate_spans` 0.73 s @ probe≈1.42 → 0.51 quiet;
-    // `span_deduped_docs` 0.677 s @ probe≈1.06 → 0.64 quiet. The 24.8
+    // `span_deduped_docs` 0.677 s @ probe≈1.06 → 0.64 quiet;
+    // `contamination_spans` 0.248 s @ probe≈1.00 → 0.24 quiet. The 24.8
     // base retires the 4-layer composed-increment estimate the earlier
     // 27.49 default carried; the measured 91-query quiet bar came out
     // LOWER than that composition — also the conservative direction.
     // `baseline_per_query.json` holds the same pin's per-query medians.
-    val baselineQuiet = sys.env.getOrElse("SPARK_GRAFT_BASELINE_SEC", "25.95").toDouble
+    val baselineQuiet = sys.env.getOrElse("SPARK_GRAFT_BASELINE_SEC", "26.19").toDouble
     // Host-speed calibration (BASELINE.md "Host-speed calibration"): the
     // shared build host has multi-minute windows where EVERYTHING runs
     // 20-85% slower (hypervisor-level; guest vmstat shows idle CPU while

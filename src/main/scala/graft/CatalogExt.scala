@@ -991,6 +991,35 @@ object CatalogExt {
               |       CAST(SUM(shared) AS BIGINT) AS total_shared
               |FROM pairs GROUP BY 1 ORDER BY doc_id""".stripMargin)),
 
+    // ── span-level decontamination (the GPT-3 appendix discipline at this
+    //    corpus's scale): maximal spans in val/test docs whose every
+    //    8-token window appears verbatim somewhere in train — the span
+    //    surface behind decontamination_report's doc-pair counts. Same
+    //    internal-key freedom as duplicate_spans: Spark buckets windows by
+    //    xxhash64, the oracle by md5 prefix; the hash pins the spans.
+    ("contamination_spans",
+      (spark, dir) =>
+        Curation.contaminationSpans(Tables.documents(spark, dir), 8)
+          .orderBy(col("doc_id"), col("span_start")),
+      Some(s"""WITH toks0 AS (
+              |  SELECT doc_id, string_split(text, ' ') AS t, $sqlHashBucket100 AS b
+              |  FROM documents),
+              |grams AS (
+              |  SELECT doc_id, b, i - 1 AS pos,
+              |         substr(md5(array_to_string(list_slice(t, i, i + 7), ' ')), 1, 16) AS gkey
+              |  FROM (SELECT doc_id, b, t, unnest(range(1, len(t) - 6)) AS i
+              |        FROM toks0 WHERE len(t) >= 8)),
+              |tk AS (SELECT DISTINCT gkey FROM grams WHERE b < 80),
+              |ev AS (SELECT g.doc_id, g.b, g.pos FROM grams g JOIN tk USING (gkey)
+              |       WHERE g.b >= 80),
+              |isl AS (SELECT doc_id, b, pos,
+              |               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+              |        FROM ev)
+              |SELECT doc_id, CASE WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+              |       MIN(pos) AS span_start, MAX(pos) - MIN(pos) + 8 AS span_tokens
+              |FROM isl GROUP BY doc_id, island, b
+              |ORDER BY doc_id, span_start""".stripMargin)),
+
     // ── PII masking + markup scrub (ops/Scrub): the pre-dedup cleaning
     //    pass of a training-data pipeline. The corpus is synthetic word
     //    salad with no natural PII, so the query plants deterministic

@@ -232,6 +232,43 @@ object Curation {
            sum(col("shared")).as("total_shared"))
   }
 
+  /** Span-level cross-split contamination (the GPT-3 decontamination
+    * discipline: eval text is contaminated where a ≥`n`-token run also
+    * appears verbatim in the train split — their appendix used 13-grams):
+    * every maximal span in a val/test doc whose every length-`n` window
+    * occurs somewhere in train. Returns one row per contaminated eval
+    * span: `(doc_id, split, span_start, span_tokens)`, 0-based token
+    * offsets — the span surface of [[contaminationReport]]'s doc-pair
+    * counts, built on [[Dedup.positionedGramKeys]] +
+    * gaps-and-islands exactly like [[Dedup.duplicateSpans]], with the
+    * cross-doc dup head replaced by a train-side semi-join. The split
+    * comes from [[assignSplit]], so "train" here is the exact corpus the
+    * manifest trains on.
+    *
+    * Scale shape: one gram shuffle per side on the 8-byte window hash
+    * (semi-join — no row multiplication however often a window repeats in
+    * train), islands window per eval doc. Nothing is quadratic; the eval
+    * side is typically the small side and drives the output.
+    */
+  def contaminationSpans(docs: DataFrame, n: Int = 8,
+                         trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = graft.ops.Dedup.positionedGramKeys(docs, n)
+      .withColumn("is_train",
+        hashBucket(col("doc_id"), 100) < trainPct)
+    val evalDup = grams.filter(!col("is_train"))
+      .join(grams.filter(col("is_train")).select("gkey"), Seq("gkey"), "left_semi")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    evalDup
+      .withColumn("island", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+           (max(col("pos")) - min(col("pos")) + n).cast("long").as("span_tokens"))
+      .select(col("doc_id"),
+        assignSplit(col("doc_id"), trainPct, valPct).as("split"),
+        col("span_start"), col("span_tokens"))
+  }
+
   /** The actionable form: the train split with contaminated documents
     * removed (left anti against [[contaminationReport]]).
     */

@@ -241,6 +241,30 @@ class CurationSpec extends AnyFunSuite {
       "kept and flagged are disjoint")
   }
 
+  test("contaminationSpans: only eval docs reported, and every span's text exists in train") {
+    val spans = Curation.contaminationSpans(docs, n = 8)
+    assert(spans.count() > 0, "planted near-dups straddle the hash split")
+    // every reported doc is val/test by the same assignSplit
+    val wrongSplit = spans
+      .join(docs.select(col("doc_id"),
+        Curation.assignSplit(col("doc_id")).as("true_split")), Seq("doc_id"))
+      .filter(col("split") =!= col("true_split") || col("split") === "train")
+      .count()
+    assert(wrongSplit == 0)
+    // soundness: the first 8-token window of each reported span appears
+    // verbatim in some train doc
+    val trainText = docs
+      .filter(Curation.assignSplit(col("doc_id")) === "train")
+      .select(col("text").as("train_text"))
+    val firstWindows = spans
+      .join(docs.select("doc_id", "text"), Seq("doc_id"))
+      .select(concat_ws(" ",
+        slice(split(col("text"), " "), col("span_start").cast("int") + 1, lit(8))).as("w"))
+    val missing = firstWindows.join(trainText,
+        col("train_text").contains(col("w")), "left_anti").count()
+    assert(missing == 0, "a reported span's window must exist in train")
+  }
+
   test("balancedSample keeps the minority group whole and downsamples the rest deterministically") {
     val out = Curation.balancedSample(docs).cache()
     val before = docs.groupBy("lang").count().collect()
