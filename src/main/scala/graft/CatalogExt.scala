@@ -139,37 +139,75 @@ object CatalogExt {
       k, iters, dim)
 
   /** [[sqlKmeans]] with a caller-supplied corpus SELECT (vec_id, emb) —
-    * for rows that stage/augment the corpus before clustering.
+    * for rows that stage/augment the corpus before clustering. `prefix`
+    * namespaces every emitted CTE (`${prefix}corpus`, `${prefix}cent$i`, …)
+    * so one statement can host several independent clusterings — the PQ
+    * twin instantiates it once per subspace.
     */
   private def sqlKmeansCorpus(corpusSelect: String, k: Int, iters: Int,
-                              dim: Int = 64): String = {
+                              dim: Int = 64, prefix: String = ""): String = {
     val init = Seq(
-      s"corpus AS (",
+      s"${prefix}corpus AS (",
       s"  $corpusSelect),",
-      s"cent0 AS (",
+      s"${prefix}cent0 AS (",
       s"  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cluster_id,",
       s"         emb AS centroid",
-      s"  FROM (SELECT vec_id, emb FROM corpus ORDER BY vec_id LIMIT $k))")
+      s"  FROM (SELECT vec_id, emb FROM ${prefix}corpus ORDER BY vec_id LIMIT $k))")
     val steps = (1 to iters).flatMap { i =>
       Seq(
-        s",asg$i AS (",
+        s",${prefix}asg$i AS (",
         s"  SELECT vec_id, cluster_id, emb FROM (",
         s"    SELECT c.vec_id, kk.cluster_id, c.emb,",
         s"           row_number() OVER (PARTITION BY c.vec_id",
         s"             ORDER BY round(list_cosine_similarity(c.emb, kk.centroid), 6) DESC,",
         s"                      kk.cluster_id) AS rn",
-        s"    FROM corpus c CROSS JOIN cent${i - 1} kk) WHERE rn = 1),",
-        s"cent$i AS (",
+        s"    FROM ${prefix}corpus c CROSS JOIN ${prefix}cent${i - 1} kk) WHERE rn = 1),",
+        s"${prefix}cent$i AS (",
         s"  SELECT cluster_id, list(CAST(lane AS DOUBLE) ORDER BY pos) AS centroid FROM (",
         s"    SELECT cluster_id, pos,",
         s"           CAST(CAST(SUM(fp) AS DOUBLE) / (COUNT(*) * 1000000.0) AS FLOAT) AS lane",
         s"    FROM (SELECT cluster_id, unnest(range(1, ${dim + 1})) AS pos,",
         s"                 CAST(round(unnest(emb) * 1000000.0) AS BIGINT) AS fp",
-        s"          FROM asg$i)",
+        s"          FROM ${prefix}asg$i)",
         s"    GROUP BY cluster_id, pos)",
         s"  GROUP BY cluster_id)")
     }
     (init ++ steps).mkString("\n")
+  }
+
+  /** PQ subspace count shared by the Spark side and the DuckDB twins of the
+    * pq_* rows — pqTopK's measured default (PqProbe sweep).
+    */
+  private val pqM = 16
+
+  /** DuckDB twin of the PQ machinery ([[Similarity.pqCodebooks]] /
+    * [[Similarity.pqEncode]]): one [[sqlKmeansCorpus]] instance per subspace
+    * over the sliced corpus (`pqsrc`, emitted here too), plus per-subspace
+    * encode CTEs `pq${s}enc(vec_id, code)` — rounded-cosine argmax against
+    * the trained book, ties → lower code, exactly [[Similarity.pqCodeExpr]].
+    */
+  private def sqlPqBooks(corpusFilter: String, m: Int, k: Int,
+                         iters: Int, dim: Int): String = {
+    val subDim = dim / m
+    val books = (0 until m).map { s =>
+      val lo = s * subDim + 1; val hi = (s + 1) * subDim
+      sqlKmeansCorpus(
+        s"SELECT vec_id, emb[$lo:$hi] AS emb FROM pqsrc",
+        k, iters, subDim, prefix = s"pq$s")
+    }
+    val encs = (0 until m).map { s =>
+      s"""pq${s}enc AS (
+         |  SELECT vec_id, cluster_id AS code FROM (
+         |    SELECT c.vec_id, kk.cluster_id,
+         |           row_number() OVER (PARTITION BY c.vec_id
+         |             ORDER BY round(list_cosine_similarity(c.emb, kk.centroid), 6) DESC,
+         |                      kk.cluster_id) AS rn
+         |    FROM pq${s}corpus c CROSS JOIN pq${s}cent$iters kk) WHERE rn = 1)""".stripMargin
+    }
+    (Seq(s"""pqsrc AS (
+            |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+            |  FROM embeddings WHERE $corpusFilter)""".stripMargin)
+      ++ books ++ encs).mkString(",\n")
   }
 
   /** DuckDB twin of [[Curation.hashBucket]]: first 8 md5 hex chars of the
@@ -609,6 +647,93 @@ object CatalogExt {
               |         / COUNT(*) AS recall
               |FROM ex LEFT JOIN ann ON ex.q_id = ann.q_id AND ex.vec_id = ann.vec_id
               |GROUP BY ex.q_id ORDER BY ex.q_id""".stripMargin)),
+
+    // ── product-quantization encode, hash-checked end to end: 16 subspaces
+    //    × 16-code books trained by the fixed-point Lloyd update at
+    //    subvector grain (one fused explode+agg job for all books), then a
+    //    map-side literal-argmax projection to 16 small codes per vector.
+    //    The DuckDB twin re-trains every book from its own slices
+    //    (sqlPqBooks), so a wrong seed, mean bit, slice boundary, or
+    //    tie-break anywhere in the PQ machinery shifts the hash. Global
+    //    range sort, not orderedReport — one row per corpus vector (the
+    //    ivf_assign convention). Config = pqTopK's measured defaults
+    //    (PqProbe sweep in the scaladoc).
+    ("pq_codes",
+      (spark, dir) => {
+        val corpus = Tables.embeddings(spark, dir).filter(col("vec_id") >= 8)
+        val books = Similarity.pqCodebooks(corpus, m = pqM, k = 16, iters = 1)
+        Similarity.pqEncode(corpus, books).orderBy(col("vec_id"))
+      },
+      Some(s"""WITH ${sqlPqBooks("vec_id >= 8", pqM, 16, 1, 64)}
+              |SELECT vec_id, ${(0 until pqM).map(s => s"e$s.code AS c$s").mkString(", ")}
+              |FROM pq0enc e0
+              |${(1 until pqM).map(s => s"JOIN pq${s}enc e$s USING (vec_id)").mkString(" ")}
+              |ORDER BY vec_id""".stripMargin)),
+
+    // ── PQ asymmetric-distance top-k: full-precision queries against the
+    //    16-code corpus, score = cosine(query, reconstruction) assembled from
+    //    per-(subspace, code) lookup tables — rounded subvector dots +
+    //    rounded codeword norm² — computed driver-side and shipped as plan
+    //    literals. The twin recomputes books, codes, AND tables relationally
+    //    and combines them with the same association order (left-fold sums,
+    //    dot/(qn·sqrt(n2)), final round 6), so the hash pins the entire ADC
+    //    surface including the driver-side rounding twin
+    //    (roundedLocal/dotLocal ≡ round(list_inner_product, 6)).
+    ("pq_ann_topk",
+      (spark, dir) => {
+        val emb = Tables.embeddings(spark, dir)
+        Similarity.pqTopK(emb.filter(col("vec_id") < 8),
+                          emb.filter(col("vec_id") >= 8), 5,
+                          m = pqM, codesPerBook = 16, iters = 1)
+          .orderBy(col("q_id"), col("adc_score").desc, col("vec_id"))
+      },
+      Some {
+        val subDim = 64 / pqM
+        val qtCtes = (0 until pqM).map { s =>
+          val lo = s * subDim + 1; val hi = (s + 1) * subDim
+          s"qt$s AS (SELECT q.q_id, kk.cluster_id AS code, " +
+          s"round(list_inner_product(q.emb[$lo:$hi], kk.centroid), 6) AS t " +
+          s"FROM q CROSS JOIN pq${s}cent1 kk)"
+        }.mkString(",\n")
+        val ntCtes = (0 until pqM).map { s =>
+          s"nt$s AS (SELECT cluster_id AS code, " +
+          s"round(list_inner_product(centroid, centroid), 6) AS n2 " +
+          s"FROM pq${s}cent1)"
+        }.mkString(",\n")
+        // left-fold parenthesization — Spark's reduce(_ + _) association
+        def foldSum(terms: Seq[String]): String = terms.reduce((a, b) => s"($a + $b)")
+        val dotSum = foldSum((0 until pqM).map(s => s"t$s.t"))
+        val n2Sum = foldSum((0 until pqM).map(s => s"n$s.n2"))
+        val encJoins = (1 until pqM)
+          .map(s => s"JOIN pq${s}enc e$s USING (vec_id)").mkString(" ")
+        val qtJoins = (s"JOIN qt0 t0 ON t0.code = e0.code" +:
+          (1 until pqM).map(s =>
+            s"JOIN qt$s t$s ON t$s.q_id = t0.q_id AND t$s.code = e$s.code"))
+          .mkString("\n  ")
+        val ntJoins = (0 until pqM)
+          .map(s => s"JOIN nt$s n$s ON n$s.code = e$s.code").mkString(" ")
+        s"""WITH ${sqlPqBooks("vec_id >= 8", pqM, 16, 1, 64)},
+           |q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS emb,
+           |             round(sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+           |                                           CAST(embedding AS DOUBLE[]))), 6) AS qn
+           |      FROM embeddings WHERE vec_id < 8),
+           |$qtCtes,
+           |$ntCtes,
+           |scored AS (
+           |  SELECT t0.q_id, e0.vec_id,
+           |         CASE WHEN $n2Sum = 0 THEN CAST(0 AS DOUBLE)
+           |              ELSE round($dotSum / (q.qn * sqrt($n2Sum)), 6)
+           |         END AS adc_score
+           |  FROM pq0enc e0
+           |  $encJoins
+           |  $qtJoins
+           |  $ntJoins
+           |  JOIN q ON q.q_id = t0.q_id)
+           |SELECT q_id, vec_id, adc_score FROM scored
+           |QUALIFY row_number() OVER (PARTITION BY q_id
+           |          ORDER BY adc_score DESC, vec_id) <= 5
+           |ORDER BY q_id, adc_score DESC, vec_id""".stripMargin
+      }),
 
     // ── language-ID heuristic (stopword-hit ratio).
     ("lang_id",

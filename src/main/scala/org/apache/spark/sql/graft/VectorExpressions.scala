@@ -174,6 +174,159 @@ object SignLshUtil {
   }
 }
 
+/** Runtime kernels for the PQ expressions — plain static methods so the
+  * generated code is a single call (the [[SignLshUtil]] pattern).
+  */
+object PqUtil {
+
+  /** Twin of Spark's `round(_, 6)` on DoubleType (BigDecimal.valueOf →
+    * HALF_UP — the exact runtime semantics, pinned against DuckDB's `round`
+    * by every rounded-cosine catalog row).
+    */
+  def round6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Per-subspace rounded-cosine argmax against `books` (codewords of book
+    * `s` at `books(s)`, their code ids at `ids(s)`, both sorted by id).
+    * First maximum wins — the lowest code id, the same total order as the
+    * `array_position(cosArr, array_max(cosArr))` expression form this
+    * kernel replaced (and as the twin's `ORDER BY cos DESC, cluster_id`).
+    */
+  def encode(emb: ArrayData, books: Array[Array[Array[Float]]],
+             ids: Array[Array[Long]]): ArrayData = {
+    val m = books.length
+    val subDim = books(0)(0).length
+    val out = new Array[Long](m)
+    var s = 0
+    while (s < m) {
+      val book = books(s)
+      var best = 0
+      var bestCos = Double.NegativeInfinity
+      var k = 0
+      while (k < book.length) {
+        val c = book(k)
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        var i = 0
+        while (i < subDim) {
+          val x = emb.getFloat(s * subDim + i).toDouble
+          val y = c(i).toDouble
+          dot += x * y; na += x * x; nb += y * y
+          i += 1
+        }
+        val cos = round6(
+          if (na == 0.0 || nb == 0.0) 0.0
+          else dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb)))
+        if (cos > bestCos) { bestCos = cos; best = k }
+        k += 1
+      }
+      out(s) = ids(s)(best)
+      s += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** ADC scores for every query from one corpus vector's codes: resolve each
+    * code id to its book position, then per query
+    * `round6(Σ_s dot[s] / (qnorm · sqrt(Σ_s n2[s])))` with both sums
+    * accumulated in ascending subspace order — the left-fold association the
+    * DuckDB twin parenthesizes explicitly.
+    */
+  def adcScores(codes: ArrayData, ids: Array[Array[Long]],
+                dotTabs: Array[Array[Array[Double]]],
+                n2Tab: Array[Array[Double]],
+                qnorms: Array[Double]): ArrayData = {
+    val m = ids.length
+    val idx = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      val id = codes.getLong(s); val arr = ids(s)
+      var k = 0
+      while (arr(k) != id) k += 1
+      idx(s) = k
+      s += 1
+    }
+    val out = new Array[Double](qnorms.length)
+    var q = 0
+    while (q < qnorms.length) {
+      val dots = dotTabs(q)
+      var dotSum = 0.0; var n2Sum = 0.0
+      var s2 = 0
+      while (s2 < m) {
+        dotSum += dots(s2)(idx(s2)); n2Sum += n2Tab(s2)(idx(s2))
+        s2 += 1
+      }
+      out(q) =
+        if (n2Sum == 0.0) 0.0
+        else round6(dotSum / (qnorms(q) * java.lang.Math.sqrt(n2Sum)))
+      q += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}
+
+/** `array<float>` embedding → `array<long>` of PQ code ids, one per
+  * subspace. One expression node replacing an m·k-cosine literal-argmax
+  * tree: the expression form was hash-correct but its 256-node plans cost
+  * more in analysis + codegen than the whole sf0.1 corpus scan (measured
+  * 3.2 s → sub-second for `pq_codes`). Codebooks ride along as a reference
+  * object, exactly like [[SignLshBuckets]]' planes.
+  */
+case class PqEncodeCodes(child: Expression,
+                         books: Array[Array[Array[Float]]],
+                         ids: Array[Array[Long]])
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "pq_encode"
+
+  override def nullSafeEval(input: Any): Any =
+    PqUtil.encode(input.asInstanceOf[ArrayData], books, ids)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val b = ctx.addReferenceObj("books", books, "float[][][]")
+    val i = ctx.addReferenceObj("ids", ids, "long[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graft.PqUtil.encode($c, $b, $i);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `array<long>` PQ codes → `array<double>` of per-query ADC scores (query
+  * order = the `qnorms`/`dotTabs` order the caller fixed). The lookup
+  * tables are reference objects; the per-row work is m array indexings per
+  * query — no embedding arithmetic.
+  */
+case class PqAdcScores(child: Expression,
+                       ids: Array[Array[Long]],
+                       dotTabs: Array[Array[Array[Double]]],
+                       n2Tab: Array[Array[Double]],
+                       qnorms: Array[Double])
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "pq_adc_scores"
+
+  override def nullSafeEval(input: Any): Any =
+    PqUtil.adcScores(input.asInstanceOf[ArrayData], ids, dotTabs, n2Tab, qnorms)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val i = ctx.addReferenceObj("ids", ids, "long[][]")
+    val d = ctx.addReferenceObj("dotTabs", dotTabs, "double[][][]")
+    val n = ctx.addReferenceObj("n2Tab", n2Tab, "double[][]")
+    val q = ctx.addReferenceObj("qnorms", qnorms, "double[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graft.PqUtil.adcScores($c, $i, $d, $n, $q);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Column API for [[CosineSimilarity]]. */
   def cosineSim(a: Column, b: Column): Column =
@@ -185,6 +338,19 @@ object VectorExpressions {
                      dim: Int): Column =
     ExpressionUtils.column(
       SignLshBuckets(ExpressionUtils.expression(embedding), nTables, bitsPerTable, dim))
+
+  /** Column API for [[PqEncodeCodes]]. */
+  def pqEncodeCodes(embedding: Column, books: Array[Array[Array[Float]]],
+                    ids: Array[Array[Long]]): Column =
+    ExpressionUtils.column(
+      PqEncodeCodes(ExpressionUtils.expression(embedding), books, ids))
+
+  /** Column API for [[PqAdcScores]]. */
+  def pqAdcScores(codes: Column, ids: Array[Array[Long]],
+                  dotTabs: Array[Array[Array[Double]]],
+                  n2Tab: Array[Array[Double]], qnorms: Array[Double]): Column =
+    ExpressionUtils.column(
+      PqAdcScores(ExpressionUtils.expression(codes), ids, dotTabs, n2Tab, qnorms))
 
   /** Register `cosine_similarity(a, b)` as a SQL function on a live session
     * (for new sessions, prefer `spark.sql.extensions=graft.GraftExtensions`).

@@ -56,6 +56,40 @@ class SimilaritySpec extends AnyFunSuite {
     assert(approx.size <= 40, "no more than k per query")
   }
 
+  test("pqCodebooks/pqEncode: book shape, code domain, reconstruction sanity") {
+    val corpus = emb.filter($"vec_id" >= 8)
+    val books = Similarity.pqCodebooks(corpus, m = 16, k = 16, iters = 1)
+    assert(books.length == 16)
+    books.foreach { book =>
+      assert(book.nonEmpty && book.length <= 16, "codes per book bounded by k")
+      assert(book.forall(_._2.length == 4), "subspace centroids are dim/m wide")
+      assert(book.map(_._1).toSeq == book.map(_._1).toSeq.sorted, "books sorted by code id")
+    }
+    val codes = Similarity.pqEncode(corpus, books)
+    assert(codes.columns.toSeq == "vec_id" +: (0 until 16).map(s => s"c$s"))
+    val rows = codes.collect()
+    assert(rows.length == corpus.count())
+    val valid = books.map(_.map(_._1).toSet)
+    rows.foreach { r =>
+      (0 until 16).foreach(s => assert(valid(s).contains(r.getLong(s + 1)),
+        s"code ${r.getLong(s + 1)} not in book $s")) }
+  }
+
+  test("pqTopK recall against exact top-k is usable (approximate op bound)") {
+    val qs = emb.filter($"vec_id" < 8); val corpus = emb.filter($"vec_id" >= 8)
+    val exact = Similarity.cosineTopK(qs, corpus, 5)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val pq = Similarity.pqTopK(qs, corpus, 5)
+    assert(pq.columns.toSeq == Seq("q_id", "vec_id", "adc_score"))
+    val approx = pq.select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert(approx.size <= 40, "no more than k per query")
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    // 16 codes/subspace over near-uniform synthetic embeddings is a coarse
+    // quantizer; the bound pins "decisively better than random" (random 5
+    // of ~250 corpus vectors ⇒ recall ≈ 0.02) without overfitting the SF.
+    assert(recall >= 0.2, s"PQ-ADC recall=$recall too low")
+  }
+
   test("nearDupPairs is symmetric-free and thresholded") {
     val pairs = Similarity.nearDupPairs(emb, 0.4).collect()
     assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
