@@ -210,6 +210,77 @@ object CatalogExt {
       ++ books ++ encs).mkString(",\n")
   }
 
+  /** Shared CTE chain for the pq_* rows (to splice after `WITH `): the
+    * [[sqlPqBooks]] training + encode chain over `vec_id >= 8`, queries `q`
+    * with rounded norms, per-subspace rounded dot tables `qt$s` and
+    * codeword-norm² tables `nt$s`, and the ADC-scored relation `scored`
+    * (q_id, vec_id, adc_score) with Spark's left-fold association
+    * parenthesized explicitly — the twin of [[graft.ops.Similarity.pqTopK]]
+    * before its top-k.
+    */
+  private lazy val sqlPqScoredCtes: String = {
+    val subDim = 64 / pqM
+    val qtCtes = (0 until pqM).map { s =>
+      val lo = s * subDim + 1; val hi = (s + 1) * subDim
+      s"qt$s AS (SELECT q.q_id, kk.cluster_id AS code, " +
+      s"round(list_inner_product(q.emb[$lo:$hi], kk.centroid), 6) AS t " +
+      s"FROM q CROSS JOIN pq${s}cent1 kk)"
+    }.mkString(",\n")
+    val ntCtes = (0 until pqM).map { s =>
+      s"nt$s AS (SELECT cluster_id AS code, " +
+      s"round(list_inner_product(centroid, centroid), 6) AS n2 " +
+      s"FROM pq${s}cent1)"
+    }.mkString(",\n")
+    // Lookup tables folded to (code→value) LISTS rather than joinable
+    // relations: a first cut joined all 16 qt + 16 nt tables into the
+    // scored FROM directly, and DuckDB's join reorderer — free to start by
+    // chaining the tiny qt tables on q_id alone — went combinatorial on
+    // the 3× replica (>230 s; 1.2 s at 1×). With one 8-row `qtab` (all
+    // per-query lists pre-joined on q_id — ≤8-row intermediates in ANY
+    // order) and one 1-row `ntab`, every join order the optimizer can pick
+    // is safe, and the per-row lookup is list indexing — the relational
+    // mirror of the Spark kernel's table indexing.
+    val tlJoins = (0 until pqM).map { s =>
+      s"tl$s AS (SELECT q_id, list(code ORDER BY code) AS cs$s, " +
+      s"list(t ORDER BY code) AS ts$s FROM qt$s GROUP BY q_id)"
+    }.mkString(",\n")
+    val nlCtes = (0 until pqM).map { s =>
+      s"nl$s AS (SELECT list(code ORDER BY code) AS ncs$s, " +
+      s"list(n2 ORDER BY code) AS ns$s FROM nt$s)"
+    }.mkString(",\n")
+    val qtabJoins = (0 until pqM).map(s => s"JOIN tl$s USING (q_id)").mkString(" ")
+    val ntabCross = (1 until pqM).map(s => s"CROSS JOIN nl$s").mkString(" ")
+    // left-fold parenthesization — Spark's reduce(_ + _) association
+    def foldSum(terms: Seq[String]): String = terms.reduce((a, b) => s"($a + $b)")
+    val dotSum = foldSum((0 until pqM).map(s =>
+      s"qtab.ts$s[list_position(qtab.cs$s, c.c$s)]"))
+    val n2Sum = foldSum((0 until pqM).map(s =>
+      s"ntab.ns$s[list_position(ntab.ncs$s, c.c$s)]"))
+    val encJoins = (1 until pqM)
+      .map(s => s"JOIN pq${s}enc e$s USING (vec_id)").mkString(" ")
+    s"""${sqlPqBooks("vec_id >= 8", pqM, 16, 1, 64)},
+       |q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS emb,
+       |             round(sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+       |                                           CAST(embedding AS DOUBLE[]))), 6) AS qn
+       |      FROM embeddings WHERE vec_id < 8),
+       |$qtCtes,
+       |$ntCtes,
+       |$tlJoins,
+       |$nlCtes,
+       |codes AS (
+       |  SELECT vec_id, ${(0 until pqM).map(s => s"e$s.code AS c$s").mkString(", ")}
+       |  FROM pq0enc e0 $encJoins),
+       |qtab AS (SELECT q.q_id, q.qn, ${(0 until pqM).map(s => s"cs$s, ts$s").mkString(", ")}
+       |         FROM q $qtabJoins),
+       |ntab AS (SELECT * FROM nl0 $ntabCross),
+       |scored AS (
+       |  SELECT qtab.q_id, c.vec_id,
+       |         CASE WHEN $n2Sum = 0 THEN CAST(0 AS DOUBLE)
+       |              ELSE round($dotSum / (qtab.qn * sqrt($n2Sum)), 6)
+       |         END AS adc_score
+       |  FROM codes c CROSS JOIN qtab CROSS JOIN ntab)""".stripMargin
+  }
+
   /** DuckDB twin of [[Curation.hashBucket]]: first 8 md5 hex chars of the
     * stringified key as an integer, mod `mod`.
     */
@@ -687,53 +758,53 @@ object CatalogExt {
                           m = pqM, codesPerBook = 16, iters = 1)
           .orderBy(col("q_id"), col("adc_score").desc, col("vec_id"))
       },
-      Some {
-        val subDim = 64 / pqM
-        val qtCtes = (0 until pqM).map { s =>
-          val lo = s * subDim + 1; val hi = (s + 1) * subDim
-          s"qt$s AS (SELECT q.q_id, kk.cluster_id AS code, " +
-          s"round(list_inner_product(q.emb[$lo:$hi], kk.centroid), 6) AS t " +
-          s"FROM q CROSS JOIN pq${s}cent1 kk)"
-        }.mkString(",\n")
-        val ntCtes = (0 until pqM).map { s =>
-          s"nt$s AS (SELECT cluster_id AS code, " +
-          s"round(list_inner_product(centroid, centroid), 6) AS n2 " +
-          s"FROM pq${s}cent1)"
-        }.mkString(",\n")
-        // left-fold parenthesization — Spark's reduce(_ + _) association
-        def foldSum(terms: Seq[String]): String = terms.reduce((a, b) => s"($a + $b)")
-        val dotSum = foldSum((0 until pqM).map(s => s"t$s.t"))
-        val n2Sum = foldSum((0 until pqM).map(s => s"n$s.n2"))
-        val encJoins = (1 until pqM)
-          .map(s => s"JOIN pq${s}enc e$s USING (vec_id)").mkString(" ")
-        val qtJoins = (s"JOIN qt0 t0 ON t0.code = e0.code" +:
-          (1 until pqM).map(s =>
-            s"JOIN qt$s t$s ON t$s.q_id = t0.q_id AND t$s.code = e$s.code"))
-          .mkString("\n  ")
-        val ntJoins = (0 until pqM)
-          .map(s => s"JOIN nt$s n$s ON n$s.code = e$s.code").mkString(" ")
-        s"""WITH ${sqlPqBooks("vec_id >= 8", pqM, 16, 1, 64)},
-           |q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS emb,
-           |             round(sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
-           |                                           CAST(embedding AS DOUBLE[]))), 6) AS qn
-           |      FROM embeddings WHERE vec_id < 8),
-           |$qtCtes,
-           |$ntCtes,
-           |scored AS (
-           |  SELECT t0.q_id, e0.vec_id,
-           |         CASE WHEN $n2Sum = 0 THEN CAST(0 AS DOUBLE)
-           |              ELSE round($dotSum / (q.qn * sqrt($n2Sum)), 6)
-           |         END AS adc_score
-           |  FROM pq0enc e0
-           |  $encJoins
-           |  $qtJoins
-           |  $ntJoins
-           |  JOIN q ON q.q_id = t0.q_id)
-           |SELECT q_id, vec_id, adc_score FROM scored
-           |QUALIFY row_number() OVER (PARTITION BY q_id
-           |          ORDER BY adc_score DESC, vec_id) <= 5
-           |ORDER BY q_id, adc_score DESC, vec_id""".stripMargin
-      }),
+      Some(s"""WITH $sqlPqScoredCtes
+              |SELECT q_id, vec_id, adc_score FROM scored
+              |QUALIFY row_number() OVER (PARTITION BY q_id
+              |          ORDER BY adc_score DESC, vec_id) <= 5
+              |ORDER BY q_id, adc_score DESC, vec_id""".stripMargin)),
+
+    // ── PQ approximation quality as a driver-hashed number: per-query
+    //    recall of the ADC top-k against the exact brute-force top-k — the
+    //    ann_recall convention applied to the PQ surface, so a codebook,
+    //    encode, or table regression changes this row even if pq_ann_topk
+    //    stays self-consistent.
+    ("pq_recall",
+      (spark, dir) => {
+        val emb = Tables.embeddings(spark, dir)
+        val qs = emb.filter(col("vec_id") < 8)
+        val corpus = emb.filter(col("vec_id") >= 8)
+        val exact = Similarity.cosineTopK(qs, corpus, 5)
+          .select(col("q_id"), col("vec_id"))
+        val pq = Similarity.pqTopK(qs, corpus, 5,
+            m = pqM, codesPerBook = 16, iters = 1)
+          .select(col("q_id"), col("vec_id")).withColumn("hit", lit(1L))
+        exact.join(pq, Seq("q_id", "vec_id"), "left_outer")
+          .groupBy(col("q_id"))
+          .agg(count(lit(1)).as("n_exact"),
+               sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+          .withColumn("recall", col("n_hit").cast("double") / col("n_exact"))
+          .transform(CatalogCore.orderedReport(_, col("q_id")))
+      },
+      Some(s"""WITH $sqlPqScoredCtes,
+              |pqtop AS (
+              |  SELECT q_id, vec_id FROM scored
+              |  QUALIFY row_number() OVER (PARTITION BY q_id
+              |            ORDER BY adc_score DESC, vec_id) <= 5),
+              |exscored AS (
+              |  SELECT qq.vec_id AS q_id, e.vec_id,
+              |         round(list_cosine_similarity(CAST(qq.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 6) AS cos_sim
+              |  FROM embeddings qq CROSS JOIN embeddings e
+              |  WHERE qq.vec_id < 8 AND e.vec_id >= 8),
+              |ex AS (
+              |  SELECT q_id, vec_id FROM exscored
+              |  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) <= 5)
+              |SELECT ex.q_id, COUNT(*) AS n_exact,
+              |       CAST(SUM(CASE WHEN pqtop.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+              |       CAST(SUM(CASE WHEN pqtop.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+              |         / COUNT(*) AS recall
+              |FROM ex LEFT JOIN pqtop ON ex.q_id = pqtop.q_id AND ex.vec_id = pqtop.vec_id
+              |GROUP BY ex.q_id ORDER BY ex.q_id""".stripMargin)),
 
     // ── language-ID heuristic (stopword-hit ratio).
     ("lang_id",
