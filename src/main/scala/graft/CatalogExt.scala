@@ -1544,6 +1544,47 @@ object CatalogExt {
               |       CAST(SUM(nll) AS DOUBLE) / COUNT(*) AS mean_nll_unats
               |FROM scored GROUP BY 1 ORDER BY doc_id""".stripMargin)),
 
+    // ── model-based quality filtering (the GPT-3/CCNet classifier stage):
+    //    multinomial Naive Bayes log-odds fit on the corpus itself —
+    //    reference class = lang 'en' documents — scored over every doc.
+    //    Same fit+score twin-pass shape as unigram_perplexity; weights are
+    //    DIFFERENCES of two non-negative rounded micro-nat terms so Java
+    //    half-up and SQL half-away rounding agree (the signed-weight
+    //    wrinkle, see the nbClassifierScores scaladoc). The twin refits the
+    //    whole model relationally, so vocab selection, smoothing, class
+    //    totals, and every weight are all under the driver's hash.
+    ("nb_quality_scores",
+      (spark, dir) =>
+        TextAnalysis.nbClassifierScores(Tables.documents(spark, dir),
+            refLang = "en", vocabSize = 50)
+          .orderBy(col("doc_id")),
+      Some(s"""WITH toks AS (
+              |  SELECT doc_id, lang, unnest($sqlTokens) AS t FROM documents),
+              |cls AS (
+              |  SELECT t,
+              |         CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS cr,
+              |         CAST(SUM(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT) AS cb,
+              |         COUNT(*) AS ct
+              |  FROM toks GROUP BY 1),
+              |tot AS (SELECT CAST(SUM(cr) AS BIGINT) AS nr, CAST(SUM(cb) AS BIGINT) AS nb FROM cls),
+              |w AS (
+              |  SELECT t,
+              |         CAST(round(ln((nb + 50) / (cb + 1.0)) * 1000000) AS BIGINT)
+              |           - CAST(round(ln((nr + 50) / (cr + 1.0)) * 1000000) AS BIGINT) AS wt
+              |  FROM (SELECT t, cr, cb FROM cls ORDER BY ct DESC, t ASC LIMIT 50)
+              |  CROSS JOIN tot),
+              |oov AS (
+              |  SELECT CAST(round(ln((nb + 50) / 1.0) * 1000000) AS BIGINT)
+              |           - CAST(round(ln((nr + 50) / 1.0) * 1000000) AS BIGINT) AS wt
+              |  FROM tot),
+              |scored AS (
+              |  SELECT k.doc_id, k.lang, COALESCE(w.wt, o.wt) AS wt
+              |  FROM toks k LEFT JOIN w ON k.t = w.t CROSS JOIN oov o)
+              |SELECT doc_id, lang, COUNT(*) AS n_tokens,
+              |       CAST(SUM(wt) AS BIGINT) AS logodds_unats,
+              |       CAST(SUM(wt) AS DOUBLE) / COUNT(*) AS mean_logodds_unats
+              |FROM scored GROUP BY 1, 2 ORDER BY doc_id""".stripMargin)),
+
     // ── MinHash-LSH candidate quality, hash-checked (the ann_recall
     //    pattern applied to the text-dedup path): exact Jaccard ≥ 0.5 pairs
     //    are the ground truth, the banded LSH pairs are the approximation,

@@ -254,6 +254,62 @@ object TextAnalysis {
     *
     * Returns (doc_id, n_tokens, n_oov, nll_unats, mean_nll_unats).
     */
+  /** GPT-3-style model-based quality filter: a multinomial Naive Bayes
+    * log-odds classifier fit on the corpus itself. The reference class is
+    * the documents whose `lang` equals `refLang` (the stand-in for "looks
+    * like the curated corpus" — WebText in GPT-3's filter, Wikipedia in
+    * CCNet's); background is everything else. Every document is then scored
+    * by Σ_tokens [ln p(t|ref) − ln p(t|bg)] with Laplace-smoothed
+    * per-class unigram likelihoods over the top-`vocabSize` vocabulary —
+    * positive = looks like the reference class.
+    *
+    * Same two-pass shape as [[unigramNll]] (fit is one vocab-bounded
+    * aggregate materialized once; scoring is scan-shaped with the weights
+    * as a literal token→weight map) and the same integer micro-nat
+    * portability discipline — with one extra wrinkle: log-odds weights are
+    * SIGNED, and Java's `Math.round` (half-up) disagrees with SQL `round`
+    * (half away from zero) at exact .5 boundaries for negatives. Each
+    * weight is therefore a DIFFERENCE of two non-negative rounded terms,
+    *   w(t) = round(ln((N_bg+V)/(c_bg+1))·10⁶) − round(ln((N_ref+V)/(c_ref+1))·10⁶),
+    * where both arguments are ≥ 1 by construction — half-up and
+    * half-away agree on non-negatives, so the twin can mirror the
+    * arithmetic exactly.
+    *
+    * Returns (doc_id, lang, n_tokens, logodds_unats, mean_logodds_unats).
+    */
+  def nbClassifierScores(docs: DataFrame, refLang: String = "en",
+                         vocabSize: Int = 50,
+                         textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col("doc_id"), col("lang"),
+                           explode(tokens(col(textCol))).as("token"))
+    // fit pass: per-class counts, one materialization (three driver-tiny
+    // consumers: class totals, vocab head) — the unigramNll barrier
+    val counts = toks.groupBy(col("token"))
+      .agg(sum(when(col("lang") === refLang, 1L).otherwise(0L)).as("cr"),
+           sum(when(col("lang") =!= refLang, 1L).otherwise(0L)).as("cb"),
+           count(lit(1)).as("ct"))
+      .localCheckpoint()
+    val totals = counts.agg(sum(col("cr")), sum(col("cb"))).head
+    val (nRef, nBg) = (totals.getLong(0), totals.getLong(1))
+    val vocab = counts.orderBy(col("ct").desc, col("token").asc)
+      .limit(vocabSize)
+      .select(col("token"), col("cr"), col("cb")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    def unats(n: Long, c: Long): Long =
+      math.round(math.log((n + vocabSize).toDouble / (c + 1.0)) * 1e6)
+    def weight(cr: Long, cb: Long): Long = unats(nBg, cb) - unats(nRef, cr)
+    val wMap = vocab.map { case (t, cr, cb) => t -> weight(cr, cb) }.toMap
+    val oovW = weight(0L, 0L)
+    // score pass: literal-map lookup, no join — the only exchange is the
+    // per-doc aggregate
+    val w = coalesce(element_at(typedLit(wMap), col("token")), lit(oovW))
+    toks.groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_tokens"), sum(w).as("logodds_unats"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("logodds_unats"),
+              (col("logodds_unats").cast("double") / col("n_tokens"))
+                .as("mean_logodds_unats"))
+  }
+
   def unigramNll(docs: DataFrame, vocabSize: Int = 30,
                  textCol: String = "text"): DataFrame = {
     val toks = explodeTokens(docs, textCol)

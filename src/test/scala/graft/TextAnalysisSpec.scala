@@ -130,6 +130,39 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(top.slice(1, 3).toSeq == Seq(("b a", 2L), ("c d", 2L)))
   }
 
+  test("nbClassifierScores: separates the reference class, hand-checked weight") {
+    // ref class 'en' shares token 'the'; bg shares 'der'; 'x' is common to
+    // both (≈0 weight), 'q' is OOV at vocab cutoff time in the big corpus
+    val df = Seq(
+      (1L, "en", "the the x"), (2L, "en", "the x x"),
+      (3L, "de", "der der x"), (4L, "de", "der x x")
+    ).toDF("doc_id", "lang", "text")
+    val out = TextAnalysis.nbClassifierScores(df, refLang = "en", vocabSize = 3)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(3))).toMap
+    // en docs must score above de docs (positive vs negative log-odds)
+    assert(out(1L)._2 > out(3L)._2 && out(2L)._2 > out(4L)._2,
+      s"reference-class docs must outscore background: $out")
+    // hand-check the 'the' weight: cr=3, cb=0, nRef=6, nBg=6, V=3
+    //   w = round(ln((6+3)/(0+1))·1e6) − round(ln((6+3)/(3+1))·1e6)
+    val expected = math.round(math.log(9.0 / 1.0) * 1e6) -
+      math.round(math.log(9.0 / 4.0) * 1e6)
+    // doc 1 = the(w) + the(w) + x(wx); doc 2 = the(w) + 2·x(wx); subtract
+    // to isolate w: (doc1 − doc2) = w − wx, and wx is symmetric-zero here
+    // (cr = cb for 'x') — so doc1 − doc2 = w exactly
+    assert(out(1L)._2 - out(2L)._2 == expected,
+      s"hand-computed 'the' weight mismatch: ${out(1L)._2 - out(2L)._2} vs $expected")
+  }
+
+  test("nbClassifierScores on the corpus: en mean outscores non-en mean") {
+    val scored = TextAnalysis.nbClassifierScores(
+      Tables.documents(spark, TestSpark.sfDir))
+    val means = scored.groupBy(expr("lang = 'en'").as("isEn"))
+      .agg(avg(col("mean_logodds_unats")).as("m"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(means(true) > means(false),
+      s"en mean ${means(true)} must exceed non-en mean ${means(false)}")
+  }
+
   test("fingerprint min/max are stable hex strings") {
     val df = Seq((1L, "a b c d e f g h")).toDF("doc_id", "text")
     val f = TextAnalysis.fingerprint(col("text"))
