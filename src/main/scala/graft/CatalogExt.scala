@@ -1133,6 +1133,33 @@ object CatalogExt {
     //    everything. Report form of Curation.weightedSample — same shape as
     //    lang_balanced_sample, with the oracle rebuilding the feasible-scale
     //    (`s = min n/w`) and the binding-group exact-`mod` rule.
+    // ── temperature-scaled mixture computation (the p^α sampling rule of
+    //    multilingual/multi-domain pretraining): the upstream step that
+    //    PRODUCES the mixture weighted_mixture_sample consumes. Integer
+    //    micro-weights make the normalization denominator an exact BIGINT
+    //    sum and absorb cross-engine pow() ulps; the twin recomputes the
+    //    whole report relationally.
+    ("temperature_mixture",
+      (spark, dir) =>
+        Curation.temperatureWeights(Tables.documents(spark, dir), alpha = 0.7)
+          .transform(CatalogCore.orderedReport(_, col("lang"))),
+      Some(s"""WITH per AS (
+              |  SELECT lang, COUNT(*) AS n_docs,
+              |         CAST(SUM(len($sqlTokens)) AS BIGINT) AS n_tokens
+              |  FROM documents GROUP BY 1),
+              |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t FROM per),
+              |w AS (
+              |  SELECT lang, n_docs, n_tokens,
+              |         CAST(n_tokens AS DOUBLE) / t AS p_raw,
+              |         CAST(round(pow(CAST(n_tokens AS DOUBLE) / t, 0.7) * 1000000) AS BIGINT) AS weight_micro,
+              |         t
+              |  FROM per CROSS JOIN tot),
+              |s AS (SELECT CAST(SUM(weight_micro) AS BIGINT) AS sw FROM w)
+              |SELECT lang, n_docs, n_tokens, p_raw, weight_micro,
+              |       CAST(weight_micro AS DOUBLE) / sw AS sample_prob,
+              |       CAST(round((CAST(weight_micro AS DOUBLE) / sw) * t) AS BIGINT) AS expected_tokens
+              |FROM w CROSS JOIN s ORDER BY lang""".stripMargin)),
+
     ("weighted_mixture_sample",
       (spark, dir) => {
         // same single-reference shape as lang_balanced_sample: rates

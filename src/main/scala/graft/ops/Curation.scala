@@ -138,6 +138,46 @@ object Curation {
     * from `weights` are dropped (weight 0). Same scale shape: two tiny
     * aggregates, a broadcast rate relation, one map-side filter pass.
     */
+  /** Temperature-scaled mixture weights (the multilingual sampling rule of
+    * mBERT/XLM-R and the data-mixing step of every multi-domain pretrain
+    * run): per-domain sampling probability ∝ p^α where p is the domain's
+    * raw token share and α < 1 flattens the head (α = 1 is proportional,
+    * α = 0 uniform). Returns the full mixing report per domain: raw counts
+    * and share, the temperature weight, the normalized sampling
+    * probability, and the expected token allocation at the corpus budget.
+    *
+    * [[weightedSample]] consumes a FIXED target mixture; this op COMPUTES
+    * the mixture from the corpus — the upstream step.
+    *
+    * Portability: p = n_tokens/total is one exact division; the weight is
+    * pinned as round(p^α · 10⁶) — an integer, so the normalization
+    * denominator is an exact BIGINT sum (order-independent; summing the
+    * unrounded doubles would depend on aggregation order) and the last-ulp
+    * variance of `pow` across engines is absorbed by the rounding (the
+    * micro-nat discipline of [[graft.ops.TextAnalysis.tokenEntropy]]).
+    * Shape: one partial-agg pass over the corpus to domain grain, then
+    * singleton cross-joins — domain cardinality is report-sized.
+    */
+  def temperatureWeights(docs: DataFrame, alpha: Double = 0.7,
+                         groupCol: String = "lang",
+                         textCol: String = "text"): DataFrame = {
+    val per = docs.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(size(split(col(textCol), " ")).cast("long")).as("n_tokens"))
+    val tot = per.agg(sum(col("n_tokens")).as("t"))
+    val w = per.crossJoin(broadcast(tot))
+      .withColumn("p_raw", col("n_tokens").cast("double") / col("t"))
+      .withColumn("weight_micro",
+        round(pow(col("p_raw"), lit(alpha)) * lit(1e6), 0).cast("long"))
+    val sw = w.agg(sum(col("weight_micro")).as("sw"))
+    w.crossJoin(broadcast(sw))
+      .withColumn("sample_prob", col("weight_micro").cast("double") / col("sw"))
+      .select(col(groupCol), col("n_docs"), col("n_tokens"), col("p_raw"),
+              col("weight_micro"), col("sample_prob"),
+              round(col("sample_prob") * col("t"), 0).cast("long")
+                .as("expected_tokens"))
+  }
+
   def weightedSample(docs: DataFrame, weights: Map[String, Double],
                      groupCol: String = "source", keyCol: String = "doc_id",
                      mod: Int = 10000): DataFrame =

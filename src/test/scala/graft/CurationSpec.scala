@@ -316,4 +316,24 @@ class CurationSpec extends AnyFunSuite {
     assert(hashOnly.columns.toSeq ==
       Seq("doc_id", "chunk_idx", "n_tokens", "chunk_hash"))
   }
+
+  test("temperatureWeights: alpha=1 is proportional, alpha<1 flattens the head") {
+    // 'big' has 9x the tokens of 'small'
+    val df = Seq(
+      (1L, "big", ("t " * 89).trim),   // 89 tokens
+      (2L, "small", "a b c d e f g h i j")  // 10 tokens
+    ).toDF("doc_id", "lang", "text")
+    def probs(alpha: Double): Map[String, (Double, Double)] =
+      Curation.temperatureWeights(df, alpha).collect()
+        .map(r => r.getString(0) -> (r.getDouble(3), r.getDouble(5))).toMap
+    val prop = probs(1.0)
+    // alpha = 1: sampling prob == raw share (up to the micro rounding)
+    prop.foreach { case (_, (p, q)) => assert(math.abs(p - q) < 1e-5) }
+    val flat = probs(0.5)
+    // alpha < 1 moves mass from the head to the tail
+    assert(flat("big")._2 < flat("big")._1, "head domain must lose mass")
+    assert(flat("small")._2 > flat("small")._1, "tail domain must gain mass")
+    // sampling probs still sum to 1 (exact integer denominator)
+    assert(math.abs(flat.values.map(_._2).sum - 1.0) < 1e-9)
+  }
 }
