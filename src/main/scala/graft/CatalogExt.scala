@@ -469,6 +469,28 @@ object CatalogExt {
              |FROM isl GROUP BY doc_id, island
              |ORDER BY doc_id, span_start""".stripMargin)),
 
+    // ── per-document duplication pressure: the fraction of each doc's
+    //    8-token windows that appear in >=2 distinct docs (the RefinedWeb
+    //    curation report; the thresholdable per-doc signal upstream of span
+    //    removal). Shares the positioned-gram machinery and dup head with
+    //    duplicate_spans; the fraction is one exact-integer division.
+    ("dup_window_stats",
+      (spark, dir) =>
+        Dedup.dupWindowStats(Tables.documents(spark, dir), 8, 2)
+          .orderBy(col("doc_id")),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |grams AS (
+             |  SELECT doc_id, i - 1 AS pos,
+             |         substr(md5(array_to_string(list_slice(t, i, i + 7), ' ')), 1, 16) AS gkey
+             |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS i
+             |        FROM toks WHERE len(t) >= 8)),
+             |dup AS (SELECT gkey, 1 AS d FROM grams GROUP BY gkey HAVING COUNT(DISTINCT doc_id) >= 2)
+             |SELECT g.doc_id, COUNT(*) AS n_windows,
+             |       CAST(SUM(COALESCE(dup.d, 0)) AS BIGINT) AS n_dup_windows,
+             |       CAST(SUM(COALESCE(dup.d, 0)) AS DOUBLE) / COUNT(*) AS dup_frac
+             |FROM grams g LEFT JOIN dup USING (gkey)
+             |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin)),
+
     // ── the removal half of substring dedup: rewrite the corpus dropping
     //    every duplicated 8-token window outside its owner (min-doc_id)
     //    occurrence. The hash covers the full rewritten text of every doc,

@@ -629,23 +629,7 @@ object Dedup {
     // beats materializing 40× the corpus row count (the dropBoilerplateLines
     // persist note, same trade at gram grain).
     val grams = positionedGramKeys(docs, n, textCol)
-    // minDocs == 2 (the common contamination gate) needs only "two distinct
-    // docs exist", i.e. min(doc_id) ≠ max(doc_id): a plain min/max aggregate
-    // partial-aggregates map-side, so the shuffle carries one row per
-    // DISTINCT gram — the general countDistinct form plans two full-width
-    // exchanges (by (gkey, doc_id), then by gkey) of every occurrence
-    // (measured on the catalog row: 1.41 → 1.15 s at sf0.1, and at corpus
-    // scale the saved exchange is the full gram table).
-    val dupKeys =
-      (if (minDocs == 2)
-         grams.groupBy("gkey")
-           .agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
-           .filter(col("lo") =!= col("hi"))
-       else
-         grams.groupBy("gkey")
-           .agg(countDistinct(col("doc_id")).as("nd"))
-           .filter(col("nd") >= minDocs))
-        .select("gkey")
+    val dupKeys = dupGramHead(grams, minDocs)
     // Inner join ≡ semi-join here (dupKeys is unique per gkey); each
     // surviving row is one duplicated window occurrence. NO broadcast hint:
     // the dup head is the Zipf head locally but grows with the corpus's
@@ -667,6 +651,52 @@ object Dedup {
       .agg(min(col("pos")).cast("long").as("span_start"),
            (max(col("pos")) - min(col("pos")) + n).cast("long").as("span_tokens"))
       .select(col("doc_id"), col("span_start"), col("span_tokens"))
+  }
+
+  /** The duplicated-gram head shared by the substring-dedup family.
+    * minDocs == 2 (the common contamination gate) needs only "two distinct
+    * docs exist", i.e. min(doc_id) ≠ max(doc_id): a plain min/max aggregate
+    * partial-aggregates map-side, so the shuffle carries one row per
+    * DISTINCT gram — the general countDistinct form plans two full-width
+    * exchanges (by (gkey, doc_id), then by gkey) of every occurrence
+    * (measured on the duplicate_spans catalog row: 1.41 → 1.15 s at sf0.1,
+    * and at corpus scale the saved exchange is the full gram table).
+    */
+  private def dupGramHead(grams: DataFrame, minDocs: Int): DataFrame =
+    (if (minDocs == 2)
+       grams.groupBy("gkey")
+         .agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+         .filter(col("lo") =!= col("hi"))
+     else
+       grams.groupBy("gkey")
+         .agg(countDistinct(col("doc_id")).as("nd"))
+         .filter(col("nd") >= minDocs))
+      .select("gkey")
+
+  /** Per-document duplication pressure (the RefinedWeb curation report):
+    * for every doc of ≥ `n` tokens, how many of its `n`-token windows also
+    * appear in ≥ `minDocs` distinct documents — the metric behind "X% of
+    * the crawl is cross-document duplicated text" and the per-doc signal a
+    * pipeline thresholds before paying for full span removal
+    * ([[spanDedupedDocs]]). Returns (doc_id, n_windows, n_dup_windows,
+    * dup_frac); the fraction is one exact-integer division.
+    *
+    * Same scale shape as [[duplicateSpans]] minus the island window: the
+    * dup head shuffles one row per distinct gram, the probe join carries
+    * the Zipf head, and the final aggregate is per-doc partial-agg. Docs
+    * shorter than `n` tokens have no windows and are absent by definition.
+    */
+  def dupWindowStats(docs: DataFrame, n: Int = 8, minDocs: Int = 2,
+                     textCol: String = "text"): DataFrame = {
+    val grams = positionedGramKeys(docs, n, textCol)
+    val dupKeys = dupGramHead(grams, minDocs).withColumn("d", lit(1L))
+    grams.join(dupKeys, Seq("gkey"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+           sum(coalesce(col("d"), lit(0L))).as("n_dup_windows"))
+      .select(col("doc_id"), col("n_windows"), col("n_dup_windows"),
+              (col("n_dup_windows").cast("double") / col("n_windows"))
+                .as("dup_frac"))
   }
 
   /** The REMOVAL half of substring dedup ([[duplicateSpans]] is the

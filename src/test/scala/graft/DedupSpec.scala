@@ -322,4 +322,25 @@ class DedupSpec extends AnyFunSuite {
     val bad = spans.filter(col("span_tokens") < 8 || col("span_start") < 0).count()
     assert(bad == 0)
   }
+
+  test("dupWindowStats agrees with duplicateSpans window-for-window on the corpus") {
+    // a maximal span of L tokens is exactly L − n + 1 duplicated windows,
+    // so per-doc Σ(span_tokens − n + 1) must equal n_dup_windows — the two
+    // operators share the dup head but diverge after it, making this a
+    // real cross-check of the island reconstruction
+    val docs = Tables.documents(spark, TestSpark.sfDir)
+    val n = 8
+    val fromSpans = Dedup.duplicateSpans(docs, n, 2)
+      .groupBy("doc_id")
+      .agg(sum(col("span_tokens") - n + 1).as("w"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val stats = Dedup.dupWindowStats(docs, n, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    stats.foreach { case (doc, nw, nd, frac) =>
+      assert(nd == fromSpans.getOrElse(doc, 0L),
+        s"doc $doc: $nd dup windows vs spans-derived ${fromSpans.get(doc)}")
+      assert(nd <= nw && math.abs(frac - nd.toDouble / nw) == 0.0)
+    }
+    assert(stats.map(_._3).sum == fromSpans.values.sum)
+  }
 }
