@@ -153,22 +153,16 @@ object Bench {
     // (BASELINE.md round-4 re-pin) so the host-factor correction is
     // coherent: a bench run in a slower window scales the bar to what
     // DuckDB would have measured there.
-    // 25.95 = the round-7 MEASURED re-pin of the 91-query suite at 24.8
-    // (BASELINE.md "Round-7 re-pin": median of 5 process runs, range
-    // 23.4–27.3, probe-bracketed in one quiet window — 8 probe samples
-    // 0.646–0.990, median 0.76 = the calib_quiet companion pin below)
-    // plus THREE measured increments for the rows added after that pin
-    // (each a 5-run × 3-pass-min DuckDB median on the same sf0.1 tables,
-    // normalized by the bracketing bench-probe factor — conservative,
-    // since DuckDB measurably degrades less than the probe, BASELINE.md
-    // drift record): `duplicate_spans` 0.73 s @ probe≈1.42 → 0.51 quiet;
-    // `span_deduped_docs` 0.677 s @ probe≈1.06 → 0.64 quiet;
-    // `contamination_spans` 0.248 s @ probe≈1.00 → 0.24 quiet. The 24.8
-    // base retires the 4-layer composed-increment estimate the earlier
-    // 27.49 default carried; the measured 91-query quiet bar came out
-    // LOWER than that composition — also the conservative direction.
+    // 29.9 = the round-7 session-3 MEASURED re-pin of the full 100-query
+    // suite in one window (BASELINE.md "Round-7 second re-pin": median of
+    // 5 process runs, range 29.8–30.4 — the tightest pin to date —
+    // probe-bracketed quiet, 8 probe samples 0.674–0.916, median 0.75 =
+    // the calib_quiet companion pin below). Zero increment layers: every
+    // catalog query's DuckDB median is from this one window, including
+    // the six rows added this session (pq_codes / pq_ann_topk / pq_recall
+    // / nb_quality_scores / temperature_mixture / dup_window_stats).
     // `baseline_per_query.json` holds the same pin's per-query medians.
-    val baselineQuiet = sys.env.getOrElse("SPARK_GRAFT_BASELINE_SEC", "26.19").toDouble
+    val baselineQuiet = sys.env.getOrElse("SPARK_GRAFT_BASELINE_SEC", "29.9").toDouble
     // Host-speed calibration (BASELINE.md "Host-speed calibration"): the
     // shared build host has multi-minute windows where EVERYTHING runs
     // 20-85% slower (hypervisor-level; guest vmstat shows idle CPU while
@@ -187,8 +181,8 @@ object Bench {
     // vs_baseline_quiet in the JSON is therefore the primary gate number;
     // vs_baseline is the window-corrected diagnostic, ±(probe spread) in
     // sensitivity. Round-7 re-pin uses the window median (BASELINE.md):
-    // 0.76 = median of the 8 probe samples bracketing the 24.8 s pin.
-    val calibQuiet = sys.env.getOrElse("SPARK_GRAFT_CALIB_QUIET_SEC", "0.76").toDouble
+    // 0.75 = median of the 8 probe samples bracketing the 29.9 s pin.
+    val calibQuiet = sys.env.getOrElse("SPARK_GRAFT_CALIB_QUIET_SEC", "0.75").toDouble
     // min, not median: the per-query time is the MIN over the three
     // passes, which structurally gravitates to the fastest window the run
     // saw — so the factor must describe that same best window. Min is also
