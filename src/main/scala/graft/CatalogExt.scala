@@ -1593,6 +1593,41 @@ object CatalogExt {
               |       CAST(SUM(nll) AS DOUBLE) / COUNT(*) AS mean_nll_unats
               |FROM scored GROUP BY 1 ORDER BY doc_id""".stripMargin)),
 
+    // ── interpolated bigram LM perplexity (the KenLM-style upgrade of
+    //    unigram_perplexity): -ln(0.75·p(b|a) + 0.25·p(b)) per bigram
+    //    position, MLE models fit on the corpus, model-as-RELATION scoring
+    //    (the bigram table is corpus-bounded, not broadcastable — the
+    //    honest at-scale LM-scoring shape). Integer micro-nat NLLs; the
+    //    twin refits both models and the interpolation relationally.
+    ("bigram_perplexity",
+      (spark, dir) =>
+        TextAnalysis.bigramNll(Tables.documents(spark, dir), lambda = 0.75)
+          .orderBy(col("doc_id")),
+      Some(s"""WITH bi AS (
+              |  SELECT doc_id, unnest(${sqlShingles(2)}) AS g FROM documents
+              |  WHERE len($sqlTokens) >= 2),
+              |c2 AS (SELECT g, COUNT(*) AS n2 FROM bi GROUP BY 1),
+              |cf AS (SELECT string_split(g, ' ')[1] AS a, CAST(SUM(n2) AS BIGINT) AS na
+              |       FROM c2 GROUP BY 1),
+              |uni AS (
+              |  SELECT t, COUNT(*) AS n1
+              |  FROM (SELECT unnest($sqlTokens) AS t FROM documents) GROUP BY 1),
+              |tot AS (SELECT CAST(SUM(n1) AS BIGINT) AS n FROM uni),
+              |scored AS (
+              |  SELECT bi.doc_id,
+              |         CAST(round(ln(1.0 / (0.75 * (CAST(c2.n2 AS DOUBLE) / cf.na)
+              |                     + 0.25 * (CAST(uni.n1 AS DOUBLE) / CAST(tot.n AS DOUBLE))))
+              |                    * 1000000) AS BIGINT) AS nll
+              |  FROM bi
+              |  JOIN c2 USING (g)
+              |  JOIN cf ON cf.a = string_split(bi.g, ' ')[1]
+              |  JOIN uni ON uni.t = string_split(bi.g, ' ')[2]
+              |  CROSS JOIN tot)
+              |SELECT doc_id, COUNT(*) AS n_bigrams,
+              |       CAST(SUM(nll) AS BIGINT) AS nll_unats,
+              |       CAST(SUM(nll) AS DOUBLE) / COUNT(*) AS mean_nll_unats
+              |FROM scored GROUP BY 1 ORDER BY doc_id""".stripMargin)),
+
     // ── model-based quality filtering (the GPT-3/CCNet classifier stage):
     //    multinomial Naive Bayes log-odds fit on the corpus itself —
     //    reference class = lang 'en' documents — scored over every doc.

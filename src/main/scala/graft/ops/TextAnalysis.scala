@@ -336,4 +336,62 @@ object TextAnalysis {
               (col("nll_unats").cast("double") / col("n_tokens"))
                 .as("mean_nll_unats"))
   }
+
+  /** Interpolated bigram LM perplexity — the KenLM-style upgrade of
+    * [[unigramNll]] (real perplexity filters score under ≥2-gram models;
+    * Jelinek-Mercer interpolation is the classic smoothing): every bigram
+    * position scores −ln(λ·p(b|a) + (1−λ)·p(b)) with the MLE bigram and
+    * unigram models fit on the corpus itself.
+    *
+    * Where [[unigramNll]]'s vocab head rides the plan as a literal map,
+    * the bigram model is corpus-bounded — so here the model is a RELATION
+    * and scoring is a join, the honest 100 TB shape for any LM too large
+    * to broadcast: fit is two hash-aggregates (shuffle ∝ distinct
+    * bigrams/unigrams), the conditional denominator reduces from the
+    * distinct-bigram table (not the corpus), and the scoring pass joins
+    * the corpus's bigram stream against the model on the gram key — one
+    * co-partitioned exchange each, nothing quadratic. λ = 0.75 so both λ
+    * and 1−λ are exact binary doubles; the mix is IEEE arithmetic on
+    * exact-integer count ratios, and the per-position NLL pins as integer
+    * micro-nats round(ln(1/mix)·10⁶) — 1/mix ≥ 1, so the value is
+    * non-negative and Java/SQL rounding agree (the [[tokenEntropy]]
+    * discipline). Docs with < 2 tokens have no bigram positions and are
+    * excluded (the WordShingles short-doc fallback would otherwise
+    * masquerade as a bigram).
+    *
+    * Returns (doc_id, n_bigrams, nll_unats, mean_nll_unats).
+    */
+  def bigramNll(docs: DataFrame, lambda: Double = 0.75,
+                textCol: String = "text"): DataFrame = {
+    val eligible = docs.filter(size(tokens(col(textCol))) >= 2)
+    val bi = explodeShingles(eligible, 2, textCol, distinct = false,
+                             spread = true)
+    // fit: distinct-bigram counts (the model), first-token totals reduced
+    // from the model table, unigram counts over the FULL corpus
+    val c2 = bi.groupBy(col("g")).agg(count(lit(1)).as("n2"))
+      .localCheckpoint() // two consumers: denominator reduce + score join
+    val cFirst = c2
+      .groupBy(element_at(split(col("g"), " "), 1).as("a"))
+      .agg(sum(col("n2")).as("na"))
+    val uni = explodeTokens(docs, textCol)
+      .groupBy(col("token")).agg(count(lit(1)).as("n1"))
+      .localCheckpoint() // two consumers: total-N reduce + score join
+    val n = uni.agg(sum(col("n1"))).head.getLong(0)
+    // score: corpus bigram stream ⋈ model on gram key, then the first-token
+    // and last-token marginals
+    val mix = lit(lambda) * (col("n2").cast("double") / col("na")) +
+      lit(1.0 - lambda) * (col("n1").cast("double") / lit(n.toDouble))
+    bi.join(c2, Seq("g"))
+      .withColumn("a", element_at(split(col("g"), " "), 1))
+      .withColumn("b", element_at(split(col("g"), " "), 2))
+      .join(cFirst, Seq("a"))
+      .join(uni.withColumnRenamed("token", "b"), Seq("b"))
+      .select(col("doc_id"),
+              round(log(lit(1.0) / mix) * lit(1e6)).cast("long").as("nll"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("nll")).as("nll_unats"))
+      .select(col("doc_id"), col("n_bigrams"), col("nll_unats"),
+              (col("nll_unats").cast("double") / col("n_bigrams"))
+                .as("mean_nll_unats"))
+  }
 }

@@ -163,6 +163,26 @@ class TextAnalysisSpec extends AnyFunSuite {
       s"en mean ${means(true)} must exceed non-en mean ${means(false)}")
   }
 
+  test("bigramNll: hand-computed interpolated NLL, short docs excluded") {
+    // corpus: doc 1 "a b a b", doc 2 "a b", doc 3 "x" (no bigrams)
+    // bigrams: "a b" ×3, "b a" ×1 → p(b|a)=3/3=1... wait cf('a')=3, cf('b')=1
+    // unigrams over ALL docs: a×3, b×3, x×1, N=7
+    val df = Seq((1L, "a b a b"), (2L, "a b"), (3L, "x")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramNll(df, lambda = 0.75).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(!out.contains(3L), "single-token doc has no bigram positions")
+    def nll(n2: Long, na: Long, n1: Long): Long =
+      math.round(math.log(1.0 / (0.75 * (n2.toDouble / na)
+        + 0.25 * (n1.toDouble / 7.0))) * 1e6)
+    val ab = nll(3, 3, 3) // p(b|a) = 3/3, p1(b) = 3/7
+    // conditional denominator semantics pinned: cf(x) = bigrams STARTING
+    // with x, so cf('b') = 1 (the one 'b a'), NOT unigram count 3
+    val ba = nll(1, 1, 3)
+    assert(out(2L) == ((1L, ab)), s"doc 2 = one 'a b' position: ${out(2L)} vs $ab")
+    assert(out(1L) == ((3L, 2 * ab + ba)),
+      s"doc 1 = two 'a b' + one 'b a': ${out(1L)} vs ${(3L, 2 * ab + ba)}")
+  }
+
   test("fingerprint min/max are stable hex strings") {
     val df = Seq((1L, "a b c d e f g h")).toDF("doc_id", "text")
     val f = TextAnalysis.fingerprint(col("text"))
