@@ -281,6 +281,41 @@ object CatalogExt {
        |  FROM codes c CROSS JOIN qtab CROSS JOIN ntab)""".stripMargin
   }
 
+  /** Shared CTE chain for the Naive-Bayes quality rows (to splice after
+    * `WITH `): the full fit+score twin of
+    * [[graft.ops.TextAnalysis.nbClassifierScores]] at refLang='en',
+    * vocabSize=50, ending in `nbdoc(doc_id, lang, n_tokens, logodds_unats,
+    * mean_logodds_unats)`.
+    */
+  private lazy val sqlNbScoredCtes: String =
+    s"""toks AS (
+       |  SELECT doc_id, lang, unnest($sqlTokens) AS t FROM documents),
+       |cls AS (
+       |  SELECT t,
+       |         CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS cr,
+       |         CAST(SUM(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT) AS cb,
+       |         COUNT(*) AS ct
+       |  FROM toks GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(cr) AS BIGINT) AS nr, CAST(SUM(cb) AS BIGINT) AS nb FROM cls),
+       |w AS (
+       |  SELECT t,
+       |         CAST(round(ln((nb + 50) / (cb + 1.0)) * 1000000) AS BIGINT)
+       |           - CAST(round(ln((nr + 50) / (cr + 1.0)) * 1000000) AS BIGINT) AS wt
+       |  FROM (SELECT t, cr, cb FROM cls ORDER BY ct DESC, t ASC LIMIT 50)
+       |  CROSS JOIN tot),
+       |oov AS (
+       |  SELECT CAST(round(ln((nb + 50) / 1.0) * 1000000) AS BIGINT)
+       |           - CAST(round(ln((nr + 50) / 1.0) * 1000000) AS BIGINT) AS wt
+       |  FROM tot),
+       |nbtok AS (
+       |  SELECT k.doc_id, k.lang, COALESCE(w.wt, o.wt) AS wt
+       |  FROM toks k LEFT JOIN w ON k.t = w.t CROSS JOIN oov o),
+       |nbdoc AS (
+       |  SELECT doc_id, lang, COUNT(*) AS n_tokens,
+       |         CAST(SUM(wt) AS BIGINT) AS logodds_unats,
+       |         CAST(SUM(wt) AS DOUBLE) / COUNT(*) AS mean_logodds_unats
+       |  FROM nbtok GROUP BY 1, 2)""".stripMargin
+
   /** DuckDB twin of [[Curation.hashBucket]]: first 8 md5 hex chars of the
     * stringified key as an integer, mod `mod`.
     */
@@ -1642,32 +1677,37 @@ object CatalogExt {
         TextAnalysis.nbClassifierScores(Tables.documents(spark, dir),
             refLang = "en", vocabSize = 50)
           .orderBy(col("doc_id")),
-      Some(s"""WITH toks AS (
-              |  SELECT doc_id, lang, unnest($sqlTokens) AS t FROM documents),
-              |cls AS (
-              |  SELECT t,
-              |         CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS cr,
-              |         CAST(SUM(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT) AS cb,
-              |         COUNT(*) AS ct
-              |  FROM toks GROUP BY 1),
-              |tot AS (SELECT CAST(SUM(cr) AS BIGINT) AS nr, CAST(SUM(cb) AS BIGINT) AS nb FROM cls),
-              |w AS (
-              |  SELECT t,
-              |         CAST(round(ln((nb + 50) / (cb + 1.0)) * 1000000) AS BIGINT)
-              |           - CAST(round(ln((nr + 50) / (cr + 1.0)) * 1000000) AS BIGINT) AS wt
-              |  FROM (SELECT t, cr, cb FROM cls ORDER BY ct DESC, t ASC LIMIT 50)
-              |  CROSS JOIN tot),
-              |oov AS (
-              |  SELECT CAST(round(ln((nb + 50) / 1.0) * 1000000) AS BIGINT)
-              |           - CAST(round(ln((nr + 50) / 1.0) * 1000000) AS BIGINT) AS wt
-              |  FROM tot),
-              |scored AS (
-              |  SELECT k.doc_id, k.lang, COALESCE(w.wt, o.wt) AS wt
-              |  FROM toks k LEFT JOIN w ON k.t = w.t CROSS JOIN oov o)
-              |SELECT doc_id, lang, COUNT(*) AS n_tokens,
-              |       CAST(SUM(wt) AS BIGINT) AS logodds_unats,
-              |       CAST(SUM(wt) AS DOUBLE) / COUNT(*) AS mean_logodds_unats
-              |FROM scored GROUP BY 1, 2 ORDER BY doc_id""".stripMargin)),
+      Some(s"""WITH $sqlNbScoredCtes
+              |SELECT doc_id, lang, n_tokens, logodds_unats, mean_logodds_unats
+              |FROM nbdoc ORDER BY doc_id""".stripMargin)),
+
+    // ── curriculum manifest: quality-quartile phase per document from the
+    //    NB classifier score — phase 1 = top quality trained first. NOT an
+    //    ntile window (global single-partition sort): one exact-percentile
+    //    aggregate yields 3 literal thresholds, then a map-side bracket
+    //    comparison — two scans at any scale. Spark percentile and DuckDB
+    //    quantile_cont share the interpolation formula (the
+    //    value_percentiles pairing); thresholds round to 6.
+    ("curriculum_phases",
+      (spark, dir) =>
+        Curation.curriculumPhases(
+            TextAnalysis.nbClassifierScores(Tables.documents(spark, dir),
+              refLang = "en", vocabSize = 50),
+            phases = 4)
+          .select(col("doc_id"), col("phase"), col("mean_logodds_unats"))
+          .orderBy(col("doc_id")),
+      Some(s"""WITH $sqlNbScoredCtes,
+              |cuts AS (
+              |  SELECT round(quantile_cont(mean_logodds_unats, 0.25), 6) AS c1,
+              |         round(quantile_cont(mean_logodds_unats, 0.5), 6) AS c2,
+              |         round(quantile_cont(mean_logodds_unats, 0.75), 6) AS c3
+              |  FROM nbdoc)
+              |SELECT doc_id,
+              |       CAST(4 - (CASE WHEN mean_logodds_unats > c1 THEN 1 ELSE 0 END
+              |               + CASE WHEN mean_logodds_unats > c2 THEN 1 ELSE 0 END
+              |               + CASE WHEN mean_logodds_unats > c3 THEN 1 ELSE 0 END) AS INTEGER) AS phase,
+              |       mean_logodds_unats
+              |FROM nbdoc CROSS JOIN cuts ORDER BY doc_id""".stripMargin)),
 
     // ── MinHash-LSH candidate quality, hash-checked (the ann_recall
     //    pattern applied to the text-dedup path): exact Jaccard ≥ 0.5 pairs

@@ -178,6 +178,39 @@ object Curation {
                 .as("expected_tokens"))
   }
 
+  /** Curriculum phase assignment from a per-document quality score:
+    * exact score quartiles (or `phases`-iles) become phase thresholds and
+    * every doc gets the phase of its bracket — phase 1 = the top-quality
+    * slice trained first, phase `phases` = the tail. The composition step
+    * after model-based scoring ([[graft.ops.TextAnalysis
+    * .nbClassifierScores]] / `bigramNll`) in a quality-ordered training
+    * schedule.
+    *
+    * Scale shape — deliberately NOT an `ntile` window (a global ranking
+    * window is a single-partition sort of the corpus, the 100 TB killer):
+    * pass 1 is ONE exact-percentile aggregate (Spark `percentile`, the
+    * same interpolation as DuckDB `quantile_cont` — the value_percentiles
+    * pairing), whose `phases−1` thresholds collect driver-side and ride
+    * the scan as literals; pass 2 is a map-side bracket comparison. Two
+    * scans, no global sort, no shuffle beyond the percentile aggregate.
+    * Thresholds are rounded to 6 decimals (the engine-portability
+    * discipline); docs exactly ON a rounded threshold fall in the lower-
+    * quality phase on both engines (strict `>` promotes).
+    */
+  def curriculumPhases(scored: DataFrame, phases: Int = 4,
+                       scoreCol: String = "mean_logodds_unats"): DataFrame = {
+    require(phases >= 2, s"phases must be >= 2, got $phases")
+    val qs = (1 until phases).map(i => i.toDouble / phases)
+    val arr = expr(s"percentile($scoreCol, array(${qs.mkString(", ")}))")
+    val cuts = scored
+      .select((0 until phases - 1).map(i => round(arr.getItem(i), 6).as(s"c$i")): _*)
+      .head().toSeq.map(_.asInstanceOf[Double])
+    val phase = cuts.foldLeft(lit(phases)) { (acc, c) =>
+      acc - when(col(scoreCol) > lit(c), 1).otherwise(0)
+    }
+    scored.withColumn("phase", phase.cast("int"))
+  }
+
   def weightedSample(docs: DataFrame, weights: Map[String, Double],
                      groupCol: String = "source", keyCol: String = "doc_id",
                      mod: Int = 10000): DataFrame =

@@ -317,6 +317,26 @@ class CurationSpec extends AnyFunSuite {
       Seq("doc_id", "chunk_idx", "n_tokens", "chunk_hash"))
   }
 
+  test("curriculumPhases: monotone phases, near-balanced quartiles, two-scan shape") {
+    val scored = graft.ops.TextAnalysis.nbClassifierScores(
+      Tables.documents(spark, TestSpark.sfDir))
+    val out = Curation.curriculumPhases(scored, phases = 4)
+      .select(col("doc_id"), col("phase"), col("mean_logodds_unats"))
+      .collect().map(r => (r.getInt(1), r.getDouble(2)))
+    val byPhase = out.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    assert(byPhase.keySet.subsetOf(Set(1, 2, 3, 4)))
+    // phase 1 holds the top scores: every phase k score >= every k+1 score
+    (1 to 3).foreach { k =>
+      for (hi <- byPhase.get(k); lo <- byPhase.get(k + 1))
+        assert(hi.min >= lo.max, s"phase $k floor ${hi.min} < phase ${k + 1} ceil ${lo.max}")
+    }
+    // quartiles are near-balanced (exact balance bends only on score ties)
+    val n = out.length
+    byPhase.foreach { case (p, xs) =>
+      assert(xs.length >= n / 8 && xs.length <= n, s"phase $p badly skewed: ${xs.length}/$n")
+    }
+  }
+
   test("temperatureWeights: alpha=1 is proportional, alpha<1 flattens the head") {
     // 'big' has 9x the tokens of 'small'
     val df = Seq(
