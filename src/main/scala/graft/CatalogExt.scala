@@ -1709,6 +1709,38 @@ object CatalogExt {
               |       mean_logodds_unats
               |FROM nbdoc CROSS JOIN cuts ORDER BY doc_id""".stripMargin)),
 
+    // ── DSIR importance weights (Xie et al. 2023): hashed-bigram bucket
+    //    models, target = src0/src1 domain vs the whole corpus, per-doc
+    //    log importance weight in integer micro-nats. The twin refits both
+    //    bucket models relationally — bucket hashing, smoothing, totals,
+    //    and every weight are all under the driver's hash. Fit is
+    //    bucket-bounded (256 rows), score is scan + per-doc aggregate.
+    ("dsir_weights",
+      (spark, dir) =>
+        Curation.dsirWeights(Tables.documents(spark, dir),
+            targetSources = Seq("src0", "src1"))
+          .orderBy(col("doc_id")),
+      Some(s"""WITH feats AS (
+              |  SELECT doc_id, source, ${sqlHashBucket("g", 256)} AS b
+              |  FROM (SELECT doc_id, source, unnest(${sqlShingles(2)}) AS g
+              |        FROM documents)),
+              |cnt AS (
+              |  SELECT b,
+              |         CAST(SUM(CASE WHEN source IN ('src0','src1') THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+              |         COUNT(*) AS cr
+              |  FROM feats GROUP BY 1),
+              |tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS nt,
+              |               CAST(SUM(cr) AS BIGINT) AS nr FROM cnt),
+              |w AS (
+              |  SELECT b, CAST(round(ln((nr + 256) / (cr + 1.0)) * 1000000) AS BIGINT)
+              |           - CAST(round(ln((nt + 256) / (ct + 1.0)) * 1000000) AS BIGINT) AS wt
+              |  FROM cnt CROSS JOIN tot)
+              |SELECT doc_id, any_value(source) AS source, COUNT(*) AS n_feats,
+              |       CAST(SUM(wt) AS BIGINT) AS logweight_unats,
+              |       CAST(SUM(wt) AS DOUBLE) / COUNT(*) AS mean_logweight_unats
+              |FROM feats JOIN w USING (b)
+              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // ── MinHash-LSH candidate quality, hash-checked (the ann_recall
     //    pattern applied to the text-dedup path): exact Jaccard ≥ 0.5 pairs
     //    are the ground truth, the banded LSH pairs are the approximation,

@@ -414,6 +414,71 @@ object Curation {
       .filter(hashBucket(col(keyCol), mod) < col("keep_per_10k"))
   }
 
+  /** DSIR hashed n-gram importance weights (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"): score every
+    * raw-corpus document by how much its hashed n-gram feature distribution
+    * looks like a TARGET domain rather than the raw corpus,
+    *
+    *   log w(x) = Σ_b c_b(x) · (ln p_target(b) − ln p_raw(b)),
+    *
+    * with bag-of-bigram features hashed into `nBuckets` buckets and
+    * add-one-smoothed bucket unigram models on both sides (the paper's
+    * exact estimator; resampling by these weights is the selection step and
+    * is covered by the weighted/stratified sampling rows). The target here
+    * is a source-domain subset of the same corpus — the self-contained
+    * stand-in for "Wikipedia vs crawl" that keeps both fits under one scan.
+    *
+    * Micro-nat integer discipline (the nbClassifierScores convention): each
+    * per-bucket weight is a DIFFERENCE of two non-negative rounded NLL
+    * terms round(ln((N+B)/(c+1))·10⁶), so Java half-up and SQL half-away
+    * rounding agree and the DuckDB twin can refit the whole model
+    * relationally under the driver's hash.
+    *
+    * Scale shape: the fit aggregates to `nBuckets` rows (driver-tiny BY
+    * CONSTRUCTION — the paper uses 10⁴ buckets at web scale, independent of
+    * corpus size), weights ship to executors as a literal map (score pass
+    * is scan + one per-doc aggregate, no join), and the one corpus-grain
+    * shuffle is the per-doc sum. The feature explode is the codegen'd
+    * [[TextAnalysis.shingles]] kernel.
+    *
+    * Returns (doc_id, source, n_feats, logweight_unats,
+    * mean_logweight_unats).
+    */
+  def dsirWeights(docs: DataFrame, targetSources: Seq[String],
+                  nBuckets: Int = 256, gramN: Int = 2,
+                  textCol: String = "text"): DataFrame = {
+    require(targetSources.nonEmpty, "need at least one target source")
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    val feats = docs.select(col("doc_id"), col("source"),
+      explode(TextAnalysis.shingles(col(textCol), gramN)).as("g"))
+      .withColumn("b", hashBucket(col("g"), nBuckets))
+    val isTarget = col("source").isInCollection(targetSources)
+    // fit pass: bucket-grain counts for both models in ONE aggregate (raw
+    // includes target — DSIR's raw model is the whole crawl)
+    val counts = feats.groupBy(col("b"))
+      .agg(sum(when(isTarget, 1L).otherwise(0L)).as("ct"),
+           count(lit(1)).as("cr"))
+      .localCheckpoint()
+    val totals = counts.agg(sum(col("ct")), sum(col("cr"))).head
+    val (nT, nR) = (totals.getLong(0), totals.getLong(1))
+    require(nT > 0, s"no target features: sources $targetSources absent?")
+    def unats(n: Long, c: Long): Long =
+      math.round(math.log((n + nBuckets).toDouble / (c + 1.0)) * 1e6)
+    val wMap = counts.select(col("b"), col("ct"), col("cr")).collect()
+      .map(r => r.getLong(0) -> (unats(nR, r.getLong(2)) - unats(nT, r.getLong(1))))
+      .toMap
+    // Unseen buckets can't occur (scoring the corpus the models were fit
+    // on) but keep the smoothed zero-count weight as the total function.
+    val oovW = unats(nR, 0L) - unats(nT, 0L)
+    val w = coalesce(element_at(typedLit(wMap), col("b")), lit(oovW))
+    feats.groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_feats"), sum(w).as("logweight_unats"))
+      .select(col("doc_id"), col("source"), col("n_feats"),
+              col("logweight_unats"),
+              (col("logweight_unats").cast("double") / col("n_feats"))
+                .as("mean_logweight_unats"))
+  }
+
   /** Sliding-window document chunking — the standard long-document →
     * training-example split: token windows of `window` tokens starting every
     * `stride` tokens (overlap = window − stride), trailing windows shorter

@@ -337,6 +337,35 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("dsirWeights: target docs score higher than background on average") {
+    val out = Curation.dsirWeights(docs, targetSources = Seq("src0", "src1"))
+      .collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Double]("mean_logweight_unats")))
+    val (tgt, bg) = out.partition { case (s, _) => s == "src0" || s == "src1" }
+    assert(tgt.nonEmpty && bg.nonEmpty)
+    // the estimator's defining property: E[log w] under the target model
+    // exceeds E[log w] under the raw model (KL(t||r) + KL-gap, both >= 0
+    // up to smoothing noise) — importance weights must rank the target
+    // domain above the background it is being selected from
+    val tgtMean = tgt.map(_._2).sum / tgt.length
+    val bgMean = bg.map(_._2).sum / bg.length
+    assert(tgtMean > bgMean,
+      s"target mean $tgtMean not above background mean $bgMean")
+  }
+
+  test("dsirWeights: scoring is order/partition-invariant and feature-exact") {
+    val base = Curation.dsirWeights(docs, Seq("src0", "src1"))
+    val shuffled = Curation.dsirWeights(docs.repartition(7, col("source")), Seq("src0", "src1"))
+    assert(base.exceptAll(shuffled).isEmpty && shuffled.exceptAll(base).isEmpty,
+      "weights changed under repartitioning")
+    // n_feats equals the doc's bigram count (n_tokens - 1, docs have >= 2 tokens)
+    val bad = Curation.dsirWeights(docs, Seq("src0", "src1"))
+      .join(docs.select(col("doc_id"), size(split(col("text"), " ")).as("nt")), "doc_id")
+      .filter(col("n_feats") =!= greatest(col("nt") - 1, lit(1)))
+      .count()
+    assert(bad == 0, s"$bad docs with wrong feature counts")
+  }
+
   test("temperatureWeights: alpha=1 is proportional, alpha<1 flattens the head") {
     // 'big' has 9x the tokens of 'small'
     val df = Seq(
