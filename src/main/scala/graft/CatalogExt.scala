@@ -821,6 +821,108 @@ object CatalogExt {
               |          ORDER BY adc_score DESC, vec_id) <= 5
               |ORDER BY q_id, adc_score DESC, vec_id""".stripMargin)),
 
+    // ── IVF-probed ANN top-k, hash-checked end to end (closing the IVF
+    //    family the way pq_ann_topk closed PQ): fixed-point k-means
+    //    centroids → corpus argmax assignment (the inverted file) → each
+    //    query probes its 4 nearest centroids and exact-rescores ONLY those
+    //    lists — a query touches nProbe/nCentroids of the corpus. The twin
+    //    rebuilds clustering, both assignments, and the probe join
+    //    relationally, so centroids, probe choice, and every rescore are
+    //    all under the driver's hash.
+    ("ivf_ann_topk",
+      (spark, dir) => {
+        val emb = Tables.embeddings(spark, dir)
+        Similarity.ivfTopK(emb.filter(col("vec_id") < 8),
+                           emb.filter(col("vec_id") >= 8), 5,
+                           nCentroids = 16, nProbe = 4, iters = 1)
+          .orderBy(col("q_id"), col("cos_sim").desc, col("vec_id"))
+      },
+      Some(s"""WITH ${sqlKmeans("vec_id >= 8", 16, 1)},
+              |casg AS (
+              |  SELECT vec_id, cluster_id, emb FROM (
+              |    SELECT c.vec_id, kk.cluster_id, c.emb,
+              |           row_number() OVER (PARTITION BY c.vec_id
+              |             ORDER BY round(list_cosine_similarity(c.emb, kk.centroid), 6) DESC,
+              |                      kk.cluster_id) AS rn
+              |    FROM corpus c CROSS JOIN cent1 kk) WHERE rn = 1),
+              |q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS emb
+              |      FROM embeddings WHERE vec_id < 8),
+              |qprobe AS (
+              |  SELECT q_id, emb, cluster_id FROM (
+              |    SELECT q.q_id, q.emb, kk.cluster_id,
+              |           row_number() OVER (PARTITION BY q.q_id
+              |             ORDER BY round(list_cosine_similarity(q.emb, kk.centroid), 6) DESC,
+              |                      kk.cluster_id) AS rn
+              |    FROM q CROSS JOIN cent1 kk) WHERE rn <= 4),
+              |scored AS (
+              |  SELECT p.q_id, a.vec_id,
+              |         round(list_cosine_similarity(p.emb, a.emb), 6) AS cos_sim
+              |  FROM qprobe p JOIN casg a USING (cluster_id))
+              |SELECT q_id, vec_id, cos_sim FROM scored
+              |QUALIFY row_number() OVER (PARTITION BY q_id
+              |          ORDER BY cos_sim DESC, vec_id) <= 5
+              |ORDER BY q_id, cos_sim DESC, vec_id""".stripMargin)),
+
+    // ── IVF approximation quality as a driver-hashed number (the
+    //    ann_recall/pq_recall convention): per-query recall of the probed
+    //    top-k against the exact brute-force top-k — a centroid, probe, or
+    //    assignment regression changes this row even if ivf_ann_topk stays
+    //    self-consistent.
+    ("ivf_recall",
+      (spark, dir) => {
+        val emb = Tables.embeddings(spark, dir)
+        val qs = emb.filter(col("vec_id") < 8)
+        val corpus = emb.filter(col("vec_id") >= 8)
+        val exact = Similarity.cosineTopK(qs, corpus, 5)
+          .select(col("q_id"), col("vec_id"))
+        val ivf = Similarity.ivfTopK(qs, corpus, 5,
+            nCentroids = 16, nProbe = 4, iters = 1)
+          .select(col("q_id"), col("vec_id")).withColumn("hit", lit(1L))
+        exact.join(ivf, Seq("q_id", "vec_id"), "left_outer")
+          .groupBy(col("q_id"))
+          .agg(count(lit(1)).as("n_exact"),
+               sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+          .withColumn("recall", col("n_hit").cast("double") / col("n_exact"))
+          .transform(CatalogCore.orderedReport(_, col("q_id")))
+      },
+      Some(s"""WITH ${sqlKmeans("vec_id >= 8", 16, 1)},
+              |casg AS (
+              |  SELECT vec_id, cluster_id, emb FROM (
+              |    SELECT c.vec_id, kk.cluster_id, c.emb,
+              |           row_number() OVER (PARTITION BY c.vec_id
+              |             ORDER BY round(list_cosine_similarity(c.emb, kk.centroid), 6) DESC,
+              |                      kk.cluster_id) AS rn
+              |    FROM corpus c CROSS JOIN cent1 kk) WHERE rn = 1),
+              |q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS emb
+              |      FROM embeddings WHERE vec_id < 8),
+              |qprobe AS (
+              |  SELECT q_id, emb, cluster_id FROM (
+              |    SELECT q.q_id, q.emb, kk.cluster_id,
+              |           row_number() OVER (PARTITION BY q.q_id
+              |             ORDER BY round(list_cosine_similarity(q.emb, kk.centroid), 6) DESC,
+              |                      kk.cluster_id) AS rn
+              |    FROM q CROSS JOIN cent1 kk) WHERE rn <= 4),
+              |ivftop AS (
+              |  SELECT p.q_id, a.vec_id
+              |  FROM qprobe p JOIN casg a USING (cluster_id)
+              |  QUALIFY row_number() OVER (PARTITION BY p.q_id
+              |            ORDER BY round(list_cosine_similarity(p.emb, a.emb), 6) DESC,
+              |                     a.vec_id) <= 5),
+              |exscored AS (
+              |  SELECT qq.vec_id AS q_id, e.vec_id,
+              |         round(list_cosine_similarity(CAST(qq.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 6) AS cos_sim
+              |  FROM embeddings qq CROSS JOIN embeddings e
+              |  WHERE qq.vec_id < 8 AND e.vec_id >= 8),
+              |ex AS (
+              |  SELECT q_id, vec_id FROM exscored
+              |  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) <= 5)
+              |SELECT ex.q_id, COUNT(*) AS n_exact,
+              |       CAST(SUM(CASE WHEN ivftop.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+              |       CAST(SUM(CASE WHEN ivftop.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+              |         / COUNT(*) AS recall
+              |FROM ex LEFT JOIN ivftop ON ex.q_id = ivftop.q_id AND ex.vec_id = ivftop.vec_id
+              |GROUP BY ex.q_id ORDER BY ex.q_id""".stripMargin)),
+
     // ── PQ approximation quality as a driver-hashed number: per-query
     //    recall of the ADC top-k against the exact brute-force top-k — the
     //    ann_recall convention applied to the PQ surface, so a codebook,
