@@ -1765,6 +1765,35 @@ object CatalogExt {
               |       CAST(SUM(nll) AS DOUBLE) / COUNT(*) AS mean_nll_unats
               |FROM scored GROUP BY 1 ORDER BY doc_id""".stripMargin)),
 
+    // ── collocation mining by PMI (the word2vec phrase-detection
+    //    statistic): adjacent-pair association over the corpus, model
+    //    tables vocabulary-bounded, minCount prune before the marginal
+    //    joins. PMI is a difference of two non-negative rounded micro-nat
+    //    lns with left-associative products, so the twin's doubles match
+    //    bit for bit.
+    ("collocation_pmi",
+      (spark, dir) =>
+        TextAnalysis.collocationPmi(Tables.documents(spark, dir), minCount = 5),
+      Some(s"""WITH bi AS (
+              |  SELECT unnest(${sqlShingles(2)}) AS g FROM documents
+              |  WHERE len($sqlTokens) >= 2),
+              |c2 AS (SELECT g, COUNT(*) AS n_pair FROM bi GROUP BY 1),
+              |uni AS (SELECT t, COUNT(*) AS n_tok
+              |        FROM (SELECT unnest($sqlTokens) AS t FROM documents) GROUP BY 1),
+              |tot AS (SELECT (SELECT CAST(SUM(n_tok) AS BIGINT) FROM uni) AS n,
+              |               (SELECT CAST(SUM(n_pair) AS BIGINT) FROM c2) AS p),
+              |pairs AS (
+              |  SELECT string_split(g, ' ')[1] AS a, string_split(g, ' ')[2] AS b, n_pair
+              |  FROM c2 WHERE n_pair >= 5)
+              |SELECT pp.a, pp.b, pp.n_pair,
+              |       CAST(round(ln((CAST(pp.n_pair AS DOUBLE) * tot.n) * tot.n) * 1000000) AS BIGINT)
+              |     - CAST(round(ln((CAST(tot.p AS DOUBLE) * ua.n_tok) * ub.n_tok) * 1000000) AS BIGINT) AS pmi_unats
+              |FROM pairs pp
+              |JOIN uni ua ON ua.t = pp.a
+              |JOIN uni ub ON ub.t = pp.b
+              |CROSS JOIN tot
+              |ORDER BY pmi_unats DESC, a, b""".stripMargin)),
+
     // ── model-based quality filtering (the GPT-3/CCNet classifier stage):
     //    multinomial Naive Bayes log-odds fit on the corpus itself —
     //    reference class = lang 'en' documents — scored over every doc.

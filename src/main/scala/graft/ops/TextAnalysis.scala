@@ -361,6 +361,56 @@ object TextAnalysis {
     *
     * Returns (doc_id, n_bigrams, nll_unats, mean_nll_unats).
     */
+  /** Collocation strength by pointwise mutual information — the phrase-
+    * mining pass behind multiword vocabulary construction (Mikolov et al.
+    * 2013's phrase detection scores exactly this association, with a count
+    * discount): for every adjacent token pair (a,b) seen ≥ `minCount`
+    * times,
+    *
+    *   PMI(a,b) = ln( p(a,b) / (p(a)·p(b)) )
+    *            = ln(c_ab·N·N) − ln(P·c_a·c_b),
+    *
+    * with N total tokens and P total bigram positions. The two-ln form is
+    * deliberate: both arguments are products of positive counts ≥ 1, so
+    * each term rounds to non-negative micro-nats where Java half-up and
+    * SQL half-away agree (the [[nbClassifierScores]] signed-rounding
+    * discipline), and each product is evaluated LEFT-ASSOCIATIVELY so the
+    * twin reproduces bit-identical doubles even past 2^53 (same IEEE op
+    * sequence ⇒ same result; the pq ADC convention).
+    *
+    * Scale shape: fit is two hash-aggregates (shuffle ∝ distinct
+    * bigrams/unigrams — vocabulary-, not corpus-bounded); the minCount
+    * filter prunes the pair table BEFORE its two marginal joins; output is
+    * collocations ranked by association. Nothing touches the corpus after
+    * the two counting passes.
+    *
+    * Returns (a, b, n_pair, pmi_unats) ordered strongest-first.
+    */
+  def collocationPmi(docs: DataFrame, minCount: Long = 5,
+                     textCol: String = "text"): DataFrame = {
+    val eligible = docs.filter(size(tokens(col(textCol))) >= 2)
+    val bi = explodeShingles(eligible, 2, textCol, distinct = false,
+                             spread = true)
+    val c2 = bi.groupBy(col("g")).agg(count(lit(1)).as("n_pair"))
+      .localCheckpoint() // two consumers: P total + the filtered pair table
+    val uni = explodeTokens(docs, textCol)
+      .groupBy(col("token")).agg(count(lit(1)).as("n_tok"))
+      .localCheckpoint() // three consumers: N total + both marginal joins
+    val nTok = uni.agg(sum(col("n_tok"))).head.getLong(0)
+    val nPair = c2.agg(sum(col("n_pair"))).head.getLong(0)
+    val pairs = c2.filter(col("n_pair") >= minCount)
+      .withColumn("a", element_at(split(col("g"), " "), 1))
+      .withColumn("b", element_at(split(col("g"), " "), 2))
+      .join(uni.select(col("token").as("a"), col("n_tok").as("ca")), Seq("a"))
+      .join(uni.select(col("token").as("b"), col("n_tok").as("cb")), Seq("b"))
+    val num = col("n_pair").cast("double") * lit(nTok.toDouble) * lit(nTok.toDouble)
+    val den = lit(nPair.toDouble) * col("ca") * col("cb")
+    pairs.select(col("a"), col("b"), col("n_pair"),
+        (round(log(num) * lit(1e6)).cast("long") -
+         round(log(den) * lit(1e6)).cast("long")).as("pmi_unats"))
+      .orderBy(col("pmi_unats").desc, col("a"), col("b"))
+  }
+
   def bigramNll(docs: DataFrame, lambda: Double = 0.75,
                 textCol: String = "text"): DataFrame = {
     val eligible = docs.filter(size(tokens(col(textCol))) >= 2)

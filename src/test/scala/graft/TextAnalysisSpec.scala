@@ -183,6 +183,23 @@ class TextAnalysisSpec extends AnyFunSuite {
       s"doc 1 = two 'a b' + one 'b a': ${out(1L)} vs ${(3L, 2 * ab + ba)}")
   }
 
+  test("collocationPmi: hand-computed value, perfect pair beats independent pair") {
+    // corpus: 'x y' always together (5 docs), 'p'/'q' independent fillers
+    val df = (1L to 5L).map(i => (i, "x y p q")).toDF("doc_id", "text")
+    val out = TextAnalysis.collocationPmi(df, minCount = 5).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    // N = 20 tokens, P = 15 bigram positions; c(x y)=5, c(x)=c(y)=5
+    def pmi(cab: Long, ca: Long, cb: Long): Long =
+      math.round(math.log(cab.toDouble * 20 * 20) * 1e6) -
+        math.round(math.log(15.0 * ca * cb) * 1e6)
+    assert(out(("x", "y")) == ((5L, pmi(5, 5, 5))), s"got ${out(("x", "y"))}")
+    assert(out(("y", "p")) == ((5L, pmi(5, 5, 5))))
+    // the always-adjacent pair scores above chance: ln(5*400/(15*25)) > 0
+    assert(out(("x", "y"))._2 > 0)
+    // pairs under minCount are pruned
+    assert(!out.contains(("q", "x")), "cross-doc pair q->x never occurs")
+  }
+
   test("fingerprint min/max are stable hex strings") {
     val df = Seq((1L, "a b c d e f g h")).toDF("doc_id", "text")
     val f = TextAnalysis.fingerprint(col("text"))
