@@ -504,6 +504,36 @@ object CatalogExt {
              |FROM isl GROUP BY doc_id, island
              |ORDER BY doc_id, span_start""".stripMargin)),
 
+    // ── winnowing fingerprints (Schleimer et al. 2003, the MOSS sketch):
+    //    per-frame min k-gram hash, ties rightmost, encoded as one string
+    //    min over h || padded-descending-pos so both engines compute the
+    //    tie rule identically. Selected set ≈ 2/(w+1) of positions; any
+    //    ≥ w+k−1-token cross-doc match shares a fingerprint.
+    ("winnowing_fingerprints",
+      (spark, dir) =>
+        Dedup.winnowingFingerprints(Tables.documents(spark, dir), 4, 4)
+          .orderBy(col("doc_id"), col("pos")),
+      Some(s"""WITH gl AS (SELECT doc_id, ${sqlShingles(4)} AS gl FROM documents),
+              |grams AS (
+              |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, md5(gl[i]) AS h
+              |  FROM (SELECT doc_id, gl, unnest(range(1, len(gl) + 1)) AS i FROM gl)),
+              |framed AS (
+              |  SELECT doc_id, pos,
+              |         min(h || lpad(CAST(999999999 - pos AS VARCHAR), 9, '0'))
+              |           OVER (PARTITION BY doc_id ORDER BY pos
+              |                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel,
+              |         count(*) OVER (PARTITION BY doc_id ORDER BY pos
+              |                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS nf,
+              |         count(*) OVER (PARTITION BY doc_id) AS total
+              |  FROM grams),
+              |sel AS (
+              |  SELECT DISTINCT doc_id, sel FROM framed
+              |  WHERE nf = 4 OR (total < 4 AND pos = 0))
+              |SELECT doc_id,
+              |       CAST(999999999 - CAST(substr(sel, 33, 9) AS BIGINT) AS BIGINT) AS pos,
+              |       substr(sel, 1, 32) AS gram_hash
+              |FROM sel ORDER BY doc_id, pos""".stripMargin)),
+
     // ── per-document duplication pressure: the fraction of each doc's
     //    8-token windows that appear in >=2 distinct docs (the RefinedWeb
     //    curation report; the thresholdable per-doc signal upstream of span
@@ -1298,6 +1328,30 @@ object CatalogExt {
     //    micro-weights make the normalization denominator an exact BIGINT
     //    sum and absorb cross-engine pow() ulps; the twin recomputes the
     //    whole report relationally.
+    // ── mixture crosstab via relational PIVOT (the one §2-adjacent
+    //    operator shape not yet exercised): token totals per source,
+    //    pivoted by language into columns. The value list is EXPLICIT —
+    //    `pivot(col, values)` plans as one aggregate; the values-less
+    //    overload runs a distinct-scan job first and would embed a
+    //    corpus-dependent column set (wrong at any scale, racy under
+    //    growth). Empty cells coalesce to 0 on both engines.
+    ("source_lang_pivot",
+      (spark, dir) =>
+        Tables.documents(spark, dir)
+          .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+          .groupBy(col("source"))
+          .pivot("lang", Seq("de", "en", "es", "fr", "zh"))
+          .agg(sum(col("n_tokens")))
+          .na.fill(0L)
+          .transform(CatalogCore.orderedReport(_, col("source"))),
+      Some(s"""SELECT source,
+              |       CAST(COALESCE(SUM(CASE WHEN lang = 'de' THEN len($sqlTokens) END), 0) AS BIGINT) AS de,
+              |       CAST(COALESCE(SUM(CASE WHEN lang = 'en' THEN len($sqlTokens) END), 0) AS BIGINT) AS en,
+              |       CAST(COALESCE(SUM(CASE WHEN lang = 'es' THEN len($sqlTokens) END), 0) AS BIGINT) AS es,
+              |       CAST(COALESCE(SUM(CASE WHEN lang = 'fr' THEN len($sqlTokens) END), 0) AS BIGINT) AS fr,
+              |       CAST(COALESCE(SUM(CASE WHEN lang = 'zh' THEN len($sqlTokens) END), 0) AS BIGINT) AS zh
+              |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
+
     ("temperature_mixture",
       (spark, dir) =>
         Curation.temperatureWeights(Tables.documents(spark, dir), alpha = 0.7)

@@ -595,6 +595,58 @@ object Dedup {
           .wordShingles(col(textCol), n)))
       .select(col("doc_id"), col("pos"), xxhash64(col("col")).as("gkey"))
 
+  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD
+    * 2003 — the MOSS sketch): hash every k-token window, slide a w-wide
+    * frame over the per-doc hash sequence, and select each frame's MINIMUM
+    * hash, ties to the RIGHTMOST position. The paper's guarantee: any
+    * shared run of ≥ w + k − 1 tokens between two documents shares at
+    * least one selected fingerprint; expected density 2/(w+1) — the
+    * position-robust sketch between full positioned grams (exact, big) and
+    * MinHash (positionless).
+    *
+    * The rightmost-min rule is encoded ORDER-THEORETICALLY so one window
+    * `min` computes it: minimize `h || lpad(10⁹−1−pos)` — lexicographic on
+    * the 32-hex-char hash first, then on descending position (the 9-digit
+    * zero-padded complement), so the frame minimum IS (min hash, rightmost
+    * tie). Both engines evaluate the identical string min; positions are
+    * bounded < 10⁹ by the pad width (token offsets — a doc would need a
+    * billion tokens to break it).
+    *
+    * Scale shape: one codegen'd shingle explode, one frame-window pass
+    * partitioned by doc_id (per-doc state = w rows), one distinct whose
+    * shuffle is the SELECTED rows only (≈ 2/(w+1) of gram positions). Docs
+    * shorter than w grams keep their global min (pos-0 frame covers the
+    * whole doc), so every doc is fingerprinted — the <k-token fallback
+    * shingle [text] gives degenerate docs exactly one fingerprint.
+    *
+    * Returns (doc_id, pos, gram_hash): the selected fingerprint set.
+    */
+  def winnowingFingerprints(docs: DataFrame, k: Int = 4, w: Int = 4,
+                            textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && w >= 1 && w <= 1000, s"unreasonable k=$k w=$w")
+    val grams = docs.select(col("doc_id"),
+        posexplode(org.apache.spark.sql.graft.TextExpressions
+          .wordShingles(col(textCol), k)))
+      .select(col("doc_id"), col("pos"), md5(col("col").cast("binary")).as("h"))
+    val selKey = concat(col("h"),
+      lpad((lit(999999999L) - col("pos")).cast("string"), 9, "0"))
+    // both frames ride ONE exchange: same partitioning (doc_id), same
+    // ordering — Spark stacks them into a single Window operator chain
+    val frame = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, w - 1)
+    val whole = Window.partitionBy(col("doc_id"))
+    grams
+      .withColumn("sel", min(selKey).over(frame))
+      .withColumn("nf", count(lit(1)).over(frame))
+      .withColumn("total", count(lit(1)).over(whole))
+      .filter(col("nf") === w || (col("total") < w && col("pos") === 0))
+      .select(col("doc_id"), col("sel")).distinct()
+      .select(col("doc_id"),
+              (lit(999999999L) - substring(col("sel"), 33, 9).cast("long")).as("pos"),
+              substring(col("sel"), 1, 32).as("gram_hash"))
+  }
+
   /** Duplicated-substring detection at token granularity (the
     * train-data pass popularized by "Deduplicating Training Data Makes
     * Language Models Better", Lee et al. 2021): every MAXIMAL span of ≥ `n`

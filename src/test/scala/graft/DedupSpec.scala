@@ -323,6 +323,35 @@ class DedupSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("winnowingFingerprints: guarantee, density bound, rightmost tie, short docs") {
+    import org.apache.spark.sql.functions._
+    // docs 1 and 2 share a run of w+k-1 = 7 tokens ("s1..s7") at different
+    // offsets — the paper's guarantee demands a shared fingerprint
+    val docs = Seq(
+      (1L, "a b c s1 s2 s3 s4 s5 s6 s7 d e f g h i j k"),
+      (2L, "s1 s2 s3 s4 s5 s6 s7 x y z w1 w2 w3 w4 w5"),
+      (3L, "t t t t t t t t"), // all-identical grams: tie rule everywhere
+      (4L, "p q")              // shorter than k tokens: fallback fingerprint
+    ).toDF("doc_id", "text")
+    val fp = graft.ops.Dedup.winnowingFingerprints(docs, 4, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val byDoc = fp.groupBy(_._1)
+    assert(byDoc(1L).map(_._3).toSet.intersect(byDoc(2L).map(_._3).toSet).nonEmpty,
+      "7-token shared run must share a selected fingerprint")
+    // density: selected <= ceil(2/(w+1) * positions) + slack; doc 1 has 15
+    // gram positions -> far fewer than 15 selections
+    assert(byDoc(1L).length < 15 && byDoc(1L).length >= 3)
+    // doc 3: every gram identical => every frame's min ties => rightmost
+    // wins => selections are frame ends; first full frame selects pos 3,
+    // sliding by one selects each subsequent position
+    assert(byDoc(3L).map(_._2).sorted.toSeq == Seq(3L, 4L),
+      s"tie rule: expected rightmost-of-frame positions, got ${byDoc(3L).map(_._2).sorted.toSeq}")
+    // doc 4 (< k tokens): exactly one fallback fingerprint at pos 0
+    assert(byDoc(4L).toSeq == Seq((4L, 0L, byDoc(4L).head._3)))
+    // every doc fingerprinted
+    assert(byDoc.keySet == Set(1L, 2L, 3L, 4L))
+  }
+
   test("dupWindowStats agrees with duplicateSpans window-for-window on the corpus") {
     // a maximal span of L tokens is exactly L − n + 1 duplicated windows,
     // so per-doc Σ(span_tokens − n + 1) must equal n_dup_windows — the two
