@@ -316,6 +316,35 @@ object CatalogExt {
        |         CAST(SUM(wt) AS DOUBLE) / COUNT(*) AS mean_logodds_unats
        |  FROM nbtok GROUP BY 1, 2)""".stripMargin
 
+  /** Shared CTE chain for the winnowing rows (to splice after `WITH `):
+    * the twin of [[graft.ops.Dedup.winnowingFingerprints]] at k=4, w=4,
+    * ending in `wfp(doc_id, pos, gram_hash)` — per-frame string min over
+    * hash || padded descending position (rightmost-tie rule), full frames
+    * plus the pos-0 short-doc fallback.
+    */
+  private lazy val sqlWinnowCtes: String =
+    s"""wgl AS (SELECT doc_id, ${sqlShingles(4)} AS gl FROM documents),
+       |wgrams AS (
+       |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, md5(gl[i]) AS h
+       |  FROM (SELECT doc_id, gl, unnest(range(1, len(gl) + 1)) AS i FROM wgl)),
+       |wframed AS (
+       |  SELECT doc_id, pos,
+       |         min(h || lpad(CAST(999999999 - pos AS VARCHAR), 9, '0'))
+       |           OVER (PARTITION BY doc_id ORDER BY pos
+       |                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel,
+       |         count(*) OVER (PARTITION BY doc_id ORDER BY pos
+       |                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS nf,
+       |         count(*) OVER (PARTITION BY doc_id) AS total
+       |  FROM wgrams),
+       |wsel AS (
+       |  SELECT DISTINCT doc_id, sel FROM wframed
+       |  WHERE nf = 4 OR (total < 4 AND pos = 0)),
+       |wfp AS (
+       |  SELECT doc_id,
+       |         CAST(999999999 - CAST(substr(sel, 33, 9) AS BIGINT) AS BIGINT) AS pos,
+       |         substr(sel, 1, 32) AS gram_hash
+       |  FROM wsel)""".stripMargin
+
   /** DuckDB twin of [[Curation.hashBucket]]: first 8 md5 hex chars of the
     * stringified key as an integer, mod `mod`.
     */
@@ -513,26 +542,33 @@ object CatalogExt {
       (spark, dir) =>
         Dedup.winnowingFingerprints(Tables.documents(spark, dir), 4, 4)
           .orderBy(col("doc_id"), col("pos")),
-      Some(s"""WITH gl AS (SELECT doc_id, ${sqlShingles(4)} AS gl FROM documents),
-              |grams AS (
-              |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, md5(gl[i]) AS h
-              |  FROM (SELECT doc_id, gl, unnest(range(1, len(gl) + 1)) AS i FROM gl)),
-              |framed AS (
-              |  SELECT doc_id, pos,
-              |         min(h || lpad(CAST(999999999 - pos AS VARCHAR), 9, '0'))
-              |           OVER (PARTITION BY doc_id ORDER BY pos
-              |                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel,
-              |         count(*) OVER (PARTITION BY doc_id ORDER BY pos
-              |                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS nf,
-              |         count(*) OVER (PARTITION BY doc_id) AS total
-              |  FROM grams),
-              |sel AS (
-              |  SELECT DISTINCT doc_id, sel FROM framed
-              |  WHERE nf = 4 OR (total < 4 AND pos = 0))
-              |SELECT doc_id,
-              |       CAST(999999999 - CAST(substr(sel, 33, 9) AS BIGINT) AS BIGINT) AS pos,
-              |       substr(sel, 1, 32) AS gram_hash
-              |FROM sel ORDER BY doc_id, pos""".stripMargin)),
+      Some(s"""WITH $sqlWinnowCtes
+              |SELECT doc_id, pos, gram_hash FROM wfp
+              |ORDER BY doc_id, pos""".stripMargin)),
+
+    // ── the MOSS comparison step over the winnowing sketch: doc pairs
+    //    sharing >= 2 selected fingerprints, overlap coefficient over the
+    //    df-capped universe. Posting lists are already winnowed to
+    //    ~2/(w+1) density before the inverted-index self-join.
+    ("winnowing_overlap_pairs",
+      (spark, dir) =>
+        Dedup.winnowingOverlapPairs(Tables.documents(spark, dir), 4, 4,
+            minShared = 2, maxDf = 50)
+          .orderBy(col("doc_a"), col("doc_b")),
+      Some(s"""WITH $sqlWinnowCtes,
+              |fps AS (SELECT DISTINCT doc_id, gram_hash FROM wfp),
+              |dfc AS (SELECT gram_hash FROM fps GROUP BY gram_hash HAVING COUNT(*) <= 50),
+              |cp AS (SELECT f.doc_id, f.gram_hash FROM fps f JOIN dfc USING (gram_hash)),
+              |sz AS (SELECT doc_id, COUNT(*) AS sz FROM cp GROUP BY 1),
+              |pr AS (
+              |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+              |  FROM cp a JOIN cp b USING (gram_hash) WHERE a.doc_id < b.doc_id
+              |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+              |SELECT pr.doc_a, pr.doc_b, pr.n_shared,
+              |       CAST(pr.n_shared AS DOUBLE) / CAST(least(sa.sz, sb.sz) AS DOUBLE) AS overlap
+              |FROM pr JOIN sz sa ON sa.doc_id = pr.doc_a
+              |        JOIN sz sb ON sb.doc_id = pr.doc_b
+              |ORDER BY doc_a, doc_b""".stripMargin)),
 
     // ── per-document duplication pressure: the fraction of each doc's
     //    8-token windows that appear in >=2 distinct docs (the RefinedWeb

@@ -647,6 +647,47 @@ object Dedup {
               substring(col("sel"), 1, 32).as("gram_hash"))
   }
 
+  /** Winnowing overlap pairs — the MOSS comparison step over
+    * [[winnowingFingerprints]]: invert the selected-fingerprint sets,
+    * self-join on fingerprint, and report doc pairs sharing ≥ `minShared`
+    * fingerprints with their overlap coefficient
+    * n_shared / min(|A|, |B|) — sizes over the df-capped universe, so the
+    * measure is the exact overlap of the filtered sets (the
+    * [[ngramJaccardPairs]] well-definedness note).
+    *
+    * Scale shape mirrors [[ngramJaccardPairs]]: the Zipf-head overflow
+    * fingerprints (df > `maxDf`) leave via a broadcast anti-join before
+    * the inverted-index self-join, the capped postings are the ONE
+    * materialization point (four consumers), and the sizes relation joins
+    * onto the PAIR AGGREGATE (pairs ≪ postings), not the postings. The
+    * winnowing selection has already shrunk the posting lists to
+    * ≈ 2/(w+1) of gram positions — the sketch's whole point: near-exact
+    * substring-match detection at a fraction of the index size.
+    */
+  def winnowingOverlapPairs(docs: DataFrame, k: Int = 4, w: Int = 4,
+                            minShared: Long = 2, maxDf: Int = 50,
+                            textCol: String = "text"): DataFrame = {
+    val fp = winnowingFingerprints(docs, k, w, textCol)
+      .select(col("doc_id"), col("gram_hash")).distinct()
+    val overflow = fp.groupBy(col("gram_hash")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select("gram_hash")
+    val p = fp.join(broadcast(overflow), Seq("gram_hash"), "left_anti")
+      .localCheckpoint()
+    val sizes = p.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    // no broadcast hint on the size joins: the pair aggregate is tiny but
+    // sizes is doc-grain — runtime stats (AQE) pick the build side
+    p.select(col("gram_hash"), col("doc_id").as("doc_a"))
+      .join(p.select(col("gram_hash"), col("doc_id").as("doc_b")), Seq("gram_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+              (col("n_shared").cast("double") /
+                least(col("sz_a"), col("sz_b")).cast("double")).as("overlap"))
+  }
+
   /** Duplicated-substring detection at token granularity (the
     * train-data pass popularized by "Deduplicating Training Data Makes
     * Language Models Better", Lee et al. 2021): every MAXIMAL span of ≥ `n`
