@@ -2089,6 +2089,110 @@ object CatalogExt {
       Some(s"""WITH grams AS (
               |  SELECT unnest(${sqlShingles(2)}) AS pair FROM documents)
               |SELECT pair, COUNT(*) AS n FROM grams GROUP BY pair
-              |ORDER BY n DESC, pair ASC LIMIT 50""".stripMargin))
+              |ORDER BY n DESC, pair ASC LIMIT 50""".stripMargin)),
+
+    // ── Edit-distance rescore of LSH candidates: the precision stage after
+    //    banding — exact char-level Levenshtein similarity over the
+    //    LSH-bounded pair set (Dedup.editDistanceRescore). 0.8 cleanly
+    //    separates the corpus's planted near-dups (sim ≥ 0.93) from
+    //    background band collisions (≤ 0.35).
+    ("editdist_rescore",
+      (spark, dir) =>
+        Dedup.editDistanceRescore(Tables.documents(spark, dir), 8, 2, 0.8)
+          .orderBy(col("doc_a"), col("doc_b")),
+      Some {
+        val sigs = (0 until 8).map(i => s"${sqlMinhash(i)} AS s$i").mkString(", ")
+        val bands = (0 until 4).map(i => s"md5(s${2 * i} || '|' || s${2 * i + 1}) AS b$i").mkString(", ")
+        val joins = (0 until 4).map(i =>
+          s"""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+             |FROM bands a JOIN bands b ON a.b$i = b.b$i AND a.doc_id < b.doc_id""".stripMargin)
+          .mkString("\nUNION\n")
+        s"""WITH sigs AS (SELECT doc_id, $sigs FROM documents),
+           |bands AS (SELECT doc_id, $bands FROM sigs),
+           |pairs AS (SELECT DISTINCT doc_a, doc_b FROM ($joins)),
+           |scored AS (
+           |  SELECT p.doc_a, p.doc_b,
+           |         CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist,
+           |         ROUND(1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE)
+           |                     / GREATEST(len(a.text), len(b.text)), 6) AS edit_sim
+           |  FROM pairs p
+           |  JOIN documents a ON a.doc_id = p.doc_a
+           |  JOIN documents b ON b.doc_id = p.doc_b)
+           |SELECT doc_a, doc_b, edit_dist, edit_sim FROM scored
+           |WHERE edit_sim >= 0.8 ORDER BY doc_a, doc_b""".stripMargin
+      }),
+
+    // ── Bucketed interval join (AsOf.priorWindowCounts): per error event,
+    //    count same-user events in the prior 24 h, then roll up per user.
+    //    Spark-side plan is the 2-bucket explode + equi-join — never the
+    //    broadcast-nested-loop a naive range predicate would produce. The
+    //    DuckDB twin uses its native IEJoin range join on the raw predicate.
+    ("error_context_stats",
+      (spark, dir) => {
+        val ev = Tables.events(spark, dir)
+        AsOf.priorWindowCounts(
+            ev.filter(col("event_type") === "error")
+              .select("event_id", "user_id", "ts"),
+            ev, "user_id", "ts", "event_id", 86400L)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_errors"),
+               sum(when(col("n_prior") > 0, 1L).otherwise(0L)).as("n_with_context"),
+               sum(col("n_prior")).as("total_prior"),
+               max(col("n_prior")).as("max_prior"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH err AS (
+             |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+             |ctx AS (
+             |  SELECT e.event_id, e.user_id, COUNT(c.event_id) AS n_prior
+             |  FROM err e LEFT JOIN events c
+             |    ON c.user_id = e.user_id
+             |   AND epoch_us(c.ts) >= epoch_us(e.ts) - 86400000000
+             |   AND epoch_us(c.ts) < epoch_us(e.ts)
+             |  GROUP BY 1, 2)
+             |SELECT user_id, COUNT(*) AS n_errors,
+             |       CAST(SUM(CASE WHEN n_prior > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_with_context,
+             |       CAST(SUM(n_prior) AS BIGINT) AS total_prior,
+             |       CAST(MAX(n_prior) AS BIGINT) AS max_prior
+             |FROM ctx GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ── Fixed-iteration integer-exact PageRank (Graph.pagerankFixed) over
+    //    the symmetrized customer–supplier bipartite graph from
+    //    orders ⋈ lineitem — the iterative-graph capability (domain/source
+    //    authority scoring in a crawl-curation pipeline has this exact
+    //    shape). 3 damped rounds; BIGINT micro-unit ranks hash-match DuckDB.
+    ("supplier_pagerank",
+      (spark, dir) => {
+        val eo = Tables.orders(spark, dir)
+          .join(Tables.lineitem(spark, dir),
+                col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+          .distinct()
+        val edges = eo.select(explode(array(
+            struct(concat(lit("c"), col("c")).as("src"),
+                   concat(lit("s"), col("s")).as("dst")),
+            struct(concat(lit("s"), col("s")).as("src"),
+                   concat(lit("c"), col("c")).as("dst")))).as("e"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        Graph.pagerankFixed(edges, 3)
+          .orderBy(col("rank").desc, col("node"))
+      },
+      Some {
+        val round = (prev: String, next: String) =>
+          s"""$next AS (SELECT e.dst AS node,
+             |  CAST(150000000000 + (SUM(r.rank // d.d) * 85) // 100 AS BIGINT) AS rank
+             |FROM edges e JOIN $prev r ON r.node = e.src
+             |JOIN deg d ON d.src = e.src GROUP BY 1)""".stripMargin
+        s"""WITH eo AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+           |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+           |edges AS (SELECT 'c' || c AS src, 's' || s AS dst FROM eo
+           |  UNION ALL SELECT 's' || s, 'c' || c FROM eo),
+           |deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY 1),
+           |r0 AS (SELECT src AS node, CAST(1000000000000 AS BIGINT) AS rank FROM deg),
+           |${round("r0", "r1")},
+           |${round("r1", "r2")},
+           |${round("r2", "r3")}
+           |SELECT node, rank FROM r3 ORDER BY rank DESC, node""".stripMargin
+      })
   )
 }

@@ -60,4 +60,44 @@ object AsOf {
         sum(col("__new")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .drop("__new")
   }
+
+  /** Bucketed interval (range) join: for each probe row, count build rows of
+    * the same key with `build.ts ∈ [probe.ts − windowSeconds, probe.ts)`.
+    *
+    * Spark has no native range join; the naive non-equi join plans as a
+    * broadcast-nested-loop — O(probe × build) per key and a scale killer.
+    * Instead both sides are bucketed at the window width: the half-open
+    * prior window spans at most two buckets, so the probe explodes into
+    * exactly 2 candidate bucket keys and the join is a plain shuffle
+    * equi-join on (key, bucket) + a residual range filter. Shuffle volume is
+    * 2×probe + build; per-group size is the per-key event rate over one
+    * window — bounded, no skew beyond the key distribution itself.
+    *
+    * Returns the probe rows (all columns) plus `n_prior` (0 when the window
+    * is empty — the left join keeps empty-window probes).
+    */
+  def priorWindowCounts(probe: DataFrame, build: DataFrame, key: String,
+                        tsCol: String, idCol: String,
+                        windowSeconds: Long): DataFrame = {
+    val w = windowSeconds * 1000000L // exact epoch-micros arithmetic
+    val probeKeyed = probe
+      .withColumn("__pe", unix_micros(col(tsCol)))
+      .withColumn("__bucket",
+        explode(array(floor(col("__pe") / w) - 1, floor(col("__pe") / w))))
+      .select(col(key).as("__k"), col("__bucket"), col("__pe"),
+              col(idCol).as("__pid"))
+    val buildKeyed = build
+      .withColumn("__be", unix_micros(col(tsCol)))
+      .select(col(key).as("__k"), floor(col("__be") / w).as("__bucket"),
+              col("__be"))
+    val counts = probeKeyed
+      .join(buildKeyed, Seq("__k", "__bucket"))
+      .filter(col("__be") >= col("__pe") - w && col("__be") < col("__pe"))
+      .groupBy(col("__pid"))
+      .agg(count(lit(1)).as("n_prior"))
+    probe
+      .join(counts, probe(idCol) === counts("__pid"), "left_outer")
+      .drop("__pid")
+      .withColumn("n_prior", coalesce(col("n_prior"), lit(0L)))
+  }
 }

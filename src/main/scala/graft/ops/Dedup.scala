@@ -844,4 +844,32 @@ object Dedup {
             filter(toks, (t, i) => !array_contains(col("cov"), i)), " "))
           .as("clean_text"))
   }
+
+  /** Edit-distance verification of LSH candidate pairs: the exact-rescore
+    * stage a production near-dup pipeline runs after banding (candidate
+    * generation is cheap and recall-oriented; the char-level Levenshtein
+    * similarity is the precision filter). Candidates come from
+    * [[lshCandidatePairs]] — LSH-bounded, never doc×doc — then two equi-joins
+    * attach the texts and the codegen'd `levenshtein` built-in scores each
+    * pair. `edit_sim = 1 − dist / max(len)` rounded to 6 decimals.
+    *
+    * Scale: pair count is LSH-bounded and the per-pair cost is O(len_a ×
+    * len_b); at cluster scale the rescore would use the bounded 3-arg
+    * `levenshtein(l, r, maxDist)` (early-exit at `(1−minSim)·maxLen`) — the
+    * 2-arg form is kept here because the DuckDB twin has no bounded variant
+    * and the oracle hashes the exact distance column.
+    */
+  def editDistanceRescore(docs: DataFrame, k: Int = 8, rowsPerBand: Int = 2,
+                          minSim: Double = 0.8): DataFrame = {
+    val txt = docs.select(col("doc_id"), col("text"))
+    lshCandidatePairs(docs, k, rowsPerBand)
+      .join(txt.select(col("doc_id").as("doc_a"), col("text").as("__ta")), Seq("doc_a"))
+      .join(txt.select(col("doc_id").as("doc_b"), col("text").as("__tb")), Seq("doc_b"))
+      .withColumn("edit_dist", levenshtein(col("__ta"), col("__tb")).cast("long"))
+      .withColumn("edit_sim",
+        round(lit(1.0) - col("edit_dist").cast("double") /
+          greatest(length(col("__ta")), length(col("__tb"))).cast("double"), 6))
+      .filter(col("edit_sim") >= minSim)
+      .select("doc_a", "doc_b", "edit_dist", "edit_sim")
+  }
 }

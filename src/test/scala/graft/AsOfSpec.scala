@@ -51,4 +51,38 @@ class AsOfSpec extends AnyFunSuite {
     assert(out(3L) == 2L)
     assert(out(4L) == 1L)
   }
+
+  test("priorWindowCounts: half-open [t-w, t) boundaries, zero-count probes kept") {
+    // probe at 12:00:00 with w=3600s: window is [11:00:00, 12:00:00) —
+    // build rows exactly at t-w are IN, exactly at t are OUT
+    val probe = Seq((1L, 7L, ts("2024-01-01 12:00:00")),
+                    (2L, 7L, ts("2024-01-01 00:10:00")),   // nothing prior
+                    (3L, 9L, ts("2024-01-01 12:00:00")))   // other key sees nothing
+      .toDF("event_id", "user_id", "ts")
+    val build = Seq((101L, 7L, ts("2024-01-01 11:00:00")), // == t-w → in
+                    (102L, 7L, ts("2024-01-01 11:59:59")), // in
+                    (103L, 7L, ts("2024-01-01 12:00:00")), // == t → out
+                    (104L, 7L, ts("2024-01-01 10:59:59")), // before window → out
+                    (105L, 8L, ts("2024-01-01 11:30:00"))) // other key → out
+      .toDF("event_id", "user_id", "ts")
+    val out = AsOf.priorWindowCounts(probe, build, "user_id", "ts", "event_id", 3600L)
+      .select("event_id", "n_prior").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 2L, 2L -> 0L, 3L -> 0L))
+  }
+
+  test("priorWindowCounts: window spanning a bucket boundary is not double-counted") {
+    // bucket width == w; probe lands mid-bucket so its window covers parts
+    // of two buckets — each build row must count exactly once even though
+    // the probe explodes into both bucket keys
+    val probe = Seq((1L, 5L, ts("2024-01-01 00:30:00")))
+      .toDF("event_id", "user_id", "ts")
+    val build = Seq((11L, 5L, ts("2023-12-31 23:40:00")),  // previous bucket, in window
+                    (12L, 5L, ts("2024-01-01 00:10:00")),  // same bucket, in window
+                    (13L, 5L, ts("2023-12-31 23:20:00")))  // previous bucket, before window
+      .toDF("event_id", "user_id", "ts")
+    val out = AsOf.priorWindowCounts(probe, build, "user_id", "ts", "event_id", 3600L)
+      .select("n_prior").collect().map(_.getLong(0))
+    assert(out.toSeq == Seq(2L))
+  }
 }

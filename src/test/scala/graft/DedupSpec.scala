@@ -372,4 +372,35 @@ class DedupSpec extends AnyFunSuite {
     }
     assert(stats.map(_._3).sum == fromSpans.values.sum)
   }
+
+  test("editDistanceRescore: subset of LSH candidates, exact sims, threshold filter") {
+    val cands = Dedup.lshCandidatePairs(docs, 8, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rescored = Dedup.editDistanceRescore(docs, 8, 2, 0.8).collect()
+    assert(rescored.nonEmpty, "corpus plants near-dups — rescore must keep some")
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rescored.foreach { r =>
+      val (a, b, dist, sim) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(cands((a, b)), s"($a,$b) not an LSH candidate")
+      assert(sim >= 0.8)
+      // exact distance check against a reference DP implementation
+      val (ta, tb) = (texts(a), texts(b))
+      val dp = Array.tabulate(ta.length + 1)(i => i)
+      for (j <- 1 to tb.length) {
+        var prev = dp(0); dp(0) = j
+        for (i <- 1 to ta.length) {
+          val cur = dp(i)
+          dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+                           prev + (if (ta(i - 1) == tb(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      assert(dist == dp(ta.length), s"($a,$b): levenshtein $dist vs DP ${dp(ta.length)}")
+      val expSim = BigDecimal(1.0 - dist.toDouble / math.max(ta.length, tb.length))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(sim == expSim)
+    }
+  }
 }
