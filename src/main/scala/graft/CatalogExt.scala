@@ -2168,13 +2168,21 @@ object CatalogExt {
                 col("l_orderkey") === col("o_orderkey"))
           .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
           .distinct()
+        // node ids stay BIGINT (2c / 2s+1) through the iterations — long
+        // joins beat string joins on the million-edge relation — and become
+        // the oracle's 'c<k>'/'s<k>' labels only in the final 16 k-row
+        // projection
         val edges = eo.select(explode(array(
-            struct(concat(lit("c"), col("c")).as("src"),
-                   concat(lit("s"), col("s")).as("dst")),
-            struct(concat(lit("s"), col("s")).as("src"),
-                   concat(lit("c"), col("c")).as("dst")))).as("e"))
+            struct((col("c") * 2).as("src"), (col("s") * 2 + 1).as("dst")),
+            struct((col("s") * 2 + 1).as("src"), (col("c") * 2).as("dst"))))
+            .as("e"))
           .select(col("e.src").as("src"), col("e.dst").as("dst"))
         Graph.pagerankFixed(edges, 3)
+          .select(
+            when(col("node") % 2 === 0, concat(lit("c"), expr("node div 2")))
+              .otherwise(concat(lit("s"), expr("(node - 1) div 2")))
+              .as("node"),
+            col("rank"))
           .orderBy(col("rank").desc, col("node"))
       },
       Some {

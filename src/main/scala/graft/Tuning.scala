@@ -52,7 +52,14 @@ object Tuning {
     // (all with the lowShuffle tag below compounding), backfill_pages
     // 0.32→0.24/0.20 (AQE off alone)
     "download_status_check", "compaction_plan", "customers_with_orders",
-    "backfill_pages")
+    "backfill_pages",
+    // round-7 session-5 additions (graft.TailAB, 2 interleaved runs):
+    // supplier_pagerank 2.98→1.77 / 2.73→2.13 (explicit broadcast hints —
+    // nothing for AQE to re-plan; stage pauses × 19 jobs were the cost),
+    // editdist_rescore 2.28→0.85 / 3.42→0.97 (same family as the tagged
+    // incremental_dedup_check), error_context_stats 0.51→0.38 / 0.49→0.36
+    // (all compounding with the lowShuffle tag below)
+    "supplier_pagerank", "editdist_rescore", "error_context_stats")
   // NOT tagged despite a small A/B win: dup_clusters — iterative
   // data-dependent join loop (the classification rule says AQE on), and its
   // −0.10 s reading did not reproduce (+0.53 s in the validation run).
@@ -91,7 +98,10 @@ object Tuning {
     // ann_recall, duplicate_order_audit — direction flips run to run; the
     // 9-single-task-job shapes are AQE stage pauses that 8 partitions do
     // not remove.
-    "last_purchase_asof", "boilerplate_line_stats")
+    "last_purchase_asof", "boilerplate_line_stats",
+    // round-7 session-5 (same TailAB runs as the fixedShape notes above):
+    // the aqe0s8 variant beat aqe0 alone for all three new rows
+    "supplier_pagerank", "editdist_rescore", "error_context_stats")
 
   /** Run `body` with the per-query conf overrides for `name`, restoring the
     * previous session values afterwards (exception-safe, so one query's
