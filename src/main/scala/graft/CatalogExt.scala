@@ -1031,6 +1031,104 @@ object CatalogExt {
               |FROM ex LEFT JOIN pqtop ON ex.q_id = pqtop.q_id AND ex.vec_id = pqtop.vec_id
               |GROUP BY ex.q_id ORDER BY ex.q_id""".stripMargin)),
 
+    // ── IVFPQ composed ANN (coarse-quantizer pruning + PQ ADC scoring —
+    //    the FAISS-style inverted-file deployment shape): each query scores
+    //    only the corpus vectors in its 4 probed clusters, and the score is
+    //    the PQ reconstruction cosine. Twin = the ivf_ann_topk clustering/
+    //    probe CTEs composed with the pq_ann_topk scored CTEs, restricted
+    //    to probed candidates — no new arithmetic on either side.
+    ("ivfpq_ann_topk",
+      (spark, dir) => {
+        val emb = Tables.embeddings(spark, dir)
+        Similarity.ivfpqTopK(emb.filter(col("vec_id") < 8),
+                             emb.filter(col("vec_id") >= 8), 5,
+                             nCentroids = 16, nProbe = 4,
+                             m = pqM, codesPerBook = 16, iters = 1)
+          .orderBy(col("q_id"), col("adc_score").desc, col("vec_id"))
+      },
+      Some(s"""WITH ${sqlKmeans("vec_id >= 8", 16, 1)},
+              |casg AS (
+              |  SELECT vec_id, cluster_id FROM (
+              |    SELECT c.vec_id, kk.cluster_id,
+              |           row_number() OVER (PARTITION BY c.vec_id
+              |             ORDER BY round(list_cosine_similarity(c.emb, kk.centroid), 6) DESC,
+              |                      kk.cluster_id) AS rn
+              |    FROM corpus c CROSS JOIN cent1 kk) WHERE rn = 1),
+              |$sqlPqScoredCtes,
+              |qprobe AS (
+              |  SELECT q_id, cluster_id FROM (
+              |    SELECT q.q_id, kk.cluster_id,
+              |           row_number() OVER (PARTITION BY q.q_id
+              |             ORDER BY round(list_cosine_similarity(q.emb, kk.centroid), 6) DESC,
+              |                      kk.cluster_id) AS rn
+              |    FROM q CROSS JOIN cent1 kk) WHERE rn <= 4),
+              |cand AS (
+              |  SELECT p.q_id, a.vec_id FROM qprobe p JOIN casg a USING (cluster_id))
+              |SELECT s.q_id, s.vec_id, s.adc_score
+              |FROM scored s JOIN cand USING (q_id, vec_id)
+              |QUALIFY row_number() OVER (PARTITION BY s.q_id
+              |          ORDER BY s.adc_score DESC, s.vec_id) <= 5
+              |ORDER BY s.q_id, s.adc_score DESC, s.vec_id""".stripMargin)),
+
+    // ── IVFPQ approximation quality (the ann_recall convention): per-query
+    //    recall of the pruned+quantized top-k vs exact brute force — the
+    //    composed index's end-to-end quality number, sensitive to coarse
+    //    clustering, probe choice, codebooks, and tables at once.
+    ("ivfpq_recall",
+      (spark, dir) => {
+        val emb = Tables.embeddings(spark, dir)
+        val qs = emb.filter(col("vec_id") < 8)
+        val corpus = emb.filter(col("vec_id") >= 8)
+        val exact = Similarity.cosineTopK(qs, corpus, 5)
+          .select(col("q_id"), col("vec_id"))
+        val ivfpq = Similarity.ivfpqTopK(qs, corpus, 5,
+            nCentroids = 16, nProbe = 4, m = pqM, codesPerBook = 16, iters = 1)
+          .select(col("q_id"), col("vec_id")).withColumn("hit", lit(1L))
+        exact.join(ivfpq, Seq("q_id", "vec_id"), "left_outer")
+          .groupBy(col("q_id"))
+          .agg(count(lit(1)).as("n_exact"),
+               sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+          .withColumn("recall", col("n_hit").cast("double") / col("n_exact"))
+          .transform(CatalogCore.orderedReport(_, col("q_id")))
+      },
+      Some(s"""WITH ${sqlKmeans("vec_id >= 8", 16, 1)},
+              |casg AS (
+              |  SELECT vec_id, cluster_id FROM (
+              |    SELECT c.vec_id, kk.cluster_id,
+              |           row_number() OVER (PARTITION BY c.vec_id
+              |             ORDER BY round(list_cosine_similarity(c.emb, kk.centroid), 6) DESC,
+              |                      kk.cluster_id) AS rn
+              |    FROM corpus c CROSS JOIN cent1 kk) WHERE rn = 1),
+              |$sqlPqScoredCtes,
+              |qprobe AS (
+              |  SELECT q_id, cluster_id FROM (
+              |    SELECT q.q_id, kk.cluster_id,
+              |           row_number() OVER (PARTITION BY q.q_id
+              |             ORDER BY round(list_cosine_similarity(q.emb, kk.centroid), 6) DESC,
+              |                      kk.cluster_id) AS rn
+              |    FROM q CROSS JOIN cent1 kk) WHERE rn <= 4),
+              |cand AS (
+              |  SELECT p.q_id, a.vec_id FROM qprobe p JOIN casg a USING (cluster_id)),
+              |ivfpqtop AS (
+              |  SELECT s.q_id, s.vec_id
+              |  FROM scored s JOIN cand USING (q_id, vec_id)
+              |  QUALIFY row_number() OVER (PARTITION BY s.q_id
+              |            ORDER BY s.adc_score DESC, s.vec_id) <= 5),
+              |exscored AS (
+              |  SELECT qq.vec_id AS q_id, e.vec_id,
+              |         round(list_cosine_similarity(CAST(qq.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 6) AS cos_sim
+              |  FROM embeddings qq CROSS JOIN embeddings e
+              |  WHERE qq.vec_id < 8 AND e.vec_id >= 8),
+              |ex AS (
+              |  SELECT q_id, vec_id FROM exscored
+              |  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) <= 5)
+              |SELECT ex.q_id, COUNT(*) AS n_exact,
+              |       CAST(SUM(CASE WHEN ivfpqtop.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+              |       CAST(SUM(CASE WHEN ivfpqtop.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+              |         / COUNT(*) AS recall
+              |FROM ex LEFT JOIN ivfpqtop ON ex.q_id = ivfpqtop.q_id AND ex.vec_id = ivfpqtop.vec_id
+              |GROUP BY ex.q_id ORDER BY ex.q_id""".stripMargin)),
+
     // ── language-ID heuristic (stopword-hit ratio).
     ("lang_id",
       (spark, dir) => {

@@ -586,6 +586,78 @@ object Similarity {
     topKPerQuery(scored, k).withColumnRenamed("cos_sim", "adc_score")
   }
 
+  /** IVF + PQ composed (the IVFPQ index of Jégou et al. as deployed in
+    * inverted-file ANN services): the coarse quantizer prunes candidates —
+    * a query scores only corpus vectors in its `nProbe` probed clusters —
+    * and PQ asymmetric distance replaces exact scoring inside them. Both
+    * halves are the already-hash-pinned machineries ([[ivfTopK]]'s
+    * fixed-point coarse k-means + assignment, [[pqTopK]]'s books, codes and
+    * ADC tables) composed without new arithmetic, so the result is exactly
+    * reproducible relationally (the `ivfpq_ann_topk` row).
+    *
+    * Query probes are ranked driver-side with the identical rounded-cosine
+    * (the [[roundedLocal]]/[[cosLocal]] twins of the executor kernel) and
+    * shipped as one literal array-of-arrays; the candidate restriction is a
+    * filter on `cluster_id ∈ probed(q)`. 100 TB shape: `cluster_id` is the
+    * corpus partitioning column, so that filter IS partition pruning — a
+    * query reads nProbe/nCentroids of the corpus from disk; the local form
+    * keeps one fused scan (codes → ADC scores → probe filter → partial-agg
+    * top-k) with the filter bounding what reaches the k·tasks-row shuffle.
+    */
+  def ivfpqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                nCentroids: Int = 16, nProbe: Int = 4,
+                m: Int = 16, codesPerBook: Int = 16, iters: Int = 1,
+                dim: Int = 64): DataFrame = {
+    val subDim = dim / m
+    val cents = kmeansCentroidsLocal(corpus, nCentroids, iters, dim)
+    val corpusIdx = argmaxAssignLocal(corpus, cents)
+    val books = pqCodebooks(corpus, m, codesPerBook, iters, dim)
+    val qRows = queries.select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    val probed: Seq[Seq[Long]] = qRows.toSeq.map { case (_, qv) =>
+      cents.map { case (cid, cv) => (cid, roundedLocal(cosLocal(qv, cv))) }
+        .sortBy { case (cid, cs) => (-cs, cid) }.take(nProbe).map(_._1).toSeq
+    }
+    val n2Tabs: Array[Array[Double]] = books.map(_.map { case (_, c) =>
+      roundedLocal(dotLocal(c, c)) })
+    val dotTabs: Array[(Long, Double, Array[Array[Double]])] =
+      qRows.map { case (qid, qv) =>
+        val qn = roundedLocal(math.sqrt(dotLocal(qv, qv)))
+        (qid, qn, books.zipWithIndex.map { case (book, s) =>
+          val qSub = qv.slice(s * subDim, (s + 1) * subDim)
+          book.map { case (_, c) => roundedLocal(dotLocal(qSub, c)) }
+        })
+      }
+    val scoresCol = org.apache.spark.sql.graft.VectorExpressions.pqAdcScores(
+      col("__codes"), books.map(_.map(_._1)),
+      dotTabs.map(_._3), n2Tabs, dotTabs.map(_._2))
+    val qIds = lit(dotTabs.map(_._1))
+    val probedLit = typedLit(probed)
+    val scored = corpusIdx
+      .withColumn("__codes", pqCodesCol(books))
+      .select(col("vec_id"), col("cluster_id"),
+              posexplode(scoresCol).as(Seq("qi", "cos_sim")))
+      .filter(array_contains(
+        element_at(probedLit, (col("qi") + 1).cast("int")), col("cluster_id")))
+      .select(element_at(qIds, col("qi") + 1).as("q_id"),
+              col("vec_id"), col("cos_sim"))
+    topKPerQuery(scored, k).withColumnRenamed("cos_sim", "adc_score")
+  }
+
+  /** Driver-side twin of [[org.apache.spark.sql.graft.VectorExpressions
+    * .CosineSimilarity]]: one loop accumulating dot/na/nb, then
+    * `dot / (sqrt(na)·sqrt(nb))` — the association order is part of the
+    * hash-pinned contract.
+    */
+  private def cosLocal(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
   /** Sequential double dot product — the same loop order as
     * [[org.apache.spark.sql.graft.VectorExpressions.CosineSimilarity]] (and,
     * empirically pinned by every rounded-cosine catalog row, as DuckDB's

@@ -248,4 +248,30 @@ class SimilaritySpec extends AnyFunSuite {
       .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
     assert(auto == manual)
   }
+
+  test("ivfpqTopK: results are PQ-scored, probe-restricted, and ≤ k per query") {
+    val qs = emb.filter($"vec_id" < 8); val corpus = emb.filter($"vec_id" >= 8)
+    val ivfpq = Similarity.ivfpqTopK(qs, corpus, 5,
+        nCentroids = 16, nProbe = 4, m = 16, codesPerBook = 16, iters = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(ivfpq.nonEmpty)
+    val byQ = ivfpq.groupBy(_._1).view.mapValues(_.length)
+    assert(byQ.values.forall(_ <= 5), "at most k per query")
+    // every result must be in a probed cluster, and its score must equal the
+    // unpruned PQ ADC score for the same (query, vector) — pruning changes
+    // WHICH pairs are scored, never the score itself
+    val pqAll = Similarity.pqTopK(qs, corpus, corpus.count().toInt,
+        m = 16, codesPerBook = 16, iters = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    ivfpq.foreach { case (q, v, s) =>
+      assert(pqAll((q, v)) == s, s"($q,$v): IVFPQ score $s != PQ ADC ${pqAll((q, v))}")
+    }
+    // pruning is real: the IVFPQ top-k differs from the unpruned PQ top-k
+    // for at least one query on this corpus (nProbe=4 of 16 clusters), and
+    // the composed recall vs exact stays usable
+    val exact = Similarity.cosineTopK(qs, corpus, 5)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect ivfpq.map(t => (t._1, t._2)).toSet).size.toDouble / exact.size
+    assert(recall >= 0.1, s"IVFPQ recall=$recall collapsed")
+  }
 }
