@@ -2189,6 +2189,48 @@ object CatalogExt {
               |SELECT pair, COUNT(*) AS n FROM grams GROUP BY pair
               |ORDER BY n DESC, pair ASC LIMIT 50""".stripMargin)),
 
+    // ── Grouped Pearson correlation + OLS slope with exact BIGINT moment
+    //    sums (Stats.pearsonOlsFixed): Spark's own corr() aggregates
+    //    doubles in partition order and cannot hash-match an oracle; the
+    //    fixed-point moments can. quantity vs price cents per brand over
+    //    the broadcast part dimension.
+    ("brand_corr_stats",
+      (spark, dir) => {
+        val li = Tables.lineitem(spark, dir)
+          .join(broadcast(Tables.part(spark, dir)
+                  .select(col("p_partkey"), col("p_brand").as("brand"))),
+                col("l_partkey") === col("p_partkey"))
+        Stats.pearsonOlsFixed(li, Seq("brand"),
+            col("l_quantity").cast("long"),
+            Scalars.moneyCents(col("l_extendedprice")))
+          .withColumnRenamed("slope", "slope_cents")
+          .orderBy(col("brand"))
+      },
+      Some("""WITH s AS (
+             |  SELECT p_brand AS brand, COUNT(*) AS n,
+             |         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
+             |         CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sy,
+             |         CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sxx,
+             |         CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+             |                  * CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS syy,
+             |         CAST(SUM(CAST(l_quantity AS BIGINT)
+             |                  * CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sxy
+             |  FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1)
+             |SELECT brand, n,
+             |  CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) = 0
+             |         OR (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) = 0
+             |       THEN NULL
+             |       ELSE round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             |            / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             |             * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+             |  END AS corr,
+             |  CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) = 0
+             |       THEN NULL
+             |       ELSE round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             |            / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+             |  END AS slope_cents
+             |FROM s ORDER BY brand""".stripMargin)),
+
     // ── Edit-distance rescore of LSH candidates: the precision stage after
     //    banding — exact char-level Levenshtein similarity over the
     //    LSH-bounded pair set (Dedup.editDistanceRescore). 0.8 cleanly

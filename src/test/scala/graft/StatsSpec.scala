@@ -1,0 +1,54 @@
+package graft
+
+import graft.ops.Stats
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class StatsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def fit(rows: Seq[(String, Long, Long)]) =
+    Stats.pearsonOlsFixed(rows.toDF("g", "x", "y"), Seq("g"), col("x"), col("y"))
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double]),
+         Option(r.get(3)).map(_.asInstanceOf[Double])))
+      .toMap
+
+  test("pearsonOlsFixed: exact fits on crafted groups") {
+    val out = fit(Seq(
+      // perfect line y = 3x + 1 → corr 1, slope 3
+      ("lin", 1L, 4L), ("lin", 2L, 7L), ("lin", 3L, 10L),
+      // perfect anti-correlation y = -2x → corr -1, slope -2
+      ("anti", 1L, -2L), ("anti", 2L, -4L), ("anti", 3L, -6L),
+      // zero x-variance → both NULL
+      ("flat", 5L, 1L), ("flat", 5L, 9L),
+      // symmetric V shape → corr 0, slope 0
+      ("v", -1L, 1L), ("v", 0L, 0L), ("v", 1L, 1L)))
+    assert(out("lin") == ((3L, Some(1.0), Some(3.0))))
+    assert(out("anti") == ((3L, Some(-1.0), Some(-2.0))))
+    assert(out("flat") == ((2L, None, None)))
+    assert(out("v") == ((3L, Some(0.0), Some(0.0))))
+  }
+
+  test("pearsonOlsFixed matches a driver-side reference on pseudo-random data") {
+    val rows = (0 until 200).map { i =>
+      val x = (i * 7919) % 97
+      val y = 3 * x + ((i * 104729) % 31) - 15
+      ("g", x.toLong, y.toLong)
+    }
+    val out = fit(rows)("g")
+    val n = rows.size.toDouble
+    val (sx, sy) = (rows.map(_._2).sum.toDouble, rows.map(_._3).sum.toDouble)
+    val sxx = rows.map(r => r._2 * r._2).sum.toDouble
+    val syy = rows.map(r => r._3 * r._3).sum.toDouble
+    val sxy = rows.map(r => r._2 * r._3).sum.toDouble
+    val (varX, varY, cov) = (n * sxx - sx * sx, n * syy - sy * sy, n * sxy - sx * sy)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out._2.contains(r6(cov / (math.sqrt(varX) * math.sqrt(varY)))))
+    assert(out._3.contains(r6(cov / varX)))
+    assert(out._2.get > 0.9, "strong planted correlation must be detected")
+  }
+}
