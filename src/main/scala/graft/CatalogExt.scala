@@ -2189,6 +2189,60 @@ object CatalogExt {
               |SELECT pair, COUNT(*) AS n FROM grams GROUP BY pair
               |ORDER BY n DESC, pair ASC LIMIT 50""".stripMargin)),
 
+    // ── Ordered conversion funnel (Windows.funnelStages): earliest
+    //    strictly-sequenced view → click → purchase per user. Each stage is
+    //    a conditional min joined against the per-user frontier — no window
+    //    over the raw stream.
+    ("funnel_stages",
+      (spark, dir) =>
+        Windows.funnelStages(Tables.events(spark, dir), "user_id", "ts",
+                             "event_type", Seq("view", "click", "purchase"))
+          .select(col("user_id"), col("t1").as("t_view"),
+                  col("t2").as("t_click"), col("t3").as("t_purchase"))
+          .orderBy(col("user_id")),
+      Some("""WITH s1 AS (
+             |  SELECT user_id, MIN(ts) AS t_view FROM events
+             |  WHERE event_type = 'view' GROUP BY 1),
+             |s2 AS (
+             |  SELECT e.user_id, MIN(e.ts) AS t_click
+             |  FROM events e JOIN s1 USING (user_id)
+             |  WHERE e.event_type = 'click' AND e.ts > s1.t_view GROUP BY 1),
+             |s3 AS (
+             |  SELECT e.user_id, MIN(e.ts) AS t_purchase
+             |  FROM events e JOIN s2 USING (user_id)
+             |  WHERE e.event_type = 'purchase' AND e.ts > s2.t_click GROUP BY 1)
+             |SELECT s1.user_id, s1.t_view, s2.t_click, s3.t_purchase
+             |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+             |ORDER BY user_id""".stripMargin)),
+
+    // ── SCD2 status history (Windows.statusHistory): the event stream
+    //    compressed to change-point runs with validity intervals — the
+    //    slowly-changing-dimension type-2 build a warehouse runs on every
+    //    dimension refresh. One shuffle on user_id for both window passes.
+    ("status_history",
+      (spark, dir) =>
+        Windows.statusHistory(Tables.events(spark, dir), "user_id", "ts",
+                              "event_type", col("event_id"))
+          .orderBy(col("user_id"), col("run_no")),
+      Some("""WITH marked AS (
+             |  SELECT user_id, ts, event_id, event_type,
+             |         CASE WHEN lag(event_type) OVER w IS NULL
+             |               OR lag(event_type) OVER w <> event_type
+             |              THEN 1 ELSE 0 END AS chg
+             |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |runs0 AS (
+             |  SELECT *, CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_no
+             |  FROM marked),
+             |runs AS (
+             |  SELECT user_id, run_no, MIN(event_type) AS status,
+             |         MIN(ts) AS valid_from, COUNT(*) AS n_events
+             |  FROM runs0 GROUP BY 1, 2)
+             |SELECT user_id, run_no, status, valid_from,
+             |       lead(valid_from) OVER (PARTITION BY user_id ORDER BY run_no) AS valid_to,
+             |       n_events
+             |FROM runs ORDER BY user_id, run_no""".stripMargin)),
+
     // ── Grouped Pearson correlation + OLS slope with exact BIGINT moment
     //    sums (Stats.pearsonOlsFixed): Spark's own corr() aggregates
     //    doubles in partition order and cannot hash-match an oracle; the

@@ -59,7 +59,10 @@ object Tuning {
     // editdist_rescore 2.28→0.85 / 3.42→0.97 (same family as the tagged
     // incremental_dedup_check), error_context_stats 0.51→0.38 / 0.49→0.36
     // (all compounding with the lowShuffle tag below)
-    "supplier_pagerank", "editdist_rescore", "error_context_stats")
+    "supplier_pagerank", "editdist_rescore", "error_context_stats",
+    // funnel_stages 0.72→0.39 / 1.08→0.92, status_history 0.99→0.34 /
+    // 2.80→1.44 (second run window-contaminated but direction consistent)
+    "funnel_stages", "status_history")
   // NOT tagged despite a small A/B win: dup_clusters — iterative
   // data-dependent join loop (the classification rule says AQE on), and its
   // −0.10 s reading did not reproduce (+0.53 s in the validation run).
@@ -101,7 +104,8 @@ object Tuning {
     "last_purchase_asof", "boilerplate_line_stats",
     // round-7 session-5 (same TailAB runs as the fixedShape notes above):
     // the aqe0s8 variant beat aqe0 alone for all three new rows
-    "supplier_pagerank", "editdist_rescore", "error_context_stats")
+    "supplier_pagerank", "editdist_rescore", "error_context_stats",
+    "funnel_stages", "status_history")
 
   /** Run `body` with the per-query conf overrides for `name`, restoring the
     * previous session values afterwards (exception-safe, so one query's

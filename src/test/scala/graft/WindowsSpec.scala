@@ -1,0 +1,73 @@
+package graft
+
+import graft.ops.Windows
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class WindowsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("funnelStages: strict ordering, NULL propagation, out-of-order stages rejected") {
+    val ev = Seq(
+      // user 1: full ordered funnel
+      (1L, 10L, "view", ts("2024-01-01 10:00:00")),
+      (2L, 10L, "click", ts("2024-01-01 11:00:00")),
+      (3L, 10L, "purchase", ts("2024-01-01 12:00:00")),
+      // user 20: click BEFORE first view → stage 2 unreached
+      (4L, 20L, "click", ts("2024-01-01 09:00:00")),
+      (5L, 20L, "view", ts("2024-01-01 10:00:00")),
+      (6L, 20L, "purchase", ts("2024-01-01 11:00:00")),
+      // user 30: view only
+      (7L, 30L, "view", ts("2024-01-01 10:00:00")),
+      // user 40: no view at all → absent from output
+      (8L, 40L, "purchase", ts("2024-01-01 10:00:00")),
+      // user 50: click at EXACTLY the view instant → strict > rejects it,
+      // the later click counts
+      (9L, 50L, "view", ts("2024-01-01 10:00:00")),
+      (10L, 50L, "click", ts("2024-01-01 10:00:00")),
+      (11L, 50L, "click", ts("2024-01-01 10:30:00")))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val out = Windows.funnelStages(ev, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .collect()
+      .map(r => r.getLong(0) -> (Option(r.get(1)), Option(r.get(2)), Option(r.get(3))))
+      .toMap
+    assert(out.keySet == Set(10L, 20L, 30L, 50L))
+    assert(out(10L) == ((Some(ts("2024-01-01 10:00:00")),
+                         Some(ts("2024-01-01 11:00:00")),
+                         Some(ts("2024-01-01 12:00:00")))))
+    assert(out(20L)._2.contains(ts("2024-01-01 11:00:00")) == false &&
+           out(20L)._2.isEmpty && out(20L)._3.isEmpty,
+      "pre-view click must not count, and purchase needs a click first")
+    assert(out(30L)._2.isEmpty && out(30L)._3.isEmpty)
+    assert(out(50L)._2.contains(ts("2024-01-01 10:30:00")),
+      "same-instant stage must be rejected by the strict order")
+  }
+
+  test("statusHistory: runs compress, intervals chain, ties break on event_id") {
+    val ev = Seq(
+      (1L, 7L, "a", ts("2024-01-01 10:00:00")),
+      (2L, 7L, "a", ts("2024-01-01 10:05:00")), // same run
+      (3L, 7L, "b", ts("2024-01-01 10:10:00")), // change
+      (4L, 7L, "a", ts("2024-01-01 10:20:00")), // change back → NEW run
+      // same-instant tie: event_id order decides run boundary placement
+      (5L, 8L, "x", ts("2024-01-01 10:00:00")),
+      (6L, 8L, "y", ts("2024-01-01 10:00:00")))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val out = Windows.statusHistory(ev, "user_id", "ts", "event_type", col("event_id"))
+      .orderBy("user_id", "run_no").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+                 r.getTimestamp(3), Option(r.getTimestamp(4)), r.getLong(5)))
+    val u7 = out.filter(_._1 == 7L)
+    assert(u7.map(t => (t._2, t._3, t._6)).toSeq ==
+      Seq((1L, "a", 2L), (2L, "b", 1L), (3L, "a", 1L)),
+      "equal statuses separated by another status are distinct runs")
+    assert(u7(0)._5.contains(ts("2024-01-01 10:10:00")), "valid_to = next run start")
+    assert(u7(2)._5.isEmpty, "open interval for the current status")
+    val u8 = out.filter(_._1 == 8L)
+    assert(u8.map(_._3).toSeq == Seq("x", "y"), "tie broken by event_id")
+  }
+}

@@ -83,14 +83,55 @@ def replicate_embeddings(in_dir, out_dir, n):
     }, schema=schema), f"{out_dir}/embeddings.parquet")
 
 
-def main(in_dir, out_dir, n):
+def replicate_keyed(in_dir, out_dir, table, key_cols, n):
+    """Replicate a relational table N x by offsetting `key_cols` per replica
+    (disjoint key spaces - joins/graphs/windows decompose into N independent
+    copies, so total engine work is honestly N x). Non-key columns copy
+    unchanged (timestamps keep their range: per-key densities are
+    preserved, which is what windowed operators are sensitive to)."""
+    t = pq.read_table(f"{in_dir}/{table}.parquet")
+    cols = {c: t[c].to_pylist() for c in t.column_names}
+    out = {c: [] for c in t.column_names}
+    for r in range(n):
+        for c in t.column_names:
+            if c in key_cols:
+                out[c].extend(None if v is None else v + r * KEY_OFFSET
+                              for v in cols[c])
+            else:
+                out[c].extend(cols[c])
+    schema = t.schema.remove_metadata()
+    pq.write_table(pa.table({c: pa.array(out[c], schema.field(c).type)
+                             for c in t.column_names}, schema=schema),
+                   f"{out_dir}/{table}.parquet")
+
+
+# --rel mode: tables whose key spaces get offset per replica. orderkey
+# offsets identically in orders and lineitem so the join reconnects within
+# a replica; custkey/suppkey offsets make the bipartite order graph N
+# disjoint copies; events' user/event ids scale the interval-join and
+# sessionization key spaces. partkey is left alone (the part dimension
+# stays a shared small dim - dim tables don't grow with fact volume).
+REL_TABLES = {
+    "events": ["event_id", "user_id"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_suppkey"],
+}
+
+
+def main(in_dir, out_dir, n, rel=False):
     pathlib.Path(out_dir).mkdir(parents=True, exist_ok=True)
     for tbl in COPY_TABLES:
-        shutil.copyfile(f"{in_dir}/{tbl}.parquet", f"{out_dir}/{tbl}.parquet")
+        if rel and tbl in REL_TABLES:
+            replicate_keyed(in_dir, out_dir, tbl, REL_TABLES[tbl], n)
+        else:
+            shutil.copyfile(f"{in_dir}/{tbl}.parquet", f"{out_dir}/{tbl}.parquet")
     replicate_documents(in_dir, out_dir, n)
     replicate_embeddings(in_dir, out_dir, n)
-    print(f"wrote {n}x corpus replica of {in_dir} to {out_dir}")
+    kind = "corpus+relational" if rel else "corpus"
+    print(f"wrote {n}x {kind} replica of {in_dir} to {out_dir}")
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2], int(sys.argv[3]) if len(sys.argv) > 3 else 3)
+    args = [a for a in sys.argv[1:] if a != "--rel"]
+    main(args[0], args[1], int(args[2]) if len(args) > 2 else 3,
+         rel="--rel" in sys.argv)
