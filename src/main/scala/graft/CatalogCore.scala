@@ -109,6 +109,27 @@ object CatalogCore {
       staged
     })
 
+  /** Timeline-sliced staging for stream_context_parity: the events table
+    * written as three SEQUENTIAL one-file slices (days ≤10 / 11–20 / ≥21)
+    * so `maxFilesPerTrigger = 1` replays them as ordered micro-batches —
+    * an error in slice 2 must find its prior-window context in slice 1's
+    * retained join state, which is the cross-batch retention the parity
+    * row exists to exercise.
+    */
+  private val TimelineStage =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+  private def stagedEventsTimeline(spark: SparkSession, dir: String): String =
+    TimelineStage.computeIfAbsent((spark, dir), _ => {
+      val staged = scratchDir("graft_ctx_parity_")
+      val ev = Tables.events(spark, dir)
+        .select("event_id", "ts", "event_type", "user_id")
+      val day = dayofmonth(col("ts"))
+      for ((lo, hi) <- Seq((1, 10), (11, 20), (21, 31)))
+        ev.filter(day >= lo && day <= hi).coalesce(1)
+          .write.mode("append").parquet(s"$staged/src")
+      staged
+    })
+
   private val S = Lifecycle.statusSql // WITH replay_status AS (...)
 
   /** One staged fetch-attempt log per (session, dir) for
@@ -1289,6 +1310,58 @@ object CatalogCore {
               |       (order_key % 5) NOT BETWEEN 1 AND 3 AS gave_up
               |FROM replay_status WHERE order_key % 7 = 0
               |ORDER BY replay_id""".stripMargin)),
+
+    // ── Stream-stream interval join driver-hashed through a REAL
+    //    multi-trigger execution (the streaming twin of
+    //    error_context_stats' bucketed range join): the events table
+    //    replays as three timeline micro-batches; errors stream-join
+    //    same-user context events in their prior 24 h via the native
+    //    watermarked interval join, so slice-2 errors MUST find slice-1
+    //    context in retained join state. Inner-join matches are a pure
+    //    function of the data (no arrival-order or watermark-closure
+    //    dependence — lateness 40 d > the staged span, so nothing drops),
+    //    and the per-user rollup of the drained pair set hashes against
+    //    the batch twin. A dropped buffer row, wrong range bound, or
+    //    premature state eviction all shift the hash.
+    ("stream_context_parity",
+      (spark, dir) => {
+        import org.apache.spark.sql.types._
+        val staged = stagedEventsTimeline(spark, dir)
+        val schema = StructType(Seq(StructField("event_id", LongType),
+                                    StructField("ts", TimestampType),
+                                    StructField("event_type", StringType),
+                                    StructField("user_id", LongType)))
+        val run = ParityRun.incrementAndGet()
+        val name = s"graft_ctx_parity_$run"
+        def src() = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$staged/src")
+        val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+        val q =
+          try {
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+            graft.streaming.Streaming.priorWindowPairs(
+                src().filter(col("event_type") === "error"), src(),
+                86400L, "40 days")
+              .writeStream.outputMode("append").format("memory").queryName(name)
+              .option("checkpointLocation", s"$staged/ckpt_$run").start()
+          } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+        try q.processAllAvailable() finally q.stop()
+        spark.table(name)
+          .groupBy(col("user_id"))
+          .agg(countDistinct(col("err_id")).as("n_ctx_errors"),
+               count(lit(1)).as("n_pairs"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH pairs AS (
+             |  SELECT e.event_id AS err_id, e.user_id
+             |  FROM events e JOIN events c
+             |    ON c.user_id = e.user_id
+             |   AND epoch_us(c.ts) >= epoch_us(e.ts) - 86400000000
+             |   AND epoch_us(c.ts) < epoch_us(e.ts)
+             |  WHERE e.event_type = 'error')
+             |SELECT user_id, COUNT(DISTINCT err_id) AS n_ctx_errors,
+             |       COUNT(*) AS n_pairs
+             |FROM pairs GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // ── §3.3 composed disk↔state reconciliation, end to end (reference
     //    import_existing_replays.py:103-228 + fix_compacted_status.py:158-211):

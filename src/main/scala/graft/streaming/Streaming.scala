@@ -87,6 +87,30 @@ object Streaming {
       .select(col(keyCol), col("session.start").as("session_start"),
               col("session.end").as("session_end"), col("n_events"))
 
+  /** Stream-stream interval self-join — the streaming twin of the batch
+    * bucketed range join (`AsOf.priorWindowCounts`): each probe-side row
+    * pairs with same-key build-side rows in its preceding
+    * `[ts − windowSeconds, ts)` window, via Spark's native watermarked
+    * interval join. State on BOTH sides is bounded by watermark + the range
+    * condition — the state store holds only rows that could still match,
+    * exactly the two-bucket retention the batch form materializes as a
+    * join key. Inner join: matches emit as they form, no watermark-closure
+    * wait, so a bounded replay drains to the complete deterministic match
+    * set. Both inputs must carry (event_id, user_id, ts).
+    */
+  def priorWindowPairs(probe: DataFrame, build: DataFrame,
+                       windowSeconds: Long, lateness: String): DataFrame = {
+    val e = probe.withWatermark("ts", lateness).alias("err")
+    val c = build.withWatermark("ts", lateness).alias("ctx")
+    e.join(c, expr(
+        s"""err.user_id = ctx.user_id AND
+           |ctx.ts >= err.ts - INTERVAL $windowSeconds SECOND AND
+           |ctx.ts < err.ts""".stripMargin))
+      .select(col("err.event_id").as("err_id"),
+              col("err.user_id").as("user_id"),
+              col("ctx.event_id").as("ctx_id"))
+  }
+
   /** Streaming dedup-on-append (U5's streaming twin; the training-data
     * surface's exact-dedup pass as a stream): drop rows whose `keys` were
     * already seen, holding per-key state only while the watermark allows a

@@ -129,4 +129,47 @@ class StreamingSpec extends AnyFunSuite {
         "later micro-batch wins for the same key")
     } finally q.stop()
   }
+
+  test("priorWindowPairs: cross-batch interval matches equal the batch range join") {
+    import graft.ops.AsOf
+    val src = tmp("stream-ctx-src"); val ckpt = tmp("stream-ctx-ckpt")
+    val evSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType)))
+    def ev(rows: Seq[(Long, String, String, Long)]) =
+      rows.map { case (id, t, ty, u) =>
+        (id, java.sql.Timestamp.valueOf(t), ty, u) }
+        .toDF("event_id", "ts", "event_type", "user_id")
+    // slice 1: context events; slice 2: the errors that must reach back
+    // across the micro-batch boundary for their window
+    val slice1 = Seq((1L, "2024-01-01 10:00:00", "view", 7L),
+                     (2L, "2024-01-01 10:30:00", "click", 7L),
+                     (3L, "2024-01-01 10:40:00", "view", 8L))
+    val slice2 = Seq((4L, "2024-01-01 11:00:00", "error", 7L),  // sees 1, 2
+                     (5L, "2024-01-01 10:20:00", "error", 8L),  // nothing prior
+                     (6L, "2024-01-02 11:30:00", "error", 7L))  // window passed
+    ev(slice1).coalesce(1).write.mode("append").parquet(src)
+    ev(slice2).coalesce(1).write.mode("append").parquet(src)
+    def srcDf() = spark.readStream.schema(evSchema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    val q = Streaming.priorWindowPairs(
+        srcDf().filter($"event_type" === "error"), srcDf(), 3600L, "10 days")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ctx_parity_spec").option("checkpointLocation", ckpt).start()
+    val streamed =
+      try { q.processAllAvailable(); spark.table("ctx_parity_spec") }
+      finally q.stop()
+    val got = streamed.select("err_id", "ctx_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((4L, 1L), (4L, 2L)),
+      "slice-2 error must match slice-1 context across the trigger boundary")
+    // parity with the batch bucketed range join on the same data
+    val all = ev(slice1 ++ slice2)
+    val batch = AsOf.priorWindowCounts(
+        all.filter($"event_type" === "error"), all, "user_id", "ts", "event_id", 3600L)
+      .select("event_id", "n_prior").as[(Long, Long)].collect().toMap
+    val streamedCounts = got.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    assert(batch.forall { case (id, n) => streamedCounts.getOrElse(id, 0L) == n })
+  }
 }
