@@ -2189,6 +2189,39 @@ object CatalogExt {
               |SELECT pair, COUNT(*) AS n FROM grams GROUP BY pair
               |ORDER BY n DESC, pair ASC LIMIT 50""".stripMargin)),
 
+    // ── Z-order layout audit (Layout.zorderAudit — the OPTIMIZE ZORDER
+    //    technique): keys max-scaled into 8-bit curve lanes (the
+    //    rank-then-interleave step real implementations perform), rows
+    //    bucketed by the top 8 Z-bits; per-bucket min/max of BOTH raw keys
+    //    are the footer stats a scan would prune on. Exact BIGINT bit
+    //    ladder, reproduced step for step in the twin.
+    ("zorder_layout",
+      (spark, dir) =>
+        Layout.zorderAudit(Tables.lineitem(spark, dir),
+                           col("l_orderkey"), col("l_partkey"),
+                           bucketBits = 8)
+          .orderBy(col("bucket")),
+      Some {
+        def spread(v: String, p: String) = Seq(
+          s"($v | ($v << 4)) & 3855 AS ${p}b",
+          s"(${p}b | (${p}b << 2)) & 13107 AS ${p}c",
+          s"(${p}c | (${p}c << 1)) & 21845 AS ${p}d")
+        s"""WITH m AS (SELECT MAX(l_orderkey) AS xm, MAX(l_partkey) AS ym FROM lineitem),
+           |k AS (
+           |  SELECT l_orderkey AS x, l_partkey AS y,
+           |         (l_orderkey * 256) // (m.xm + 1) AS xs,
+           |         (l_partkey * 256) // (m.ym + 1) AS ys
+           |  FROM lineitem CROSS JOIN m),
+           |s1 AS (SELECT x, y, ${spread("xs", "x")(0)}, ${spread("ys", "y")(0)} FROM k),
+           |s2 AS (SELECT x, y, ${spread("xs", "x")(1)}, ${spread("ys", "y")(1)} FROM s1),
+           |s3 AS (SELECT x, y, ${spread("xs", "x")(2)}, ${spread("ys", "y")(2)} FROM s2),
+           |z AS (SELECT x, y, (xd | (yd << 1)) >> 8 AS bucket FROM s3)
+           |SELECT bucket, COUNT(*) AS n_rows,
+           |       MIN(x) AS x_min, MAX(x) AS x_max,
+           |       MIN(y) AS y_min, MAX(y) AS y_max
+           |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
+      }),
+
     // ── Ordered conversion funnel (Windows.funnelStages): earliest
     //    strictly-sequenced view → click → purchase per user. Each stage is
     //    a conditional min joined against the per-user frontier — no window
