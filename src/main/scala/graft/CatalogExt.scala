@@ -1346,6 +1346,26 @@ object CatalogExt {
              |       CAST(SUM(fp * fp) AS BIGINT) AS energy_fp
              |FROM s GROUP BY vec_id ORDER BY vec_id""".stripMargin)),
 
+    // ── frame sampling over the GRFT decode (Multimodal.frameSample — the
+    //    video-keyframe plumbing): every 2nd 8-sample frame of each decoded
+    //    payload, integer-exact per-frame stats, map-side explode inside the
+    //    partition. The twin recomputes from the source embeddings with the
+    //    same frame/stride arithmetic.
+    ("multimodal_framesample",
+      (spark, dir) =>
+        Multimodal.frameSample(spark,
+            Multimodal.encodeEmbeddings(spark, Tables.embeddings(spark, dir)))
+          .toDF().orderBy(col("vec_id"), col("frame_no")),
+      Some("""WITH s AS (
+             |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+             |         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS fp
+             |  FROM embeddings WHERE embedding IS NOT NULL),
+             |f AS (SELECT vec_id, i // 8 AS frame_no, fp FROM s WHERE (i // 8) % 2 = 0)
+             |SELECT vec_id, frame_no, COUNT(*) AS n_samples,
+             |       CAST(SUM(fp) AS BIGINT) AS sum_fp,
+             |       CAST(MAX(ABS(fp)) AS BIGINT) AS peak_fp
+             |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // ── deterministic train/val/test split manifest: hash-of-key assignment
     //    (stable under reruns/repartitioning/corpus growth — randomSplit is
     //    neither), summarized per (split, source).

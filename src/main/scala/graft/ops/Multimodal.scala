@@ -17,6 +17,10 @@ case class GrftMedia(vec_id: Long, payload: Array[Byte])
 case class GrftFeatures(vec_id: Long, n_samples: Long, sum_fp: Long,
                         peak_fp: Long, energy_fp: Long)
 
+/** One sampled frame of a GRFT payload's sample stream. */
+case class GrftFrame(vec_id: Long, frame_no: Long, n_samples: Long,
+                     sum_fp: Long, peak_fp: Long)
+
 /** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, batched decode/feature-extraction over partitions.
   *
@@ -122,6 +126,41 @@ object Multimodal {
             i += 1
           }
           GrftFeatures(m.vec_id, s.length.toLong, sum, peak, energy)
+        }
+      }
+    }
+  }
+
+  /** Frame sampling over decoded payloads — the video-keyframe batch shape:
+    * the sample stream splits into fixed `frameLen` frames and every
+    * `stride`-th frame survives, with integer-exact per-frame stats. Same
+    * `mapPartitions`-in-batches plumbing as [[mediaFeatures]] (a real
+    * decoder swaps in at `decodeSamples`; the frame loop, batch shape, and
+    * output schema are the production ones). Map-side only — the explode to
+    * frame grain happens inside the partition, payloads never move.
+    */
+  def frameSample(spark: SparkSession, media: Dataset[GrftMedia],
+                  frameLen: Int = 8, stride: Int = 2,
+                  batchSize: Int = 64): Dataset[GrftFrame] = {
+    import spark.implicits._
+    require(frameLen >= 1 && stride >= 1, s"bad frameLen=$frameLen stride=$stride")
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap { m =>
+          val s = decodeSamples(m.payload)
+          val nFrames = (s.length + frameLen - 1) / frameLen
+          (0 until nFrames).iterator.filter(_ % stride == 0).map { f =>
+            var i = f * frameLen
+            val end = math.min(i + frameLen, s.length)
+            var sum = 0L; var peak = 0L; var n = 0L
+            while (i < end) {
+              val v = s(i).toLong
+              sum += v
+              val a = math.abs(v); if (a > peak) peak = a
+              n += 1; i += 1
+            }
+            GrftFrame(m.vec_id, f.toLong, n, sum, peak)
+          }
         }
       }
     }

@@ -78,4 +78,26 @@ class MultimodalSpec extends AnyFunSuite {
       assert(f.energy_fp == fp.map(x => x * x).sum, s"vec $id energy")
     }
   }
+
+  test("frameSample: stride pattern, partial tail frame, stats match reference") {
+    val emb = Tables.embeddings(spark, TestSpark.sfDir).limit(16)
+    val frames = Multimodal
+      .frameSample(spark, Multimodal.encodeEmbeddings(spark, emb),
+                   frameLen = 5, stride = 3, batchSize = 4)
+      .collect().groupBy(_.vec_id)
+    val src = emb.select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+    src.foreach { case (id, v) =>
+      val fp = v.map(x => BigDecimal(x.toDouble * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+      val nFrames = (v.length + 4) / 5 // 64 samples → 13 frames, last is 4 wide
+      val expected = (0 until nFrames).filter(_ % 3 == 0).map { f =>
+        val sl = fp.slice(f * 5, math.min(f * 5 + 5, fp.length))
+        (f.toLong, sl.length.toLong, sl.sum, sl.map(math.abs).max)
+      }
+      val got = frames(id).sortBy(_.frame_no)
+        .map(g => (g.frame_no, g.n_samples, g.sum_fp, g.peak_fp)).toSeq
+      assert(got == expected, s"vec $id frames")
+      assert(got.last._2 == 4L, "tail frame is partial (64 % 5)")
+    }
+  }
 }
