@@ -156,16 +156,18 @@ object Bench {
     // (BASELINE.md round-4 re-pin) so the host-factor correction is
     // coherent: a bench run in a slower window scales the bar to what
     // DuckDB would have measured there.
-    // 29.9 = the round-7 session-3 MEASURED re-pin of the full 100-query
-    // suite in one window (BASELINE.md "Round-7 second re-pin": median of
-    // 5 process runs, range 29.8–30.4 — the tightest pin to date —
-    // probe-bracketed quiet, 8 probe samples 0.674–0.916, median 0.75 =
-    // the calib_quiet companion pin below). Zero increment layers: every
-    // catalog query's DuckDB median is from this one window, including
-    // the six rows added this session (pq_codes / pq_ann_topk / pq_recall
-    // / nb_quality_scores / temperature_mixture / dup_window_stats).
+    // 45.2 = the round-7 session-5 MEASURED re-pin of the full 120-query
+    // suite in one window (BASELINE.md "Round-7 third re-pin": median of
+    // 5 process runs, range 44.8–45.6 — 0.8 s spread — probe-bracketed,
+    // 8 probe samples 0.684–0.983, median 0.80 = the calib_quiet
+    // companion pin below). Zero increment layers: every catalog query's
+    // DuckDB median is from this one window, including the eleven rows
+    // added this session (editdist_rescore / error_context_stats /
+    // supplier_pagerank / ivfpq_ann_topk / ivfpq_recall /
+    // brand_corr_stats / funnel_stages / status_history /
+    // stream_context_parity / zorder_layout / multimodal_framesample).
     // `baseline_per_query.json` holds the same pin's per-query medians.
-    val baselineQuiet = sys.env.getOrElse("SPARK_GRAFT_BASELINE_SEC", "29.9").toDouble
+    val baselineQuiet = sys.env.getOrElse("SPARK_GRAFT_BASELINE_SEC", "45.2").toDouble
     // Host-speed calibration (BASELINE.md "Host-speed calibration"): the
     // shared build host has multi-minute windows where EVERYTHING runs
     // 20-85% slower (hypervisor-level; guest vmstat shows idle CPU while
@@ -183,9 +185,10 @@ object Bench {
     // window, pinning at the median is conservative. The UNCORRECTED
     // vs_baseline_quiet in the JSON is therefore the primary gate number;
     // vs_baseline is the window-corrected diagnostic, ±(probe spread) in
-    // sensitivity. Round-7 re-pin uses the window median (BASELINE.md):
-    // 0.75 = median of the 8 probe samples bracketing the 29.9 s pin.
-    val calibQuiet = sys.env.getOrElse("SPARK_GRAFT_CALIB_QUIET_SEC", "0.75").toDouble
+    // sensitivity. Round-7 session-5 re-pin uses the window median
+    // (BASELINE.md): 0.80 = median of the 8 probe samples bracketing the
+    // 45.2 s pin.
+    val calibQuiet = sys.env.getOrElse("SPARK_GRAFT_CALIB_QUIET_SEC", "0.80").toDouble
     // min, not median: the per-query time is the MIN over the three
     // passes, which structurally gravitates to the fastest window the run
     // saw — so the factor must describe that same best window. Min is also

@@ -61,8 +61,11 @@ object Tuning {
     // (all compounding with the lowShuffle tag below)
     "supplier_pagerank", "editdist_rescore", "error_context_stats",
     // funnel_stages 0.72→0.39 / 1.08→0.92, status_history 0.99→0.34 /
-    // 2.80→1.44 (second run window-contaminated but direction consistent)
-    "funnel_stages", "status_history")
+    // 2.80→1.44 (second run window-contaminated but direction consistent);
+    // ivf_recall 1.29→1.19 / 1.29→1.18, winnowing_overlap_pairs
+    // 1.04→0.95 / 1.07→0.83. NOT tagged: ivf_ann_topk (0.23 win did not
+    // reproduce — 0.04 in the validation run).
+    "funnel_stages", "status_history", "ivf_recall", "winnowing_overlap_pairs")
   // NOT tagged despite a small A/B win: dup_clusters — iterative
   // data-dependent join loop (the classification rule says AQE on), and its
   // −0.10 s reading did not reproduce (+0.53 s in the validation run).
@@ -105,7 +108,8 @@ object Tuning {
     // round-7 session-5 (same TailAB runs as the fixedShape notes above):
     // the aqe0s8 variant beat aqe0 alone for all three new rows
     "supplier_pagerank", "editdist_rescore", "error_context_stats",
-    "funnel_stages", "status_history")
+    "funnel_stages", "status_history", "ivf_recall",
+    "winnowing_overlap_pairs")
 
   /** Run `body` with the per-query conf overrides for `name`, restoring the
     * previous session values afterwards (exception-safe, so one query's
