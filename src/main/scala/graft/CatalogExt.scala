@@ -2242,6 +2242,60 @@ object CatalogExt {
            |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
       }),
 
+    // ── Cross-source overlap matrix (Curation.crossSourceOverlap): shared
+    //    distinct 8-gram windows + gram Jaccard per source pair — the
+    //    governance view of which corpus slices leak into which (pairwise
+    //    generalization of the train→eval decontamination check).
+    ("cross_source_overlap",
+      (spark, dir) =>
+        Curation.crossSourceOverlap(Tables.documents(spark, dir), 8)
+          .orderBy(col("source_a"), col("source_b")),
+      Some(s"""WITH g AS (
+              |  SELECT DISTINCT source, substr(md5(u), 1, 16) AS gkey
+              |  FROM (SELECT source, unnest(${sqlShingles(8)}) AS u FROM documents)),
+              |t AS (SELECT source, COUNT(*) AS total FROM g GROUP BY 1),
+              |p AS (
+              |  SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared
+              |  FROM g a JOIN g b ON a.gkey = b.gkey AND a.source < b.source
+              |  GROUP BY 1, 2)
+              |SELECT source_a, source_b, n_shared,
+              |       round(CAST(n_shared AS DOUBLE) / (ta.total + tb.total - n_shared), 6) AS jaccard
+              |FROM p JOIN t ta ON ta.source = source_a
+              |       JOIN t tb ON tb.source = source_b
+              |ORDER BY source_a, source_b""".stripMargin)),
+
+    // ── Last-touch attribution (AsOf.asofJoin): each purchase attributed
+    //    to the user's latest at-or-before click, rolled up by the click's
+    //    campaign (props k mod 10; NULL bucket = organic purchases with no
+    //    prior click). The DuckDB twin uses its native ASOF LEFT JOIN —
+    //    pinning our union+carry-forward construction against the engine
+    //    primitive it re-expresses.
+    ("purchase_attribution",
+      (spark, dir) => {
+        val ev = Tables.events(spark, dir)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"),
+                  get_json_object(col("props"), "$.k").cast("long").as("k"))
+        AsOf.asofJoin(purchases, clicks, "user_id", "ts", Seq("k"))
+          .groupBy((col("asof_k") % 10).as("campaign"))
+          .agg(count(lit(1)).as("n_purchases"),
+               countDistinct(col("user_id")).as("n_users"))
+          .orderBy(col("campaign").asc_nulls_first)
+      },
+      Some("""WITH clicks AS (
+             |  SELECT user_id, ts,
+             |         CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS campaign
+             |  FROM events WHERE event_type = 'click'),
+             |purch AS (
+             |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+             |SELECT c.campaign, COUNT(*) AS n_purchases,
+             |       COUNT(DISTINCT p.user_id) AS n_users
+             |FROM purch p ASOF LEFT JOIN clicks c
+             |  ON p.user_id = c.user_id AND p.ts >= c.ts
+             |GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin)),
+
     // ── Ordered conversion funnel (Windows.funnelStages): earliest
     //    strictly-sequenced view → click → purchase per user. Each stage is
     //    a conditional min joined against the per-user frontier — no window

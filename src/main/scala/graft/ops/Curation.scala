@@ -508,4 +508,41 @@ object Curation {
     if (withText) exploded
     else exploded.select("doc_id", "chunk_idx", "n_tokens", "chunk_hash")
   }
+
+  /** Cross-source overlap matrix: for every source pair, the count of
+    * distinct `n`-gram windows they share and the gram-level Jaccard — the
+    * pairwise generalization of [[contaminationSpans]]' train→eval check
+    * (a data-governance report: which corpus slices leak into which).
+    *
+    * Plan: one distinct over (source, gram-key) — gram text never leaves
+    * the map side; the 16-hex md5 prefix is the join key — then a
+    * shuffle-hash self-equi-join on the key. Per-key join fan-out is
+    * (sources sharing the gram)², bounded by the source count squared; at
+    * a catalog with thousands of sources, cap gram df first (the
+    * [[Dedup.ngramJaccardPairs]] `maxShingleDf` discipline).
+    */
+  def crossSourceOverlap(docs: DataFrame, n: Int = 8): DataFrame = {
+    // checkpoint: three consumers (totals + both join sides) of one
+    // explode+distinct pipeline
+    val grams = docs
+      .select(col("source"),
+        explode(org.apache.spark.sql.graft.TextExpressions
+          .wordShingles(col("text"), n, distinct = true)).as("g"))
+      .select(col("source"), substring(md5(col("g").cast("binary")), 1, 16).as("gkey"))
+      .distinct()
+      .localCheckpoint()
+    val totals = grams.groupBy("source").agg(count(lit(1)).as("total"))
+    val a = grams.select(col("source").as("source_a"), col("gkey"))
+    val b = grams.select(col("source").as("source_b"), col("gkey"))
+    a.hint("shuffle_hash").join(b, Seq("gkey"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(totals.select(col("source").as("source_a"),
+                                    col("total").as("__ta"))), Seq("source_a"))
+      .join(broadcast(totals.select(col("source").as("source_b"),
+                                    col("total").as("__tb"))), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        round(col("n_shared").cast("double") /
+          (col("__ta") + col("__tb") - col("n_shared")), 6).as("jaccard"))
+  }
 }

@@ -385,4 +385,28 @@ class CurationSpec extends AnyFunSuite {
     // sampling probs still sum to 1 (exact integer denominator)
     assert(math.abs(flat.values.map(_._2).sum - 1.0) < 1e-9)
   }
+
+  test("crossSourceOverlap: exact shared-gram counts and Jaccard on crafted sources") {
+    // 3-gram universe per source: A = {abc, bcd}, B = {abc, bcd} (full
+    // overlap), C = {abc, xyq} via a separate doc — A∩C = {abc}
+    val docs = Seq(
+      (1L, "a b c d", "A"),
+      (2L, "a b c d", "B"),
+      (3L, "a b c", "C"),
+      (4L, "x y q", "C"))
+      .toDF("doc_id", "text", "source")
+    val out = Curation.crossSourceOverlap(docs, 3)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    // A and B each have {abc, bcd}; C has {abc, xyq}
+    assert(out(("A", "B")) == ((2L, 1.0)), "identical gram sets → jaccard 1")
+    assert(out(("A", "C")) == ((1L, round6(1.0 / 3))), "1 shared of 3 distinct")
+    assert(out(("B", "C")) == ((1L, round6(1.0 / 3))))
+    assert(!out.contains(("A", "A")), "no self pairs")
+    assert(out.keys.forall { case (a, b) => a < b }, "canonical pair order")
+  }
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }
