@@ -2242,6 +2242,39 @@ object CatalogExt {
            |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
       }),
 
+    // ── Path mining (Windows.topEventPaths): the 20 most frequent 3-step
+    //    event-type sequences across per-user ordered streams — one key
+    //    shuffle, lags ride the same sorted pass, TakeOrdered tail.
+    ("event_path_trigrams",
+      (spark, dir) =>
+        Windows.topEventPaths(Tables.events(spark, dir), "user_id", "ts",
+                              "event_type", col("event_id"), 3, 20),
+      Some("""WITH s AS (
+             |  SELECT lag(event_type, 2) OVER w AS s2,
+             |         lag(event_type, 1) OVER w AS s1,
+             |         event_type AS s0
+             |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+             |SELECT s2 || '>' || s1 || '>' || s0 AS path, COUNT(*) AS n_paths
+             |FROM s WHERE s2 IS NOT NULL
+             |GROUP BY 1 ORDER BY n_paths DESC, path LIMIT 20""".stripMargin)),
+
+    // ── Cohort retention matrix (Windows.retentionCohorts): users bucketed
+    //    by first-seen week, distinct-counted per week offset — the
+    //    (cohort, period, n_active) triangle every growth dashboard draws.
+    ("retention_cohorts",
+      (spark, dir) =>
+        Windows.retentionCohorts(Tables.events(spark, dir), "user_id", "ts", 7)
+          .orderBy(col("cohort"), col("period_no")),
+      Some("""WITH p AS (
+             |  SELECT user_id,
+             |         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) // 7 AS per
+             |  FROM events),
+             |fs AS (SELECT user_id, MIN(per) AS cohort FROM p GROUP BY 1)
+             |SELECT fs.cohort, p.per - fs.cohort AS period_no,
+             |       COUNT(DISTINCT p.user_id) AS n_active
+             |FROM p JOIN fs USING (user_id)
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // ── Cross-source overlap matrix (Curation.crossSourceOverlap): shared
     //    distinct 8-gram windows + gram Jaccard per source pair — the
     //    governance view of which corpus slices leak into which (pairwise

@@ -74,6 +74,52 @@ object Windows {
     }
   }
 
+  /** Top event-type paths: the most frequent length-`n` consecutive
+    * event-type sequences across per-key ordered streams (path mining — the
+    * "what do users do next" report). One shuffle on the key for the lag
+    * window; the n−1 lags ride the same sorted pass; the count is a plain
+    * partial+final aggregate over the path string. Paths never cross keys
+    * (the first n−1 rows of each key have NULL lags and are filtered).
+    */
+  def topEventPaths(events: DataFrame, key: String, tsCol: String,
+                    typeCol: String, tiebreak: Column, n: Int,
+                    k: Int): DataFrame = {
+    require(n >= 2, s"path length must be >= 2, got $n")
+    val w = Window.partitionBy(col(key)).orderBy(col(tsCol), tiebreak)
+    val stepped = events.select(
+      (n - 1 to 0 by -1).map {
+        case 0 => col(typeCol).as("s0")
+        case d => lag(col(typeCol), d).over(w).as(s"s$d")
+      }: _*)
+    stepped
+      .filter(col(s"s${n - 1}").isNotNull) // row starts a full in-key window
+      .select(concat_ws(">", (n - 1 to 0 by -1).map(d => col(s"s$d")): _*).as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_paths"))
+      .orderBy(col("n_paths").desc, col("path"))
+      .limit(k)
+  }
+
+  /** Cohort retention matrix: keys bucketed by first-seen period, counted
+    * by distinct activity in each later period — (cohort, period_no,
+    * n_active). Two aggregates: first-seen per key (one shuffle), then a
+    * distinct count per (cohort, offset) over the activity join. The
+    * first-seen relation is key-grain — broadcastable at dimension-like
+    * key counts, shuffled co-partitioned otherwise.
+    */
+  def retentionCohorts(events: DataFrame, key: String, tsCol: String,
+                       periodDays: Int): DataFrame = {
+    // integer epoch-day division — exact on any engine (BIGINT to match
+    // SQL engines whose date arithmetic is 64-bit)
+    val period = expr(s"CAST(unix_date(to_date($tsCol)) div $periodDays AS BIGINT)")
+    val firstSeen = events.groupBy(col(key))
+      .agg(min(period).as("cohort"))
+    events.select(col(key), period.as("__p"))
+      .join(broadcast(firstSeen), Seq(key))
+      .groupBy(col("cohort"), (col("__p") - col("cohort")).as("period_no"))
+      .agg(countDistinct(col(key)).as("n_active"))
+  }
+
   /** SCD2-style status history: compress a per-key ordered event stream to
     * its change points and emit validity intervals — a row per maximal run
     * of an unchanged `statusCol`, with `valid_from` = first ts of the run

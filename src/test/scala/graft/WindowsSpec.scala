@@ -70,4 +70,42 @@ class WindowsSpec extends AnyFunSuite {
     val u8 = out.filter(_._1 == 8L)
     assert(u8.map(_._3).toSeq == Seq("x", "y"), "tie broken by event_id")
   }
+
+  test("topEventPaths: windows stay within keys, counts exact, top-k tiebreak") {
+    val ev = Seq(
+      (1L, 7L, "a", ts("2024-01-01 10:00:00")),
+      (2L, 7L, "b", ts("2024-01-01 10:01:00")),
+      (3L, 7L, "c", ts("2024-01-01 10:02:00")),
+      (4L, 7L, "b", ts("2024-01-01 10:03:00")),
+      (5L, 7L, "c", ts("2024-01-01 10:04:00")),
+      // user 8 contributes one a>b>c — but no cross-user paths with user 7
+      (6L, 8L, "a", ts("2024-01-01 09:00:00")),
+      (7L, 8L, "b", ts("2024-01-01 09:01:00")),
+      (8L, 8L, "c", ts("2024-01-01 09:02:00")))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val out = Windows.topEventPaths(ev, "user_id", "ts", "event_type",
+        col("event_id"), 3, 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    // user 7 paths: a>b>c, b>c>b, c>b>c; user 8: a>b>c
+    assert(out.toMap == Map("a>b>c" -> 2L, "b>c>b" -> 1L, "c>b>c" -> 1L))
+    assert(out.head == ("a>b>c" -> 2L), "ordered by count desc then path")
+    assert(out.map(_._1).toSeq == Seq("a>b>c", "b>c>b", "c>b>c"))
+  }
+
+  test("retentionCohorts: first-seen buckets, later-period distinct counts") {
+    // 7-day periods anchored at the epoch: 2024-01-01 is day 19723 → per
+    // 2817; 2024-01-08 → 2818; 2024-01-15 → 2819
+    val ev = Seq(
+      (1L, 100L, ts("2024-01-01 10:00:00")), // cohort 2817, active p0
+      (2L, 100L, ts("2024-01-08 10:00:00")), //            active p1
+      (3L, 100L, ts("2024-01-08 12:00:00")), //            same period, dedup
+      (4L, 200L, ts("2024-01-01 11:00:00")), // cohort 2817, active p0 only
+      (5L, 300L, ts("2024-01-08 09:00:00")), // cohort 2818, p0
+      (6L, 300L, ts("2024-01-15 09:00:00"))) //            p1
+      .toDF("event_id", "user_id", "ts")
+    val out = Windows.retentionCohorts(ev, "user_id", "ts", 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == Map((2817L, 0L) -> 2L, (2817L, 1L) -> 1L,
+                      (2818L, 0L) -> 1L, (2818L, 1L) -> 1L))
+  }
 }
