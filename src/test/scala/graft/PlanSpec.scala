@@ -157,20 +157,23 @@ class PlanSpec extends AnyFunSuite {
            p.contains("BroadcastHashJoin"), p)
   }
 
-  test("ivfTopK: corpus assignment is a literal projection — no explode, no corpus re-join window") {
-    // the round-5 shape: nearest-centroid corpus assignment is a pure
-    // map-side projection over collected centroid LITERALS (array_max +
-    // array_position argmax — no join, no aggregate, no shuffle); the only
-    // Generate allowed is topKPerQuery's result-array explode, and the only
-    // ranking window is the nProbe cluster selection on the (small) query
-    // side. kmeans' interior runs at collect time and cannot appear.
-    // Built directly — the catalog's driver-hashed IVF face is ivf_assign.
+  test("ivfTopK: one fused scan — literal argmax + literal-cosine explode, no join, no window") {
+    // the session-5 shape (the pqTopK convention): corpus assignment stays
+    // the literal-projection argmax (array_max + array_position over
+    // centroid LITERALS), query probes rank DRIVER-side, and the rescore is
+    // a literal-cosine posexplode + probed-cluster filter feeding the
+    // partial-agg top-k — NO query-side join, NO ranking window, no
+    // shuffle beyond the k-row aggregate. kmeans' interior runs at collect
+    // time and cannot appear. The catalog's driver-hashed faces are
+    // ivf_assign / ivf_ann_topk / ivf_recall.
     val emb = Tables.embeddings(spark, TestSpark.sfDir)
     val p = graft.ops.Similarity
       .ivfTopK(emb.filter(col("vec_id") < 8), emb.filter(col("vec_id") >= 8), 5)
       .queryExecution.executedPlan.toString
     assert(p.contains("array_position"), p)
-    assert(!p.contains("posexplode"), p)
+    assert(!p.toLowerCase.contains("sortmergejoin"), p)
+    assert(!p.contains("BroadcastHashJoin"), "no query-side join remains: " + p)
+    assert(!p.contains("Window"), "no ranking window remains: " + p)
     assert(!p.contains("CartesianProduct"), p)
   }
 
@@ -262,5 +265,28 @@ class PlanSpec extends AnyFunSuite {
     df.write.mode("overwrite").format("noop").save()
     assert(df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
       "AQE should broadcast the small dup head at test SF")
+  }
+
+  test("interval join plans as an equi-join, never a nested loop") {
+    // the whole point of the bucketed construction: a naive range-predicate
+    // join would plan as BroadcastNestedLoop (O(probe x build) per key)
+    val p = plan("error_context_stats")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Join") || p.contains("join"), "join must exist")
+  }
+
+  test("pagerank rounds are exchange-free after the checkpointed edge relation") {
+    // broadcast ranks onto dst-prepartitioned edges: the per-round
+    // groupBy(dst) must reuse the checkpoint's partitioning — exactly one
+    // exchange-after-scan would mean the repartition is being re-done
+    val df = SparkEntry.queries("supplier_pagerank")(spark, TestSpark.sfDir)
+    df.write.mode("overwrite").format("noop").save()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), "rank state must broadcast")
+    // rounds sit above the scanned checkpoint; each added Exchange would
+    // appear between HashAggregate pairs — the partial+final pairs must be
+    // adjacent (no exchange between a round's join and its aggregate)
+    assert(!p.contains("SortMergeJoin"), "no shuffle join in the rounds:\n" + p)
   }
 }
