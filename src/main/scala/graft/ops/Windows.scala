@@ -104,8 +104,10 @@ object Windows {
     * by distinct activity in each later period — (cohort, period_no,
     * n_active). Two aggregates: first-seen per key (one shuffle), then a
     * distinct count per (cohort, offset) over the activity join. The
-    * first-seen relation is key-grain — broadcastable at dimension-like
-    * key counts, shuffled co-partitioned otherwise.
+    * first-seen relation is key-grain, so it carries NO broadcast hint —
+    * key cardinality grows with the user base; AQE broadcasts it from
+    * runtime stats when it is small and keeps the co-partitioned shuffle
+    * join when it is not (both sides already hash on the key).
     */
   def retentionCohorts(events: DataFrame, key: String, tsCol: String,
                        periodDays: Int): DataFrame = {
@@ -115,7 +117,7 @@ object Windows {
     val firstSeen = events.groupBy(col(key))
       .agg(min(period).as("cohort"))
     events.select(col(key), period.as("__p"))
-      .join(broadcast(firstSeen), Seq(key))
+      .join(firstSeen, Seq(key))
       .groupBy(col("cohort"), (col("__p") - col("cohort")).as("period_no"))
       .agg(countDistinct(col(key)).as("n_active"))
   }
