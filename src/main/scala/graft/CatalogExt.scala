@@ -2383,6 +2383,43 @@ object CatalogExt {
              |       n_events
              |FROM runs ORDER BY user_id, run_no""".stripMargin)),
 
+    // ── HyperLogLog distinct sketch (Stats.hllDistinct) with exact
+    //    register arithmetic: 256 registers built in ONE partial+final
+    //    aggregate (shuffle = 256 rows at any input size — the
+    //    approx_count_distinct machinery, opened up so every step hashes),
+    //    indicator sum as an exact BIGINT numerator, the standard α·m²/Σ
+    //    estimate + linear-counting branch, and the exact distinct count
+    //    riding along as the accuracy column.
+    ("hll_distinct_orders",
+      (spark, dir) =>
+        Stats.hllDistinct(Tables.lineitem(spark, dir), "l_orderkey"),
+      Some("""WITH h AS (
+             |  SELECT CAST(CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15) AS UBIGINT) AS BIGINT) AS h
+             |  FROM lineitem),
+             |r AS (
+             |  SELECT h // 4503599627370496 AS idx,
+             |         53 - length(ltrim(lpad(bin(h % 4503599627370496), 52, '0'), '0')) AS rho
+             |  FROM h),
+             |regs AS (SELECT idx, MAX(rho) AS reg FROM r GROUP BY 1),
+             |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS nset,
+             |             CAST(SUM(1::BIGINT << (53 - reg)) AS BIGINT) AS num FROM regs),
+             |e AS (SELECT COUNT(DISTINCT l_orderkey) AS n_exact FROM lineitem),
+             |c AS (
+             |  SELECT nset, n_exact, 256 - nset AS zeros,
+             |         (((0.7213 / (1.0 + 1.079 / 256.0)) * 256.0) * 256.0 * 9007199254740992.0)
+             |           / CAST(num + (256 - nset) * 9007199254740992 AS DOUBLE) AS raw
+             |  FROM s CROSS JOIN e),
+             |f AS (
+             |  SELECT nset, n_exact,
+             |         CASE WHEN raw <= 640.0 AND zeros > 0
+             |              THEN 256.0 * ln(256.0 / CAST(zeros AS DOUBLE))
+             |              ELSE raw END AS est
+             |  FROM c)
+             |SELECT CAST(256 AS BIGINT) AS m, nset AS n_registers_set,
+             |       round(est, 6) AS hll_estimate, n_exact,
+             |       round(abs(est - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE), 6) AS rel_err
+             |FROM f""".stripMargin)),
+
     // ── Grouped Pearson correlation + OLS slope with exact BIGINT moment
     //    sums (Stats.pearsonOlsFixed): Spark's own corr() aggregates
     //    doubles in partition order and cannot hash-match an oracle; the

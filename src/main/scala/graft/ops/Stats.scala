@@ -51,4 +51,55 @@ object Stats {
         when(varX === 0.0, lit(null))
           .otherwise(round(cov / varX, 6)).as("slope")): _*)
   }
+
+  /** HyperLogLog distinct sketch (Flajolet et al. 2007) with DETERMINISTIC
+    * register arithmetic — the approximate-distinct machinery a 100 TB
+    * pipeline actually runs (`approx_count_distinct` is this algorithm),
+    * built openly so every step hash-matches a relational twin:
+    *
+    *  - per row: 60-bit md5-prefix hash → top-8-bit register index,
+    *    low-52-bit tail; rho = leading zeros of the tail + 1 via exact
+    *    string ops on `bin()` (no float log2 — its ulp behavior near
+    *    powers of two is not an engine contract);
+    *  - registers: `groupBy(idx).max(rho)` — ONE partial+final aggregate,
+    *    shuffle = 256 rows regardless of input size (this is the whole
+    *    point of the sketch at scale; sketches also merge across shards by
+    *    the same max);
+    *  - estimate: the indicator Σ 2^−M_j accumulates as the exact BIGINT
+    *    numerator Σ 2^(53−M_j) over 2^53 — order-independent where a
+    *    double sum of 256 spread-magnitude terms is not — then the
+    *    standard α_m·m²/Σ with the small-range linear-counting branch,
+    *    every double op IEEE-defined on identical operands.
+    *
+    * Returns one row: (m, n_registers_set, hll_estimate, n_exact,
+    * rel_err) — the exact distinct count rides along so the row documents
+    * its own accuracy.
+    */
+  def hllDistinct(df: DataFrame, keyColName: String): DataFrame = {
+    val m = 256 // 2^8 registers; alpha_256 per the HLL paper
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val hashed = df.select(
+      expr(s"CAST(conv(substring(md5(CAST($keyColName AS STRING)), 1, 15), 16, 10) AS BIGINT)")
+        .as("__h"))
+    val tail = col("__h") % lit(1L << 52)
+    val regs = hashed
+      .select(expr(s"__h div ${1L << 52}").as("idx"),
+              (lit(53) - length(ltrim(lpad(bin(tail), 52, "0"), "0"))).as("rho"))
+      .groupBy(col("idx")).agg(max(col("rho")).as("reg"))
+    val sketch = regs.agg(
+      count(lit(1)).as("n_registers_set"),
+      sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - reg AS INT))")).as("num"))
+    val exact = df.agg(countDistinct(col(keyColName)).as("n_exact"))
+    val zeros = lit(m) - col("n_registers_set") // unseen registers: rho-term 2^0
+    val numFull = col("num") + zeros * lit(1L << 53)
+    val raw = lit(alpha * m * m) * lit((1L << 53).toDouble) / numFull.cast("double")
+    val est = when(raw <= lit(2.5 * m) && zeros > 0,
+        lit(m.toDouble) * log(lit(m.toDouble) / zeros.cast("double")))
+      .otherwise(raw)
+    sketch.crossJoin(exact)
+      .select(lit(m.toLong).as("m"), col("n_registers_set"),
+              round(est, 6).as("hll_estimate"), col("n_exact"),
+              round(abs(est - col("n_exact").cast("double")) /
+                    col("n_exact").cast("double"), 6).as("rel_err"))
+  }
 }

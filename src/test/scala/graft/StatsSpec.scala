@@ -51,4 +51,21 @@ class StatsSpec extends AnyFunSuite {
     assert(out._3.contains(r6(cov / varX)))
     assert(out._2.get > 0.9, "strong planted correlation must be detected")
   }
+
+  test("hllDistinct: estimate within the HLL error bound, partition-invariant") {
+    val keys = spark.range(0, 20000).toDF("k")
+    val row = Stats.hllDistinct(keys, "k").collect().head
+    val (m, est, exact) = (row.getLong(0), row.getDouble(2), row.getLong(3))
+    assert(m == 256L && exact == 20000L)
+    // standard error is 1.04/sqrt(m) ≈ 6.5%; allow 4 sigma
+    assert(math.abs(est - exact) / exact < 0.26, s"estimate $est vs $exact")
+    // register max is associative/commutative: any partitioning hashes the same
+    val row2 = Stats.hllDistinct(keys.repartition(17), "k").collect().head
+    assert(row2.getDouble(2) == est, "estimate must not depend on partitioning")
+
+    // small-cardinality input takes the linear-counting branch and stays sane
+    val small = Stats.hllDistinct(spark.range(0, 40).toDF("k"), "k").collect().head
+    assert(math.abs(small.getDouble(2) - 40.0) / 40.0 < 0.25,
+      s"linear counting off: ${small.getDouble(2)}")
+  }
 }
