@@ -1,14 +1,16 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Iterative graph computation as Pregel-style relational rounds: each
-  * iteration is one join (ranks onto out-edges) plus one aggregate
-  * (contributions by destination) — the exact shape a 1000-executor
-  * PageRank runs, with edges the large partitioned relation and ranks the
-  * small per-node state. No driver-side loops over rows; the Scala `for`
-  * only stacks plan rounds.
+  * iteration joins per-node state onto the (large, partitioned) edge
+  * relation and aggregates contributions by destination — the exact shape
+  * a 1000-executor PageRank runs. The edge relation stays distributed at
+  * any size; what varies with graph size is how the ≤n-row node state
+  * travels, and [[pagerankFixed]] selects that BY MEASURED NODE COUNT
+  * rather than by caller promise.
   */
 object Graph {
 
@@ -19,45 +21,114 @@ object Graph {
     */
   val RankBase = 1000000000000L
 
+  /** Node-count ceiling for the driver-held node-state round shape. Two
+    * constraints meet here: Σcontrib ≤ n_nodes·RankBase must survive the
+    * ×85 damping step in signed 64-bit (breaks past ~10⁵ nodes at this
+    * base), and per-round node state must be small enough to hold where
+    * any broadcast join would hold it anyway — on the driver. Past the
+    * ceiling [[pagerankFixed]] switches to the bucketed-join round shape
+    * by code, not by documentation.
+    */
+  val BroadcastNodeLimit = 100000L
+
   /** Fixed-iteration damped PageRank over a directed edge list
-    * `(src: string, dst: string)`. Every node must appear as a src (for the
-    * symmetrized bipartite graphs this serves, that holds by construction;
-    * dangling nodes would need a mass-redistribution term).
+    * `(src, dst)` (any equatable node type). Every node must appear as a
+    * src (for the symmetrized bipartite graphs this serves, that holds by
+    * construction; dangling nodes would need a mass-redistribution term).
     *
     * Integer semantics, identical on any engine: contribution = `rank div
     * out_degree` (floor), new rank = `(RankBase·15) div 100 +
-    * (Σcontrib·85) div 100`. Headroom: Σcontrib ≤ n_nodes·RankBase, so the
-    * ×85 step overflows signed 64-bit only past ~10^5 nodes at this base —
-    * at larger graphs drop RankBase a decade per 10× nodes (the ranks are
-    * relative).
+    * (Σcontrib·85) div 100`.
     *
-    * Plan shape per round: broadcast the node-state relation (ranks — a row
-    * per node, orders of magnitude below the edge count for the dense
-    * graphs this serves) onto the edge relation, then sum contributions by
-    * dst. The edge+degree relation is localCheckpointed once, pre-hashed on
-    * `dst`, so every round is a single in-memory scan: the broadcast join
-    * preserves the streamed side's partitioning and the groupBy(dst)
-    * aggregate runs exchange-free. Measured at sf0.1 (≈0.9 M edges, 16.5 k
-    * nodes): 5.9 → 1.0 s vs the shuffle-both-sides form. At a node count
-    * too large to broadcast, the round degenerates to the classic
-    * bucketed-join Pregel shape — same code minus the hint.
+    * Plan shape. The edge-producing chain is scanned ONCE into a
+    * dst-prehashed localCheckpoint; a bounded probe (collect of at most
+    * `limit+1` degree rows) then measures the node count and picks:
+    *
+    *  - **n ≤ [[BroadcastNodeLimit]]** (the dense bipartite graphs this
+    *    serves): node state lives on the driver — exactly where a
+    *    broadcast build would put it — and each round is ONE job: the
+    *    state rides in as a broadcast LocalRelation (no build job, no
+    *    nested lineage), `div`s are precomputed driver-side in the same
+    *    Long arithmetic, the contribution aggregate reuses the
+    *    checkpoint's dst partitioning exchange-free, and the ≤n-row result
+    *    collects back. iters+2 jobs total and one edge-chain scan, where
+    *    the relational form paid 14 jobs and two chain scans at the
+    *    catalog row (JobAudit, sf0.1: ≈0.9 M edges, 16.5 k nodes) — the
+    *    per-job scheduler floor, not data work, dominated it. The returned
+    *    relation is LOCAL (≤n rows); presentation ordering is the
+    *    caller's.
+    *
+    *  - **n > [[BroadcastNodeLimit]]**: classic bucketed-join Pregel —
+    *    edges+degrees re-hashed on `src` (one in-memory exchange off the
+    *    checkpoint, no chain re-scan), each round's state join pinned to
+    *    sort-merge (this path exists precisely because state must not
+    *    broadcast) reusing that src partitioning, one honest edge-wide
+    *    exchange on `dst` per round, state localCheckpointed per round to
+    *    keep lineage flat at any iteration count. RankBase headroom at
+    *    huge n: drop the base a decade per 10× nodes (ranks are relative).
     */
-  def pagerankFixed(edges: DataFrame, iters: Int): DataFrame = {
+  def pagerankFixed(edges: DataFrame, iters: Int,
+                    broadcastNodeLimit: Long = BroadcastNodeLimit): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
-    val edgesDeg = edges.join(broadcast(deg), Seq("src"))
+    val spark = edges.sparkSession
+    val e0 = edges.select(col("src"), col("dst"))
       .repartition(col("dst"))
       .localCheckpoint()
-    var ranks = deg.select(col("src").as("node"), lit(RankBase).as("rank"))
+    val probeCap = math.min(broadcastNodeLimit, Int.MaxValue.toLong - 1).toInt
+    val degProbe = e0.groupBy("src").agg(count(lit(1)).as("d"))
+      .limit(probeCap + 1).collect()
+
+    if (degProbe.length > probeCap) {
+      // ── huge-graph path: node state never leaves the cluster
+      val deg = e0.groupBy("src").agg(count(lit(1)).as("d"))
+      val edgesDeg = e0.join(deg, Seq("src"))
+        .repartition(col("src"))
+        .localCheckpoint()
+      var ranks = deg.select(col("src").as("node"), lit(RankBase).as("rank"))
+      for (r <- 1 to iters) {
+        val state = ranks.hint("merge")
+        val next = edgesDeg
+          .join(state, edgesDeg("src") === state("node"))
+          .select(col("dst"), expr("rank div d").as("__contrib"))
+          .groupBy(col("dst"))
+          .agg((lit(RankBase * 15 / 100) +
+            expr("(sum(__contrib) * 85) div 100")).as("rank"))
+          .select(col("dst").as("node"), col("rank"))
+        ranks = if (r < iters) next.localCheckpoint() else next
+      }
+      return ranks
+    }
+
+    // ── driver-held path: deg map already in hand from the probe
+    val nodeType = e0.schema("src").dataType
+    val deg: Map[Any, Long] =
+      degProbe.map(r => r.get(0) -> r.getLong(1)).toMap
+    val contribSchema = StructType(Seq(
+      StructField("node", nodeType), StructField("__contrib", LongType, nullable = false)))
+    var ranks: Seq[(Any, Long)] = deg.keys.toSeq.map(_ -> RankBase)
     for (_ <- 1 to iters) {
-      ranks = edgesDeg
-        .join(broadcast(ranks), edgesDeg("src") === ranks("node"))
-        .select(col("dst"), expr("rank div d").as("__contrib"))
+      // contribution = rank div d, driver-side in the identical Long
+      // arithmetic (both operands positive); rank-holding nodes with no
+      // out-edges contribute nothing — same as the inner join they replace
+      val contribRows = ranks.flatMap { case (node, rank) =>
+        deg.get(node).map(d => Row(node, rank / d))
+      }
+      val state = broadcast(
+        spark.createDataFrame(
+          new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+            .SeqHasAsJava(contribRows).asJava), contribSchema))
+      ranks = e0
+        .join(state, e0("src") === state("node"))
         .groupBy(col("dst"))
         .agg((lit(RankBase * 15 / 100) +
           expr("(sum(__contrib) * 85) div 100")).as("rank"))
-        .select(col("dst").as("node"), col("rank"))
+        .select(col("dst"), col("rank"))
+        .collect().map(r => (r.get(0), r.getLong(1))).toSeq
     }
-    ranks
+    val outSchema = StructType(Seq(
+      StructField("node", nodeType), StructField("rank", LongType, nullable = false)))
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(ranks.map { case (n, rk) => Row(n, rk) }).asJava), outSchema)
   }
 }

@@ -21,10 +21,18 @@ object Stats {
     * coefficient, `slope` the least-squares β in y-units per x-unit, both
     * rounded to 6 decimals, NULL on zero variance.
     *
-    * Overflow headroom: Σy² is the binding term — with y ≤ 2³⁰ (money
-    * cents up to ~$10 M) the BIGINT sum holds ~2⁶³⁻⁶⁰ ≈ 8·10³ G rows per
-    * group; beyond that, widen the accumulators to decimal(38,0) (same
-    * plan, same determinism, ~20% slower partial agg).
+    * Overflow headroom: the PER-ROW products must fit BIGINT — with
+    * |x|,|y| ≤ 2³⁰ (money cents up to ~$10 M) each x², y², x·y is ≤ 2⁶⁰,
+    * safe. The SUMS accumulate as decimal(38,0): a BIGINT Σy² at y ≤ 2³⁰
+    * would wrap after only 2⁶³⁻⁶⁰ = 8 worst-case rows per group (and real
+    * data gets within 2× of Long.MaxValue at sf1 × 9-replica), silently in
+    * non-ANSI mode while a HUGEINT-promoting oracle keeps going;
+    * decimal(38,0) holds ~10³⁸/2⁶⁰ ≈ 8·10¹⁶ worst-case rows and on
+    * exhaustion degrades to NULL (visible) instead of wrapping to a
+    * plausible wrong number. The final projection converts the
+    * exact decimal integer to double — bit-identical to converting the
+    * same integer from any other exact type, so engine hashes are
+    * unaffected.
     *
     * Scale shape: one partial+final hash aggregate — map-side combine
     * reduces every partition to 6 numbers per group before the shuffle,
@@ -32,11 +40,12 @@ object Stats {
     */
   def pearsonOlsFixed(df: DataFrame, groupCols: Seq[String],
                       xInt: Column, yInt: Column): DataFrame = {
+    def dec(c: Column) = sum(c.cast("decimal(38,0)"))
     val agg = df.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n"),
-           sum(xInt).as("sx"), sum(yInt).as("sy"),
-           sum(xInt * xInt).as("sxx"), sum(yInt * yInt).as("syy"),
-           sum(xInt * yInt).as("sxy"))
+           dec(xInt).as("sx"), dec(yInt).as("sy"),
+           dec(xInt * xInt).as("sxx"), dec(yInt * yInt).as("syy"),
+           dec(xInt * yInt).as("sxy"))
     val nD = col("n").cast("double")
     def d(c: String) = col(c).cast("double")
     // explicit association, mirrored verbatim in the SQL twins
@@ -61,10 +70,14 @@ object Stats {
     *    low-52-bit tail; rho = leading zeros of the tail + 1 via exact
     *    string ops on `bin()` (no float log2 — its ulp behavior near
     *    powers of two is not an engine contract);
-    *  - registers: `groupBy(idx).max(rho)` — ONE partial+final aggregate,
-    *    shuffle = 256 rows regardless of input size (this is the whole
-    *    point of the sketch at scale; sketches also merge across shards by
-    *    the same max);
+    *  - registers: distinct keys (map-side partial dedup) → one hash per
+    *    distinct key → `groupBy(idx).max(rho)` — a 256-row final shuffle
+    *    (sketches also merge across shards by the same max). The
+    *    distinct-first pass exists because this row ALSO reports the exact
+    *    count: idx/rho are pure functions of the key, so the registers are
+    *    unchanged and the per-register key counts sum to the exact
+    *    distinct total from the same single scan. A sketch-only deployment
+    *    drops the distinct and shuffles just 256 rows at any input size;
     *  - estimate: the indicator Σ 2^−M_j accumulates as the exact BIGINT
     *    numerator Σ 2^(53−M_j) over 2^53 — order-independent where a
     *    double sum of 256 spread-magnitude terms is not — then the
@@ -78,25 +91,37 @@ object Stats {
   def hllDistinct(df: DataFrame, keyColName: String): DataFrame = {
     val m = 256 // 2^8 registers; alpha_256 per the HLL paper
     val alpha = 0.7213 / (1.0 + 1.079 / m)
-    val hashed = df.select(
-      expr(s"CAST(conv(substring(md5(CAST($keyColName AS STRING)), 1, 15), 16, 10) AS BIGINT)")
+    // ONE scan feeds both the sketch and the exact count (the first cut
+    // scanned the source twice — md5 pass + a countDistinct whose expand
+    // paid two more exchanges — and cross-joined the halves; 1.20 s vs the
+    // 0.51 s twin at sf0.1). Distinct keys first: idx and rho are pure
+    // functions of the key, so registers over distinct keys ≡ registers
+    // over all rows, and the per-register distinct-key counts sum to the
+    // exact distinct count — shuffle ∝ distinct keys (what ANY exact
+    // distinct count moves), then 256 rows, then 1. NULL keys are dropped
+    // up front, matching COUNT(DISTINCT) semantics on both engines.
+    val distinctKeys = df.select(col(keyColName).as("__k"))
+      .filter(col("__k").isNotNull).distinct()
+    val hashed = distinctKeys.select(
+      expr("CAST(conv(substring(md5(CAST(__k AS STRING)), 1, 15), 16, 10) AS BIGINT)")
         .as("__h"))
     val tail = col("__h") % lit(1L << 52)
     val regs = hashed
       .select(expr(s"__h div ${1L << 52}").as("idx"),
               (lit(53) - length(ltrim(lpad(bin(tail), 52, "0"), "0"))).as("rho"))
-      .groupBy(col("idx")).agg(max(col("rho")).as("reg"))
+      .groupBy(col("idx"))
+      .agg(max(col("rho")).as("reg"), count(lit(1)).as("nk"))
     val sketch = regs.agg(
       count(lit(1)).as("n_registers_set"),
-      sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - reg AS INT))")).as("num"))
-    val exact = df.agg(countDistinct(col(keyColName)).as("n_exact"))
+      sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - reg AS INT))")).as("num"),
+      sum(col("nk")).as("n_exact"))
     val zeros = lit(m) - col("n_registers_set") // unseen registers: rho-term 2^0
     val numFull = col("num") + zeros * lit(1L << 53)
     val raw = lit(alpha * m * m) * lit((1L << 53).toDouble) / numFull.cast("double")
     val est = when(raw <= lit(2.5 * m) && zeros > 0,
         lit(m.toDouble) * log(lit(m.toDouble) / zeros.cast("double")))
       .otherwise(raw)
-    sketch.crossJoin(exact)
+    sketch
       .select(lit(m.toLong).as("m"), col("n_registers_set"),
               round(est, 6).as("hll_estimate"), col("n_exact"),
               round(abs(est - col("n_exact").cast("double")) /

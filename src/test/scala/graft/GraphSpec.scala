@@ -37,6 +37,36 @@ class GraphSpec extends AnyFunSuite {
     assert(out("hub") == base * 15 / 100 + (2 * base) * 85 / 100)
   }
 
+  test("pagerankFixed: bucketed-join fallback selects by node count and matches broadcast path") {
+    // broadcastNodeLimit = 0 forces every graph onto the huge-graph shape;
+    // the two paths share the integer arithmetic, so ranks must be equal
+    val edges = Seq("hub" -> "l1", "hub" -> "l2", "l1" -> "hub", "l2" -> "hub",
+                    "l1" -> "l2", "l2" -> "l1")
+    val df = edges.toDF("src", "dst")
+    val viaBroadcast = Graph.pagerankFixed(df, 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val viaBucketed = Graph.pagerankFixed(df, 3, broadcastNodeLimit = 0L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaBroadcast == viaBucketed)
+  }
+
+  test("pagerankFixed: path selection is visible in the returned plan") {
+    val edges = Seq("a" -> "b", "b" -> "a").toDF("src", "dst")
+    def finalPlan(limit: Long): String =
+      Graph.pagerankFixed(edges, 1, broadcastNodeLimit = limit)
+        .queryExecution.executedPlan.toString
+    // small-n: rounds are driver-chained, the result is a local relation
+    val small = finalPlan(100000L)
+    assert(small.contains("LocalTableScan"), small)
+    assert(!small.contains("Join"), "driver-held path leaves no join:\n" + small)
+    // past the ceiling: relational rounds whose state join must NOT
+    // broadcast (that is the point of the fallback)
+    val large = finalPlan(0L)
+    assert(large.contains("SortMergeJoin"), large)
+    assert(!large.contains("BroadcastHashJoin"),
+      "past the node ceiling the round must not broadcast node state:\n" + large)
+  }
+
   test("pagerankFixed: total mass is conserved up to integer-floor loss") {
     // every div floors, so each round can only LOSE mass (never create it),
     // and by at most (n_edges + n_nodes) units per round

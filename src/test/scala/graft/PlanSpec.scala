@@ -276,17 +276,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Join") || p.contains("join"), "join must exist")
   }
 
-  test("pagerank rounds are exchange-free after the checkpointed edge relation") {
-    // broadcast ranks onto dst-prepartitioned edges: the per-round
-    // groupBy(dst) must reuse the checkpoint's partitioning — exactly one
-    // exchange-after-scan would mean the repartition is being re-done
+  test("pagerank rounds stay off the catalog plan: result is a local relation") {
+    // the small-graph path runs its rounds driver-chained over the one
+    // checkpointed edge relation (Graph.pagerankFixed scaladoc); what the
+    // catalog row plans over is the ≤n-row final state — a LocalTableScan
+    // plus presentation sort, no join, no edge rescans
     val df = SparkEntry.queries("supplier_pagerank")(spark, TestSpark.sfDir)
     df.write.mode("overwrite").format("noop").save()
     val p = df.queryExecution.executedPlan.toString
-    assert(p.contains("BroadcastHashJoin"), "rank state must broadcast")
-    // rounds sit above the scanned checkpoint; each added Exchange would
-    // appear between HashAggregate pairs — the partial+final pairs must be
-    // adjacent (no exchange between a round's join and its aggregate)
-    assert(!p.contains("SortMergeJoin"), "no shuffle join in the rounds:\n" + p)
+    assert(p.contains("LocalTableScan"), p)
+    assert(!p.contains("Join"), "no join may survive in the presentation plan:\n" + p)
   }
 }
