@@ -681,7 +681,8 @@ object CatalogExt {
         val emb = Tables.embeddings(spark, dir)
         Similarity.cosineTopK(emb.filter(col("vec_id") < 8),
                               emb.filter(col("vec_id") >= 8), 5)
-          .orderBy(col("q_id"), col("cos_sim").desc, col("vec_id"))
+          .transform(CatalogCore.orderedReport(_,
+            col("q_id"), col("cos_sim").desc, col("vec_id")))
       },
       Some("""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 8),
              |scored AS (
@@ -775,7 +776,8 @@ object CatalogExt {
       (spark, dir) => {
         val emb = Tables.embeddings(spark, dir)
         Similarity.annTopK(emb.filter(col("vec_id") < 8), emb.filter(col("vec_id") >= 8), 5)
-          .orderBy(col("q_id"), col("cos_sim").desc, col("vec_id"))
+          .transform(CatalogCore.orderedReport(_,
+            col("q_id"), col("cos_sim").desc, col("vec_id")))
       },
       Some(s"""WITH ${sqlSignBuckets(8, 4)},
               |cand AS (
@@ -879,7 +881,8 @@ object CatalogExt {
         Similarity.pqTopK(emb.filter(col("vec_id") < 8),
                           emb.filter(col("vec_id") >= 8), 5,
                           m = pqM, codesPerBook = 16, iters = 1)
-          .orderBy(col("q_id"), col("adc_score").desc, col("vec_id"))
+          .transform(CatalogCore.orderedReport(_,
+            col("q_id"), col("adc_score").desc, col("vec_id")))
       },
       Some(s"""WITH $sqlPqScoredCtes
               |SELECT q_id, vec_id, adc_score FROM scored
@@ -901,7 +904,8 @@ object CatalogExt {
         Similarity.ivfTopK(emb.filter(col("vec_id") < 8),
                            emb.filter(col("vec_id") >= 8), 5,
                            nCentroids = 16, nProbe = 4, iters = 1)
-          .orderBy(col("q_id"), col("cos_sim").desc, col("vec_id"))
+          .transform(CatalogCore.orderedReport(_,
+            col("q_id"), col("cos_sim").desc, col("vec_id")))
       },
       Some(s"""WITH ${sqlKmeans("vec_id >= 8", 16, 1)},
               |casg AS (
@@ -937,18 +941,9 @@ object CatalogExt {
     ("ivf_recall",
       (spark, dir) => {
         val emb = Tables.embeddings(spark, dir)
-        val qs = emb.filter(col("vec_id") < 8)
-        val corpus = emb.filter(col("vec_id") >= 8)
-        val exact = Similarity.cosineTopK(qs, corpus, 5)
-          .select(col("q_id"), col("vec_id"))
-        val ivf = Similarity.ivfTopK(qs, corpus, 5,
-            nCentroids = 16, nProbe = 4, iters = 1)
-          .select(col("q_id"), col("vec_id")).withColumn("hit", lit(1L))
-        exact.join(ivf, Seq("q_id", "vec_id"), "left_outer")
-          .groupBy(col("q_id"))
-          .agg(count(lit(1)).as("n_exact"),
-               sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
-          .withColumn("recall", col("n_hit").cast("double") / col("n_exact"))
+        Similarity.ivfRecall(emb.filter(col("vec_id") < 8),
+                             emb.filter(col("vec_id") >= 8), 5,
+                             nCentroids = 16, nProbe = 4, iters = 1)
           .transform(CatalogCore.orderedReport(_, col("q_id")))
       },
       Some(s"""WITH ${sqlKmeans("vec_id >= 8", 16, 1)},
@@ -997,18 +992,9 @@ object CatalogExt {
     ("pq_recall",
       (spark, dir) => {
         val emb = Tables.embeddings(spark, dir)
-        val qs = emb.filter(col("vec_id") < 8)
-        val corpus = emb.filter(col("vec_id") >= 8)
-        val exact = Similarity.cosineTopK(qs, corpus, 5)
-          .select(col("q_id"), col("vec_id"))
-        val pq = Similarity.pqTopK(qs, corpus, 5,
-            m = pqM, codesPerBook = 16, iters = 1)
-          .select(col("q_id"), col("vec_id")).withColumn("hit", lit(1L))
-        exact.join(pq, Seq("q_id", "vec_id"), "left_outer")
-          .groupBy(col("q_id"))
-          .agg(count(lit(1)).as("n_exact"),
-               sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
-          .withColumn("recall", col("n_hit").cast("double") / col("n_exact"))
+        Similarity.pqRecall(emb.filter(col("vec_id") < 8),
+                            emb.filter(col("vec_id") >= 8), 5,
+                            m = pqM, codesPerBook = 16, iters = 1)
           .transform(CatalogCore.orderedReport(_, col("q_id")))
       },
       Some(s"""WITH $sqlPqScoredCtes,
@@ -1044,7 +1030,8 @@ object CatalogExt {
                              emb.filter(col("vec_id") >= 8), 5,
                              nCentroids = 16, nProbe = 4,
                              m = pqM, codesPerBook = 16, iters = 1)
-          .orderBy(col("q_id"), col("adc_score").desc, col("vec_id"))
+          .transform(CatalogCore.orderedReport(_,
+            col("q_id"), col("adc_score").desc, col("vec_id")))
       },
       Some(s"""WITH ${sqlKmeans("vec_id >= 8", 16, 1)},
               |casg AS (
@@ -1077,18 +1064,10 @@ object CatalogExt {
     ("ivfpq_recall",
       (spark, dir) => {
         val emb = Tables.embeddings(spark, dir)
-        val qs = emb.filter(col("vec_id") < 8)
-        val corpus = emb.filter(col("vec_id") >= 8)
-        val exact = Similarity.cosineTopK(qs, corpus, 5)
-          .select(col("q_id"), col("vec_id"))
-        val ivfpq = Similarity.ivfpqTopK(qs, corpus, 5,
-            nCentroids = 16, nProbe = 4, m = pqM, codesPerBook = 16, iters = 1)
-          .select(col("q_id"), col("vec_id")).withColumn("hit", lit(1L))
-        exact.join(ivfpq, Seq("q_id", "vec_id"), "left_outer")
-          .groupBy(col("q_id"))
-          .agg(count(lit(1)).as("n_exact"),
-               sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
-          .withColumn("recall", col("n_hit").cast("double") / col("n_exact"))
+        Similarity.ivfpqRecall(emb.filter(col("vec_id") < 8),
+                               emb.filter(col("vec_id") >= 8), 5,
+                               nCentroids = 16, nProbe = 4,
+                               m = pqM, codesPerBook = 16, iters = 1)
           .transform(CatalogCore.orderedReport(_, col("q_id")))
       },
       Some(s"""WITH ${sqlKmeans("vec_id >= 8", 16, 1)},

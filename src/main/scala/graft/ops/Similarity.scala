@@ -283,14 +283,28 @@ object Similarity {
     * assignment + partial-agg mean), so nothing here grows with corpus size.
     */
   private def kmeansCentroidsLocal(corpus: DataFrame, k: Int, iters: Int,
-                                   dim: Int): Array[(Long, Array[Float])] = {
-    // k lowest vec_ids seed the clusters, cluster_id = rank in vec_id order
-    // (same semantics as the former row_number window, without its exchange)
-    val init: Array[(Long, Array[Float])] =
+                                   dim: Int): Array[(Long, Array[Float])] =
+    lloydRounds(corpus, seedFromRows(
+      // k lowest vec_ids seed the clusters, cluster_id = rank in vec_id
+      // order (same semantics as the former row_number window, without its
+      // exchange)
       corpus.select(col("vec_id"), col("embedding"))
-        .orderBy(col("vec_id")).limit(k).collect()
-        .sortBy(_.getLong(0)).zipWithIndex
-        .map { case (r, i) => (i.toLong, r.getSeq[Float](1).toArray) }
+        .orderBy(col("vec_id")).limit(k).collect(), idOrd = 0, embOrd = 1),
+      iters, dim)
+
+  /** Seed rows (vec_id, embedding) → (cluster_id = rank in vec_id order,
+    * centroid) — the shared k-means init semantics for every collect shape.
+    */
+  private def seedFromRows(rows: Array[org.apache.spark.sql.Row],
+                           idOrd: Int, embOrd: Int): Array[(Long, Array[Float])] =
+    rows.sortBy(_.getLong(idOrd)).zipWithIndex
+      .map { case (r, i) => (i.toLong, r.getSeq[Float](embOrd).toArray) }
+
+  /** `iters` fixed-point Lloyd rounds from a driver-held init — one agg job
+    * per round (see [[kmeansCentroidsLocal]]'s scaladoc for the shape).
+    */
+  private def lloydRounds(corpus: DataFrame, init: Array[(Long, Array[Float])],
+                          iters: Int, dim: Int): Array[(Long, Array[Float])] = {
     val meanLanes = (1 to dim).map(p =>
       (sum(round(element_at(col("embedding"), p) * lit(1e6), 0).cast("long")).cast("double")
          / (count(lit(1)) * lit(1e6))).cast("float"))
@@ -302,6 +316,39 @@ object Similarity {
         .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
         .sortBy(_._1)
     }
+  }
+
+  /** The ANN families' driver-side inputs in ONE job: the query batch and
+    * the `seedN` lowest-vec_id corpus rows (every quantizer's seed
+    * convention) ride the same collect via a side-tagged union — the
+    * separate TakeOrdered + query collect each paid a scheduler
+    * round-trip. Returns (sorted query rows, seed vectors sorted by
+    * vec_id).
+    */
+  private def collectQueriesAndSeed(queries: DataFrame, corpus: DataFrame,
+                                    seedN: Int)
+      : (Array[(Long, Array[Float])], Array[Array[Float]]) = {
+    val tagged = queries.select(lit(1).as("__side"), col("vec_id"), col("embedding"))
+      .unionAll(corpus.select(col("vec_id"), col("embedding"))
+        .orderBy(col("vec_id")).limit(seedN)
+        .select(lit(0).as("__side"), col("vec_id"), col("embedding")))
+      .collect()
+    val qRows = tagged.filter(_.getInt(0) == 1)
+      .map(r => (r.getLong(1), r.getSeq[Float](2).toArray)).sortBy(_._1)
+    val seed = tagged.filter(_.getInt(0) == 0)
+      .sortBy(_.getLong(1)).map(_.getSeq[Float](2).toArray)
+    (qRows, seed)
+  }
+
+  /** Fused query collect + coarse k-means: [[collectQueriesAndSeed]] then
+    * the usual Lloyd rounds. Returns (sorted query rows, final centroids).
+    */
+  private def queriesAndCentroids(queries: DataFrame, corpus: DataFrame,
+                                  nCentroids: Int, iters: Int, dim: Int)
+      : (Array[(Long, Array[Float])], Array[(Long, Array[Float])]) = {
+    val (qRows, seed) = collectQueriesAndSeed(queries, corpus, nCentroids)
+    val init = seed.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    (qRows, lloydRounds(corpus, init, iters, dim))
   }
 
   /** Nearest-centroid assignment as a pure map-side PROJECTION: the
@@ -422,8 +469,9 @@ object Similarity {
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               nCentroids: Int = 16, nProbe: Int = 4, iters: Int = 3): DataFrame = {
-    // driver-side centroid array: every consumer below reads it job-free
-    val cents = kmeansCentroidsLocal(corpus, nCentroids, iters, dim = 64)
+    // driver-side query batch + centroid array in one fused collect
+    // (queriesAndCentroids): every consumer below reads them job-free
+    val (qRows, cents) = queriesAndCentroids(queries, corpus, nCentroids, iters, dim = 64)
     val corpusIdx = argmaxAssignLocal(corpus, cents)
     // Queries ride as plan literals (the pqTopK/ivfpqTopK convention —
     // a query batch is driver-small by construction in the serving shape
@@ -436,12 +484,7 @@ object Similarity {
     // more scheduler round-trips at the bench profile (1.33 → ~0.7 s at
     // sf0.1). At a query volume too large for plan literals, fall back to
     // the broadcast-join form ([[cosineTopK]]'s scale note applies).
-    val qRows = queries.select(col("vec_id"), col("embedding")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
-    val probed: Seq[Seq[Long]] = qRows.toSeq.map { case (_, qv) =>
-      cents.map { case (cid, cv) => (cid, roundedLocal(cosLocal(qv, cv))) }
-        .sortBy { case (cid, cs) => (-cs, cid) }.take(nProbe).map(_._1).toSeq
-    }
+    val probed = probedClusters(qRows, cents, nProbe)
     val qIds = lit(qRows.map(_._1))
     val probedLit = typedLit(probed)
     val cosArr = array(qRows.map { case (_, qv) =>
@@ -454,6 +497,143 @@ object Similarity {
       .select(element_at(qIds, col("qi") + 1).as("q_id"),
               col("vec_id"), col("cos_sim"))
     topKPerQuery(scored, k)
+  }
+
+  /** Each query's `nProbe` nearest clusters, ranked driver-side with the
+    * exact rounded-cosine twin of the executor kernel (ties → lower id).
+    */
+  private def probedClusters(qRows: Array[(Long, Array[Float])],
+                             cents: Array[(Long, Array[Float])],
+                             nProbe: Int): Seq[Seq[Long]] =
+    qRows.toSeq.map { case (_, qv) =>
+      cents.map { case (cid, cv) => (cid, roundedLocal(cosLocal(qv, cv))) }
+        .sortBy { case (cid, cs) => (-cs, cid) }.take(nProbe).map(_._1).toSeq
+    }
+
+  /** Per-query recall of the IVF-probed top-k against the exact brute-force
+    * top-k, in ONE corpus action: the exact cosine of every (query, corpus)
+    * pair is computed once — it IS both the ground-truth score and the IVF
+    * rescore ([[ivfTopK]] scores probed candidates with the identical
+    * kernel) — and a single partial-agg pass keeps BOTH top-k lists per
+    * query: the overall one, and one where non-probed candidates are
+    * demoted to a −2 sentinel (below any cosine) and filtered after, which
+    * reproduces ivfTopK's probed-only ranking exactly (ties and all). The
+    * former two-sided form — a full [[cosineTopK]] action, a full
+    * [[ivfTopK]] action, and an outer-join — paid the k-means job chain
+    * twice plus three more scheduler round-trips for byte-identical
+    * output. Returns (q_id, n_exact, n_hit, recall), unordered.
+    */
+  def ivfRecall(queries: DataFrame, corpus: DataFrame, k: Int,
+                nCentroids: Int = 16, nProbe: Int = 4, iters: Int = 3): DataFrame = {
+    val (qRows, cents) = queriesAndCentroids(queries, corpus, nCentroids, iters, dim = 64)
+    val corpusIdx = argmaxAssignLocal(corpus, cents)
+    val probed = probedClusters(qRows, cents, nProbe)
+    val qIds = lit(qRows.map(_._1))
+    val probedLit = typedLit(probed)
+    val cosArr = array(qRows.map { case (_, qv) =>
+      round(cosineSim(lit(qv), col("embedding")), 6) }: _*)
+    val scored = corpusIdx
+      .select(col("vec_id"), col("cluster_id"),
+              posexplode(cosArr).as(Seq("qi", "cos_sim")))
+      .select(col("qi"), col("vec_id"), col("cos_sim"),
+              when(array_contains(
+                     element_at(probedLit, (col("qi") + 1).cast("int")),
+                     col("cluster_id")),
+                   col("cos_sim")).otherwise(lit(-2.0)).as("approx_score"))
+    dualTopKRecall(scored, qIds, k)
+  }
+
+  /** Shared recall tail: (qi, vec_id, cos_sim, approx_score) → per-query
+    * (q_id, n_exact, n_hit, recall) in ONE partial-agg pass holding both
+    * top-k lists. `approx_score` is the approximate method's ranking score
+    * with non-candidates demoted to the −2 sentinel (below any cosine or
+    * ADC value, both ≥ −1 by Cauchy–Schwarz); sentinel entries pad the
+    * approximate list only when fewer than k candidates exist and are
+    * filtered before the id intersection — reproducing the method's
+    * candidates-only ranking exactly, ties and all.
+    */
+  private def dualTopKRecall(scored: DataFrame, qIds: Column, k: Int): DataFrame = {
+    val topk = udaf(new TopKByScore(k),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaDouble))
+    scored.groupBy(col("qi"))
+      .agg(topk(col("vec_id"), col("cos_sim")).as("tk_exact"),
+           topk(col("vec_id"), col("approx_score")).as("tk_approx"))
+      .select(
+        element_at(qIds, col("qi") + 1).as("q_id"),
+        size(col("tk_exact")).cast("long").as("n_exact"),
+        size(array_intersect(
+          expr("transform(tk_exact, e -> e._1)"),
+          expr("transform(filter(tk_approx, e -> e._2 > -1.5D), e -> e._1)")))
+          .cast("long").as("n_hit"))
+      .withColumn("recall", col("n_hit").cast("double") / col("n_exact"))
+  }
+
+  /** Per-query recall of the PQ ADC top-k against the exact brute-force
+    * top-k in ONE corpus action ([[ivfRecall]]'s fusion applied to the PQ
+    * surface): the scan computes each row's codes → all-query ADC scores
+    * AND the exact all-query cosines (both map-side projections), and one
+    * partial-agg pass keeps both top-k lists. Returns
+    * (q_id, n_exact, n_hit, recall), unordered.
+    */
+  def pqRecall(queries: DataFrame, corpus: DataFrame, k: Int,
+               m: Int = 16, codesPerBook: Int = 16, iters: Int = 1,
+               dim: Int = 64): DataFrame = {
+    val subDim = dim / m
+    val (qRows, seed) = collectQueriesAndSeed(queries, corpus, codesPerBook)
+    val books = pqLloydRounds(corpus, pqInit(seed, m, subDim), m, subDim, iters)
+    val scoresCol = adcScoresCol(qRows, books, subDim)
+    val qIds = lit(qRows.map(_._1))
+    val cosArr = array(qRows.map { case (_, qv) =>
+      round(cosineSim(lit(qv), col("embedding")), 6) }: _*)
+    // __exact rides the generate as a once-per-input-row array; the
+    // exploded rows then index it — NOT re-evaluate it per (row, query)
+    val scored = corpus
+      .withColumn("__codes", pqCodesCol(books))
+      .select(col("vec_id"), cosArr.as("__exact"),
+              posexplode(scoresCol).as(Seq("qi", "approx_score")))
+      .select(col("qi"), col("vec_id"),
+              element_at(col("__exact"), col("qi") + 1).as("cos_sim"),
+              col("approx_score"))
+    dualTopKRecall(scored, qIds, k)
+  }
+
+  /** Per-query recall of the composed IVFPQ top-k against the exact
+    * brute-force top-k in ONE corpus action: codes, all-query ADC scores,
+    * coarse cluster, probed-cluster sentinel demotion, and the exact
+    * cosines all ride the same scan. Returns (q_id, n_exact, n_hit,
+    * recall), unordered.
+    */
+  def ivfpqRecall(queries: DataFrame, corpus: DataFrame, k: Int,
+                  nCentroids: Int = 16, nProbe: Int = 4,
+                  m: Int = 16, codesPerBook: Int = 16, iters: Int = 1,
+                  dim: Int = 64): DataFrame = {
+    val subDim = dim / m
+    val (qRows, seed) =
+      collectQueriesAndSeed(queries, corpus, math.max(nCentroids, codesPerBook))
+    val cents = lloydRounds(corpus,
+      seed.take(nCentroids).zipWithIndex.map { case (v, i) => (i.toLong, v) },
+      iters, dim)
+    val corpusIdx = argmaxAssignLocal(corpus, cents)
+    val books = pqLloydRounds(corpus,
+      pqInit(seed.take(codesPerBook), m, subDim), m, subDim, iters)
+    val probed = probedClusters(qRows, cents, nProbe)
+    val scoresCol = adcScoresCol(qRows, books, subDim)
+    val qIds = lit(qRows.map(_._1))
+    val probedLit = typedLit(probed)
+    val cosArr = array(qRows.map { case (_, qv) =>
+      round(cosineSim(lit(qv), col("embedding")), 6) }: _*)
+    val scored = corpusIdx
+      .withColumn("__codes", pqCodesCol(books))
+      .select(col("vec_id"), col("cluster_id"), cosArr.as("__exact"),
+              posexplode(scoresCol).as(Seq("qi", "adc")))
+      .select(col("qi"), col("vec_id"),
+              element_at(col("__exact"), col("qi") + 1).as("cos_sim"),
+              when(array_contains(
+                     element_at(probedLit, (col("qi") + 1).cast("int")),
+                     col("cluster_id")),
+                   col("adc")).otherwise(lit(-2.0)).as("approx_score"))
+    dualTopKRecall(scored, qIds, k)
   }
 
   /** Product-quantization codebooks (Jégou et al., "Product Quantization for
@@ -483,10 +663,26 @@ object Similarity {
       corpus.select(col("vec_id"), col("embedding"))
         .orderBy(col("vec_id")).limit(k).collect()
         .sortBy(_.getLong(0)).map(_.getSeq[Float](1).toArray)
-    val init: Array[Array[(Long, Array[Float])]] = Array.tabulate(m) { s =>
+    pqLloydRounds(corpus, pqInit(seed, m, subDim), m, subDim, iters)
+  }
+
+  /** Seed vectors (k lowest vec_ids, already sorted) sliced into the m
+    * initial subspace books — the shared PQ init for every collect shape.
+    */
+  private def pqInit(seed: Array[Array[Float]], m: Int,
+                     subDim: Int): Array[Array[(Long, Array[Float])]] =
+    Array.tabulate(m) { s =>
       seed.zipWithIndex.map { case (v, i) =>
         (i.toLong, v.slice(s * subDim, (s + 1) * subDim)) }
     }
+
+  /** `iters` fused Lloyd rounds over all m books from a driver-held init —
+    * see [[pqCodebooks]] for the job shape.
+    */
+  private def pqLloydRounds(corpus: DataFrame,
+                            init: Array[Array[(Long, Array[Float])]],
+                            m: Int, subDim: Int,
+                            iters: Int): Array[Array[(Long, Array[Float])]] = {
     val meanLanes = (1 to subDim).map(p =>
       (sum(round(element_at(col("sub"), p) * lit(1e6), 0).cast("long")).cast("double")
          / (count(lit(1)) * lit(1e6))).cast("float"))
@@ -575,34 +771,43 @@ object Similarity {
              m: Int = 16, codesPerBook: Int = 16, iters: Int = 1,
              dim: Int = 64): DataFrame = {
     val subDim = dim / m
-    val books = pqCodebooks(corpus, m, codesPerBook, iters, dim)
-    val qRows = queries.select(col("vec_id"), col("embedding")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
-    // query-independent codeword norm² tables, one per subspace
-    val n2Tabs: Array[Array[Double]] = books.map(_.map { case (_, c) =>
-      roundedLocal(dotLocal(c, c)) })
-    // per-query subvector dot tables + rounded query norm
-    val dotTabs: Array[(Long, Double, Array[Array[Double]])] =
-      qRows.map { case (qid, qv) =>
-        val qn = roundedLocal(math.sqrt(dotLocal(qv, qv)))
-        (qid, qn, books.zipWithIndex.map { case (book, s) =>
-          val qSub = qv.slice(s * subDim, (s + 1) * subDim)
-          book.map { case (_, c) => roundedLocal(dotLocal(qSub, c)) }
-        })
-      }
+    val (qRows, seed) = collectQueriesAndSeed(queries, corpus, codesPerBook)
+    val books = pqLloydRounds(corpus, pqInit(seed, m, subDim), m, subDim, iters)
     // one kernel node per stage — codes, then all-query ADC scores
     // ([[org.apache.spark.sql.graft.PqAdcScores]]); the per-query explode
     // indexes a literal q_id array by score position
-    val scoresCol = org.apache.spark.sql.graft.VectorExpressions.pqAdcScores(
-      col("__codes"), books.map(_.map(_._1)),
-      dotTabs.map(_._3), n2Tabs, dotTabs.map(_._2))
-    val qIds = lit(dotTabs.map(_._1))
+    val scoresCol = adcScoresCol(qRows, books, subDim)
+    val qIds = lit(qRows.map(_._1))
     val scored = corpus
       .withColumn("__codes", pqCodesCol(books))
       .select(col("vec_id"), posexplode(scoresCol).as(Seq("qi", "cos_sim")))
       .select(element_at(qIds, col("qi") + 1).as("q_id"),
               col("vec_id"), col("cos_sim"))
     topKPerQuery(scored, k).withColumnRenamed("cos_sim", "adc_score")
+  }
+
+  /** All-query ADC score array for a `__codes` row: the driver-side dot /
+    * norm² tables ([[pqTopK]]'s scaladoc) baked into one
+    * [[org.apache.spark.sql.graft.VectorExpressions.pqAdcScores]] kernel.
+    */
+  private def adcScoresCol(qRows: Array[(Long, Array[Float])],
+                           books: Array[Array[(Long, Array[Float])]],
+                           subDim: Int): Column = {
+    // query-independent codeword norm² tables, one per subspace
+    val n2Tabs: Array[Array[Double]] = books.map(_.map { case (_, c) =>
+      roundedLocal(dotLocal(c, c)) })
+    // per-query subvector dot tables + rounded query norm
+    val dotTabs: Array[(Double, Array[Array[Double]])] =
+      qRows.map { case (_, qv) =>
+        val qn = roundedLocal(math.sqrt(dotLocal(qv, qv)))
+        (qn, books.zipWithIndex.map { case (book, s) =>
+          val qSub = qv.slice(s * subDim, (s + 1) * subDim)
+          book.map { case (_, c) => roundedLocal(dotLocal(qSub, c)) }
+        })
+      }
+    org.apache.spark.sql.graft.VectorExpressions.pqAdcScores(
+      col("__codes"), books.map(_.map(_._1)),
+      dotTabs.map(_._2), n2Tabs, dotTabs.map(_._1))
   }
 
   /** IVF + PQ composed (the IVFPQ index of Jégou et al. as deployed in
@@ -628,29 +833,20 @@ object Similarity {
                 m: Int = 16, codesPerBook: Int = 16, iters: Int = 1,
                 dim: Int = 64): DataFrame = {
     val subDim = dim / m
-    val cents = kmeansCentroidsLocal(corpus, nCentroids, iters, dim)
+    // one fused collect feeds the query batch AND both quantizers' seeds
+    // (coarse k-means wants the nCentroids lowest vec_ids, PQ the
+    // codesPerBook lowest — prefixes of the same sorted seed)
+    val (qRows, seed) =
+      collectQueriesAndSeed(queries, corpus, math.max(nCentroids, codesPerBook))
+    val cents = lloydRounds(corpus,
+      seed.take(nCentroids).zipWithIndex.map { case (v, i) => (i.toLong, v) },
+      iters, dim)
     val corpusIdx = argmaxAssignLocal(corpus, cents)
-    val books = pqCodebooks(corpus, m, codesPerBook, iters, dim)
-    val qRows = queries.select(col("vec_id"), col("embedding")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
-    val probed: Seq[Seq[Long]] = qRows.toSeq.map { case (_, qv) =>
-      cents.map { case (cid, cv) => (cid, roundedLocal(cosLocal(qv, cv))) }
-        .sortBy { case (cid, cs) => (-cs, cid) }.take(nProbe).map(_._1).toSeq
-    }
-    val n2Tabs: Array[Array[Double]] = books.map(_.map { case (_, c) =>
-      roundedLocal(dotLocal(c, c)) })
-    val dotTabs: Array[(Long, Double, Array[Array[Double]])] =
-      qRows.map { case (qid, qv) =>
-        val qn = roundedLocal(math.sqrt(dotLocal(qv, qv)))
-        (qid, qn, books.zipWithIndex.map { case (book, s) =>
-          val qSub = qv.slice(s * subDim, (s + 1) * subDim)
-          book.map { case (_, c) => roundedLocal(dotLocal(qSub, c)) }
-        })
-      }
-    val scoresCol = org.apache.spark.sql.graft.VectorExpressions.pqAdcScores(
-      col("__codes"), books.map(_.map(_._1)),
-      dotTabs.map(_._3), n2Tabs, dotTabs.map(_._2))
-    val qIds = lit(dotTabs.map(_._1))
+    val books = pqLloydRounds(corpus,
+      pqInit(seed.take(codesPerBook), m, subDim), m, subDim, iters)
+    val probed = probedClusters(qRows, cents, nProbe)
+    val scoresCol = adcScoresCol(qRows, books, subDim)
+    val qIds = lit(qRows.map(_._1))
     val probedLit = typedLit(probed)
     val scored = corpusIdx
       .withColumn("__codes", pqCodesCol(books))
