@@ -138,8 +138,9 @@ object Bench {
       // real flatMapGroupsWithState three-trigger execution vs closed-form
       // CASE arithmetic
       "stream_retry_parity",
-      // real three-trigger stream-stream interval-join execution (join
-      // state retained across micro-batches) vs a batch range-join twin
+      // real two-data-trigger stream-stream interval-join execution (join
+      // state retained across micro-batches, plus the closing
+      // watermark-advance batch) vs a batch range-join twin
       "stream_context_parity",
       // bucketed-table staging writes on first invocation; the twin never
       // writes (steady-state reads are symmetric, the 3-pass min usually

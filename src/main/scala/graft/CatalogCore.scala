@@ -1317,7 +1317,9 @@ object CatalogCore {
     // ── Stream-stream interval join driver-hashed through a REAL
     //    multi-trigger execution (the streaming twin of
     //    error_context_stats' bucketed range join): the events table
-    //    replays as three timeline micro-batches; errors stream-join
+    //    replays as two sequential timeline micro-batches (days ≤15 /
+    //    ≥16 — see stagedEventsTimeline) plus the final no-new-data
+    //    watermark-advance batch; errors stream-join
     //    same-user context events in their prior 24 h via the native
     //    watermarked interval join, so slice-2 errors MUST find slice-1
     //    context in retained join state. Inner-join matches are a pure

@@ -2177,6 +2177,85 @@ object CatalogExt {
               |       CAST(SUM(n_chars) AS BIGINT) AS chars_total
               |FROM surv GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // ── The COMPOSED curation pipeline, driver-hashed end to end
+    //    (Pipeline.curate): exact dedup → near-dup removal → quality +
+    //    language gate → deterministic split → train-shard sequence
+    //    packing. Every stage is individually oracle'd (exact_dedup_docs /
+    //    ngram_jaccard_dups / dup_clusters / quality_scores / lang_id /
+    //    split_manifest / pack_sequences); this row pins the COMPOSITION —
+    //    stage order, survivor rules, gate thresholds — by hashing the
+    //    final packing manifest. The twin is the stage CTEs composed:
+    //    dedup_survivor_stats' loser stack, quality/lang formulas inlined
+    //    as the gate, the hash-bucket split, and the running-offset packer.
+    ("curation_pipeline",
+      (spark, dir) =>
+        Pipeline.curate(Tables.documents(spark, dir))
+          .transform(CatalogCore.orderedReport(_, col("shard"), col("seq_id"))),
+      Some(s"""WITH RECURSIVE exact_losers AS (
+              |  SELECT doc_id FROM (
+              |    SELECT doc_id,
+              |           MIN(doc_id) OVER (PARTITION BY md5(text)) AS canon,
+              |           COUNT(*) OVER (PARTITION BY md5(text)) AS n
+              |    FROM documents)
+              |  WHERE n > 1 AND doc_id <> canon),
+              |sh0 AS (
+              |  SELECT DISTINCT doc_id, unnest(${sqlShingles(3)}) AS g FROM documents),
+              |keep AS (
+              |  SELECT g FROM (SELECT g, COUNT(*) AS df FROM sh0 GROUP BY g)
+              |  WHERE df <= 50),
+              |sh AS (SELECT sh0.doc_id, sh0.g FROM sh0 JOIN keep USING (g)),
+              |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+              |cnt AS (
+              |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+              |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2),
+              |pairs0 AS (
+              |  SELECT doc_a, doc_b FROM cnt
+              |  JOIN sizes sa ON doc_a = sa.doc_id
+              |  JOIN sizes sb ON doc_b = sb.doc_id
+              |  WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= 0.5),
+              |edges AS (
+              |  SELECT doc_a AS a, doc_b AS b FROM pairs0
+              |  UNION ALL SELECT doc_b, doc_a FROM pairs0),
+              |reach(a, b) AS (
+              |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+              |  UNION
+              |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+              |near_losers AS (
+              |  SELECT a AS doc_id FROM (
+              |    SELECT a, MIN(b) AS canonical FROM reach GROUP BY a)
+              |  WHERE a <> canonical),
+              |losers AS (
+              |  SELECT doc_id FROM exact_losers
+              |  UNION SELECT doc_id FROM near_losers),
+              |surv AS (
+              |  SELECT d.* FROM documents d ANTI JOIN losers l ON d.doc_id = l.doc_id),
+              |gated AS (
+              |  SELECT doc_id, source, text FROM (
+              |    SELECT doc_id, source, text,
+              |           len($sqlTokens) AS n_tokens,
+              |           len(list_distinct($sqlTokens)) AS n_distinct,
+              |           len(list_filter($sqlTokens, t -> list_contains($stopListSql, t))) AS stop_hits
+              |    FROM surv)
+              |  WHERE least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+              |          + (CAST(n_distinct AS DOUBLE) / n_tokens) * 0.3
+              |          + least((CAST(stop_hits AS DOUBLE) / n_tokens) * 5.0, 1.0) * 0.3 >= 0.3
+              |    AND CAST(stop_hits AS DOUBLE) / n_tokens >= 0.04),
+              |train AS (
+              |  SELECT doc_id, source, text FROM (
+              |    SELECT doc_id, source, text, $sqlHashBucket100 AS b FROM gated)
+              |  WHERE b < 80),
+              |t AS (SELECT source AS shard, doc_id, len($sqlTokens) AS n_tokens FROM train),
+              |o AS (
+              |  SELECT shard, n_tokens,
+              |         SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+              |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS start_off
+              |  FROM t)
+              |SELECT shard, CAST(floor(CAST(start_off AS DOUBLE) / 2048) AS BIGINT) AS seq_id,
+              |       COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
+              |       'train' AS split
+              |FROM o GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // ── Tokenizer-training prep: the first BPE merge iteration — top-50
     //    adjacent-pair frequencies over the corpus with a pinned
     //    (count desc, pair asc) boundary tie-break. TakeOrdered plan.

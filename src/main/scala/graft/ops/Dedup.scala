@@ -468,8 +468,29 @@ object Dedup {
       if (maxShingleDf > 0) {
         val overflow = sh.groupBy("g").agg(count(lit(1)).as("df"))
           .filter(col("df") > maxShingleDf).select("g")
-        sh.join(broadcast(overflow), Seq("g"), "left_anti").select("doc_id", "g")
-          .localCheckpoint()
+        // pre-hashed on g AT the checkpoint: the self-join below then reads
+        // an already-satisfying partitioning on BOTH sides and plans zero
+        // exchanges — the postings cross the wire once (here) instead of
+        // twice (once per join side). The partition count is EXPLICIT:
+        // a bare repartition(col) is an AQE-coalescible shuffle, and a
+        // coalesced partitioning captured into the checkpoint no longer
+        // satisfies the join's required distribution, re-adding both
+        // exchanges (observed in the executed plan).
+        // AQE must be off while THIS plan materializes: an adaptive plan
+        // reports UnknownPartitioning to the checkpoint capture, which
+        // silently re-adds both join-side exchanges (observed). The
+        // static plan is identical here (the one join is an explicit
+        // broadcast), so nothing is lost.
+        val sess = docs.sparkSession
+        val prev = sess.conf.get("spark.sql.adaptive.enabled")
+        sess.conf.set("spark.sql.adaptive.enabled", "false")
+        val ck =
+          try sh.join(broadcast(overflow), Seq("g"), "left_anti")
+            .select("doc_id", "g")
+            .repartition(sess.sessionState.conf.numShufflePartitions, col("g"))
+            .localCheckpoint()
+          finally sess.conf.set("spark.sql.adaptive.enabled", prev)
+        ck
       } else sh.select("doc_id", "g")
     // Per-doc (capped-universe) set sizes join onto the PAIR AGGREGATE, not
     // onto the postings: the only full-size shuffles are then the inverted-

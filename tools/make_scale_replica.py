@@ -34,6 +34,7 @@ KEY_OFFSET = 10_000_000
 def replicate_documents(in_dir, out_dir, n):
     t = pq.read_table(f"{in_dir}/documents.parquet")
     cols = {c: t[c].to_pylist() for c in t.column_names}
+    assert max(cols["doc_id"]) < KEY_OFFSET, "doc_id exceeds KEY_OFFSET"
     out = {c: [] for c in t.column_names}
     for r in range(n):
         for c in t.column_names:
@@ -62,6 +63,7 @@ def replicate_documents(in_dir, out_dir, n):
 def replicate_embeddings(in_dir, out_dir, n):
     t = pq.read_table(f"{in_dir}/embeddings.parquet")
     vec_id = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    assert vec_id.max() < KEY_OFFSET, "vec_id exceeds KEY_OFFSET"
     emb = np.asarray(t["embedding"].to_pylist(), dtype=np.float32)
     label = np.asarray(t["label"].to_pylist(), dtype=np.int32)
     dim = emb.shape[1]
@@ -91,6 +93,15 @@ def replicate_keyed(in_dir, out_dir, table, key_cols, n):
     preserved, which is what windowed operators are sensitive to)."""
     t = pq.read_table(f"{in_dir}/{table}.parquet")
     cols = {c: t[c].to_pylist() for c in t.column_names}
+    # disjointness guard: replica key spaces are [r*OFFSET, (r+1)*OFFSET);
+    # an existing key >= OFFSET (possible past ~sf1, e.g. l_orderkey 60M at
+    # sf10) would silently collide across replicas and void the
+    # "honestly N x disjoint copies" contract
+    for c in key_cols:
+        mx = max((v for v in cols[c] if v is not None), default=0)
+        assert mx < KEY_OFFSET, (
+            f"{table}.{c} max key {mx} >= KEY_OFFSET {KEY_OFFSET}; "
+            f"raise KEY_OFFSET above the observed max before replicating")
     out = {c: [] for c in t.column_names}
     for r in range(n):
         for c in t.column_names:
