@@ -65,7 +65,11 @@ object Tuning {
     // ivf_recall 1.29→1.19 / 1.29→1.18, winnowing_overlap_pairs
     // 1.04→0.95 / 1.07→0.83. NOT tagged: ivf_ann_topk (0.23 win did not
     // reproduce — 0.04 in the validation run).
-    "funnel_stages", "status_history", "ivf_recall", "winnowing_overlap_pairs")
+    "funnel_stages", "status_history", "ivf_recall", "winnowing_overlap_pairs",
+    // round-8 (graft.TailAB, 2 interleaved runs): hll_distinct_orders
+    // 0.51→0.27 / 0.60→0.33 with aqe0s8 — two fixed aggregates over the
+    // distinct-key projection, nothing for runtime stats to re-plan
+    "hll_distinct_orders")
   // NOT tagged despite a small A/B win: dup_clusters — iterative
   // data-dependent join loop (the classification rule says AQE on), and its
   // −0.10 s reading did not reproduce (+0.53 s in the validation run).
@@ -109,7 +113,13 @@ object Tuning {
     // the aqe0s8 variant beat aqe0 alone for all three new rows
     "supplier_pagerank", "editdist_rescore", "error_context_stats",
     "funnel_stages", "status_history", "ivf_recall",
-    "winnowing_overlap_pairs")
+    "winnowing_overlap_pairs",
+    // round-8 (graft.TailAB, 2 interleaved runs): hll_distinct_orders
+    // compounds with its AQE-off tag above; curation_pipeline 1.62→1.05 /
+    // 1.72→1.23 on partition count ALONE (s8 ≈ aqe0s8 in both runs — AQE
+    // stays ON per the classification rule: the near-dup cluster loop is a
+    // data-dependent join chain)
+    "hll_distinct_orders", "curation_pipeline")
 
   /** Run `body` with the per-query conf overrides for `name`, restoring the
     * previous session values afterwards (exception-safe, so one query's

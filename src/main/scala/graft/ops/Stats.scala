@@ -23,36 +23,52 @@ object Stats {
     *
     * Overflow headroom: the PER-ROW products must fit BIGINT — with
     * |x|,|y| ≤ 2³⁰ (money cents up to ~$10 M) each x², y², x·y is ≤ 2⁶⁰,
-    * safe. The SUMS accumulate as decimal(38,0): a BIGINT Σy² at y ≤ 2³⁰
-    * would wrap after only 2⁶³⁻⁶⁰ = 8 worst-case rows per group (and real
-    * data gets within 2× of Long.MaxValue at sf1 × 9-replica), silently in
-    * non-ANSI mode while a HUGEINT-promoting oracle keeps going;
-    * decimal(38,0) holds ~10³⁸/2⁶⁰ ≈ 8·10¹⁶ worst-case rows and on
-    * exhaustion degrades to NULL (visible) instead of wrapping to a
-    * plausible wrong number. The final projection converts the
-    * exact decimal integer to double — bit-identical to converting the
-    * same integer from any other exact type, so engine hashes are
-    * unaffected.
+    * safe. The SUMS are guarded at runtime: a BIGINT Σy² at y ≤ 2³⁰ can
+    * wrap after as few as 2⁶³⁻⁶⁰ = 8 worst-case rows per group (real data
+    * gets within 2× of Long.MaxValue at sf1 × 9-replica), silently in
+    * non-ANSI mode while a HUGEINT-promoting oracle keeps going. The same
+    * aggregate therefore also computes per-group max|x| / max|y| — counts
+    * and maxima cannot wrap — and the final projection proves
+    * n·max(x²), n·max(y²), n·max|x|·max|y| < 2⁶³ (with double-rounding
+    * margin) before surfacing a result, raising loudly otherwise; every
+    * moment sum is bounded by its corresponding product, so the sums
+    * provably did not wrap whenever the guard passes. (A decimal(38,0)
+    * accumulator was measured 2.5× slower on the whole aggregate —
+    * 0.92 vs 0.36 s on the sf0.1 brand row — for protection the sound
+    * guard provides at the cost of three cheap long maxima.)
     *
     * Scale shape: one partial+final hash aggregate — map-side combine
-    * reduces every partition to 6 numbers per group before the shuffle,
-    * so shuffle volume is groups × 6 regardless of row count.
+    * reduces every partition to 8 numbers per group before the shuffle,
+    * so shuffle volume is groups × 8 regardless of row count.
     */
   def pearsonOlsFixed(df: DataFrame, groupCols: Seq[String],
                       xInt: Column, yInt: Column): DataFrame = {
-    def dec(c: Column) = sum(c.cast("decimal(38,0)"))
     val agg = df.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n"),
-           dec(xInt).as("sx"), dec(yInt).as("sy"),
-           dec(xInt * xInt).as("sxx"), dec(yInt * yInt).as("syy"),
-           dec(xInt * yInt).as("sxy"))
+           sum(xInt).as("sx"), sum(yInt).as("sy"),
+           sum(xInt * xInt).as("sxx"), sum(yInt * yInt).as("syy"),
+           sum(xInt * yInt).as("sxy"),
+           max(abs(xInt)).as("mx"), max(abs(yInt)).as("my"))
     val nD = col("n").cast("double")
     def d(c: String) = col(c).cast("double")
+    // 9.0e18 < 2⁶³ ≈ 9.22e18: the slack absorbs double rounding in the
+    // bound products (each factor ≤ 2⁵³-exact; the product is a correctly
+    // rounded double of the true bound, off by ulps, not percents)
+    val headroom = lit(9.0e18)
+    val safe = nD * d("mx") * d("mx") < headroom &&
+               nD * d("my") * d("my") < headroom &&
+               nD * d("mx") * d("my") < headroom
+    val guard = when(safe, lit(true)).otherwise(raise_error(concat(
+      lit("pearsonOlsFixed: BIGINT moment-sum headroom exhausted for group n="),
+      col("n").cast("string"),
+      lit(" max|x|="), col("mx").cast("string"),
+      lit(" max|y|="), col("my").cast("string"),
+      lit(" — pre-scale the inputs or shard the group")).cast("boolean")))
     // explicit association, mirrored verbatim in the SQL twins
     val varX = nD * d("sxx") - d("sx") * d("sx")
     val varY = nD * d("syy") - d("sy") * d("sy")
     val cov = nD * d("sxy") - d("sx") * d("sy")
-    agg.select(
+    agg.filter(guard).select(
       groupCols.map(col) ++ Seq(
         col("n"),
         when(varX === 0.0 || varY === 0.0, lit(null))

@@ -16,6 +16,22 @@ class StatsSpec extends AnyFunSuite {
          Option(r.get(3)).map(_.asInstanceOf[Double])))
       .toMap
 
+  test("pearsonOlsFixed: raises loudly when BIGINT moment headroom is exhausted") {
+    // x = 2³¹ on one row, 0 on two more: every per-row product and every
+    // actual sum fits BIGINT (Σx² ≈ 4.6e18), but the sound bound
+    // n·max(x)² ≈ 1.4e19 exceeds the 9.0e18 guard — the query must FAIL
+    // (visible) rather than risk a silent wrap on the next such row
+    import org.apache.spark.sql.functions.col
+    val df = Seq((2147483648L, 1L), (0L, 1L), (0L, 1L))
+      .toDF("x", "y").withColumn("g", org.apache.spark.sql.functions.lit("a"))
+    val ex = intercept[Exception] {
+      graft.ops.Stats.pearsonOlsFixed(df, Seq("g"), col("x"), col("y")).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("headroom exhausted")), ex.toString)
+  }
+
   test("pearsonOlsFixed: exact fits on crafted groups") {
     val out = fit(Seq(
       // perfect line y = 3x + 1 → corr 1, slope 3
