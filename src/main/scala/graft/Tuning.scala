@@ -68,8 +68,13 @@ object Tuning {
     "funnel_stages", "status_history", "ivf_recall", "winnowing_overlap_pairs",
     // round-8 (graft.TailAB, 2 interleaved runs): hll_distinct_orders
     // 0.51→0.27 / 0.60→0.33 with aqe0s8 — two fixed aggregates over the
-    // distinct-key projection, nothing for runtime stats to re-plan
-    "hll_distinct_orders")
+    // distinct-key projection, nothing for runtime stats to re-plan;
+    // ivfpq_recall 1.31→1.15 / 1.34→1.26 (the fused single-scan recall is
+    // one partial-agg pass over plan-literal scores — fixed shape). NOT
+    // tagged after the same sweep: ivf_ann_topk (0.10 win shrank to 0.01
+    // in validation — the round-7 non-reproduction repeats on the fused
+    // plan).
+    "hll_distinct_orders", "ivfpq_recall")
   // NOT tagged despite a small A/B win: dup_clusters — iterative
   // data-dependent join loop (the classification rule says AQE on), and its
   // −0.10 s reading did not reproduce (+0.53 s in the validation run).
@@ -119,7 +124,7 @@ object Tuning {
     // 1.72→1.23 on partition count ALONE (s8 ≈ aqe0s8 in both runs — AQE
     // stays ON per the classification rule: the near-dup cluster loop is a
     // data-dependent join chain)
-    "hll_distinct_orders", "curation_pipeline")
+    "hll_distinct_orders", "curation_pipeline", "ivfpq_recall")
 
   /** Run `body` with the per-query conf overrides for `name`, restoring the
     * previous session values afterwards (exception-safe, so one query's
