@@ -2478,6 +2478,88 @@ object CatalogExt {
              |       round(abs(est - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE), 6) AS rel_err
              |FROM f""".stripMargin)),
 
+    // ── HLL SHARD MERGE (Stats.hllMergeShards): the mergeability that
+    //    makes the sketch the 100 TB distinct-count machinery — registers
+    //    built independently per shard, unioned by per-register MAX, the
+    //    merged estimate identical to the single-pass one because idx/rho
+    //    are pure functions of the key. The deployment shape (per-shard
+    //    sketch → merge → estimate) runs end to end and the merged
+    //    ESTIMATE is hash-pinned; StatsSpec asserts merge ≡ single-pass.
+    ("hll_shard_merge",
+      (spark, dir) =>
+        Stats.hllMergeShards(Tables.lineitem(spark, dir),
+                             "l_orderkey", "l_returnflag"),
+      Some("""WITH h AS (
+             |  SELECT l_returnflag AS shard,
+             |         CAST(CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15) AS UBIGINT) AS BIGINT) AS h
+             |  FROM lineitem),
+             |r AS (
+             |  SELECT shard, h // 4503599627370496 AS idx,
+             |         53 - length(ltrim(lpad(bin(h % 4503599627370496), 52, '0'), '0')) AS rho
+             |  FROM h),
+             |ps AS (SELECT shard, idx, MAX(rho) AS reg FROM r GROUP BY 1, 2),
+             |mg AS (SELECT idx, MAX(reg) AS reg FROM ps GROUP BY 1),
+             |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS nset,
+             |             CAST(SUM(1::BIGINT << (53 - reg)) AS BIGINT) AS num FROM mg),
+             |sh AS (SELECT CAST(COUNT(DISTINCT shard) AS BIGINT) AS n_shards FROM ps),
+             |c AS (
+             |  SELECT n_shards, nset, 256 - nset AS zeros,
+             |         (((0.7213 / (1.0 + 1.079 / 256.0)) * 256.0) * 256.0 * 9007199254740992.0)
+             |           / CAST(num + (256 - nset) * 9007199254740992 AS DOUBLE) AS raw
+             |  FROM s CROSS JOIN sh),
+             |f AS (
+             |  SELECT n_shards, nset,
+             |         CASE WHEN raw <= 640.0 AND zeros > 0
+             |              THEN 256.0 * ln(256.0 / CAST(zeros AS DOUBLE))
+             |              ELSE raw END AS est
+             |  FROM c)
+             |SELECT n_shards, CAST(256 AS BIGINT) AS m, nset AS n_registers_set,
+             |       round(est, 6) AS hll_estimate
+             |FROM f""".stripMargin)),
+
+    // ── Count–Min Sketch heavy hitters (Stats.cmsTopTokens): d=4 × w=1024
+    //    deterministic md5 counter matrix in ONE partial+final aggregate
+    //    (sketch size constant at any corpus size; shards merge by counter
+    //    addition), min-of-rows estimate as a map-side projection against
+    //    the driver-held table, top-20 by (estimate desc, token) with the
+    //    exact count riding along — overcount ≥ 0 is the CMS one-sided
+    //    error guarantee, spec-asserted. The twin rebuilds the counter
+    //    matrix and min-lookup relationally.
+    ("cms_heavy_hitters",
+      (spark, dir) =>
+        Stats.cmsTopTokens(Tables.documents(spark, dir)),
+      Some {
+        def bk(r: Int, of: String = "token") =
+          s"CAST(CAST('0x' || substr(md5('cms$r:' || $of), 1, 12) AS UBIGINT) AS BIGINT) % 1024"
+        s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+           |bk AS (
+           |  SELECT token, ${bk(0)} AS b0, ${bk(1)} AS b1,
+           |         ${bk(2)} AS b2, ${bk(3)} AS b3
+           |  FROM tok),
+           |cms0 AS (SELECT b0 AS b, COUNT(*) AS c FROM bk GROUP BY 1),
+           |cms1 AS (SELECT b1 AS b, COUNT(*) AS c FROM bk GROUP BY 1),
+           |cms2 AS (SELECT b2 AS b, COUNT(*) AS c FROM bk GROUP BY 1),
+           |cms3 AS (SELECT b3 AS b, COUNT(*) AS c FROM bk GROUP BY 1),
+           |vocab0 AS (
+           |  SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_count
+           |  FROM tok GROUP BY 1),
+           |vocab AS (
+           |  SELECT token, exact_count,
+           |         ${bk(0)} AS b0, ${bk(1)} AS b1, ${bk(2)} AS b2, ${bk(3)} AS b3
+           |  FROM vocab0),
+           |est AS (
+           |  SELECT v.token, v.exact_count,
+           |         least(c0.c, c1.c, c2.c, c3.c) AS cms_estimate
+           |  FROM vocab v
+           |  JOIN cms0 c0 ON c0.b = v.b0
+           |  JOIN cms1 c1 ON c1.b = v.b1
+           |  JOIN cms2 c2 ON c2.b = v.b2
+           |  JOIN cms3 c3 ON c3.b = v.b3)
+           |SELECT token, cms_estimate, exact_count,
+           |       cms_estimate - exact_count AS overcount
+           |FROM est ORDER BY cms_estimate DESC, token LIMIT 20""".stripMargin
+      }),
+
     // ── Grouped Pearson correlation + OLS slope with exact BIGINT moment
     //    sums (Stats.pearsonOlsFixed): Spark's own corr() aggregates
     //    doubles in partition order and cannot hash-match an oracle; the

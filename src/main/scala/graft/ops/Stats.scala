@@ -143,4 +143,96 @@ object Stats {
               round(abs(est - col("n_exact").cast("double")) /
                     col("n_exact").cast("double"), 6).as("rel_err"))
   }
+
+  /** HLL SHARD MERGE — the property that makes the sketch the 100 TB
+    * distinct-count machinery: registers built independently per shard
+    * (file, partition, day — any split) union by per-register MAX, and the
+    * merged estimate equals the single-pass estimate over the union
+    * EXACTLY, because idx and rho are pure functions of the key. This
+    * operator runs that deployment shape end to end: per-(shard, register)
+    * max-rho sketches (what a real pipeline persists per shard), the
+    * max-merge, then the standard estimate — every step the same exact
+    * integer arithmetic as [[hllDistinct]], so the merged estimate is
+    * hash-pinnable and a spec can assert merge ≡ single-pass on the same
+    * data. Returns one row: (n_shards, m, n_registers_set, hll_estimate).
+    *
+    * Scale shape: the per-shard aggregate's partial combine reduces every
+    * task to ≤ shards·m rows; the merge is a ≤ m-row aggregate. Nothing
+    * anywhere is proportional to row count or distinct count — THE reason
+    * sketches replace exact distincts at scale.
+    */
+  def hllMergeShards(df: DataFrame, keyColName: String,
+                     shardColName: String): DataFrame = {
+    val m = 256
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val hashed = df
+      .filter(col(keyColName).isNotNull)
+      .select(col(shardColName).as("__shard"),
+              expr(s"CAST(conv(substring(md5(CAST($keyColName AS STRING)), 1, 15), 16, 10) AS BIGINT)")
+                .as("__h"))
+    val tail = col("__h") % lit(1L << 52)
+    val perShard = hashed
+      .select(col("__shard"), expr(s"__h div ${1L << 52}").as("idx"),
+              (lit(53) - length(ltrim(lpad(bin(tail), 52, "0"), "0"))).as("rho"))
+      .groupBy(col("__shard"), col("idx"))
+      .agg(max(col("rho")).as("reg"))
+    val merged = perShard.groupBy(col("idx")).agg(max(col("reg")).as("reg"))
+    val sketch = merged.agg(
+      count(lit(1)).as("n_registers_set"),
+      sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - reg AS INT))")).as("num"))
+    val shards = perShard.agg(countDistinct(col("__shard")).as("n_shards"))
+    val zeros = lit(m) - col("n_registers_set")
+    val numFull = col("num") + zeros * lit(1L << 53)
+    val raw = lit(alpha * m * m) * lit((1L << 53).toDouble) / numFull.cast("double")
+    val est = when(raw <= lit(2.5 * m) && zeros > 0,
+        lit(m.toDouble) * log(lit(m.toDouble) / zeros.cast("double")))
+      .otherwise(raw)
+    shards.crossJoin(sketch)
+      .select(col("n_shards"), lit(m.toLong).as("m"),
+              col("n_registers_set"), round(est, 6).as("hll_estimate"))
+  }
+
+  /** Count–Min Sketch heavy hitters (Cormode & Muthukrishnan 2005) with
+    * deterministic engine-portable hashing — the frequency-sketch
+    * machinery behind streaming top-k / heavy-hitter detection at corpus
+    * scale, built openly so the sketch CONTENTS and the resulting ranking
+    * hash-match a relational twin:
+    *
+    *  - `d` hash rows × `w` counters; row r's bucket for a token is a
+    *    48-bit md5 prefix of `"cms<r>:" + token` mod w — exact string/int
+    *    ops, reproducible in any engine;
+    *  - the sketch is ONE partial+final aggregate producing ≤ d·w rows
+    *    (the 100 TB point: sketch size is a constant, and shards merge by
+    *    counter addition);
+    *  - estimate(token) = min over rows of its counter — computed as a
+    *    map-side projection against the driver-collected table (d·w longs,
+    *    bounded by construction), never a join;
+    *  - report: top `k` distinct tokens by (estimate desc, token), with
+    *    the exact count riding along — `overcount = estimate − exact` is
+    *    ≥ 0 by the CMS one-sided-error guarantee, which the spec asserts.
+    *
+    * The exact-count column scans the vocabulary (shuffle ∝ distinct
+    * tokens) — the audit face. A sketch-only deployment drops it and
+    * touches only the d·w-counter relation.
+    */
+  def cmsTopTokens(docs: DataFrame, textCol: String = "text",
+                   d: Int = 4, w: Int = 1024, k: Int = 20): DataFrame = {
+    val tok = TextAnalysis.explodeTokens(docs, textCol).select(col("token"))
+    def bucket(r: Int): Column =
+      expr(s"CAST(conv(substring(md5(concat('cms$r:', token)), 1, 12), 16, 10) AS BIGINT) % $w")
+    val cmsRows = tok
+      .select(posexplode(array((0 until d).map(bucket): _*))
+        .as(Seq("r", "b")))
+      .groupBy(col("r"), col("b")).agg(count(lit(1)).as("c"))
+      .collect()
+    val table: Array[Array[Long]] = Array.fill(d)(Array.fill(w)(0L))
+    cmsRows.foreach(row => table(row.getInt(0))(row.getLong(1).toInt) = row.getLong(2))
+    val estCol = least((0 until d).map(r =>
+      element_at(lit(table(r)), (bucket(r) + 1).cast("int"))): _*)
+    tok.groupBy(col("token")).agg(count(lit(1)).as("exact_count"))
+      .select(col("token"), estCol.as("cms_estimate"), col("exact_count"),
+              (estCol - col("exact_count")).as("overcount"))
+      .orderBy(col("cms_estimate").desc, col("token"))
+      .limit(k)
+  }
 }

@@ -16,6 +16,33 @@ class StatsSpec extends AnyFunSuite {
          Option(r.get(3)).map(_.asInstanceOf[Double])))
       .toMap
 
+  test("hllMergeShards: shard-merged estimate equals the single-pass estimate") {
+    // idx/rho are pure functions of the key, so per-shard max-merge must
+    // reproduce the single-pass register state EXACTLY — the mergeability
+    // property the 100 TB deployment relies on
+    val df = (1 to 900).map(i => (i.toLong % 331, s"shard${i % 7}"))
+      .toDF("k", "shard")
+    val merged = graft.ops.Stats.hllMergeShards(df, "k", "shard").collect()(0)
+    val single = graft.ops.Stats.hllDistinct(df, "k").collect()(0)
+    assert(merged.getAs[Long]("n_shards") == 7L)
+    assert(merged.getAs[Long]("n_registers_set") == single.getAs[Long]("n_registers_set"))
+    assert(merged.getAs[Double]("hll_estimate") == single.getAs[Double]("hll_estimate"))
+  }
+
+  test("cmsTopTokens: one-sided error, exact ranking on a skewed corpus") {
+    // "alpha" dominates; CMS must (a) never under-count — overcount >= 0 on
+    // every reported row (the CMS guarantee) — and (b) rank the true heavy
+    // hitter first at this tiny load factor
+    val docs = ((1 to 200).map(_ => "alpha beta") ++ (1 to 50).map(_ => "gamma delta"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val top = graft.ops.Stats.cmsTopTokens(docs, k = 4).collect()
+    assert(top.forall(_.getAs[Long]("overcount") >= 0L))
+    assert(top.forall(r => r.getAs[Long]("cms_estimate") >= r.getAs[Long]("exact_count")))
+    val first = top.head
+    assert((first.getAs[String]("token") == "alpha" || first.getAs[String]("token") == "beta")
+           && first.getAs[Long]("exact_count") == 200L, first.toString)
+  }
+
   test("pearsonOlsFixed: raises loudly when BIGINT moment headroom is exhausted") {
     // x = 2³¹ on one row, 0 on two more: every per-row product and every
     // actual sum fits BIGINT (Σx² ≈ 4.6e18), but the sound bound
