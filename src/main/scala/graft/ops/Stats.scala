@@ -22,52 +22,66 @@ object Stats {
     * rounded to 6 decimals, NULL on zero variance.
     *
     * Overflow headroom: the PER-ROW products must fit BIGINT — with
-    * |x|,|y| ≤ 2³⁰ (money cents up to ~$10 M) each x², y², x·y is ≤ 2⁶⁰,
-    * safe. The SUMS are guarded at runtime: a BIGINT Σy² at y ≤ 2³⁰ can
-    * wrap after as few as 2⁶³⁻⁶⁰ = 8 worst-case rows per group (real data
-    * gets within 2× of Long.MaxValue at sf1 × 9-replica), silently in
-    * non-ANSI mode while a HUGEINT-promoting oracle keeps going. The same
-    * aggregate therefore also computes per-group max|x| / max|y| — counts
-    * and maxima cannot wrap — and the final projection proves
-    * n·max(x²), n·max(y²), n·max|x|·max|y| < 2⁶³ (with double-rounding
-    * margin) before surfacing a result, raising loudly otherwise; every
-    * moment sum is bounded by its corresponding product, so the sums
-    * provably did not wrap whenever the guard passes. (A decimal(38,0)
-    * accumulator was measured 2.5× slower on the whole aggregate —
-    * 0.92 vs 0.36 s on the sf0.1 brand row — for protection the sound
-    * guard provides at the cost of three cheap long maxima.)
+    * |x|,|y| ≤ 2³⁰ (money cents up to ~$10 M) each x², y², x·y is ≤ 2⁶⁰.
+    * The second-moment SUMS, however, genuinely brush 2⁶³ on real data
+    * (the 9× sf0.1 replica's per-brand Σy² measured 8.6e18 — 93% of
+    * Long.MaxValue — while a HUGEINT-promoting oracle keeps going), so
+    * each is SPLIT-ACCUMULATED as two longs: high word
+    * `shiftright(p, 32)` (arithmetic shift = floor division, exact for
+    * both signs) and low word `p & (2³²−1)`, reconstituted EXACTLY in the
+    * tiny final projection as decimal(38,0) `2³²·Σq + Σr` and only then
+    * cast to double — bit-identical to rounding the true integer, which
+    * is what the HUGEINT oracle rounds, so engine hashes agree on both
+    * sides of 2⁶³. Headroom: |Σq| ≤ n·2³⁰ and Σr < n·2³² at the
+    * documented |x|,|y| ≤ 2³¹ bound, so nothing wraps below n = 2³⁰
+    * (~10⁹ rows PER GROUP); the final projection enforces exactly that —
+    * n < 2³⁰ and the three per-row-product bounds, from count/max
+    * aggregates that cannot themselves wrap — and raises loudly
+    * otherwise, never wrapping silently. (A decimal(38,0) accumulator in
+    * the hot aggregate was measured 2.5× slower — 0.92 vs 0.36 s on the
+    * sf0.1 brand row; the split form keeps long-speed partials and pays
+    * decimal only on the groups×1 final rows.)
     *
     * Scale shape: one partial+final hash aggregate — map-side combine
-    * reduces every partition to 8 numbers per group before the shuffle,
-    * so shuffle volume is groups × 8 regardless of row count.
+    * reduces every partition to 11 numbers per group before the shuffle,
+    * so shuffle volume is groups × 11 regardless of row count.
     */
   def pearsonOlsFixed(df: DataFrame, groupCols: Seq[String],
                       xInt: Column, yInt: Column): DataFrame = {
+    val base = 4294967296L // 2^32
+    def hi(p: Column) = sum(shiftright(p, 32))
+    def lo(p: Column) = sum(p.bitwiseAND(lit(base - 1)))
     val agg = df.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n"),
            sum(xInt).as("sx"), sum(yInt).as("sy"),
-           sum(xInt * xInt).as("sxx"), sum(yInt * yInt).as("syy"),
-           sum(xInt * yInt).as("sxy"),
+           hi(xInt * xInt).as("sxxq"), lo(xInt * xInt).as("sxxr"),
+           hi(yInt * yInt).as("syyq"), lo(yInt * yInt).as("syyr"),
+           hi(xInt * yInt).as("sxyq"), lo(xInt * yInt).as("sxyr"),
            max(abs(xInt)).as("mx"), max(abs(yInt)).as("my"))
     val nD = col("n").cast("double")
     def d(c: String) = col(c).cast("double")
+    // exact reconstitution: decimal(38,0) holds 2³²·Σq + Σr losslessly
+    // (≤ ~2⁹⁵); ONE cast to double = the correctly rounded true integer
+    def mom(nm: String) =
+      (col(nm + "q").cast("decimal(38,0)") * lit(base) + col(nm + "r"))
+        .cast("double")
     // 9.0e18 < 2⁶³ ≈ 9.22e18: the slack absorbs double rounding in the
-    // bound products (each factor ≤ 2⁵³-exact; the product is a correctly
-    // rounded double of the true bound, off by ulps, not percents)
+    // per-row-product bounds (each factor ≤ 2⁵³-exact)
     val headroom = lit(9.0e18)
-    val safe = nD * d("mx") * d("mx") < headroom &&
-               nD * d("my") * d("my") < headroom &&
-               nD * d("mx") * d("my") < headroom
+    val safe =
+      d("mx") * d("mx") < headroom && d("my") * d("my") < headroom &&
+      d("mx") * d("my") < headroom &&
+      col("n") < lit(1073741824L) // 2^30: split-sum + Σx/Σy headroom proof
     val guard = when(safe, lit(true)).otherwise(raise_error(concat(
       lit("pearsonOlsFixed: BIGINT moment-sum headroom exhausted for group n="),
       col("n").cast("string"),
       lit(" max|x|="), col("mx").cast("string"),
       lit(" max|y|="), col("my").cast("string"),
-      lit(" — pre-scale the inputs or shard the group")).cast("boolean")))
+      lit(" — pre-scale the inputs or shard the group"))).isNull)
     // explicit association, mirrored verbatim in the SQL twins
-    val varX = nD * d("sxx") - d("sx") * d("sx")
-    val varY = nD * d("syy") - d("sy") * d("sy")
-    val cov = nD * d("sxy") - d("sx") * d("sy")
+    val varX = nD * mom("sxx") - d("sx") * d("sx")
+    val varY = nD * mom("syy") - d("sy") * d("sy")
+    val cov = nD * mom("sxy") - d("sx") * d("sy")
     agg.filter(guard).select(
       groupCols.map(col) ++ Seq(
         col("n"),

@@ -44,12 +44,12 @@ class StatsSpec extends AnyFunSuite {
   }
 
   test("pearsonOlsFixed: raises loudly when BIGINT moment headroom is exhausted") {
-    // x = 2³¹ on one row, 0 on two more: every per-row product and every
-    // actual sum fits BIGINT (Σx² ≈ 4.6e18), but the sound bound
-    // n·max(x)² ≈ 1.4e19 exceeds the 9.0e18 guard — the query must FAIL
-    // (visible) rather than risk a silent wrap on the next such row
+    // x = 3.01e9 on a single row: x² ≈ 9.06e18 still fits BIGINT (no ANSI
+    // error, no wrap — the result would be numerically fine), but it
+    // exceeds the 9.0e18 per-row-product margin the proof needs — the
+    // query must FAIL (visible) rather than run without provable headroom
     import org.apache.spark.sql.functions.col
-    val df = Seq((2147483648L, 1L), (0L, 1L), (0L, 1L))
+    val df = Seq((3010000000L, 1L))
       .toDF("x", "y").withColumn("g", org.apache.spark.sql.functions.lit("a"))
     val ex = intercept[Exception] {
       graft.ops.Stats.pearsonOlsFixed(df, Seq("g"), col("x"), col("y")).collect()
