@@ -157,19 +157,19 @@ object Bench {
     // (BASELINE.md round-4 re-pin) so the host-factor correction is
     // coherent: a bench run in a slower window scales the bar to what
     // DuckDB would have measured there.
-    // 49.4 = the round-8 MEASURED re-pin of the full 126-query suite in
-    // one window (BASELINE.md "Round-8 re-pin": median of 5 process runs,
-    // range 48.6–50.3 — 1.7 s spread — probe-bracketed, calib samples
-    // 0.779–0.987 median ≈0.81 ≈ the standing 0.80 calib_quiet companion
-    // below). Zero increment layers: every catalog query's DuckDB median
-    // is from this one window, folding in the six rows that rode
-    // measured-but-separate medians after the round-7 pin
-    // (purchase_attribution / cross_source_overlap / event_path_trigrams /
-    // retention_cohorts / hll_distinct_orders) plus the new
-    // curation_pipeline row (whose twin alone is ~4.9 s — the composed
-    // dedup stack). `baseline_per_query.json` holds the same pin's
-    // per-query medians (sum 49.16).
-    val baselineQuiet = sys.env.getOrElse("SPARK_GRAFT_BASELINE_SEC", "49.4").toDouble
+    // 51.4 = the round-8 FINAL measured re-pin of the full 128-query
+    // suite in one window (BASELINE.md "Round-8 re-pin": median of 5
+    // process runs, range 48.4–52.5, probe-bracketed — opening probe min
+    // 0.842, closing samples 0.760–1.015, consistent with the standing
+    // 0.80 calib_quiet companion below). Zero increment layers: every
+    // catalog query's DuckDB median is from this one window, including
+    // the three rows added this round (curation_pipeline ~4.9 s — the
+    // composed dedup stack, the heaviest oracle in the suite;
+    // hll_shard_merge 0.50; cms_heavy_hitters 0.13).
+    // `baseline_per_query.json` holds the same pin's per-query medians
+    // (sum 50.22). An earlier same-round 126-query pin read 49.4 —
+    // +2.0 s ≈ the two new twins plus window variance, coherent.
+    val baselineQuiet = sys.env.getOrElse("SPARK_GRAFT_BASELINE_SEC", "51.4").toDouble
     // Host-speed calibration (BASELINE.md "Host-speed calibration"): the
     // shared build host has multi-minute windows where EVERYTHING runs
     // 20-85% slower (hypervisor-level; guest vmstat shows idle CPU while
