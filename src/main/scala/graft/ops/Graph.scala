@@ -41,8 +41,8 @@ object Graph {
     * (Σcontrib·85) div 100`.
     *
     * Plan shape. The edge-producing chain is scanned ONCE into a
-    * dst-prehashed localCheckpoint; a bounded probe (collect of at most
-    * `limit+1` degree rows) then measures the node count and picks:
+    * dst-prehashed localCheckpoint; one in-memory distinct-count job then
+    * measures the node count exactly and picks:
     *
     *  - **n ≤ [[BroadcastNodeLimit]]** (the dense bipartite graphs this
     *    serves): node state lives on the driver — exactly where a
@@ -51,7 +51,7 @@ object Graph {
     *    nested lineage), `div`s are precomputed driver-side in the same
     *    Long arithmetic, the contribution aggregate reuses the
     *    checkpoint's dst partitioning exchange-free, and the ≤n-row result
-    *    collects back. iters+2 jobs total and one edge-chain scan, where
+    *    collects back. iters+3 jobs total and one edge-chain scan, where
     *    the relational form paid 14 jobs and two chain scans at the
     *    catalog row (JobAudit, sf0.1: ≈0.9 M edges, 16.5 k nodes) — the
     *    per-job scheduler floor, not data work, dominated it. The returned
@@ -74,11 +74,12 @@ object Graph {
     val e0 = edges.select(col("src"), col("dst"))
       .repartition(col("dst"))
       .localCheckpoint()
-    val probeCap = math.min(broadcastNodeLimit, Int.MaxValue.toLong - 1).toInt
-    val degProbe = e0.groupBy("src").agg(count(lit(1)).as("d"))
-      .limit(probeCap + 1).collect()
+    // exact node count in one in-memory job (a limit-capped degree collect
+    // was tried first: CollectLimit's incremental partition scale-up cost
+    // 2-3 jobs against the checkpoint for the same decision)
+    val nNodes = e0.select(col("src")).distinct().count()
 
-    if (degProbe.length > probeCap) {
+    if (nNodes > broadcastNodeLimit) {
       // ── huge-graph path: node state never leaves the cluster
       val deg = e0.groupBy("src").agg(count(lit(1)).as("d"))
       val edgesDeg = e0.join(deg, Seq("src"))
@@ -99,10 +100,11 @@ object Graph {
       return ranks
     }
 
-    // ── driver-held path: deg map already in hand from the probe
+    // ── driver-held path: collect the ≤n-row degree map (in-memory agg)
     val nodeType = e0.schema("src").dataType
     val deg: Map[Any, Long] =
-      degProbe.map(r => r.get(0) -> r.getLong(1)).toMap
+      e0.groupBy("src").agg(count(lit(1)).as("d")).collect()
+        .map(r => r.get(0) -> r.getLong(1)).toMap
     val contribSchema = StructType(Seq(
       StructField("node", nodeType), StructField("__contrib", LongType, nullable = false)))
     var ranks: Seq[(Any, Long)] = deg.keys.toSeq.map(_ -> RankBase)
