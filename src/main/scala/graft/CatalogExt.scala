@@ -2560,6 +2560,54 @@ object CatalogExt {
            |FROM est ORDER BY cms_estimate DESC, token LIMIT 20""".stripMargin
       }),
 
+    // ── KMV / theta-sketch set-overlap estimate (Stats.kmvOverlap): the
+    //    bottom-256 key hashes per side estimate each side's distinct
+    //    count ((k−1)·2⁶⁰/h_k), and both-membership within the union's
+    //    bottom-k estimates Jaccard → intersection. Orders containing
+    //    returned ('R') vs accepted ('A') lines; exact counts ride along.
+    //    Bottom-k of a set is order-independent, so sketch contents AND
+    //    estimates hash-match the relational twin.
+    ("kmv_order_overlap",
+      (spark, dir) => {
+        val li = Tables.lineitem(spark, dir)
+        Stats.kmvOverlap(li.filter(col("l_returnflag") === "R"),
+                         li.filter(col("l_returnflag") === "A"),
+                         "l_orderkey", k = 256)
+      },
+      Some {
+        val h = "CAST(CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15) AS UBIGINT) AS BIGINT)"
+        s"""WITH ka AS (SELECT DISTINCT $h AS h FROM lineitem WHERE l_returnflag = 'R'),
+           |kb AS (SELECT DISTINCT $h AS h FROM lineitem WHERE l_returnflag = 'A'),
+           |mem AS (
+           |  SELECT h, MAX(a) AS in_a, MAX(b) AS in_b FROM (
+           |    SELECT h, 1 AS a, 0 AS b FROM ka
+           |    UNION ALL SELECT h, 0, 1 FROM kb) GROUP BY h),
+           |tku AS (SELECT h FROM mem ORDER BY h LIMIT 256),
+           |tka AS (SELECT h FROM mem WHERE in_a = 1 ORDER BY h LIMIT 256),
+           |tkb AS (SELECT h FROM mem WHERE in_b = 1 ORDER BY h LIMIT 256),
+           |tkboth AS (SELECT h FROM mem WHERE in_a = 1 AND in_b = 1 ORDER BY h LIMIT 256),
+           |ex AS (SELECT CAST(SUM(in_a) AS BIGINT) AS n_a, CAST(SUM(in_b) AS BIGINT) AS n_b,
+           |              CAST(SUM(in_a * in_b) AS BIGINT) AS n_both FROM mem),
+           |ea AS (SELECT COUNT(*) AS c, MAX(h) AS mx FROM tka),
+           |eb AS (SELECT COUNT(*) AS c, MAX(h) AS mx FROM tkb),
+           |eu AS (SELECT COUNT(*) AS c, MAX(h) AS mx FROM tku),
+           |ebo AS (SELECT COUNT(*) AS c FROM tku JOIN tkboth USING (h)),
+           |f AS (
+           |  SELECT CAST(256 AS BIGINT) AS k,
+           |         ex.n_a AS n_a_exact, ex.n_b AS n_b_exact, ex.n_both AS n_both_exact,
+           |         CASE WHEN ea.c < 256 THEN CAST(ex.n_a AS DOUBLE)
+           |              ELSE round(255.0 * 1152921504606846976.0 / CAST(ea.mx AS DOUBLE), 6) END AS est_a,
+           |         CASE WHEN eb.c < 256 THEN CAST(ex.n_b AS DOUBLE)
+           |              ELSE round(255.0 * 1152921504606846976.0 / CAST(eb.mx AS DOUBLE), 6) END AS est_b,
+           |         CASE WHEN eu.c < 256 THEN CAST(ex.n_a + ex.n_b - ex.n_both AS DOUBLE)
+           |              ELSE round(255.0 * 1152921504606846976.0 / CAST(eu.mx AS DOUBLE), 6) END AS est_union,
+           |         round(CAST(ebo.c AS DOUBLE) / CAST(least(eu.c, 256) AS DOUBLE), 6) AS jaccard_est
+           |  FROM ex CROSS JOIN ea CROSS JOIN eb CROSS JOIN eu CROSS JOIN ebo)
+           |SELECT k, n_a_exact, n_b_exact, n_both_exact, est_a, est_b, est_union,
+           |       jaccard_est, round(jaccard_est * est_union, 6) AS est_intersection
+           |FROM f""".stripMargin
+      }),
+
     // ── Grouped Pearson correlation + OLS slope with exact BIGINT moment
     //    sums (Stats.pearsonOlsFixed): Spark's own corr() aggregates
     //    doubles in partition order and cannot hash-match an oracle; the

@@ -249,4 +249,81 @@ object Stats {
       .orderBy(col("cms_estimate").desc, col("token"))
       .limit(k)
   }
+
+  /** KMV / theta-style distinct-set OVERLAP estimator (Beyer et al. 2007;
+    * the DataSketches theta-sketch intersection): per side, the k MINIMUM
+    * 60-bit key hashes form the sketch; the k-th minimum estimates the
+    * side's distinct count as `(k−1)·2⁶⁰ / h_k`, and the fraction of the
+    * union's bottom-k whose keys occur on BOTH sides estimates Jaccard —
+    * intersection ≈ jaccard · union. Bottom-k of a SET is
+    * order-independent (unlike Misra–Gries-style counters), so the whole
+    * estimate — sketch contents, thresholds, the division — is
+    * deterministic and hash-pinnable across engines; the md5-prefix hash
+    * is [[hllDistinct]]'s.
+    *
+    * Scale shape: per-side distinct keys (map-side partial dedup), one
+    * membership aggregate by hash, then ONE partial-agg pass holding all
+    * three bottom-k lists via [[TopKByScore]] (constant 0.0 score → ties
+    * break on id ascending = the k smallest hashes, exactly; non-members
+    * demoted below by a −1 sentinel and filtered after — the recall rows'
+    * convention). Sketch size is k at any input; sketches merge by
+    * bottom-k union. The exact side/intersection counts ride the same
+    * aggregate as the audit face.
+    *
+    * Returns one row: (k, n_a_exact, n_b_exact, n_both_exact, est_a,
+    * est_b, est_union, jaccard_est, est_intersection) — estimates exact
+    * by construction whenever a set has ≤ k members.
+    */
+  def kmvOverlap(dfA: DataFrame, dfB: DataFrame, keyColName: String,
+                 k: Int = 256): DataFrame = {
+    val space = (1L << 60).toDouble
+    def keys(df: DataFrame, a: Int, b: Int) = df
+      .select(col(keyColName).as("__k")).filter(col("__k").isNotNull).distinct()
+      .select(
+        expr("CAST(conv(substring(md5(CAST(__k AS STRING)), 1, 15), 16, 10) AS BIGINT)")
+          .as("__h"),
+        lit(a).as("a"), lit(b).as("b"))
+    val mem = keys(dfA, 1, 0).unionAll(keys(dfB, 0, 1))
+      .groupBy(col("__h"))
+      .agg(max(col("a")).as("in_a"), max(col("b")).as("in_b"))
+    val topk = udaf(new TopKByScore(k),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaDouble))
+    def side(flag: Column) = when(flag === 1, lit(0.0)).otherwise(lit(-1.0))
+    val agged = mem.agg(
+      topk(col("__h"), lit(0.0)).as("tk_u"),
+      topk(col("__h"), side(col("in_a"))).as("tk_a"),
+      topk(col("__h"), side(col("in_b"))).as("tk_b"),
+      topk(col("__h"), side(col("in_a") * col("in_b"))).as("tk_both"),
+      sum(col("in_a")).cast("long").as("n_a_exact"),
+      sum(col("in_b")).cast("long").as("n_b_exact"),
+      sum(col("in_a") * col("in_b")).cast("long").as("n_both_exact"))
+    // ids of a (sentinel-filtered) bottom-k list, ascending by construction
+    def ids(nm: String) = expr(s"transform(filter($nm, e -> e._2 > -0.5D), e -> e._1)")
+    // (k−1)·2⁶⁰ / h_k, or the exact count when the set fits in the sketch
+    def estimate(idsCol: Column, exact: Column) =
+      when(size(idsCol) < k, exact.cast("double"))
+        .otherwise(round(lit((k - 1).toDouble) * lit(space) /
+          element_at(idsCol, k).cast("double"), 6))
+    val uIds = col("tk_u_ids"); val bothIds = col("tk_both_ids")
+    agged
+      .select(col("*"),
+              expr("transform(tk_u, e -> e._1)").as("tk_u_ids"),
+              ids("tk_a").as("tk_a_ids"), ids("tk_b").as("tk_b_ids"),
+              ids("tk_both").as("tk_both_ids"))
+      .select(
+        lit(k.toLong).as("k"),
+        col("n_a_exact"), col("n_b_exact"), col("n_both_exact"),
+        estimate(col("tk_a_ids"), col("n_a_exact")).as("est_a"),
+        estimate(col("tk_b_ids"), col("n_b_exact")).as("est_b"),
+        estimate(uIds, col("n_a_exact") + col("n_b_exact") - col("n_both_exact"))
+          .as("est_union"),
+        // both-members inside the union's bottom-k: a both-member there is
+        // necessarily inside the both-set's own bottom-k, so the array
+        // intersection recovers that set exactly
+        round(size(array_intersect(uIds, bothIds)).cast("double") /
+              least(size(uIds), lit(k)).cast("double"), 6).as("jaccard_est"))
+      .withColumn("est_intersection",
+        round(col("jaccard_est") * col("est_union"), 6))
+  }
 }

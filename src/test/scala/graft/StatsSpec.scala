@@ -43,6 +43,29 @@ class StatsSpec extends AnyFunSuite {
            && first.getAs[Long]("exact_count") == 200L, first.toString)
   }
 
+  test("kmvOverlap: exact when sets fit the sketch; estimates near truth beyond it") {
+    import org.apache.spark.sql.functions.col
+    // small case: 60 vs 50 keys with 30 shared — everything fits in k=256,
+    // so every estimate must be EXACT and jaccard the literal ratio
+    val a1 = (1L to 60L).toDF("k")
+    val b1 = (31L to 80L).toDF("k")
+    val s = graft.ops.Stats.kmvOverlap(a1, b1, "k", k = 256).collect()(0)
+    assert(s.getAs[Long]("n_a_exact") == 60 && s.getAs[Long]("n_b_exact") == 50)
+    assert(s.getAs[Long]("n_both_exact") == 30)
+    assert(s.getAs[Double]("est_a") == 60.0 && s.getAs[Double]("est_b") == 50.0)
+    assert(s.getAs[Double]("est_union") == 80.0)
+    assert(s.getAs[Double]("est_intersection") == 30.0, s.toString)
+    // large case: 8k vs 6k keys, 2k shared — sketch-estimated; KMV with
+    // k=256 has ~1/sqrt(k) ≈ 6% typical error, assert a loose 25% band
+    val a2 = (1L to 8000L).toDF("k")
+    val b2 = (6001L to 12000L).toDF("k")
+    val t = graft.ops.Stats.kmvOverlap(a2, b2, "k", k = 256).collect()(0)
+    def near(v: Double, truth: Double) = math.abs(v - truth) <= 0.25 * truth
+    assert(near(t.getAs[Double]("est_a"), 8000.0), t.toString)
+    assert(near(t.getAs[Double]("est_union"), 12000.0), t.toString)
+    assert(near(t.getAs[Double]("est_intersection"), 2000.0), t.toString)
+  }
+
   test("pearsonOlsFixed: raises loudly when BIGINT moment headroom is exhausted") {
     // x = 3.01e9 on a single row: x² ≈ 9.06e18 still fits BIGINT (no ANSI
     // error, no wrap — the result would be numerically fine), but it
