@@ -2568,12 +2568,10 @@ object CatalogExt {
     //    Bottom-k of a set is order-independent, so sketch contents AND
     //    estimates hash-match the relational twin.
     ("kmv_order_overlap",
-      (spark, dir) => {
-        val li = Tables.lineitem(spark, dir)
-        Stats.kmvOverlap(li.filter(col("l_returnflag") === "R"),
-                         li.filter(col("l_returnflag") === "A"),
-                         "l_orderkey", k = 256)
-      },
+      (spark, dir) =>
+        Stats.kmvOverlapWhere(Tables.lineitem(spark, dir), "l_orderkey",
+                              col("l_returnflag") === "R",
+                              col("l_returnflag") === "A", k = 256),
       Some {
         val h = "CAST(CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15) AS UBIGINT) AS BIGINT)"
         s"""WITH ka AS (SELECT DISTINCT $h AS h FROM lineitem WHERE l_returnflag = 'R'),

@@ -74,7 +74,10 @@ object Tuning {
     // tagged after the same sweep: ivf_ann_topk (0.10 win shrank to 0.01
     // in validation — the round-7 non-reproduction repeats on the fused
     // plan).
-    "hll_distinct_orders", "ivfpq_recall")
+    "hll_distinct_orders", "ivfpq_recall",
+    // kmv_order_overlap 1.12→0.60 / 1.30→0.61 with aqe0 alone (two fixed
+    // aggregates; the membership relation's size is structural)
+    "kmv_order_overlap")
   // NOT tagged despite a small A/B win: dup_clusters — iterative
   // data-dependent join loop (the classification rule says AQE on), and its
   // −0.10 s reading did not reproduce (+0.53 s in the validation run).

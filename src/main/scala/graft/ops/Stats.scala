@@ -276,16 +276,41 @@ object Stats {
     */
   def kmvOverlap(dfA: DataFrame, dfB: DataFrame, keyColName: String,
                  k: Int = 256): DataFrame = {
-    val space = (1L << 60).toDouble
     def keys(df: DataFrame, a: Int, b: Int) = df
       .select(col(keyColName).as("__k")).filter(col("__k").isNotNull).distinct()
       .select(
         expr("CAST(conv(substring(md5(CAST(__k AS STRING)), 1, 15), 16, 10) AS BIGINT)")
           .as("__h"),
         lit(a).as("a"), lit(b).as("b"))
-    val mem = keys(dfA, 1, 0).unionAll(keys(dfB, 0, 1))
-      .groupBy(col("__h"))
-      .agg(max(col("a")).as("in_a"), max(col("b")).as("in_b"))
+    kmvFromMembership(
+      keys(dfA, 1, 0).unionAll(keys(dfB, 0, 1))
+        .groupBy(col("__h"))
+        .agg(max(col("a")).as("in_a"), max(col("b")).as("in_b")),
+      k)
+  }
+
+  /** [[kmvOverlap]] when both sides live in ONE relation as predicates:
+    * a single scan computes per-key membership flags (one key shuffle
+    * instead of two side-distinct shuffles plus a union re-group —
+    * identical membership sets, identical sketches and hashes).
+    */
+  def kmvOverlapWhere(df: DataFrame, keyColName: String,
+                      condA: Column, condB: Column, k: Int = 256): DataFrame =
+    kmvFromMembership(
+      df.filter(col(keyColName).isNotNull && (condA || condB))
+        .groupBy(col(keyColName).as("__k"))
+        .agg(max(when(condA, 1).otherwise(0)).as("in_a"),
+             max(when(condB, 1).otherwise(0)).as("in_b"))
+        .select(
+          expr("CAST(conv(substring(md5(CAST(__k AS STRING)), 1, 15), 16, 10) AS BIGINT)")
+            .as("__h"),
+          col("in_a"), col("in_b")),
+      k)
+
+  /** Shared KMV tail over the per-key membership relation
+    * (__h, in_a, in_b) — see [[kmvOverlap]] for the semantics. */
+  private def kmvFromMembership(mem: DataFrame, k: Int): DataFrame = {
+    val space = (1L << 60).toDouble
     val topk = udaf(new TopKByScore(k),
       org.apache.spark.sql.Encoders.tuple(
         org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaDouble))
