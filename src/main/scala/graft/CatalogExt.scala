@@ -2758,6 +2758,181 @@ object CatalogExt {
            |${round("r1", "r2")},
            |${round("r2", "r3")}
            |SELECT node, rank FROM r3 ORDER BY rank DESC, node""".stripMargin
-      })
+      }),
+
+    // ── Exact triangle census (Graph.triangleStats) of the co-supply
+    //    graph: suppliers sharing ≥6 orders. Degree-ordered orientation
+    //    (Suri–Vassilvitskii) bounds the wedge relation by m^1.5 — the
+    //    distributed triangle shape — and the support prune is the standard
+    //    market-basket densification guard. One audit row: counts + global
+    //    clustering coefficient.
+    ("cosupply_triangles",
+      (spark, dir) =>
+        Graph.triangleStats(Tables.lineitem(spark, dir),
+                            "l_orderkey", "l_suppkey", minSupport = 6),
+      Some("""WITH ds AS (SELECT DISTINCT l_orderkey AS bk, l_suppkey AS it FROM lineitem),
+             |e AS (
+             |  SELECT a.it AS u, b.it AS v
+             |  FROM ds a JOIN ds b ON a.bk = b.bk AND a.it < b.it
+             |  GROUP BY 1, 2 HAVING COUNT(*) >= 6),
+             |deg AS (
+             |  SELECT x, CAST(COUNT(*) AS BIGINT) AS d FROM (
+             |    SELECT u AS x FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
+             |o AS (
+             |  SELECT CASE WHEN du < dv OR (du = dv AND u < v) THEN u ELSE v END AS src,
+             |         CASE WHEN du < dv OR (du = dv AND u < v) THEN v ELSE u END AS dst,
+             |         CASE WHEN du < dv OR (du = dv AND u < v) THEN dv ELSE du END AS dd
+             |  FROM (SELECT e.u, e.v, d1.d AS du, d2.d AS dv
+             |        FROM e JOIN deg d1 ON d1.x = e.u JOIN deg d2 ON d2.x = e.v)),
+             |w AS (
+             |  SELECT e1.dst AS wa, e2.dst AS wb
+             |  FROM o e1 JOIN o e2 ON e1.src = e2.src
+             |   AND (e1.dd < e2.dd OR (e1.dd = e2.dd AND e1.dst < e2.dst))),
+             |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+             |      FROM w JOIN o ON w.wa = o.src AND w.wb = o.dst),
+             |nw AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+             |              CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_wedges FROM deg),
+             |ec AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM e)
+             |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+             |       round(3.0 * n_triangles / NULLIF(n_wedges, 0), 6) AS clustering
+             |FROM nw CROSS JOIN ec CROSS JOIN t""".stripMargin)),
+
+    // ── Mergeable histogram quantiles (Stats.histogramQuantiles): p50/p90/
+    //    p99 of order value per priority from a 1024-bin fixed-width
+    //    histogram — two bounded aggregate passes, integer-exact bin
+    //    assignment on money cents, doubles only in the final interpolation
+    //    (shape mirrored by the twin operator-for-operator). The scalable
+    //    quantile path; the spec bounds estimate error by one bin width
+    //    against exact percentiles.
+    ("price_histogram_quantiles",
+      (spark, dir) =>
+        Stats.histogramQuantiles(
+            Tables.orders(spark, dir)
+              .withColumnRenamed("o_orderpriority", "priority"),
+            Seq("priority"), Scalars.moneyCents(col("o_totalprice"))),
+      Some("""WITH base AS (
+             |  SELECT o_orderpriority AS priority,
+             |         CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders),
+             |b AS (SELECT priority, MIN(c) AS lo, MAX(c) AS hi,
+             |             CAST(COUNT(*) AS BIGINT) AS n FROM base GROUP BY 1),
+             |bins AS (
+             |  SELECT base.priority, ((c - lo) * 1024) // (hi - lo + 1) AS bin
+             |  FROM base JOIN b ON b.priority = base.priority),
+             |cnt AS (SELECT priority, bin, CAST(COUNT(*) AS BIGINT) AS cnt
+             |        FROM bins GROUP BY 1, 2),
+             |cum AS (
+             |  SELECT priority, bin, cnt,
+             |         CAST(SUM(cnt) OVER (PARTITION BY priority ORDER BY bin) AS BIGINT) AS cum
+             |  FROM cnt),
+             |q AS (SELECT unnest([0.5, 0.9, 0.99]::DOUBLE[]) AS q),
+             |pick AS (
+             |  SELECT c.priority, q.q, MIN(c.bin) AS bin
+             |  FROM cum c JOIN b ON b.priority = c.priority CROSS JOIN q
+             |  WHERE c.cum >= q.q * b.n GROUP BY 1, 2),
+             |pk AS (
+             |  SELECT p.priority, p.q, p.bin, c.cnt, c.cum
+             |  FROM pick p JOIN cum c ON c.priority = p.priority AND c.bin = p.bin),
+             |est AS (
+             |  SELECT pk.priority, pk.q,
+             |         round((lo + (hi - lo + 1) / 1024.0
+             |                * (pk.bin + (pk.q * n - (pk.cum - pk.cnt)) / pk.cnt))
+             |               / 100.0, 6) AS est
+             |  FROM pk JOIN b ON b.priority = pk.priority)
+             |SELECT e.priority, MAX(b.n) AS n, MAX(b.lo) AS min_cents,
+             |       MAX(b.hi) AS max_cents,
+             |       MAX(CASE WHEN q = 0.5 THEN est END) AS p50_est,
+             |       MAX(CASE WHEN q = 0.9 THEN est END) AS p90_est,
+             |       MAX(CASE WHEN q = 0.99 THEN est END) AS p99_est
+             |FROM est e JOIN b ON b.priority = e.priority
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ── Calendar gap-fill (Windows.calendarFill): the resample step —
+    //    every day in the global span × every priority, zero-filled, with
+    //    running totals. 1,094 of 2,405 span days have orders at sf0.001:
+    //    the fill is structural, not decorative. Grid and aggregated counts
+    //    are wall-clock-bounded → both sides broadcast; the corpus pays one
+    //    partial+final aggregate.
+    ("orders_daily_gapfill",
+      (spark, dir) =>
+        Windows.calendarFill(Tables.orders(spark, dir),
+                             "o_orderpriority", to_date(col("o_orderdate")))
+          .withColumnRenamed("g", "priority")
+          .orderBy(col("priority"), col("day")),
+      Some("""WITH d AS (SELECT o_orderpriority AS priority,
+             |                 CAST(o_orderdate AS DATE) AS day FROM orders),
+             |c AS (SELECT priority, day, CAST(COUNT(*) AS BIGINT) AS n
+             |      FROM d GROUP BY 1, 2),
+             |b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM d),
+             |cal AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+             |        FROM b),
+             |g AS (SELECT DISTINCT priority FROM d),
+             |f AS (
+             |  SELECT g.priority, cal.day, COALESCE(c.n, 0) AS n
+             |  FROM g CROSS JOIN cal
+             |  LEFT JOIN c ON c.priority = g.priority AND c.day = cal.day)
+             |SELECT priority, day, n,
+             |       CAST(SUM(n) OVER (PARTITION BY priority ORDER BY day) AS BIGINT) AS cum_n
+             |FROM f ORDER BY 1, 2""".stripMargin)),
+
+    // ── Per-column data-quality profile (Profile.columnProfile) of orders:
+    //    nulls, exact distincts, typed min/max — ONE scan (the distinct
+    //    faces expand it 6-fold in-plan; the 100 TB swap is the HLL face per
+    //    column). Canonicalization makes the report engine-exact: money →
+    //    cents, timestamps → dates, min/max stringified only at the end.
+    ("orders_column_profile",
+      (spark, dir) =>
+        Profile.columnProfile(Tables.orders(spark, dir), Seq(
+          ("o_orderkey", col("o_orderkey"), col("o_orderkey")),
+          ("o_custkey", col("o_custkey"), col("o_custkey")),
+          ("o_orderstatus", col("o_orderstatus"), col("o_orderstatus")),
+          ("o_totalprice", col("o_totalprice"),
+            Scalars.moneyCents(col("o_totalprice"))),
+          ("o_orderdate", col("o_orderdate"), to_date(col("o_orderdate"))),
+          ("o_orderpriority", col("o_orderpriority"), col("o_orderpriority")))),
+      Some {
+        def block(nm: String, canon: String) =
+          s"""SELECT '$nm' AS column_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             |       CAST(COUNT(*) - COUNT($nm) AS BIGINT) AS n_nulls,
+             |       CAST(COUNT(DISTINCT $canon) AS BIGINT) AS n_distinct,
+             |       CAST(MIN($canon) AS VARCHAR) AS min_val,
+             |       CAST(MAX($canon) AS VARCHAR) AS max_val
+             |FROM orders""".stripMargin
+        Seq(
+          block("o_orderkey", "o_orderkey"),
+          block("o_custkey", "o_custkey"),
+          block("o_orderstatus", "o_orderstatus"),
+          block("o_totalprice", "CAST(round(o_totalprice * 100) AS BIGINT)"),
+          block("o_orderdate", "CAST(o_orderdate AS DATE)"),
+          block("o_orderpriority", "o_orderpriority"))
+          .mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+      }),
+
+    // ── Median/MAD volume anomalies (Stats.madDailyOutliers): robust
+    //    outlier flags over daily order counts per priority. Median buffers
+    //    bound by calendar days, not rows; interpolated halves of integers
+    //    keep every double exact across engines.
+    ("order_volume_outliers",
+      (spark, dir) =>
+        Stats.madDailyOutliers(Tables.orders(spark, dir),
+                               "o_orderpriority", to_date(col("o_orderdate")))
+          .withColumnRenamed("g", "priority")
+          .orderBy(col("priority"), col("day")),
+      Some("""WITH d AS (SELECT o_orderpriority AS priority,
+             |                 CAST(o_orderdate AS DATE) AS day FROM orders),
+             |dc AS (SELECT priority, day, CAST(COUNT(*) AS BIGINT) AS n
+             |       FROM d GROUP BY 1, 2),
+             |m AS (SELECT priority, quantile_cont(n, 0.5) AS med FROM dc GROUP BY 1),
+             |dv AS (SELECT dc.priority, day, n, med, abs(n - med) AS dev
+             |       FROM dc JOIN m ON m.priority = dc.priority),
+             |md AS (SELECT priority, quantile_cont(dev, 0.5) AS mad,
+             |              avg(dev) AS avg_dev FROM dv GROUP BY 1),
+             |sc AS (SELECT priority, mad,
+             |              CASE WHEN mad > 0 THEN 1.4826 * mad
+             |                   ELSE 1.2533 * avg_dev END AS scale FROM md)
+             |SELECT dv.priority, day, n, med, sc.mad, sc.scale,
+             |       CASE WHEN sc.scale > 0 AND dev > 3.0 * sc.scale THEN 1 ELSE 0
+             |       END AS is_outlier
+             |FROM dv JOIN sc ON sc.priority = dv.priority
+             |ORDER BY 1, 2""".stripMargin))
   )
 }

@@ -1,0 +1,52 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-quality profiling: the schema-drift / null-audit pass a training
+  * pipeline runs over every new ingest batch before anything joins it.
+  * One wide aggregate over one scan; the per-column report rows are
+  * unpivoted from that single result row, so profiling N columns never
+  * means N scans.
+  */
+object Profile {
+
+  /** Per-column profile: row count, null count, exact distinct count, and
+    * min/max, one report row per column.
+    *
+    * `specs` maps each output row to `(name, rawCol, canonCol)`: nulls are
+    * counted on the RAW column, distinct/min/max on the CANONICAL one —
+    * the caller's chance to make cross-engine comparison exact (money
+    * doubles → integer cents, timestamps → dates) and min/max
+    * type-meaningful (computed on the typed value, stringified only in the
+    * final projection — a lexicographic min of stringified integers would
+    * be wrong, not just ugly).
+    *
+    * Scale shape: ONE scan. The null/min/max faces are plain partial
+    * aggregates; the exact distinct counts make Spark expand the scan
+    * |specs|-fold before the partial agg — the honest cost of exactness,
+    * linear in column count, and the 100 TB escape hatch is swapping
+    * count_distinct for the engine's HLL face ([[Stats.hllDistinct]])
+    * per column. The unpivot is an `explode` over one driver-sized row.
+    */
+  def columnProfile(df: DataFrame, specs: Seq[(String, Column, Column)]): DataFrame = {
+    require(specs.nonEmpty, "columnProfile needs at least one column spec")
+    val aggs = specs.zipWithIndex.flatMap { case ((_, raw, canon), i) =>
+      Seq(count(raw).as(s"__nn$i"),
+          countDistinct(canon).as(s"__nd$i"),
+          min(canon).cast("string").as(s"__mn$i"),
+          max(canon).cast("string").as(s"__mx$i"))
+    }
+    val one = df.agg(count(lit(1)).as("__nr"), aggs: _*)
+    one.select(explode(array(specs.zipWithIndex.map { case ((nm, _, _), i) =>
+        struct(lit(nm).as("column_name"),
+               col("__nr").as("n_rows"),
+               (col("__nr") - col(s"__nn$i")).as("n_nulls"),
+               col(s"__nd$i").as("n_distinct"),
+               col(s"__mn$i").as("min_val"),
+               col(s"__mx$i").as("max_val"))
+      }: _*)).as("p"))
+      .select(col("p.*"))
+      .orderBy(col("column_name"))
+  }
+}

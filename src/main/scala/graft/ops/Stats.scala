@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Grouped statistical fits with engine-portable determinism. Spark's own
@@ -350,5 +351,112 @@ object Stats {
               least(size(uIds), lit(k)).cast("double"), 6).as("jaccard_est"))
       .withColumn("est_intersection",
         round(col("jaccard_est") * col("est_union"), 6))
+  }
+
+  /** Mergeable fixed-bin histogram quantile estimates per group — the
+    * quantile path that actually works at 100 TB. Exact quantiles need
+    * either a full sort or per-group value buffers (Spark's `percentile`
+    * holds every group value in executor memory); a fixed-width histogram
+    * is two bounded passes — per-group (min, max, n), then `bins` counters
+    * per group — both plain partial+final hash aggregates whose shuffle is
+    * groups×bins regardless of row count, and histograms from shards merge
+    * by counter addition.
+    *
+    * Estimator determinism is the contract: `centsCol` MUST be an
+    * integer-valued BIGINT (the money-cents discipline), so bin assignment
+    * `((c − lo) · bins) div span` is EXACT integer arithmetic — no float
+    * bin edges, no engine-dependent rounding at bin boundaries (headroom:
+    * (c−lo)·bins needs |span|·bins < 2⁶³, i.e. value ranges to 2⁵³ — any
+    * realistic money/count column). The quantile estimate interpolates
+    * linearly inside the selected bin; doubles appear ONLY in that final
+    * groups×quantiles projection, with the expression shape mirrored
+    * operator-for-operator by the SQL twin so IEEE results are
+    * bit-identical. Estimate error is bounded by one bin width (span/bins)
+    * — the spec checks estimates against exact percentiles at test scale.
+    *
+    * Emits one row per group: (groups..., n, min_cents, max_cents, then
+    * `p<q>_est` per requested quantile, in dollars rounded to 6).
+    */
+  def histogramQuantiles(df: DataFrame, groupCols: Seq[String], centsCol: Column,
+                         bins: Int = 1024,
+                         qs: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
+    require(bins >= 2 && qs.nonEmpty, s"need bins >= 2 and quantiles, got $bins/$qs")
+    val g = groupCols.map(col)
+    val base = df.select(g :+ centsCol.as("c"): _*)
+    // pass 1: per-group bounds (tiny — broadcast back onto the scan)
+    val bounds = base.groupBy(g: _*)
+      .agg(min(col("c")).as("lo"), max(col("c")).as("hi"), count(lit(1)).as("n"))
+    // pass 2: exact integer bin assignment, bins counters per group
+    val cnts = base.join(broadcast(bounds), groupCols)
+      .select(g :+ expr(s"((c - lo) * $bins) div (hi - lo + 1)").as("bin"): _*)
+      .groupBy(g :+ col("bin"): _*)
+      .agg(count(lit(1)).as("cnt"))
+    val cum = cnts.withColumn("cum",
+      sum(col("cnt")).over(Window.partitionBy(g: _*).orderBy(col("bin"))))
+    // smallest bin whose cumulative count reaches q·n, one struct-min per
+    // (group, q) — groups×bins×|qs| rows in, groups×|qs| out
+    val picked = cum.join(broadcast(bounds), groupCols)
+      .withColumn("q", explode(array(qs.map(lit): _*)))
+      .filter(col("cum") >= col("q") * col("n"))
+      .groupBy(g :+ col("q"): _*)
+      .agg(min(struct(col("bin"), col("cnt"), col("cum"))).as("pk"))
+    // linear interpolation inside the bin; double math only here, shape
+    // mirrored exactly by the oracle twin: lo + span/bins · (bin + (q·n −
+    // cum_before)/cnt), surfaced in dollars
+    val est = picked.join(broadcast(bounds), groupCols)
+      .withColumn("est", round(
+        (col("lo") + (col("hi") - col("lo") + lit(1L)) / lit(bins.toDouble) *
+          (col("pk.bin") + (col("q") * col("n") - (col("pk.cum") - col("pk.cnt"))) /
+            col("pk.cnt"))) / lit(100.0), 6))
+    def pName(q: Double) = "p" + BigDecimal(q * 100).underlying.stripTrailingZeros
+      .toPlainString.replace(".", "_") + "_est"
+    est.groupBy(g: _*)
+      .agg(max(col("n")).as("n"),
+           (Seq(max(col("lo")).as("min_cents"), max(col("hi")).as("max_cents")) ++
+             qs.map(q => max(when(col("q") === q, col("est"))).as(pName(q)))): _*)
+      .orderBy(g: _*)
+  }
+
+  /** Median/MAD anomaly flags over per-day event counts — robust outlier
+    * detection (median absolute deviation, the standard robust scale
+    * estimator: immune to the outliers it hunts, unlike stddev). A day is
+    * flagged when |n − median| > k·scale, with scale the
+    * consistency-adjusted MAD (1.4826·MAD estimates σ under normality —
+    * Leys et al. 2013). Discrete counts make MAD degenerate easily: when
+    * ≥50 % of days share one count, MAD = 0 and a bare k·MAD rule flags
+    * EVERY deviating day (measured 48 % of days at sf0.01's ~1 order/day
+    * sparsity) — so MAD = 0 falls back to the mean absolute deviation
+    * (×1.2533, its own σ consistency constant), and a zero scale flags
+    * nothing (a constant series has no evidence of anomaly).
+    *
+    * The exact medians use `percentile`, whose per-group buffer is bounded
+    * here by CALENDAR DAYS per group, not input rows — safe at any corpus
+    * size (the daily-count aggregate before it is the usual partial+final
+    * reduction). The tiny daily relation is localCheckpointed once: it
+    * feeds the median aggregate, the deviation join, and the scale
+    * aggregate. Exactness across engines: counts are BIGINT; median/MAD
+    * interpolate halves of integers, deviations are exact halves whose SUM
+    * (for the fallback mean) is order-independent in doubles — every
+    * number here hash-matches a relational twin bit-for-bit.
+    *
+    * Emits every (group, day) with (n, med, mad, scale, is_outlier 0/1).
+    */
+  def madDailyOutliers(df: DataFrame, groupCol: String, dayCol: Column,
+                       k: Double = 3.0): DataFrame = {
+    val daily = df.select(col(groupCol).as("g"), dayCol.as("day"))
+      .groupBy("g", "day").agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val med = daily.groupBy("g").agg(expr("percentile(n, 0.5)").as("med"))
+    val dev = daily.join(broadcast(med), Seq("g"))
+      .withColumn("dev", abs(col("n") - col("med")))
+    val mad = dev.groupBy("g")
+      .agg(expr("percentile(dev, 0.5)").as("mad"), avg(col("dev")).as("avg_dev"))
+    dev.join(broadcast(mad), Seq("g"))
+      .withColumn("scale",
+        when(col("mad") > 0, lit(1.4826) * col("mad"))
+          .otherwise(lit(1.2533) * col("avg_dev")))
+      .select(col("g"), col("day"), col("n"), col("med"), col("mad"), col("scale"),
+        when(col("scale") > 0 && col("dev") > lit(k) * col("scale"), lit(1))
+          .otherwise(lit(0)).as("is_outlier"))
   }
 }

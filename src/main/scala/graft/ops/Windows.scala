@@ -152,4 +152,32 @@ object Windows {
       .select(col(key), col("__run").as("run_no"), col("status"),
               col("valid_from"), col("valid_to"), col("n_events"))
   }
+
+  /** Gap-filled daily series per group: every calendar day between the
+    * GLOBAL min and max of `dayCol` appears for every group, absent days
+    * zero-filled, with a per-group running total — the resample/gap-fill
+    * step every time-series report needs before rates and rolling frames
+    * make sense (a rolling mean over a series with silently missing days is
+    * wrong, not just incomplete).
+    *
+    * Scale shape: the counts aggregate is the only input-sized pass
+    * (partial+final on (group, day)); its OUTPUT — like the
+    * `sequence()`-exploded calendar grid it left-joins under — is bounded
+    * by groups × calendar days, a wall-clock bound, not a data-volume one.
+    * So the aggregated counts broadcast into the grid join (grid is the
+    * row-preserved side; Spark builds the right side of a left join), and
+    * the running total is one window over the already-tiny result.
+    */
+  def calendarFill(df: DataFrame, groupCol: String, dayCol: Column): DataFrame = {
+    val d = df.select(col(groupCol).as("g"), dayCol.as("day"))
+    val cnts = d.groupBy("g", "day").agg(count(lit(1)).as("n"))
+    val cal = d.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"), expr("interval 1 day")))
+        .as("day"))
+    val grid = d.select(col("g")).distinct().crossJoin(broadcast(cal))
+    grid.join(broadcast(cnts), Seq("g", "day"), "left")
+      .select(col("g"), col("day"), coalesce(col("n"), lit(0L)).as("n"))
+      .withColumn("cum_n",
+        sum(col("n")).over(Window.partitionBy(col("g")).orderBy(col("day"))))
+  }
 }

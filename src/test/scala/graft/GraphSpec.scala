@@ -78,4 +78,48 @@ class GraphSpec extends AnyFunSuite {
     assert(total <= ideal)
     assert(ideal - total <= 3L * (edges.size + out.size) * 100)
   }
+
+  private def tri(baskets: Seq[(Long, String)], minSupport: Long) =
+    Graph.triangleStats(baskets.toDF("bk", "it"), "bk", "it", minSupport)
+      .collect().head
+
+  test("triangleStats: a 4-clique basket counts C(4,3) triangles, clustering 1") {
+    val row = tri(Seq(1L -> "a", 1L -> "b", 1L -> "c", 1L -> "d"), 1)
+    assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3)) ==
+      ((4L, 6L, 12L, 4L)), row.toString) // nodes, edges, ΣC(3,2) wedges, C(4,3)
+    assert(row.getDouble(4) == 1.0)
+  }
+
+  test("triangleStats: a path has wedges but no triangles") {
+    val row = tri(Seq(1L -> "a", 1L -> "b", 2L -> "b", 2L -> "c"), 1)
+    assert(row.getLong(3) == 0L, row.toString)
+    assert(row.getLong(2) == 1L, "one wedge at the path center")
+    assert(row.getDouble(4) == 0.0)
+  }
+
+  test("triangleStats: equal-degree triangle survives the orientation tiebreak") {
+    // K3 — every vertex degree 2, so orientation falls entirely to the id
+    // tiebreak; a wedge-side comparison inconsistent with it would count
+    // 0 or 2 instead of exactly 1
+    val row = tri(Seq(1L -> "x", 1L -> "y", 2L -> "y", 2L -> "z", 3L -> "z", 3L -> "x"), 1)
+    assert(row.getLong(3) == 1L, row.toString)
+  }
+
+  test("triangleStats: support prune drops single-co-occurrence edges") {
+    // (a,b) co-occur twice, (b,c) once → minSupport 2 keeps one edge
+    val baskets = Seq(1L -> "a", 1L -> "b", 2L -> "a", 2L -> "b", 3L -> "b", 3L -> "c")
+    assert(tri(baskets, 2).getLong(1) == 1L)
+    assert(tri(baskets, 1).getLong(1) == 2L)
+  }
+
+  test("triangleStats: skewed hub graph — degree orientation keeps wedges off the hub") {
+    // star of 6 leaves + one leaf-leaf closing edge: 1 triangle; the hub
+    // (degree 6) must never be a wedge apex after orientation — its
+    // out-degree is 0 under the (deg, id) order
+    val star = (1 to 6).map(i => (i.toLong, "hub")) ++ (1 to 6).map(i => (i.toLong, s"l$i"))
+    val closing = Seq(7L -> "l1", 7L -> "l2")
+    val row = tri(star ++ closing, 1)
+    assert(row.getLong(3) == 1L, row.toString)
+    assert(row.getLong(0) == 7L && row.getLong(1) == 7L, row.toString)
+  }
 }

@@ -1,0 +1,40 @@
+package graft
+
+import graft.ops.{Profile, Scalars}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ProfileSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("columnProfile: nulls on raw, distinct/min/max on canonical, one row per column") {
+    val df = Seq(
+      (Some(3L), "b", 19.99),
+      (None, "a", 19.99),
+      (Some(10L), "b", 5.00))
+      .toDF("id", "s", "price")
+    val out = Profile.columnProfile(df, Seq(
+        ("id", col("id"), col("id")),
+        ("s", col("s"), col("s")),
+        ("price", col("price"), Scalars.moneyCents(col("price")))))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5)))
+      .toMap
+    // typed min/max: id 3 < 10 (a lexicographic string min would say "10")
+    assert(out("id") == ((3L, 1L, 2L, "3", "10")))
+    assert(out("s") == ((3L, 0L, 2L, "a", "b")))
+    // money canonicalized to cents before distinct/min/max
+    assert(out("price") == ((3L, 0L, 2L, "500", "1999")))
+    assert(out.keySet == Set("id", "s", "price"))
+  }
+
+  test("columnProfile: profiling N columns stays one scan (plus the distinct expand)") {
+    val df = Seq((1L, "x"), (2L, "y")).toDF("a", "b")
+    val plan = Profile.columnProfile(df, Seq(
+        ("a", col("a"), col("a")), ("b", col("b"), col("b"))))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), "exact multi-distinct profiles via one Expand:\n" + plan)
+    assert(!plan.contains("Join"), "profiling must never self-join per column:\n" + plan)
+  }
+}

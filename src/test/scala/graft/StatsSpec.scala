@@ -134,4 +134,68 @@ class StatsSpec extends AnyFunSuite {
     assert(math.abs(small.getDouble(2) - 40.0) / 40.0 < 0.25,
       s"linear counting off: ${small.getDouble(2)}")
   }
+
+  test("histogramQuantiles: estimates within one bin width of exact percentiles") {
+    // uniform 1..1000 dollars in one group: exact percentiles known
+    val df = (1 to 1000).map(i => ("g", i.toLong * 100)).toDF("g", "cents")
+    val row = Stats.histogramQuantiles(df, Seq("g"), col("cents")).collect().head
+    assert(row.getLong(1) == 1000L && row.getLong(2) == 100L && row.getLong(3) == 100000L,
+      s"n/min/max wrong: $row")
+    // the rank estimator lands inside the bin holding the ⌈q·n⌉-th order
+    // stat; percentile_cont may interpolate into the adjacent bin → 2 widths
+    val tol = 2.0 * (100000.0 - 100.0 + 1.0) / 1024.0 / 100.0
+    val exact = Map(4 -> 500.5, 5 -> 900.1, 6 -> 990.01) // p50/p90/p99 of 1..1000
+    for ((i, want) <- exact)
+      assert(math.abs(row.getDouble(i) - want) <= tol,
+        s"estimate ${row.getDouble(i)} vs exact $want (± $tol)")
+  }
+
+  test("histogramQuantiles: groups are independent; a point mass collapses the histogram") {
+    val df = ((1 to 100).map(i => ("wide", i.toLong)) ++
+              (1 to 50).map(_ => ("point", 42L))).toDF("g", "cents")
+    val out = Stats.histogramQuantiles(df, Seq("g"), col("cents"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    // all mass in bin 0 of a span-1 histogram: every quantile estimates
+    // inside [lo, lo+span/bins] — i.e. 0.42 dollars ± one (tiny) bin
+    assert(math.abs(out("point").getDouble(4) - 0.42) < 0.01, out("point").toString)
+    assert(out("wide").getLong(1) == 100L)
+    assert(out("wide").getDouble(4) > 0.40 && out("wide").getDouble(4) < 0.60,
+      s"p50 of 1..100 cents: ${out("wide").getDouble(4)}")
+  }
+
+  test("madDailyOutliers: spike flagged through the MAD=0 mean-deviation fallback") {
+    def d(i: Int) = java.sql.Date.valueOf(f"2024-01-${i}%02d")
+    // 30 identical days (count 5) + one 50-count day: median 5, MAD 0 —
+    // the bare k·MAD rule would flag EVERY day; the MeanAD fallback must
+    // flag exactly the spike
+    val rows = (1 to 30).flatMap(i => Seq.fill(5)(("a", d(i)))) ++
+               Seq.fill(50)(("a", d(31)))
+    val out = Stats.madDailyOutliers(rows.toDF("g", "day"), "g", col("day"))
+      .collect().map(r => r.getDate(1) -> r.getInt(6)).toMap
+    assert(out(d(31)) == 1, "spike day must be flagged")
+    assert((1 to 30).forall(i => out(d(i)) == 0), "steady days must not be flagged")
+  }
+
+  test("madDailyOutliers: constant series has zero scale and zero flags") {
+    def d(i: Int) = java.sql.Date.valueOf(f"2024-02-${i}%02d")
+    val rows = (1 to 14).flatMap(i => Seq.fill(3)(("c", d(i))))
+    val out = Stats.madDailyOutliers(rows.toDF("g", "day"), "g", col("day")).collect()
+    assert(out.forall(_.getInt(6) == 0))
+    assert(out.forall(_.getDouble(5) == 0.0), "scale must be 0 on a constant series")
+  }
+
+  test("madDailyOutliers: nonzero MAD uses the 1.4826 consistency constant") {
+    def d(i: Int) = java.sql.Date.valueOf(f"2024-03-${i}%02d")
+    // counts {1..11, 100} → median 6.5, sorted deviations
+    // (0.5,0.5,1.5,…,5.5,93.5) → MAD = (2.5+3.5)/2 = 3.0, every value an
+    // exact double half — the cross-engine exactness contract in miniature
+    val rows = (1 to 11).flatMap(i => Seq.fill(i)(("m", d(i)))) ++
+               Seq.fill(100)(("m", d(12)))
+    val byDay = Stats.madDailyOutliers(rows.toDF("g", "day"), "g", col("day"))
+      .collect().map(r => r.getDate(1) -> r).toMap
+    val spike = byDay(d(12))
+    assert(spike.getDouble(4) == 3.0, s"MAD: ${spike.getDouble(4)}")
+    assert(spike.getDouble(5) == 1.4826 * spike.getDouble(4), "scale = 1.4826·MAD")
+    assert(spike.getInt(6) == 1, "spike flagged")
+  }
 }

@@ -108,4 +108,20 @@ class WindowsSpec extends AnyFunSuite {
     assert(out == Map((2817L, 0L) -> 2L, (2817L, 1L) -> 1L,
                       (2818L, 0L) -> 1L, (2818L, 1L) -> 1L))
   }
+
+  test("calendarFill: every group covers the GLOBAL span, gaps zero-filled, running totals") {
+    def d(s: String) = java.sql.Date.valueOf(s)
+    // A present on the span edges with a hole; B only in the middle — B's
+    // boundary days and A's hole must materialize as zeros
+    val rows = Seq(("A", d("2024-01-01")), ("A", d("2024-01-01")),
+                   ("A", d("2024-01-03")), ("B", d("2024-01-02")))
+    val out = Windows.calendarFill(rows.toDF("g", "day"), "g", col("day"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toString) ->
+                          (r.getLong(2), r.getLong(3))).toMap
+    assert(out == Map(
+      ("A", "2024-01-01") -> ((2L, 2L)), ("A", "2024-01-02") -> ((0L, 2L)),
+      ("A", "2024-01-03") -> ((1L, 3L)),
+      ("B", "2024-01-01") -> ((0L, 0L)), ("B", "2024-01-02") -> ((1L, 1L)),
+      ("B", "2024-01-03") -> ((0L, 1L))))
+  }
 }
