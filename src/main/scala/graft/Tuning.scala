@@ -77,7 +77,11 @@ object Tuning {
     "hll_distinct_orders", "ivfpq_recall",
     // kmv_order_overlap 1.12→0.60 / 1.30→0.61 with aqe0 alone (two fixed
     // aggregates; the membership relation's size is structural)
-    "kmv_order_overlap")
+    "kmv_order_overlap",
+    // round-8 session-2 (graft.TailAB, 2 interleaved runs):
+    // price_histogram_quantiles 0.52→0.44 / 0.54→0.44 with aqe0s8 — two
+    // bounded aggregates + broadcast-combined bins, nothing data-dependent
+    "price_histogram_quantiles")
   // NOT tagged despite a small A/B win: dup_clusters — iterative
   // data-dependent join loop (the classification rule says AQE on), and its
   // −0.10 s reading did not reproduce (+0.53 s in the validation run).
@@ -127,7 +131,17 @@ object Tuning {
     // 1.72→1.23 on partition count ALONE (s8 ≈ aqe0s8 in both runs — AQE
     // stays ON per the classification rule: the near-dup cluster loop is a
     // data-dependent join chain)
-    "hll_distinct_orders", "curation_pipeline", "ivfpq_recall")
+    "hll_distinct_orders", "curation_pipeline", "ivfpq_recall",
+    // round-8 session-2 (graft.TailAB, 2 interleaved runs):
+    // cosupply_triangles 1.90→1.62 / 2.33→1.88 on partition count alone
+    // (AQE stays ON per the classification rule — the support-pruned edge
+    // relation's size is data-dependent and its joins re-plan on it; the
+    // aqe0 variant measured 2× WORSE both runs); price_histogram_quantiles
+    // compounds with its AQE-off tag above.
+    // NOT tagged from that sweep: orders_column_profile (s8 win 0.09 did
+    // not reproduce — 0.02 in validation), orders_daily_gapfill and
+    // order_volume_outliers (wins under the 0.08 s bar in both runs).
+    "cosupply_triangles", "price_histogram_quantiles")
 
   /** Run `body` with the per-query conf overrides for `name`, restoring the
     * previous session values afterwards (exception-safe, so one query's
