@@ -2907,6 +2907,97 @@ object CatalogExt {
           .mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
       }),
 
+    // ── Bloom prescreen audit (Stats.bloomPrescreenStats): m=65536/k=4
+    //    md5 Bloom over order-placing customers, probed by the
+    //    incremental-ingest shape — every known customer key PLUS an
+    //    equal-size max-shifted unseen batch (the synthetic tables have no
+    //    natural non-members: every FK domain is fully covered, so the
+    //    unseen half is constructed, exactly what a reconcile prescreen
+    //    sees from a new ingest). Exact occupancy, pass counts, measured
+    //    false-positive rate vs ground truth. The PRODUCTION prescreen is
+    //    the native XXH64 bloomAgg; this audit face is the sizing check,
+    //    with the bitmap shipped as a literal (the centroid pattern) so
+    //    probes are map-side bit arithmetic.
+    ("bloom_prescreen_stats",
+      (spark, dir) => {
+        val cust = Tables.customer(spark, dir).select(col("c_custkey").as("cust"))
+        val mx = cust.agg(max(col("cust")).as("mx"))
+        val probe = cust.unionAll(
+          cust.crossJoin(broadcast(mx)).select((col("cust") + col("mx")).as("cust")))
+        Stats.bloomPrescreenStats(
+          Tables.orders(spark, dir).select(col("o_custkey").as("cust")),
+          probe, "cust")
+      },
+      Some {
+        def bit(r: Int, of: String) =
+          s"CAST(CAST('0x' || substr(md5('bf$r:' || CAST($of AS VARCHAR)), 1, 15) AS UBIGINT) AS BIGINT) % 65536"
+        s"""WITH bk AS (SELECT DISTINCT o_custkey AS key FROM orders
+           |            WHERE o_custkey IS NOT NULL),
+           |bh AS (SELECT DISTINCT bit FROM (
+           |  SELECT unnest([${(0 until 4).map(r => bit(r, "key")).mkString(", ")}]) AS bit
+           |  FROM bk)),
+           |bs AS (SELECT CAST(COUNT(*) AS BIGINT) AS bits_set FROM bh),
+           |nk AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_build_keys FROM bk),
+           |mx AS (SELECT MAX(c_custkey) AS mx FROM customer),
+           |pk AS (SELECT DISTINCT key FROM (
+           |  SELECT c_custkey AS key FROM customer
+           |  UNION ALL
+           |  SELECT c_custkey + mx FROM customer CROSS JOIN mx)
+           |  WHERE key IS NOT NULL),
+           |pp AS (SELECT key, ${(0 until 4).map(r => s"${bit(r, "key")} AS b$r").mkString(", ")}
+           |       FROM pk),
+           |fl AS (SELECT key,
+           |         CASE WHEN b0 IN (SELECT bit FROM bh) AND b1 IN (SELECT bit FROM bh)
+           |               AND b2 IN (SELECT bit FROM bh) AND b3 IN (SELECT bit FROM bh)
+           |              THEN 1 ELSE 0 END AS p,
+           |         CASE WHEN key IN (SELECT key FROM bk) THEN 1 ELSE 0 END AS t
+           |       FROM pp),
+           |ag AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
+           |              CAST(SUM(p) AS BIGINT) AS n_pass,
+           |              CAST(SUM(t) AS BIGINT) AS n_members,
+           |              CAST(SUM(p * (1 - t)) AS BIGINT) AS n_false_pos FROM fl)
+           |SELECT CAST(65536 AS BIGINT) AS m, CAST(4 AS BIGINT) AS k,
+           |       n_build_keys, bits_set, n_probes, n_pass, n_members, n_false_pos,
+           |       round(CAST(n_false_pos AS DOUBLE) / NULLIF(n_probes - n_members, 0), 6) AS fp_rate
+           |FROM ag CROSS JOIN nk CROSS JOIN bs""".stripMargin
+      }),
+
+    // ── Rendezvous/HRW routing audit (Layout.rendezvousMoveAudit): route
+    //    every document by highest-random-weight over 8 shards and again
+    //    over 9, report balance and movement — the minimal-disruption
+    //    property (~1/9 of keys move; a mod-N map reshuffles ~8/9). Shard
+    //    argmax is a map-side literal-struct array_max; the corpus reduces
+    //    to an 8×9 cell matrix in one aggregate.
+    ("rendezvous_shard_moves",
+      (spark, dir) =>
+        Layout.rendezvousMoveAudit(Tables.documents(spark, dir), "doc_id", 8, 9),
+      Some {
+        val h = "CAST(CAST('0x' || substr(md5('rv' || s || ':' || CAST(k AS VARCHAR)), 1, 15) AS UBIGINT) AS BIGINT)"
+        s"""WITH ky AS (SELECT doc_id AS k FROM documents WHERE doc_id IS NOT NULL),
+           |g AS (SELECT k, s, $h AS h
+           |      FROM ky CROSS JOIN (SELECT unnest(range(9)) AS s)),
+           |mx8 AS (SELECT k, MAX(h) AS mh FROM g WHERE s < 8 GROUP BY k),
+           |a8 AS (SELECT g.k, CAST(MIN(g.s) AS BIGINT) AS sf
+           |       FROM g JOIN mx8 ON g.k = mx8.k AND g.h = mx8.mh
+           |       WHERE g.s < 8 GROUP BY g.k),
+           |mx9 AS (SELECT k, MAX(h) AS mh FROM g GROUP BY k),
+           |a9 AS (SELECT g.k, CAST(MIN(g.s) AS BIGINT) AS st
+           |       FROM g JOIN mx9 ON g.k = mx9.k AND g.h = mx9.mh GROUP BY g.k),
+           |c AS (SELECT sf, st, CAST(COUNT(*) AS BIGINT) AS n
+           |      FROM a8 JOIN a9 ON a8.k = a9.k GROUP BY 1, 2),
+           |mv AS (SELECT CAST(SUM(n) AS BIGINT) AS n_keys,
+           |              CAST(SUM(CASE WHEN sf <> st THEN n ELSE 0 END) AS BIGINT) AS moved
+           |       FROM c),
+           |bf AS (SELECT CAST(MIN(sn) AS BIGINT) AS min_from, CAST(MAX(sn) AS BIGINT) AS max_from
+           |       FROM (SELECT sf, SUM(n) AS sn FROM c GROUP BY 1)),
+           |bt AS (SELECT CAST(MIN(sn) AS BIGINT) AS min_to, CAST(MAX(sn) AS BIGINT) AS max_to
+           |       FROM (SELECT st, SUM(n) AS sn FROM c GROUP BY 1))
+           |SELECT CAST(8 AS BIGINT) AS n_shards_from, CAST(9 AS BIGINT) AS n_shards_to,
+           |       n_keys, moved, round(CAST(moved AS DOUBLE) / n_keys, 6) AS move_frac,
+           |       min_from, max_from, min_to, max_to
+           |FROM mv CROSS JOIN bf CROSS JOIN bt""".stripMargin
+      }),
+
     // ── Median/MAD volume anomalies (Stats.madDailyOutliers): robust
     //    outlier flags over daily order counts per priority. Median buffers
     //    bound by calendar days, not rows; interpolated halves of integers

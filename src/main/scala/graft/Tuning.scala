@@ -81,7 +81,13 @@ object Tuning {
     // round-8 session-2 (graft.TailAB, 2 interleaved runs):
     // price_histogram_quantiles 0.52→0.44 / 0.54→0.44 with aqe0s8 — two
     // bounded aggregates + broadcast-combined bins, nothing data-dependent
-    "price_histogram_quantiles")
+    "price_histogram_quantiles",
+    // bloom_prescreen_stats 0.90→0.52 / 0.86→0.65 with aqe0s8 — the bit
+    // and truth relations are cardinality-structural (≤m bits, distinct
+    // keys), probes are literal-bitmap projections. NOT tagged from the
+    // same sweep: rendezvous_shard_moves (s8 wins 0.0 and 0.01 — the
+    // cell-matrix plan is already one aggregate deep)
+    "bloom_prescreen_stats")
   // NOT tagged despite a small A/B win: dup_clusters — iterative
   // data-dependent join loop (the classification rule says AQE on), and its
   // −0.10 s reading did not reproduce (+0.53 s in the validation run).
@@ -141,7 +147,9 @@ object Tuning {
     // NOT tagged from that sweep: orders_column_profile (s8 win 0.09 did
     // not reproduce — 0.02 in validation), orders_daily_gapfill and
     // order_volume_outliers (wins under the 0.08 s bar in both runs).
-    "cosupply_triangles", "price_histogram_quantiles")
+    "cosupply_triangles", "price_histogram_quantiles",
+    // bloom_prescreen_stats compounds with its AQE-off tag (A/B above)
+    "bloom_prescreen_stats")
 
   /** Run `body` with the per-query conf overrides for `name`, restoring the
     * previous session values afterwards (exception-safe, so one query's

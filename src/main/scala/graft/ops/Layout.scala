@@ -74,4 +74,50 @@ object Layout {
            min(col("__x")).as("x_min"), max(col("__x")).as("x_max"),
            min(col("__y")).as("y_min"), max(col("__y")).as("y_max"))
   }
+
+  /** Rendezvous (highest-random-weight) routing audit: assign every key to
+    * the shard whose per-(shard, key) hash is largest, for a cluster of
+    * `nFrom` shards and again for `nTo`, and report balance plus how many
+    * keys MOVE — the minimal-disruption property (Thaler & Ravishankar
+    * 1998) that makes HRW the standard routing scheme for shard maps and
+    * cache rings: growing `n → n+1` moves exactly the keys the NEW shard
+    * now wins, ~1/(n+1) of them, where a mod-N map reshuffles nearly
+    * everything.
+    *
+    * Plan shape: the shard argmax is a map-side projection — a literal
+    * array of (hash, shard) structs per row, `array_max` picking the
+    * winner under the total order (hash desc, then LOWER shard id via a
+    * negated id, so a hypothetical hash tie breaks identically in any
+    * engine) — and the corpus reduces to an (from, to) cell matrix of at
+    * most nFrom·nTo rows in one partial+final aggregate. Everything after
+    * is arithmetic on that tiny matrix. No join, no window, no explode.
+    *
+    * One row: (n_shards_from, n_shards_to, n_keys, moved, move_frac,
+    * min/max per-shard counts on both maps — the balance audit).
+    */
+  def rendezvousMoveAudit(df: DataFrame, keyColName: String,
+                          nFrom: Int, nTo: Int): DataFrame = {
+    require(1 <= nFrom && nFrom <= nTo, s"need 1 <= nFrom <= nTo, got $nFrom/$nTo")
+    def h(s: Int) =
+      s"CAST(conv(substring(md5(CONCAT('rv$s:', CAST(__k AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+    def argmax(n: Int) = expr(
+      s"(-array_max(array(${(0 until n).map(s => s"struct(${h(s)} AS h, ${-s}L AS ns)").mkString(", ")})).ns)")
+    val cells = df.select(col(keyColName).as("__k")).filter(col("__k").isNotNull)
+      .select(argmax(nFrom).as("sf"), argmax(nTo).as("st"))
+      .groupBy("sf", "st").agg(count(lit(1)).as("n"))
+      .localCheckpoint() // ≤ nFrom·nTo rows, referenced by four aggregates
+    val moves = cells.agg(
+      sum(col("n")).as("n_keys"),
+      sum(when(col("sf") =!= col("st"), col("n")).otherwise(0L)).as("moved"))
+    def balance(side: String, nm: String) = cells.groupBy(col(side))
+      .agg(sum(col("n")).as("sn"))
+      .agg(min(col("sn")).as(s"min_$nm"), max(col("sn")).as(s"max_$nm"))
+    moves
+      .crossJoin(broadcast(balance("sf", "from")))
+      .crossJoin(broadcast(balance("st", "to")))
+      .select(lit(nFrom.toLong).as("n_shards_from"), lit(nTo.toLong).as("n_shards_to"),
+              col("n_keys"), col("moved"),
+              round(col("moved").cast("double") / col("n_keys"), 6).as("move_frac"),
+              col("min_from"), col("max_from"), col("min_to"), col("max_to"))
+  }
 }

@@ -353,6 +353,67 @@ object Stats {
         round(col("jaccard_est") * col("est_union"), 6))
   }
 
+  /** Bloom-filter prescreen audit with engine-exact arithmetic: build an
+    * m-bit / k-hash Bloom filter over `build`'s distinct keys, probe every
+    * distinct key of `probe`, and report the filter's exact occupancy and
+    * false-positive behavior against ground truth — the sizing audit run
+    * before trusting a Bloom prescreen in an anti-join pipeline. (The
+    * PRODUCTION prescreen is [[org.apache.spark.sql.graft.SketchExpressions
+    * .bloomAgg]] — Spark's native XXH64 filter, fastest but not
+    * reproducible relationally; this face uses the catalog's md5 hash
+    * discipline so every count hash-matches a SQL twin.)
+    *
+    * Scale shape: the build side reduces to ≤m distinct BIT VALUES in one
+    * partial+final aggregate (shuffle ∝ min(keys·k, m)); the ≤m/64-word
+    * bitmap is collected and ships back as a LITERAL array — exactly what
+    * a broadcast build would hold, the centroid-literal pattern — so the
+    * probe's k membership tests are pure map-side bit arithmetic, no join.
+    * The ground-truth flag is the one honest equi-join (it is what the
+    * Bloom exists to prescreen). Bounded driver state: m/64 longs.
+    *
+    * One row: (m, k, n_build_keys, bits_set, n_probes, n_pass,
+    * n_members, n_false_pos, fp_rate) with fp_rate = false positives over
+    * non-members, rounded to 6.
+    */
+  def bloomPrescreenStats(build: DataFrame, probe: DataFrame, keyColName: String,
+                          m: Int = 65536, k: Int = 4): DataFrame = {
+    require(m % 64 == 0 && k >= 1, s"need 64 | m and k >= 1, got m=$m k=$k")
+    def bitExpr(r: Int, of: String) =
+      expr(s"CAST(conv(substring(md5(CONCAT('bf$r:', CAST($of AS STRING))), 1, 15), 16, 10) AS BIGINT) % $m")
+    val buildKeys = build.select(col(keyColName).as("__k"))
+      .filter(col("__k").isNotNull).distinct()
+    val bitsSet: Array[Long] = buildKeys
+      .select(explode(array((0 until k).map(r => bitExpr(r, "__k")): _*)).as("bit"))
+      .distinct().collect().map(_.getLong(0)).sorted
+    val nBuildKeys = buildKeys.count()
+    val bitmap = new Array[Long](m / 64)
+    bitsSet.foreach(b => bitmap(b.toInt / 64) |= (1L << (b.toInt % 64)))
+    val truth = buildKeys.select(col("__k"), lit(1).as("__member"))
+    val probed = (0 until k).foldLeft(
+        probe.select(col(keyColName).as("__k")).filter(col("__k").isNotNull)
+          .distinct().withColumn("__bm", typedlit(bitmap.toSeq))) {
+      case (d, r) => d.withColumn(s"__b$r", bitExpr(r, "__k"))
+    }
+    val pass = (0 until k).map(r => expr(
+        s"(shiftright(element_at(__bm, CAST(__b$r div 64 AS INT) + 1), " +
+        s"CAST(__b$r % 64 AS INT)) & 1) = 1"))
+      .reduce(_ && _)
+    probed
+      .join(truth, Seq("__k"), "left")
+      .select(when(pass, 1L).otherwise(0L).as("p"),
+              coalesce(col("__member"), lit(0)).cast("long").as("t"))
+      .agg(count(lit(1)).as("n_probes"), sum(col("p")).as("n_pass"),
+           sum(col("t")).as("n_members"),
+           sum(col("p") * (lit(1L) - col("t"))).as("n_false_pos"))
+      .select(lit(m.toLong).as("m"), lit(k.toLong).as("k"),
+              lit(nBuildKeys).as("n_build_keys"),
+              lit(bitsSet.length.toLong).as("bits_set"),
+              col("n_probes"), col("n_pass"), col("n_members"), col("n_false_pos"),
+              round(col("n_false_pos").cast("double") /
+                    nullif(col("n_probes") - col("n_members"), lit(0L)), 6)
+                .as("fp_rate"))
+  }
+
   /** Mergeable fixed-bin histogram quantile estimates per group — the
     * quantile path that actually works at 100 TB. Exact quantiles need
     * either a full sort or per-group value buffers (Spark's `percentile`

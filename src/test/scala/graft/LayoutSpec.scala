@@ -36,4 +36,31 @@ class LayoutSpec extends AnyFunSuite {
         s"bucket $b spans x[$xmin,$xmax] y[$ymin,$ymax] — not a Z-cell")
     }
   }
+
+  test("rendezvousMoveAudit: growing 8→9 moves ~1/9 of keys, balanced both maps") {
+    val keys = (1L to 2000L).map(Tuple1(_)).toDF("k")
+    val r = Layout.rendezvousMoveAudit(keys, "k", 8, 9).collect().head
+    assert(r.getLong(2) == 2000L)
+    val frac = r.getDouble(4)
+    // E[move] = 1/9 ≈ 0.111; binomial sd at n=2000 ≈ 0.007 → ±5 sd
+    assert(frac > 0.075 && frac < 0.148, s"move_frac $frac")
+    // balance: per-shard counts near n/shards on both maps (±40%)
+    assert(r.getLong(5) > 150L && r.getLong(6) < 350L, r.toString)   // 8 shards: 250
+    assert(r.getLong(7) > 130L && r.getLong(8) < 320L, r.toString)   // 9 shards: 222
+  }
+
+  test("rendezvousMoveAudit: identical shard maps move nothing") {
+    val keys = (1L to 500L).map(Tuple1(_)).toDF("k")
+    val r = Layout.rendezvousMoveAudit(keys, "k", 6, 6).collect().head
+    assert(r.getLong(3) == 0L && r.getDouble(4) == 0.0, r.toString)
+  }
+
+  test("rendezvousMoveAudit: the shard argmax is a map-side projection — no join, no explode") {
+    val keys = (1L to 100L).map(Tuple1(_)).toDF("k")
+    val plan = Layout.rendezvousMoveAudit(keys, "k", 4, 5)
+      .queryExecution.executedPlan.toString
+    // the only joins allowed are the 1-row broadcast combines at the top
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("Generate"), "no explode: the argmax is array_max over literals\n" + plan)
+  }
 }

@@ -234,6 +234,35 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("cosupply_triangles: wedge enumeration and closure stay equi-joins") {
+    // the entire point of degree-oriented counting: candidate wedges come
+    // from hash/SMJ equi-joins on src and close on (wa, wb) — an all-pairs
+    // or nested-loop shape here is quadratic death on a skewed graph
+    // (the 1-row count combines at the top are broadcast BNLJs — bounded)
+    val p = plan("cosupply_triangles")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+           p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("orders_daily_gapfill: bounded sides broadcast; the corpus never joins") {
+    // counts and grid are both groups×days relations: the left join must be
+    // a BroadcastHashJoin (corpus touched only inside the counts aggregate)
+    val p = plan("orders_daily_gapfill")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+    assert(p.contains("partial_count"), "counts must partial-aggregate:\n" + p)
+  }
+
+  test("price_histogram_quantiles: bin counters hash-aggregate under broadcast bounds") {
+    // the corpus-sized pass is the (group, bin) counter aggregate — all-long
+    // buffers, so it must plan as a HashAggregate; bounds ride in broadcast
+    val p = plan("price_histogram_quantiles")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("HashAggregate") && p.contains("partial_count"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("token_entropy: partial+final counts below the per-doc window total") {
     val p = plan("token_entropy")
     assert(p.contains("partial_"), p)

@@ -184,6 +184,30 @@ class StatsSpec extends AnyFunSuite {
     assert(out.forall(_.getDouble(5) == 0.0), "scale must be 0 on a constant series")
   }
 
+  test("bloomPrescreenStats: no false negatives ever; occupancy and truth exact") {
+    val build = (1L to 50L).map(i => Tuple1(i)).toDF("key")
+    val probe = (1L to 100L).map(i => Tuple1(i)).toDF("key")
+    val r = Stats.bloomPrescreenStats(build, probe, "key").collect().head
+    assert(r.getLong(2) == 50L && r.getLong(4) == 100L, r.toString) // build keys, probes
+    assert(r.getLong(3) >= 150L && r.getLong(3) <= 200L,
+      s"50 keys × 4 hashes set ≤200 distinct bits: ${r.getLong(3)}")
+    assert(r.getLong(6) == 50L, "ground truth members")
+    // the Bloom guarantee: every member passes — pass = members + false pos
+    assert(r.getLong(5) - r.getLong(7) == r.getLong(6), r.toString)
+  }
+
+  test("bloomPrescreenStats: a saturated tiny filter still never false-negatives") {
+    // 100 keys into m=64 bits: occupancy ~1, false positives near-certain —
+    // the guarantee under stress is one-sided error, nothing else
+    val build = (1L to 100L).map(i => Tuple1(i)).toDF("key")
+    val probe = (1L to 400L).map(i => Tuple1(i)).toDF("key")
+    val r = Stats.bloomPrescreenStats(build, probe, "key", m = 64, k = 2)
+      .collect().head
+    assert(r.getLong(3) <= 64L, r.toString)
+    assert(r.getLong(5) - r.getLong(7) == r.getLong(6), "one-sided error broken")
+    assert(r.getLong(7) > 0L, "saturation must produce false positives")
+  }
+
   test("madDailyOutliers: nonzero MAD uses the 1.4826 consistency constant") {
     def d(i: Int) = java.sql.Date.valueOf(f"2024-03-${i}%02d")
     // counts {1..11, 100} → median 6.5, sorted deviations
