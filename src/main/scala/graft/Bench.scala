@@ -157,18 +157,17 @@ object Bench {
     // (BASELINE.md round-4 re-pin) so the host-factor correction is
     // coherent: a bench run in a slower window scales the bar to what
     // DuckDB would have measured there.
-    // 51.6 = the round-8 measured 128-query quiet-window pin (51.4 —
-    // BASELINE.md "Round-8 re-pin": median of 5 process runs, range
-    // 48.4–52.5, probe-bracketed at ≈0.80) + the kmv_order_overlap twin's
-    // measured median (0.16 s, 0.3% of the bar) as the ONE documented
-    // increment: both full-129 pin attempts landed in degraded windows
-    // (53.4 with closing probes ~0.95; 56.5 with run range 53.0–60.8) and
-    // adopting either would have INFLATED the bar 4–10% — conservative
-    // beats layer-free when they conflict. Fold at the next quiet re-pin.
-    // `baseline_per_query.json` carries the same composition (sum 50.38).
-    // Same-round audit chain: 126-query pin 49.4 → +2 rows → 128-query
-    // pin 51.4 → +kmv → 51.6.
-    val baselineQuiet = sys.env.getOrElse("SPARK_GRAFT_BASELINE_SEC", "51.6").toDouble
+    // 55.2 = the round-8 session-2 measured 136-query pin (BASELINE.md
+    // "Session-2 re-pin": median of 5 process runs, range 52.8–57.0,
+    // BOTH brackets quiet — opening probe 0.753, closing 0.784 — unlike
+    // the rejected 134-query attempt whose window degraded mid-pin,
+    // 0.79 → 1.00). ZERO increment layers: every one of the 136 twins was
+    // measured in this single window, retiring the round-7/8 audit chain
+    // (126-pin 49.4 → 128-pin 51.4 → +kmv 51.6 → this).
+    // `baseline_per_query.json` carries the same window (per-query medians
+    // sum 54.34; the 0.8 s gap to the median-of-totals is run-to-run noise
+    // that per-query medians smooth out).
+    val baselineQuiet = sys.env.getOrElse("SPARK_GRAFT_BASELINE_SEC", "55.2").toDouble
     // Host-speed calibration (BASELINE.md "Host-speed calibration"): the
     // shared build host has multi-minute windows where EVERYTHING runs
     // 20-85% slower (hypervisor-level; guest vmstat shows idle CPU while
