@@ -2907,6 +2907,50 @@ object CatalogExt {
           .mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
       }),
 
+    // ── Heaps'-law vocabulary growth (TextAnalysis.vocabGrowthCurve):
+    //    distinct-token count and type/token ratio at ten corpus prefixes —
+    //    does more data still buy vocabulary? Integer-exact via the
+    //    first-owner index (MIN doc_id per token): one corpus scan, every
+    //    per-decile count joins the tiny side.
+    ("vocab_growth_curve",
+      (spark, dir) =>
+        TextAnalysis.vocabGrowthCurve(Tables.documents(spark, dir)),
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+             |            FROM documents),
+             |mx AS (SELECT MAX(doc_id) AS mx FROM documents),
+             |th AS (SELECT i AS decile, (i * mx) // 10 AS t
+             |       FROM (SELECT unnest(range(1, 11)) AS i) CROSS JOIN mx),
+             |inv AS (SELECT token, MIN(doc_id) AS fd FROM tok GROUP BY 1),
+             |dt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nt FROM tok GROUP BY 1),
+             |seen AS (SELECT decile, t, CAST(SUM(nt) AS BIGINT) AS n_tokens_seen
+             |         FROM dt JOIN th ON dt.doc_id <= th.t GROUP BY 1, 2),
+             |voc AS (SELECT decile, CAST(COUNT(*) AS BIGINT) AS vocab_size
+             |        FROM inv JOIN th ON inv.fd <= th.t GROUP BY 1)
+             |SELECT s.decile, s.t AS doc_threshold, n_tokens_seen, vocab_size,
+             |       round(CAST(vocab_size AS DOUBLE) / n_tokens_seen, 6) AS type_token_ratio
+             |FROM seen s JOIN voc USING (decile) ORDER BY 1""".stripMargin)),
+
+    // ── First-owner 3-gram novelty (TextAnalysis.ngramNoveltyScores): the
+    //    fraction of each doc's distinct shingles unseen in any earlier
+    //    doc — a memorization/curriculum signal. One inverted-index pass
+    //    (postings → MIN owner → postings-bounded join back); the Spark
+    //    side moves md5-hashed keys, the twin groups the strings — counts
+    //    agree exactly absent 128-bit collisions.
+    ("ngram_novelty_scores",
+      (spark, dir) =>
+        TextAnalysis.ngramNoveltyScores(Tables.documents(spark, dir))
+          .orderBy(col("doc_id")),
+      Some(s"""WITH sh AS (SELECT DISTINCT doc_id, g FROM (
+              |  SELECT doc_id, unnest(${sqlShingles(3)}) AS g FROM documents)),
+              |ow AS (SELECT g, MIN(doc_id) AS fd FROM sh GROUP BY 1),
+              |ag AS (
+              |  SELECT sh.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+              |         CAST(SUM(CASE WHEN ow.fd = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+              |  FROM sh JOIN ow USING (g) GROUP BY 1)
+              |SELECT doc_id, n_shingles, n_novel,
+              |       round(CAST(n_novel AS DOUBLE) / n_shingles, 6) AS novelty
+              |FROM ag ORDER BY doc_id""".stripMargin)),
+
     // ── Bloom prescreen audit (Stats.bloomPrescreenStats): m=65536/k=4
     //    md5 Bloom over order-placing customers, probed by the
     //    incremental-ingest shape — every known customer key PLUS an

@@ -87,7 +87,12 @@ object Tuning {
     // keys), probes are literal-bitmap projections. NOT tagged from the
     // same sweep: rendezvous_shard_moves (s8 wins 0.0 and 0.01 — the
     // cell-matrix plan is already one aggregate deep)
-    "bloom_prescreen_stats")
+    "bloom_prescreen_stats",
+    // ngram_novelty_scores 0.52→0.32 / 0.55→0.32 with aqe0s8 — a fixed
+    // explode → agg → postings-join → agg chain whose cardinalities are
+    // structural for fixed n; AQE's stage pauses are pure floor here.
+    // NOT tagged: vocab_growth_curve (s8 wins 0.01/0.05, under the bar)
+    "ngram_novelty_scores")
   // NOT tagged despite a small A/B win: dup_clusters — iterative
   // data-dependent join loop (the classification rule says AQE on), and its
   // −0.10 s reading did not reproduce (+0.53 s in the validation run).
@@ -149,7 +154,9 @@ object Tuning {
     // order_volume_outliers (wins under the 0.08 s bar in both runs).
     "cosupply_triangles", "price_histogram_quantiles",
     // bloom_prescreen_stats compounds with its AQE-off tag (A/B above)
-    "bloom_prescreen_stats")
+    "bloom_prescreen_stats",
+    // ngram_novelty_scores compounds with its AQE-off tag (A/B above)
+    "ngram_novelty_scores")
 
   /** Run `body` with the per-query conf overrides for `name`, restoring the
     * previous session values afterwards (exception-safe, so one query's

@@ -444,4 +444,70 @@ object TextAnalysis {
               (col("nll_unats").cast("double") / col("n_bigrams"))
                 .as("mean_nll_unats"))
   }
+
+  /** Heaps'-law vocabulary-growth audit: distinct-token count and
+    * type/token ratio at `deciles` corpus prefixes (by doc_id order) — the
+    * curve that tells a corpus builder whether more data still buys new
+    * vocabulary or only repeats it (sub-linear growth V ≈ K·Nᵝ is the
+    * healthy shape; a flat curve means saturation, a linear one suggests
+    * noise/IDs flooding the vocabulary).
+    *
+    * Everything is integer-exact: prefix membership is `first_doc ≤
+    * threshold` where first_doc = MIN(doc_id) over the token's postings —
+    * computable in one vocab-bounded aggregate, no re-scan per prefix.
+    * The per-decile counts join the TINY side (vocab × deciles and
+    * doc-counts × deciles) — the corpus is scanned once.
+    *
+    * Emits one row per decile: (decile, doc_threshold, n_tokens_seen,
+    * vocab_size, type_token_ratio).
+    */
+  def vocabGrowthCurve(docs: DataFrame, deciles: Int = 10): DataFrame = {
+    require(deciles >= 1, s"need deciles >= 1, got $deciles")
+    val toks = explodeTokens(docs)
+    val mx = docs.agg(max(col("doc_id")).as("mx"))
+    val th = mx.select(explode(sequence(lit(1L), lit(deciles.toLong))).as("decile"),
+                       col("mx"))
+      .select(col("decile"), expr(s"(decile * mx) div $deciles").as("t"))
+    val inv = toks.groupBy(col("token")).agg(min(col("doc_id")).as("fd"))
+    val docTok = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("nt"))
+    val seen = docTok.join(broadcast(th), col("doc_id") <= col("t"))
+      .groupBy(col("decile"), col("t"))
+      .agg(sum(col("nt")).as("n_tokens_seen"))
+    val voc = inv.join(broadcast(th), col("fd") <= col("t"))
+      .groupBy(col("decile")).agg(count(lit(1)).as("vocab_size"))
+    seen.join(voc, Seq("decile"))
+      .select(col("decile"), col("t").as("doc_threshold"),
+              col("n_tokens_seen"), col("vocab_size"),
+              round(col("vocab_size").cast("double") / col("n_tokens_seen"), 6)
+                .as("type_token_ratio"))
+      .orderBy(col("decile"))
+  }
+
+  /** First-owner n-gram novelty: the fraction of a document's distinct
+    * n-gram shingles that no earlier document (by doc_id) contains — a
+    * memorization/curriculum signal (near-zero novelty = the doc restates
+    * the corpus; high novelty = new material) and the per-doc face of the
+    * same first-owner index the vocabulary curve uses.
+    *
+    * One inverted-index pass: distinct (doc, shingle) postings, MIN(doc_id)
+    * per shingle as its first owner, then a postings-bounded equi-join
+    * back — a shingle is novel FOR ITS FIRST OWNER only. md5-hashed
+    * shingle keys move 16-byte fixed keys through both shuffles; counts
+    * are collision-exact for any corpus whose distinct-shingle count keeps
+    * d²·2⁻¹²⁹ negligible (i.e. all of them).
+    *
+    * Emits (doc_id, n_shingles, n_novel, novelty) per document.
+    */
+  def ngramNoveltyScores(docs: DataFrame, n: Int = 3): DataFrame = {
+    val posts = explodeShingles(docs, n, spread = true)
+      .select(col("doc_id"), md5(col("g").cast("binary")).as("h"))
+    val owners = posts.groupBy(col("h")).agg(min(col("doc_id")).as("fd"))
+    posts.join(owners, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+           sum(when(col("fd") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+              round(col("n_novel").cast("double") / col("n_shingles"), 6)
+                .as("novelty"))
+  }
 }

@@ -208,4 +208,29 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r.getString(1) <= r.getString(2))
     assert(r.getString(1).matches("[0-9a-f]{32}"))
   }
+
+  test("vocabGrowthCurve: exact counts on a constructed corpus; curve is monotone") {
+    // doc 10: a b; doc 20: a c; doc 30: a b c d — vocab at thresholds
+    val df = Seq((10L, "a b"), (20L, "a c"), (30L, "a b c d"))
+      .toDF("doc_id", "text")
+    val rows = TextAnalysis.vocabGrowthCurve(df, deciles = 3).collect()
+    // thresholds: (1·30)div3=10, 20, 30
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq ==
+      Seq((1L, 10L, 2L, 2L), (2L, 20L, 4L, 3L), (3L, 30L, 8L, 4L)))
+    // type/token ratio falls as the corpus repeats itself
+    assert(rows.map(_.getDouble(4)).sliding(2).forall(p => p(1) <= p(0)))
+  }
+
+  test("ngramNoveltyScores: first owner gets the credit, verbatim repeats score zero") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "the quick brown fox jumps"),  // verbatim repeat → 0 novelty
+      (3L, "a completely different text here"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.ngramNoveltyScores(df)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L) == ((3L, 3L, 1.0)), s"doc 1 owns all its shingles: ${out(1L)}")
+    assert(out(2L) == ((3L, 0L, 0.0)), s"verbatim repeat owns nothing: ${out(2L)}")
+    assert(out(3L) == ((3L, 3L, 1.0)))
+  }
 }
