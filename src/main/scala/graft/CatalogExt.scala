@@ -3068,6 +3068,116 @@ object CatalogExt {
              |       CASE WHEN sc.scale > 0 AND dev > 3.0 * sc.scale THEN 1 ELSE 0
              |       END AS is_outlier
              |FROM dv JOIN sc ON sc.priority = dv.priority
-             |ORDER BY 1, 2""".stripMargin))
+             |ORDER BY 1, 2""".stripMargin)),
+
+    // ── Benford first-digit audit (Stats.benfordDigitAudit) over order
+    //    amounts in cents: exact per-digit counts from the decimal string
+    //    (no float log extraction), expected share and deviation in ppm.
+    //    Nine-group aggregate — the shuffle is nine rows per task at any
+    //    scale.
+    ("benford_amount_audit",
+      (spark, dir) =>
+        Stats.benfordDigitAudit(Tables.orders(spark, dir),
+                                Scalars.moneyCents(col("o_totalprice"))),
+      Some("""WITH a AS (SELECT substr(CAST(abs(CAST(round(o_totalprice * 100) AS BIGINT)) AS VARCHAR), 1, 1) AS digit
+             |           FROM orders),
+             |o AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs
+             |      FROM a WHERE digit <> '0' GROUP BY 1),
+             |t AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM o)
+             |SELECT digit, n_obs,
+             |       CAST(round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) * 1e6) AS BIGINT) AS expected_ppm,
+             |       CAST(round((CAST(n_obs AS DOUBLE) / n
+             |                   - log10(1.0 + 1.0 / CAST(digit AS DOUBLE))) * 1e6) AS BIGINT) AS deviation_ppm
+             |FROM o CROSS JOIN t ORDER BY digit""".stripMargin)),
+
+    // ── Inter-arrival burstiness (Stats.burstiness): per-user
+    //    (σ−μ)/(σ+μ) over integer-second gaps. The floored-seconds gap
+    //    sequence is tie-break-invariant (any sort compatible with the
+    //    non-decreasing floored values yields the same sequence), so the
+    //    twin's (s, event_id) window order and Spark's (ts, event_id)
+    //    order produce identical exact moment sums.
+    ("user_burstiness",
+      (spark, dir) =>
+        Stats.burstiness(Tables.events(spark, dir)).orderBy(col("user_id")),
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) // 1000000 AS s, event_id
+             |           FROM events),
+             |q AS (SELECT user_id,
+             |             s - lag(s) OVER (PARTITION BY user_id ORDER BY s, event_id) AS d
+             |      FROM e),
+             |a AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+             |             CAST(SUM(d) AS BIGINT) AS sd,
+             |             CAST(SUM(d * d) AS BIGINT) AS sd2
+             |      FROM q WHERE d IS NOT NULL GROUP BY 1),
+             |m AS (SELECT user_id, n_gaps, sd,
+             |             CAST(sd AS DOUBLE) / n_gaps AS mean,
+             |             sqrt(CAST(sd2 AS DOUBLE) / n_gaps
+             |                  - (CAST(sd AS DOUBLE) / n_gaps) * (CAST(sd AS DOUBLE) / n_gaps)) AS sig
+             |      FROM a)
+             |SELECT user_id, n_gaps,
+             |       round(CAST(sd AS DOUBLE) / n_gaps, 6) AS mean_gap_s,
+             |       round(CASE WHEN sig + mean > 0 THEN (sig - mean) / (sig + mean) END, 6) AS burstiness
+             |FROM m ORDER BY user_id""".stripMargin)),
+
+    // ── Zipf rank–frequency slope (TextAnalysis.zipfRankSlope): OLS of
+    //    ln-frequency on ln-rank over the top-1000 vocabulary head, moment
+    //    sums exact in micro-nat BIGINTs, slope/intercept/r² as mirrored
+    //    final-projection doubles.
+    ("zipf_rank_slope",
+      (spark, dir) =>
+        TextAnalysis.zipfRankSlope(Tables.documents(spark, dir), 1000),
+      Some("""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+             |ct AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY 1),
+             |hd AS (SELECT c, row_number() OVER (ORDER BY c DESC, token ASC) AS rank
+             |       FROM ct ORDER BY c DESC, token ASC LIMIT 1000),
+             |pt AS (SELECT CAST(round(ln(CAST(rank AS DOUBLE)) * 1e6) AS BIGINT) AS x,
+             |              CAST(round(ln(CAST(c AS DOUBLE)) * 1e6) AS BIGINT) AS y
+             |       FROM hd),
+             |ag AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             |              CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             |              CAST(SUM(x * y) AS BIGINT) AS sxy,
+             |              CAST(SUM(x * x) AS BIGINT) AS sx2,
+             |              CAST(SUM(y * y) AS BIGINT) AS sy2 FROM pt),
+             |f AS (SELECT n, CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+             |             CAST(sy AS DOUBLE) AS syd,
+             |             CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov,
+             |             CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+             |             CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy
+             |      FROM ag)
+             |SELECT n AS n_terms, round(cov / vx, 6) AS slope,
+             |       round((syd - (cov / vx) * sxd) / nd, 6) AS intercept_unats,
+             |       round((cov / vx) * (cov / vy), 6) AS r2
+             |FROM f""".stripMargin)),
+
+    // ── Mutual-kNN graph audit (Similarity.knnGraphStats): k=5 exact
+    //    cosine kNN over the deterministic even-vec_id audit slice (the
+    //    embedding_neardup_pairs bounding convention — the all-pairs scan
+    //    is quadratic by design; the full-corpus edge list composes from
+    //    the IVF/LSH paths at scale). Hubness probe: mutual-pair count
+    //    plus mean rank-1/top-k cosines in exact micro-units.
+    ("knn_mutual_graph",
+      (spark, dir) =>
+        Similarity.knnGraphStats(
+          Tables.embeddings(spark, dir).filter(col("vec_id") % 2 === 0), 5),
+      Some("""WITH v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0),
+             |sc AS (SELECT a.vec_id AS q_id, b.vec_id AS dst,
+             |              round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+             |       FROM v a CROSS JOIN v b WHERE a.vec_id <> b.vec_id),
+             |ed AS (SELECT q_id, dst, cos_sim,
+             |              CAST(round(cos_sim * 1e6) AS BIGINT) AS cos_u
+             |       FROM sc
+             |       QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, dst) <= 5),
+             |mu AS (SELECT CAST(COUNT(*) // 2 AS BIGINT) AS n_mutual_pairs
+             |       FROM ed e1 JOIN ed e2 ON e1.q_id = e2.dst AND e1.dst = e2.q_id),
+             |t1 AS (SELECT CAST(SUM(cos_u) AS BIGINT) AS s1,
+             |              CAST(COUNT(*) AS BIGINT) AS n1 FROM (
+             |         SELECT cos_u FROM ed
+             |         QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, dst) = 1)),
+             |ag AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+             |              CAST(COUNT(DISTINCT q_id) AS BIGINT) AS n_nodes,
+             |              CAST(SUM(cos_u) AS BIGINT) AS sk FROM ed)
+             |SELECT n_nodes, n_edges, n_mutual_pairs,
+             |       round(CAST(s1 AS DOUBLE) / (CAST(n1 AS DOUBLE) * 1e6), 6) AS mean_top1_cos,
+             |       round(CAST(sk AS DOUBLE) / (CAST(n_edges AS DOUBLE) * 1e6), 6) AS mean_topk_cos
+             |FROM ag CROSS JOIN mu CROSS JOIN t1""".stripMargin))
   )
 }

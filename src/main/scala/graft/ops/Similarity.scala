@@ -911,4 +911,69 @@ object Similarity {
         round(cosineSim(col("q_emb"), col("embedding")), 6).as("cos_sim"))
     topKPerQuery(scored, k)
   }
+
+  /** Mutual-kNN graph audit: build the directed k-nearest-neighbor graph
+    * over an embedding set (exact cosine, the [[cosineTopK]] kernel with
+    * the corpus as its own query set) and report its symmetry structure —
+    * node count, directed edge count, MUTUAL pair count (a↔b both in each
+    * other's top-k), and the mean rank-1 / mean top-k cosine. Mutuality is
+    * the standard embedding-health probe: hubness (a few vectors in
+    * everyone's top-k that reciprocate almost nothing) shows up as a low
+    * mutual fraction long before any downstream ANN recall number moves
+    * (Radovanović et al. 2010).
+    *
+    * Quadratic BY DESIGN, like [[nearDupPairs]]: the all-pairs scoring is
+    * the exact baseline, deployed over a bounded audit slice next to the
+    * ANN path at scale (the catalog face runs a deterministic half-slice);
+    * for a full-corpus graph at 100 TB the edge list composes from
+    * [[ivfTopK]]/[[annTopK]] instead — this op's aggregate tail is
+    * edge-bounded (n·k rows) either way. The pairs scan itself streams
+    * map-side against a broadcast of the (small, audit-sized) node set;
+    * ranking is the partial-aggregating [[TopKByScore]]; the mutual join
+    * and the final means run on the n·k edge relation, which is
+    * localCheckpointed once and read three times (edge count via the
+    * mutual join's build side, rank-1 head, micro-cosine sums).
+    *
+    * Determinism: cosines are the rounded-6 convention; their SUMS move as
+    * exact micro-units (round(cos·10⁶) BIGINT — rounded-double addition
+    * is order-sensitive in the last ulp, integer addition is not), divided
+    * back to doubles only in the single-row final projection. Rank-1 per
+    * node = row_number over (cos desc, dst asc) on the edge relation —
+    * the k-boundary and rank ties both carry the pinned total order.
+    *
+    * Emits one row: (n_nodes, n_edges, n_mutual_pairs, mean_top1_cos,
+    * mean_topk_cos).
+    */
+  def knnGraphStats(embeddings: DataFrame, k: Int): DataFrame = {
+    val nodes = embeddings.select(col("vec_id"), col("embedding"))
+    val right = broadcast(nodes
+      .select(col("vec_id").as("dst"), col("embedding").as("emb_b")))
+    val scored = nodes.select(col("vec_id").as("q_id"), col("embedding"))
+      .crossJoin(right)
+      .filter(col("q_id") =!= col("dst"))
+      .select(col("q_id"), col("dst").as("vec_id"),
+              round(cosineSim(col("embedding"), col("emb_b")), 6).as("cos_sim"))
+    val edges = topKPerQuery(scored, k)
+      .withColumn("cos_u", round(col("cos_sim") * 1e6).cast("long"))
+      .localCheckpoint()
+    val mutual = edges.select(col("q_id").as("a"), col("vec_id").as("b"))
+      .join(edges.select(col("vec_id").as("a"), col("q_id").as("b")),
+            Seq("a", "b"))
+      .agg((count(lit(1)) / 2).cast("long").as("n_mutual_pairs"))
+    val top1 = edges
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("cos_sim").desc, col("vec_id"))))
+      .filter(col("rk") === 1)
+      .agg(sum(col("cos_u")).as("s1"), count(lit(1)).as("n1"))
+    edges.agg(count(lit(1)).as("n_edges"),
+              countDistinct(col("q_id")).as("n_nodes"),
+              sum(col("cos_u")).as("sk"))
+      .crossJoin(mutual).crossJoin(top1)
+      .select(col("n_nodes"), col("n_edges"), col("n_mutual_pairs"),
+        round(col("s1").cast("double") / (col("n1").cast("double") * 1e6), 6)
+          .as("mean_top1_cos"),
+        round(col("sk").cast("double") / (col("n_edges").cast("double") * 1e6), 6)
+          .as("mean_topk_cos"))
+  }
 }

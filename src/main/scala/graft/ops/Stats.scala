@@ -545,4 +545,89 @@ object Stats {
         when(col("scale") > 0 && col("dev") > lit(k) * col("scale"), lit(1))
           .otherwise(lit(0)).as("is_outlier"))
   }
+
+  /** Benford first-significant-digit audit (Benford 1938; Nigrini's fraud
+    * screen) over an integer amount column — the classic data-quality
+    * check for fabricated or truncated numeric feeds: natural multi-scale
+    * amounts follow P(d) = log₁₀(1 + 1/d), and a synthetic or clipped
+    * source shows up as a per-digit deviation long before any row-level
+    * rule fires.
+    *
+    * Engine-portable by construction: the digit is taken from the DECIMAL
+    * STRING of the (already integer) amount — no float log extraction —
+    * and the observed counts are exact BIGINTs from one hash-aggregate
+    * (nine groups; partial combine makes the shuffle nine rows per task
+    * at any corpus size). The only doubles are the final per-digit
+    * projection: `expected_ppm` = round(log₁₀(1+1/d)·10⁶) (nine constants,
+    * identical in any correctly rounded libm at 10⁻⁶ granularity) and
+    * `deviation_ppm` = round((obs/n − p)·10⁶), one IEEE divide/subtract on
+    * identical operands in either engine — the micro-rounding tolerance
+    * argument of the cosine and entropy rows.
+    *
+    * Emits one row per digit 1–9: (digit, n_obs, expected_ppm,
+    * deviation_ppm). Zero amounts carry no leading significant digit and
+    * are excluded by the non-NULL digit filter (|amount| > 0 check folded
+    * into the substring: the string of 0 has first char '0', mapped to
+    * NULL).
+    */
+  def benfordDigitAudit(df: DataFrame, amountInt: Column): DataFrame = {
+    val digit = substring(abs(amountInt).cast("string"), 1, 1)
+    val obs = df.select(when(digit =!= "0", digit).as("digit"))
+      .filter(col("digit").isNotNull)
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+    val withTotal = obs.withColumn("n", sum(col("n_obs")).over(
+      Window.partitionBy()))
+    withTotal.select(
+        col("digit"),
+        col("n_obs"),
+        round(log10(lit(1.0) + lit(1.0) / col("digit").cast("double")) * 1e6)
+          .cast("long").as("expected_ppm"),
+        round((col("n_obs").cast("double") / col("n")
+          - log10(lit(1.0) + lit(1.0) / col("digit").cast("double"))) * 1e6)
+          .cast("long").as("deviation_ppm"))
+      .orderBy(col("digit"))
+  }
+
+  /** Per-user inter-arrival burstiness (Goh & Barabási 2008): the
+    * coefficient-of-variation statistic B = (σ − μ)/(σ + μ) over the gaps
+    * between a user's consecutive events — B → −1 for a metronome, 0 for
+    * Poisson, → 1 for heavy-tailed bursts. The behavioral-signal
+    * complement to [[madDailyOutliers]]' volume screen: a scraper and a
+    * human with the same daily count separate immediately on B.
+    *
+    * Determinism follows the [[pearsonOlsFixed]] moment discipline: gaps
+    * are integer SECONDS (BIGINT), Σd and Σd² accumulate exactly, and σ/μ
+    * appear only in the final per-user projection. Overflow headroom is
+    * per user: Σd telescopes to (last − first) ≤ the observation span
+    * (~10⁸ s for three years), and Σd² ≤ span·max_gap < 10⁸·10⁷ = 10¹⁵
+    * per user even for a two-event user spanning months — five orders
+    * under 2⁶³ regardless of corpus size, because the sums never cross
+    * users.
+    *
+    * One window pass (lag over user_id, ts — single exchange on user_id)
+    * and one partial+final aggregate on the same key, which AQE plans
+    * without a second shuffle. Emits (user_id, n_gaps, mean_gap_s,
+    * burstiness) for users with ≥ 2 events; both doubles rounded to 6.
+    */
+  def burstiness(events: DataFrame, userCol: String = "user_id",
+                 tsCol: String = "ts"): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col("event_id"))
+    val gaps = events
+      .withColumn("prev", lag(unix_timestamp(col(tsCol)), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col(userCol),
+              (unix_timestamp(col(tsCol)) - col("prev")).as("d"))
+    gaps.groupBy(col(userCol))
+      .agg(count(lit(1)).as("n_gaps"),
+           sum(col("d")).as("sd"),
+           sum(col("d") * col("d")).as("sd2"))
+      .select(col(userCol), col("n_gaps"),
+        round(col("sd").cast("double") / col("n_gaps"), 6).as("mean_gap_s"),
+        round({
+          val n = col("n_gaps").cast("double")
+          val mean = col("sd").cast("double") / n
+          val sig = sqrt(col("sd2").cast("double") / n - mean * mean)
+          when(sig + mean > 0, (sig - mean) / (sig + mean))
+        }, 6).as("burstiness"))
+  }
 }

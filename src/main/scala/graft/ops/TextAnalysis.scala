@@ -510,4 +510,57 @@ object TextAnalysis {
               round(col("n_novel").cast("double") / col("n_shingles"), 6)
                 .as("novelty"))
   }
+
+  /** Zipf rank–frequency fit: OLS of ln(frequency) on ln(rank) over the
+    * top-`topV` vocabulary head — the log-log slope (≈ −1 for natural
+    * language, Zipf 1949) and fit quality r². The corpus-level companion
+    * to [[vocabGrowthCurve]]'s Heaps law: together they are the standard
+    * two-line health check that a text mixture still looks like language
+    * after dedup/filter passes (a slope drifting toward 0 flags
+    * boilerplate flooding; toward −2, over-aggressive head dedup).
+    *
+    * One explode + vocabulary-bounded hash-aggregate (the [[tfidfTerms]]
+    * shuffle shape), then a TakeOrdered head of `topV` rows by the pinned
+    * total order (count desc, token asc — the k-boundary tie is
+    * deterministic), then a single-row regression over that head.
+    * Engine-portable by the micro-nat discipline: x = round(ln(rank)·10⁶)
+    * and y = round(ln(c)·10⁶) are BIGINTs (the 10⁻⁶ rounding absorbs libm
+    * ulp disagreement), all five moment sums accumulate exactly
+    * (|Σxy| ≤ topV·(15·10⁶)² ≈ 2·10¹⁸ at topV = 10⁴ — document larger
+    * heads before raising), and slope/r² are computed in the final
+    * single-row projection as IEEE double ops on identical operands.
+    *
+    * Emits one row: (n_terms, slope, intercept_unats, r2) — slope in
+    * nats-per-nat rounded to 6, intercept in integer-ish micro-nats
+    * rounded to 6 (the ln-frequency at rank 1 under the fit).
+    */
+  def zipfRankSlope(docs: DataFrame, topV: Int = 1000,
+                    textCol: String = "text"): DataFrame = {
+    val head = explodeTokens(docs, textCol, spread = true)
+      .groupBy(col("token")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("token").asc)
+      .limit(topV)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("c").desc, col("token").asc)))
+    val pts = head.select(
+      round(log(col("rank").cast("double")) * 1e6).cast("long").as("x"),
+      round(log(col("c").cast("double")) * 1e6).cast("long").as("y"))
+    pts.agg(count(lit(1)).as("n"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sx2"),
+            sum(col("y") * col("y")).as("sy2"))
+      .select({
+          val n = col("n").cast("double")
+          val sx = col("sx").cast("double"); val sy = col("sy").cast("double")
+          val cov = n * col("sxy").cast("double") - sx * sy
+          val vx = n * col("sx2").cast("double") - sx * sx
+          val vy = n * col("sy2").cast("double") - sy * sy
+          Seq(col("n").as("n_terms"),
+              round(cov / vx, 6).as("slope"),
+              round((sy - (cov / vx) * sx) / n, 6).as("intercept_unats"),
+              round((cov / vx) * (cov / vy), 6).as("r2"))
+        }: _*)
+  }
 }

@@ -274,4 +274,30 @@ class SimilaritySpec extends AnyFunSuite {
     val recall = (exact intersect ivfpq.map(t => (t._1, t._2)).toSet).size.toDouble / exact.size
     assert(recall >= 0.1, s"IVFPQ recall=$recall collapsed")
   }
+
+  test("knnGraphStats: twin clusters make every rank-1 edge mutual") {
+    // two identical pairs on orthogonal axes: with k=1 each vector picks
+    // its twin (cos 1 beats 0) → 4 directed edges, 2 mutual pairs,
+    // mean cosines exactly 1
+    val emb = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(1f, 0f)),
+      (3L, Array(0f, 1f)), (4L, Array(0f, 1f))).toDF("vec_id", "embedding")
+    val r = Similarity.knnGraphStats(emb, k = 1).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((4L, 4L, 2L)), r.toString)
+    assert(r.getDouble(3) == 1.0 && r.getDouble(4) == 1.0, r.toString)
+  }
+
+  test("knnGraphStats: a hub with no reciprocation drives mutuality to zero") {
+    // three spokes all nearest to a hub h; h's single edge goes to spoke 1
+    // (tie on cosine broken by id) — mutual only on (h, s1)
+    val s = math.sqrt(0.5).toFloat
+    val emb = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)),          // hub
+      (2L, Array(s, s, 0f, 0f)),            // spokes: cos(hub)=.707, cos(spoke)=.5
+      (3L, Array(s, 0f, s, 0f)),
+      (4L, Array(s, 0f, 0f, s))).toDF("vec_id", "embedding")
+    val r = Similarity.knnGraphStats(emb, k = 1).collect().head
+    assert(r.getLong(0) == 4L && r.getLong(1) == 4L)
+    assert(r.getLong(2) == 1L, s"only hub↔spoke-2 reciprocates: $r")
+  }
 }

@@ -222,4 +222,33 @@ class StatsSpec extends AnyFunSuite {
     assert(spike.getDouble(5) == 1.4826 * spike.getDouble(4), "scale = 1.4826·MAD")
     assert(spike.getInt(6) == 1, "spike flagged")
   }
+
+  test("benfordDigitAudit: digits from the decimal string, zero excluded, ppm math exact") {
+    // amounts 1,19,25,347,9,0 → digits 1,1,2,3,9; the 0 row drops
+    val df = Seq(1L, 19L, 25L, 347L, 9L, 0L).toDF("amt")
+    val out = Stats.benfordDigitAudit(df, col("amt"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out.keySet == Set("1", "2", "3", "9"))
+    assert(out("1").getLong(1) == 2L)
+    // expected_ppm for digit 1 = round(log10(2)·1e6) = 301030
+    assert(out("1").getLong(2) == 301030L)
+    // deviation for digit 9: 1/5 observed vs log10(10/9) expected
+    val want9 = math.round((1.0 / 5 - math.log10(10.0 / 9)) * 1e6)
+    assert(out("9").getLong(3) == want9, s"dev9: ${out("9").getLong(3)}")
+  }
+
+  test("burstiness: metronome pins B = -1, bursty gaps push B positive") {
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    // user m: gaps all 60 s (σ=0 → B = -1); user b: 19 one-second gaps
+    // then a 981 s silence — B is capped at (√(n−1)−1)/(√(n−1)+1) for a
+    // single spike, so burstiness needs enough gaps to show
+    val m = (0L to 5L).map(i => ("m", ts(i * 60), i))
+    val b = ((0L to 19L) :+ 1000L).zipWithIndex.map { case (s, i) => ("b", ts(s), i.toLong) }
+    val df = (m ++ b).toDF("user_id", "ts", "event_id")
+    val out = Stats.burstiness(df).collect().map(r => r.getString(0) -> r).toMap
+    assert(out("m").getLong(1) == 5L)
+    assert(out("m").getDouble(2) == 60.0)
+    assert(out("m").getDouble(3) == -1.0, s"metronome: ${out("m").getDouble(3)}")
+    assert(out("b").getDouble(3) > 0.5, s"bursty: ${out("b").getDouble(3)}")
+  }
 }

@@ -233,4 +233,28 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(2L) == ((3L, 0L, 0.0)), s"verbatim repeat owns nothing: ${out(2L)}")
     assert(out(3L) == ((3L, 3L, 1.0)))
   }
+
+  test("zipfRankSlope: an exact 1/rank corpus fits slope -1, r² = 1") {
+    // counts 12,6,4,3 = 12/rank for ranks 1..4 → ln c = ln 12 - ln rank
+    val text = Seq.fill(12)("a") ++ Seq.fill(6)("b") ++ Seq.fill(4)("c") ++
+               Seq.fill(3)("d")
+    val df = Seq((1L, text.mkString(" "))).toDF("doc_id", "text")
+    val r = TextAnalysis.zipfRankSlope(df, topV = 10).collect().head
+    assert(r.getLong(0) == 4L)
+    assert(math.abs(r.getDouble(1) + 1.0) < 1e-4, s"slope: ${r.getDouble(1)}")
+    assert(math.abs(r.getDouble(3) - 1.0) < 1e-6, s"r2: ${r.getDouble(3)}")
+    // intercept ≈ ln(12) in micro-nats
+    assert(math.abs(r.getDouble(2) - math.log(12.0) * 1e6) < 200,
+      s"intercept: ${r.getDouble(2)}")
+  }
+
+  test("zipfRankSlope: topV bounds the head and the k-boundary tie is pinned") {
+    // six tokens, counts 3,3,2,2,1,1 — topV=4 keeps {a,b,c,d} by
+    // (count desc, token asc); swapping e/f cannot change the fit
+    val text = "a a a b b b c c d d e f"
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val r4 = TextAnalysis.zipfRankSlope(df, topV = 4).collect().head
+    assert(r4.getLong(0) == 4L)
+    assert(r4.getDouble(1) < 0, "slope negative on a decaying head")
+  }
 }
