@@ -3149,16 +3149,23 @@ object CatalogExt {
              |FROM f""".stripMargin)),
 
     // ── Mutual-kNN graph audit (Similarity.knnGraphStats): k=5 exact
-    //    cosine kNN over the deterministic even-vec_id audit slice (the
-    //    embedding_neardup_pairs bounding convention — the all-pairs scan
-    //    is quadratic by design; the full-corpus edge list composes from
-    //    the IVF/LSH paths at scale). Hubness probe: mutual-pair count
-    //    plus mean rank-1/top-k cosines in exact micro-units.
+    //    cosine kNN over a FIXED-BUDGET deterministic sample — the 1000
+    //    vectors with smallest md5(vec_id), i.e. a seedless uniform draw
+    //    whose size does not grow with the corpus. An audit pays a fixed
+    //    quadratic budget at any scale (measured: the earlier
+    //    corpus-proportional slice ran 85 s at the 9× replica — quadratic
+    //    exactly as designed, and exactly why a deployed audit samples);
+    //    the full-corpus edge list composes from the IVF/LSH paths.
+    //    Hubness probe: mutual-pair count plus mean rank-1/top-k cosines
+    //    in exact micro-units.
     ("knn_mutual_graph",
       (spark, dir) =>
         Similarity.knnGraphStats(
-          Tables.embeddings(spark, dir).filter(col("vec_id") % 2 === 0), 5),
-      Some("""WITH v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0),
+          Tables.embeddings(spark, dir)
+            .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+            .limit(1000), 5),
+      Some("""WITH v AS (SELECT vec_id, embedding FROM embeddings
+             |           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 1000),
              |sc AS (SELECT a.vec_id AS q_id, b.vec_id AS dst,
              |              round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
              |       FROM v a CROSS JOIN v b WHERE a.vec_id <> b.vec_id),
@@ -3178,6 +3185,35 @@ object CatalogExt {
              |SELECT n_nodes, n_edges, n_mutual_pairs,
              |       round(CAST(s1 AS DOUBLE) / (CAST(n1 AS DOUBLE) * 1e6), 6) AS mean_top1_cos,
              |       round(CAST(sk AS DOUBLE) / (CAST(n_edges AS DOUBLE) * 1e6), 6) AS mean_topk_cos
-             |FROM ag CROSS JOIN mu CROSS JOIN t1""".stripMargin))
+             |FROM ag CROSS JOIN mu CROSS JOIN t1""".stripMargin)),
+
+    // ── Key-skew profile (Skew.keySkewProfile) over the event stream's
+    //    user key: Gini / top-1% share / Herfindahl from counts-of-counts
+    //    with closed-form equal-count blocks — rank statistics without a
+    //    global key sort; windows bounded by distinct count values.
+    ("key_skew_profile",
+      (spark, dir) =>
+        Skew.keySkewProfile(Tables.events(spark, dir), "user_id"),
+      Some("""WITH kc AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c
+             |            FROM events GROUP BY 1),
+             |cc AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS k FROM kc GROUP BY 1),
+             |b AS (SELECT c, k,
+             |        COALESCE(SUM(k) OVER (ORDER BY c ASC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS kb,
+             |        COALESCE(SUM(k) OVER (ORDER BY c DESC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS kt,
+             |        SUM(k) OVER () AS nk
+             |      FROM cc),
+             |ag AS (SELECT CAST(MAX(nk) AS BIGINT) AS n_keys,
+             |              CAST(SUM(k * c) AS BIGINT) AS n_rows,
+             |              CAST(MAX(c) AS BIGINT) AS max_count,
+             |              CAST(SUM(c * (((2 * kb + k + 1) * k) // 2)) AS BIGINT) AS s,
+             |              CAST(SUM(c * c * k) AS BIGINT) AS sc2,
+             |              CAST(SUM(LEAST(k, GREATEST((nk + 99) // 100 - kt, 0)) * c) AS BIGINT) AS top_rows
+             |       FROM b)
+             |SELECT n_keys, n_rows, max_count,
+             |       round(2.0 * CAST(s AS DOUBLE) / (CAST(n_keys AS DOUBLE) * CAST(n_rows AS DOUBLE))
+             |             - CAST(n_keys + 1 AS DOUBLE) / CAST(n_keys AS DOUBLE), 6) AS gini,
+             |       round(CAST(top_rows AS DOUBLE) / CAST(n_rows AS DOUBLE), 6) AS top1pct_share,
+             |       round(CAST(sc2 AS DOUBLE) / (CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE)), 6) AS hhi
+             |FROM ag""".stripMargin))
   )
 }

@@ -92,7 +92,17 @@ object Tuning {
     // explode → agg → postings-join → agg chain whose cardinalities are
     // structural for fixed n; AQE's stage pauses are pure floor here.
     // NOT tagged: vocab_growth_curve (s8 wins 0.01/0.05, under the bar)
-    "ngram_novelty_scores")
+    "ngram_novelty_scores",
+    // round-8 session-3 (graft.TailAB, 2 interleaved runs): both rows are
+    // fixed window→aggregate chains over structurally bounded relations.
+    // user_burstiness 0.34→0.22 / 0.40→0.31 and zipf_rank_slope
+    // 0.32→0.23 / 0.34→0.24, both with aqe0s8. NOT tagged from the same
+    // sweep: benford_amount_audit (no variant moved it), knn_mutual_graph
+    // (aqe0s8 wins 0.01/0.04 — under the bar), key_skew_profile (aqe0
+    // REGRESSED 0.11/0.15 both runs — the counts-of-counts cardinality is
+    // data-dependent and AQE's coalescing pays for itself; s8 wins under
+    // the bar)
+    "user_burstiness", "zipf_rank_slope")
   // NOT tagged despite a small A/B win: dup_clusters — iterative
   // data-dependent join loop (the classification rule says AQE on), and its
   // −0.10 s reading did not reproduce (+0.53 s in the validation run).
@@ -156,7 +166,10 @@ object Tuning {
     // bloom_prescreen_stats compounds with its AQE-off tag (A/B above)
     "bloom_prescreen_stats",
     // ngram_novelty_scores compounds with its AQE-off tag (A/B above)
-    "ngram_novelty_scores")
+    "ngram_novelty_scores",
+    // round-8 session-3: compound with their AQE-off tags (A/B above —
+    // aqe0s8 beat aqe0 alone in all four runs)
+    "user_burstiness", "zipf_rank_slope")
 
   /** Run `body` with the per-query conf overrides for `name`, restoring the
     * previous session values afterwards (exception-safe, so one query's

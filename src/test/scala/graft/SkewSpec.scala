@@ -26,4 +26,28 @@ class SkewSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(salted == plain)
   }
+
+  test("keySkewProfile: hand-computed Gini/top-share/HHI on a tiny key set") {
+    // counts a:4, b:2, c:2, d:1, e:1 → ranks asc Σ rank·c = 37,
+    // gini = 2·37/(5·10) − 6/5 = 0.28; top-1% = ceil(5/100)=1 key → 4/10;
+    // hhi = (16+4+4+1+1)/100 = 0.26
+    val df = (Seq.fill(4)("a") ++ Seq.fill(2)("b") ++ Seq.fill(2)("c") ++
+              Seq("d", "e")).map(Tuple1(_)).toDF("k")
+    val r = Skew.keySkewProfile(df, "k").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((5L, 10L, 4L)), r.toString)
+    assert(r.getDouble(3) == 0.28, s"gini: ${r.getDouble(3)}")
+    assert(r.getDouble(4) == 0.4, s"top share: ${r.getDouble(4)}")
+    assert(r.getDouble(5) == 0.26, s"hhi: ${r.getDouble(5)}")
+  }
+
+  test("keySkewProfile: uniform keys give gini ≈ 0, one hot key pushes it up") {
+    val uniform = (1 to 100).flatMap(k => Seq.fill(5)(k)).map(Tuple1(_)).toDF("k")
+    val gu = Skew.keySkewProfile(uniform, "k").collect().head.getDouble(3)
+    assert(gu == 0.0, s"uniform gini: $gu")
+    val hot = ((1 to 99).flatMap(k => Seq.fill(2)(k)) ++ Seq.fill(802)(500))
+      .map(Tuple1(_)).toDF("k")
+    val gh = Skew.keySkewProfile(hot, "k").collect().head
+    assert(gh.getDouble(3) > 0.7, s"hot gini: ${gh.getDouble(3)}")
+    assert(gh.getDouble(4) > 0.8, s"hot top share: ${gh.getDouble(4)}")
+  }
 }
