@@ -945,10 +945,22 @@ object Similarity {
     * mean_topk_cos).
     */
   def knnGraphStats(embeddings: DataFrame, k: Int): DataFrame = {
+    // materialize the node set once — it feeds both the broadcast build and
+    // the probe scan (an un-checkpointed sample would re-run its upstream
+    // plan, e.g. a TakeOrdered draw, for each consumer) — and spread the
+    // probe side across the session's cores: a limit/sample upstream
+    // arrives as ONE partition, which would serialize the whole O(n²)
+    // scoring scan onto a single task (measured: 14 single-task stages
+    // before, the pairs stage alone ~1 s; scan parallelism is the entire
+    // point of the broadcast design)
+    val spark = embeddings.sparkSession
     val nodes = embeddings.select(col("vec_id"), col("embedding"))
+      .localCheckpoint()
     val right = broadcast(nodes
       .select(col("vec_id").as("dst"), col("embedding").as("emb_b")))
-    val scored = nodes.select(col("vec_id").as("q_id"), col("embedding"))
+    val scored = nodes
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("vec_id").as("q_id"), col("embedding"))
       .crossJoin(right)
       .filter(col("q_id") =!= col("dst"))
       .select(col("q_id"), col("dst").as("vec_id"),
