@@ -3214,6 +3214,54 @@ object CatalogExt {
              |             - CAST(n_keys + 1 AS DOUBLE) / CAST(n_keys AS DOUBLE), 6) AS gini,
              |       round(CAST(top_rows AS DOUBLE) / CAST(n_rows AS DOUBLE), 6) AS top1pct_share,
              |       round(CAST(sc2 AS DOUBLE) / (CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE)), 6) AS hhi
-             |FROM ag""".stripMargin))
+             |FROM ag""".stripMargin)),
+
+    // ── MinHash estimator calibration (Dedup.minhashCalibration): exact
+    //    shingle-set Jaccard vs the k=8 minhash estimate on every banding
+    //    candidate pair, grouped by matching-component count — the "is k
+    //    still big enough" audit next to the production LSH path. Exact
+    //    side restricted to pair-docs before the inverted-index join;
+    //    micro-unit sums.
+    ("minhash_calibration",
+      (spark, dir) =>
+        Dedup.minhashCalibration(Tables.documents(spark, dir), 8, 2),
+      Some {
+        val sigs = (0 until 8).map(i => s"${sqlMinhash(i)} AS s$i").mkString(", ")
+        val bands = (0 until 4).map(i => s"md5(s${2 * i} || '|' || s${2 * i + 1}) AS b$i").mkString(", ")
+        val joins = (0 until 4).map(i =>
+          s"""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+             |FROM bands a JOIN bands b ON a.b$i = b.b$i AND a.doc_id < b.doc_id""".stripMargin)
+          .mkString("\nUNION\n")
+        val mexpr = (0 until 8)
+          .map(i => s"(CASE WHEN sa.s$i = sb.s$i THEN 1 ELSE 0 END)").mkString(" + ")
+        s"""WITH sigs AS (SELECT doc_id, $sigs FROM documents),
+           |bands AS (SELECT doc_id, $bands FROM sigs),
+           |cp AS (SELECT DISTINCT doc_a, doc_b FROM ($joins)),
+           |mm AS (SELECT cp.doc_a, cp.doc_b, CAST($mexpr AS BIGINT) AS m
+           |       FROM cp JOIN sigs sa ON sa.doc_id = cp.doc_a
+           |               JOIN sigs sb ON sb.doc_id = cp.doc_b),
+           |sh AS (SELECT DISTINCT doc_id, g FROM (
+           |         SELECT doc_id, unnest(${sqlShingles(3)}) AS g FROM documents)),
+           |pd AS (SELECT DISTINCT doc_id FROM (
+           |         SELECT doc_a AS doc_id FROM cp
+           |         UNION ALL SELECT doc_b FROM cp)),
+           |ps AS (SELECT sh.doc_id, g FROM sh JOIN pd USING (doc_id)),
+           |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM ps GROUP BY 1),
+           |iv AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |              CAST(COUNT(*) AS BIGINT) AS shared
+           |       FROM ps a JOIN ps b ON a.g = b.g AND a.doc_id < b.doc_id
+           |       GROUP BY 1, 2),
+           |pr AS (SELECT mm.m,
+           |         CAST(round(CAST(shared AS DOUBLE) / (za.sz + zb.sz - shared) * 1e6) AS BIGINT) AS ju,
+           |         CAST(round(abs(CAST(mm.m AS DOUBLE) / 8
+           |              - CAST(shared AS DOUBLE) / (za.sz + zb.sz - shared)) * 1e6) AS BIGINT) AS eu
+           |       FROM mm JOIN iv USING (doc_a, doc_b)
+           |            JOIN sz za ON za.doc_id = mm.doc_a
+           |            JOIN sz zb ON zb.doc_id = mm.doc_b)
+           |SELECT m AS n_matching, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           |       round(CAST(SUM(ju) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 1e6), 6) AS mean_exact_jaccard,
+           |       round(CAST(SUM(eu) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 1e6), 6) AS mean_abs_err
+           |FROM pr GROUP BY 1 ORDER BY 1""".stripMargin
+      })
   )
 }

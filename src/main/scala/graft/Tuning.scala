@@ -102,7 +102,13 @@ object Tuning {
     // REGRESSED 0.11/0.15 both runs — the counts-of-counts cardinality is
     // data-dependent and AQE's coalescing pays for itself; s8 wins under
     // the bar)
-    "user_burstiness", "zipf_rank_slope")
+    "user_burstiness", "zipf_rank_slope",
+    // minhash_calibration 1.52→0.98 / 1.39→1.05 with aqe0s8 BOTH runs,
+    // while aqe0 ALONE regressed (1.98/1.96): at 32 partitions the
+    // candidate-bounded joins want AQE's coalescing, at 8 there is
+    // nothing left to coalesce and the stage pauses are pure floor — the
+    // tag pair is only valid together (same pattern as supplier_pagerank)
+    "minhash_calibration")
   // NOT tagged despite a small A/B win: dup_clusters — iterative
   // data-dependent join loop (the classification rule says AQE on), and its
   // −0.10 s reading did not reproduce (+0.53 s in the validation run).
@@ -169,13 +175,20 @@ object Tuning {
     "ngram_novelty_scores",
     // round-8 session-3: compound with their AQE-off tags (A/B above —
     // aqe0s8 beat aqe0 alone in all four runs)
-    "user_burstiness", "zipf_rank_slope")
+    "user_burstiness", "zipf_rank_slope",
+    // minhash_calibration: the s8 half of the only-valid-together pair
+    // (see the fixedShape note)
+    "minhash_calibration")
 
   /** Run `body` with the per-query conf overrides for `name`, restoring the
     * previous session values afterwards (exception-safe, so one query's
     * policy never leaks into the next).
     */
   def withTuned[A](spark: SparkSession, name: String)(body: => A): A = {
+    // Dev kill-switch (TailAB / scale-leg A/Bs): a tagged query can only be
+    // re-measured untagged if the router can be bypassed — TailAB's variant
+    // confs are otherwise overridden by the tag they're trying to evaluate.
+    if (sys.env.get("SPARK_GRAFT_NO_TUNING").contains("1")) return body
     val overrides: Map[String, String] =
       (if (fixedShape.contains(name))
          Map("spark.sql.adaptive.enabled" -> "false")

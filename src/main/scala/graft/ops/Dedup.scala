@@ -91,6 +91,13 @@ object Dedup {
     // relative to the corpus — so this is the right trade at 100 TB too
     // (at cluster scale it would be a persisted/bucketed intermediate table).
     val sigTable = minhashSignatureTable(docs, k).localCheckpoint()
+    bandPairs(sigTable, k, rowsPerBand)
+  }
+
+  /** Band self-join over a materialized signature table — the shared tail
+    * of [[lshCandidatePairs]] and [[minhashCalibration]].
+    */
+  private def bandPairs(sigTable: DataFrame, k: Int, rowsPerBand: Int): DataFrame = {
     val bands = sigTable.select(col("doc_id"),
       posexplode(array(lshBands((0 until k).map(i => col(s"s$i")), rowsPerBand): _*))
         .as(Seq("band", "bucket")))
@@ -102,6 +109,74 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
       .distinct()
+  }
+
+  /** MinHash estimator calibration — the audit face of the LSH family:
+    * for every banding CANDIDATE pair, compare the minhash-estimated
+    * Jaccard (matching signature components / k) against the exact
+    * shingle-set Jaccard, reported per matching-component count. The
+    * question it answers is the one every sketch deployment has to keep
+    * answering as the corpus drifts: is k still big enough, i.e. how far
+    * is the estimator from the truth ON THE PAIRS THE PIPELINE ACTS ON
+    * (same estimator-audit family as the Bloom fp-rate, LSH-recall, HLL
+    * and KMV rows).
+    *
+    * Cost is candidate-bounded end to end: the signature table is built
+    * once (checkpointed, shared by the band join and the match count);
+    * the exact side restricts the shingle postings to DOCS APPEARING IN
+    * SOME PAIR (broadcast semi-join) before the inverted-index self-join,
+    * so the quadratic term never sees the full corpus. Every per-pair
+    * number is exact or micro-rounded: m and set sizes are integers,
+    * m/k is an exact IEEE double for power-of-two k, the Jaccard is one
+    * double division of exact integers, and the per-pair micro-roundings
+    * sum as BIGINTs (the [[graft.ops.Similarity]] micro-unit discipline).
+    * A band match forces a shared min-shingle, so every candidate pair
+    * has intersection ≥ 1 and the exact side is an inner join.
+    *
+    * Emits one row per matching-component count m: (n_matching, n_pairs,
+    * mean_exact_jaccard, mean_abs_err), ordered by n_matching.
+    */
+  def minhashCalibration(docs: DataFrame, k: Int = 8, rowsPerBand: Int = 2,
+                         shingleN: Int = 3): DataFrame = {
+    val sigTable = minhashSignatureTable(docs, k, shingleN).localCheckpoint()
+    val pairs = bandPairs(sigTable, k, rowsPerBand).localCheckpoint()
+    val m = pairs
+      .join(sigTable.select(col("doc_id").as("doc_a") +:
+        (0 until k).map(i => col(s"s$i").as(s"a$i")): _*), Seq("doc_a"))
+      .join(sigTable.select(col("doc_id").as("doc_b") +:
+        (0 until k).map(i => col(s"s$i").as(s"b$i")): _*), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (0 until k).map(i => when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
+          .reduce(_ + _).as("m"))
+    val pairDocs = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    val p = TextAnalysis.explodeShingles(docs, shingleN, spread = true)
+      .join(broadcast(pairDocs), Seq("doc_id"), "left_semi")
+      .localCheckpoint()
+    val sizes = p.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = p.select(col("doc_id").as("doc_a"), col("g"))
+      .join(p.select(col("doc_id").as("doc_b"), col("g")), Seq("g"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
+      .join(pairs, Seq("doc_a", "doc_b"), "left_semi")
+    val per = m.join(inter, Seq("doc_a", "doc_b"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), Seq("doc_b"))
+      .select(col("m"),
+        (col("shared").cast("double")
+          / (col("sz_a") + col("sz_b") - col("shared"))).as("jacc"),
+        (col("m").cast("double") / k).as("est"))
+      .select(col("m"), round(col("jacc") * 1e6).cast("long").as("ju"),
+              round(abs(col("est") - col("jacc")) * 1e6).cast("long").as("eu"))
+    per.groupBy(col("m"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("ju")).as("sj"),
+           sum(col("eu")).as("se"))
+      .select(col("m").as("n_matching"), col("n_pairs"),
+        round(col("sj").cast("double") / (col("n_pairs").cast("double") * 1e6), 6)
+          .as("mean_exact_jaccard"),
+        round(col("se").cast("double") / (col("n_pairs").cast("double") * 1e6), 6)
+          .as("mean_abs_err"))
+      .orderBy(col("n_matching"))
   }
 
   /** SimHash table at an arbitrary bit width (≤ 60: the per-token hash is

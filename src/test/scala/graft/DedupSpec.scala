@@ -403,4 +403,22 @@ class DedupSpec extends AnyFunSuite {
       assert(sim == expSim)
     }
   }
+
+  test("minhashCalibration: identical docs land at m=k with zero error") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"), // verbatim
+      (3L, "completely different text with no shared shingles at all"),
+      (4L, "another unrelated document about entirely other things"))
+      .toDF("doc_id", "text")
+    val rows = Dedup.minhashCalibration(df, k = 8, rowsPerBand = 2).collect()
+    // the verbatim pair must surface at m=8 with exact jaccard 1, err 0
+    val full = rows.find(_.getLong(0) == 8L)
+    assert(full.isDefined, s"no m=8 bucket: ${rows.mkString(";")}")
+    assert(full.get.getDouble(2) == 1.0 && full.get.getDouble(3) == 0.0,
+      full.get.toString)
+    // every candidate pair matched at least one full band
+    assert(rows.forall(_.getLong(0) >= 2L), "band match implies >= rowsPerBand")
+    assert(rows.forall(r => r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0))
+  }
 }
