@@ -108,7 +108,14 @@ object Tuning {
     // candidate-bounded joins want AQE's coalescing, at 8 there is
     // nothing left to coalesce and the stage pauses are pure floor — the
     // tag pair is only valid together (same pattern as supplier_pagerank)
-    "minhash_calibration")
+    "minhash_calibration",
+    // round-8 close (graft.TailAB, 2 interleaved runs): one broadcast
+    // join + one ~25-group moment aggregate — every cardinality is
+    // structural. brand_corr_stats 0.56→0.44 / 0.60→0.46 with aqe0s8.
+    // NOT tagged from the same sweep: orders_column_profile (base was
+    // best or within 0.01 both runs — its Expand multi-distinct WANTS
+    // AQE's coalescing) and hll_shard_merge (s8 wins 0.02, under the bar)
+    "brand_corr_stats")
   // NOT tagged despite a small A/B win: dup_clusters — iterative
   // data-dependent join loop (the classification rule says AQE on), and its
   // −0.10 s reading did not reproduce (+0.53 s in the validation run).
@@ -178,7 +185,9 @@ object Tuning {
     "user_burstiness", "zipf_rank_slope",
     // minhash_calibration: the s8 half of the only-valid-together pair
     // (see the fixedShape note)
-    "minhash_calibration")
+    "minhash_calibration",
+    // brand_corr_stats: s8 half of its aqe0s8 tag (fixedShape note above)
+    "brand_corr_stats")
 
   /** Run `body` with the per-query conf overrides for `name`, restoring the
     * previous session values afterwards (exception-safe, so one query's
