@@ -3262,6 +3262,133 @@ object CatalogExt {
            |       round(CAST(SUM(ju) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 1e6), 6) AS mean_exact_jaccard,
            |       round(CAST(SUM(eu) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 1e6), 6) AS mean_abs_err
            |FROM pr GROUP BY 1 ORDER BY 1""".stripMargin
-      })
+      }),
+
+    // ── Cohen's-kappa gate agreement (Curation.labelAgreement): do the
+    //    heuristic quality gate (quality_score > 0.5) and the NB
+    //    classifier gate (logodds_unats > 0) agree beyond chance? The
+    //    confusion cells are exact BIGINTs; po/pe/kappa derive from
+    //    identical integers in any engine. One doc_id equi-join of the
+    //    two scored relations, then a single keyless aggregate.
+    ("quality_kappa",
+      (spark, dir) => {
+        val q = TextAnalysis.qualityColumns(col("text"))
+        val heur = Tables.documents(spark, dir)
+          .select(col("doc_id"), (q("quality_score") > lit(0.5)).as("__lh"))
+        val nb = TextAnalysis.nbClassifierScores(Tables.documents(spark, dir),
+            refLang = "en", vocabSize = 50)
+          .select(col("doc_id"), (col("logodds_unats") > lit(0L)).as("__ln"))
+        Curation.labelAgreement(heur.join(nb, Seq("doc_id")),
+                                col("__lh"), col("__ln"))
+      },
+      Some(s"""WITH $sqlNbScoredCtes,
+              |hf AS (
+              |  SELECT doc_id,
+              |         len($sqlTokens) AS n_tokens,
+              |         len(list_distinct($sqlTokens)) AS n_distinct,
+              |         length(replace(text, ' ', '')) AS n_chars,
+              |         len(list_filter($sqlTokens, t -> list_contains($stopListSql, t))) AS stop_hits
+              |  FROM documents),
+              |hl AS (
+              |  SELECT doc_id,
+              |         (least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+              |          + (CAST(n_distinct AS DOUBLE) / n_tokens) * 0.3
+              |          + least((CAST(stop_hits AS DOUBLE) / n_tokens) * 5.0, 1.0) * 0.3) > 0.5 AS la
+              |  FROM hf),
+              |j AS (
+              |  SELECT hl.la AS a, (nbdoc.logodds_unats > 0) AS b
+              |  FROM hl JOIN nbdoc USING (doc_id)),
+              |cf AS (
+              |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+              |         CAST(SUM(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n_both_pos,
+              |         CAST(SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n_a_only,
+              |         CAST(SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n_b_only,
+              |         CAST(SUM(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n_both_neg
+              |  FROM j),
+              |k AS (
+              |  SELECT n_docs, n_both_pos, n_a_only, n_b_only, n_both_neg,
+              |         CAST(n_both_pos + n_both_neg AS DOUBLE) / CAST(n_docs AS DOUBLE) AS po,
+              |         CAST(n_both_pos + n_a_only AS DOUBLE) / CAST(n_docs AS DOUBLE) AS pa,
+              |         CAST(n_both_pos + n_b_only AS DOUBLE) / CAST(n_docs AS DOUBLE) AS pb
+              |  FROM cf)
+              |SELECT n_docs, n_both_pos, n_a_only, n_b_only, n_both_neg,
+              |       round(po, 6) AS observed_agreement,
+              |       round(pa * pb + (1.0 - pa) * (1.0 - pb), 6) AS chance_agreement,
+              |       CASE WHEN 1.0 - (pa * pb + (1.0 - pa) * (1.0 - pb)) = 0
+              |            THEN NULL
+              |            ELSE round((po - (pa * pb + (1.0 - pa) * (1.0 - pb)))
+              |                       / (1.0 - (pa * pb + (1.0 - pa) * (1.0 - pb))), 6)
+              |       END AS kappa
+              |FROM k""".stripMargin)),
+
+    // ── Split-leakage audit (Curation.splitLeakage): LSH banding
+    //    candidate pairs bucketed by the train/val/test pair they
+    //    straddle — the eval-integrity check (near-dups shared by train
+    //    and val inflate validation metrics). Splits are pure hash
+    //    functions of the ids, so the classification is map-side over
+    //    the pair relation; the report is ≤6 rows.
+    ("split_leakage_check",
+      (spark, dir) =>
+        Curation.splitLeakage(
+          Dedup.lshCandidatePairs(Tables.documents(spark, dir), 8, 2)),
+      Some {
+        val sigs = (0 until 8).map(i => s"${sqlMinhash(i)} AS s$i").mkString(", ")
+        val bands = (0 until 4).map(i => s"md5(s${2 * i} || '|' || s${2 * i + 1}) AS b$i").mkString(", ")
+        val joins = (0 until 4).map(i =>
+          s"""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+             |FROM bands a JOIN bands b ON a.b$i = b.b$i AND a.doc_id < b.doc_id""".stripMargin)
+          .mkString("\nUNION\n")
+        def splitOf(c: String) =
+          s"CASE WHEN ${sqlHashBucket(c, 100)} < 80 THEN 'train' WHEN ${sqlHashBucket(c, 100)} < 90 THEN 'val' ELSE 'test' END"
+        s"""WITH sigs AS (SELECT doc_id, $sigs FROM documents),
+           |bands AS (SELECT doc_id, $bands FROM sigs),
+           |cp AS (SELECT DISTINCT doc_a, doc_b FROM ($joins)),
+           |sp AS (SELECT ${splitOf("doc_a")} AS s_a, ${splitOf("doc_b")} AS s_b FROM cp),
+           |cells AS (
+           |  SELECT least(s_a, s_b) AS split_lo, greatest(s_a, s_b) AS split_hi,
+           |         CAST(COUNT(*) AS BIGINT) AS n_pairs
+           |  FROM sp GROUP BY 1, 2),
+           |t AS (SELECT CAST(SUM(n_pairs) AS BIGINT) AS tot FROM cells)
+           |SELECT split_lo, split_hi, split_lo <> split_hi AS cross_split, n_pairs,
+           |       round(CAST(n_pairs AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS pair_share
+           |FROM cells CROSS JOIN t ORDER BY split_lo, split_hi""".stripMargin
+      }),
+
+    // ── Mixture drift (Curation.mixtureDrift): KL(split‖train), JS
+    //    divergence, and total variation over per-source shares for each
+    //    held-out split — the distribution-shift canary. Laplace-smoothed
+    //    exact ratios; per-source terms rounded to integer micro-nats
+    //    BEFORE the sum (a double Σ would be partition-order-dependent).
+    ("mixture_kl_drift",
+      (spark, dir) =>
+        Curation.mixtureDrift(Tables.documents(spark, dir), "source",
+                              col("doc_id")),
+      Some(s"""WITH cells AS (
+              |  SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+              |         source AS grp, COUNT(*) AS c
+              |  FROM (SELECT source, $sqlHashBucket100 AS b FROM documents)
+              |  GROUP BY 1, 2),
+              |grps AS (SELECT DISTINCT grp FROM cells),
+              |vocab AS (SELECT COUNT(*) AS v FROM grps),
+              |totals AS (SELECT split, CAST(SUM(c) AS BIGINT) AS n_docs FROM cells GROUP BY 1),
+              |grid AS (
+              |  SELECT t.split, g.grp, t.n_docs,
+              |         CAST(COALESCE(c.c, 0) + 1 AS DOUBLE) / CAST(t.n_docs + v.v AS DOUBLE) AS p
+              |  FROM grps g CROSS JOIN totals t CROSS JOIN vocab v
+              |  LEFT JOIN cells c ON c.split = t.split AND c.grp = g.grp),
+              |tr AS (SELECT grp, p AS q FROM grid WHERE split = 'train'),
+              |h AS (SELECT grid.split, grid.n_docs, grid.p, tr.q
+              |      FROM grid JOIN tr USING (grp) WHERE grid.split <> 'train'),
+              |ag AS (
+              |  SELECT split, n_docs,
+              |         CAST(SUM(CAST(round(p * ln(p / q) * 1000000.0) AS BIGINT)) AS BIGINT) AS kl_vs_train_micronats,
+              |         CAST(SUM(CAST(round((p * ln(p / ((p + q) / 2.0)) + q * ln(q / ((p + q) / 2.0))) * 0.5 * 1000000.0) AS BIGINT)) AS BIGINT) AS js_micronats,
+              |         CAST(SUM(CAST(round(abs(p - q) * 0.5 * 1000000.0) AS BIGINT)) AS BIGINT) AS tvd_micro
+              |  FROM h GROUP BY 1, 2)
+              |SELECT split, n_docs, kl_vs_train_micronats, js_micronats, tvd_micro,
+              |       round(kl_vs_train_micronats / 1000000.0, 6) AS kl_nats,
+              |       round(js_micronats / 1000000.0, 6) AS js_nats,
+              |       round(tvd_micro / 1000000.0, 6) AS tvd
+              |FROM ag ORDER BY split""".stripMargin))
   )
 }

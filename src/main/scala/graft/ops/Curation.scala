@@ -545,4 +545,134 @@ object Curation {
         round(col("n_shared").cast("double") /
           (col("__ta") + col("__tb") - col("n_shared")), 6).as("jaccard"))
   }
+
+  /** Cohen's-kappa agreement between two binary document labels — the
+    * "do my two quality filters agree beyond chance" audit a curation
+    * pipeline runs before trusting either gate (e.g. the heuristic
+    * quality score vs the NB classifier; kappa near 0 means the gates
+    * are independent coin flips on the contested region, near 1 means
+    * one of them is redundant).
+    *
+    * One keyless aggregate of four conditional counts over whatever
+    * relation the caller assembled — map-side partial sums, a single-row
+    * shuffle at any input size. kappa = (po − pe)/(1 − pe) from the
+    * exact BIGINT confusion cells; every double derives from identical
+    * integers in any engine, rounded once at 6 places (NULL when the
+    * chance-corrected denominator is 0, i.e. pe = 1: both raters
+    * constant — kappa undefined, not 0).
+    */
+  def labelAgreement(labeled: DataFrame, labelA: Column,
+                     labelB: Column): DataFrame = {
+    val a = labelA.cast("boolean")
+    val b = labelB.cast("boolean")
+    def cell(p: Column) = sum(when(p, 1L).otherwise(0L))
+    val counts = labeled.agg(
+      count(lit(1)).as("n_docs"),
+      cell(a && b).as("n_both_pos"),
+      cell(a && !b).as("n_a_only"),
+      cell(!a && b).as("n_b_only"),
+      cell(!a && !b).as("n_both_neg"))
+    val n = col("n_docs").cast("double")
+    val po = (col("n_both_pos") + col("n_both_neg")).cast("double") / n
+    val pa = (col("n_both_pos") + col("n_a_only")).cast("double") / n
+    val pb = (col("n_both_pos") + col("n_b_only")).cast("double") / n
+    val pe = pa * pb + (lit(1.0) - pa) * (lit(1.0) - pb)
+    counts.select(
+      col("n_docs"), col("n_both_pos"), col("n_a_only"),
+      col("n_b_only"), col("n_both_neg"),
+      round(po, 6).as("observed_agreement"),
+      round(pe, 6).as("chance_agreement"),
+      when(lit(1.0) - pe === 0.0, lit(null).cast("double"))
+        .otherwise(round((po - pe) / (lit(1.0) - pe), 6)).as("kappa"))
+  }
+
+  /** Near-dup leakage across the train/val/test boundary: the candidate
+    * pairs a banding LSH pass surfaces, bucketed by the split pair they
+    * straddle — the eval-integrity audit (a near-duplicate shared by
+    * train and val inflates every validation metric it touches). Hash
+    * splitting by doc_id deliberately does NOT see duplicate structure,
+    * so some leakage is expected; this row measures it so the pipeline
+    * can route dup CLUSTERS (not docs) to splits when it matters.
+    *
+    * `pairs` is any (doc_a, doc_b) candidate relation (e.g.
+    * [[graft.ops.Dedup.lshCandidatePairs]]); splits are pure hash
+    * functions of the ids — map-side, no join back to the corpus. The
+    * report is ≤ 6 rows (unordered split pairs); the total for the
+    * share column rides a broadcast cross join, not a global window.
+    */
+  def splitLeakage(pairs: DataFrame, trainPct: Int = 80,
+                   valPct: Int = 10): DataFrame = {
+    val sa = assignSplit(col("doc_a"), trainPct, valPct)
+    val sb = assignSplit(col("doc_b"), trainPct, valPct)
+    val cells = pairs
+      .select(least(sa, sb).as("split_lo"), greatest(sa, sb).as("split_hi"))
+      .groupBy(col("split_lo"), col("split_hi"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val total = cells.agg(sum(col("n_pairs")).as("__tot"))
+    cells.crossJoin(broadcast(total))
+      .select(col("split_lo"), col("split_hi"),
+        (col("split_lo") =!= col("split_hi")).as("cross_split"),
+        col("n_pairs"),
+        round(col("n_pairs").cast("double") / col("__tot").cast("double"), 6)
+          .as("pair_share"))
+      .orderBy(col("split_lo"), col("split_hi"))
+  }
+
+  /** Mixture drift between each held-out split and train: KL(split‖train),
+    * Jensen–Shannon divergence, and total-variation distance over the
+    * per-`group` document shares — the distribution-shift audit that
+    * tells you whether val/test still look like what the model trains on
+    * (hash splitting makes drift ~0 by construction; a curated or
+    * time-sliced split makes this row the canary).
+    *
+    * Determinism contract (the repo's micro-unit convention): shares are
+    * Laplace-smoothed exact ratios p = (c+1)/(n+V) — always finite, no
+    * zero-cell special cases — and each per-group term is rounded to
+    * integer micro-nats BEFORE the sum, so the aggregate is an exact
+    * BIGINT sum (a double Σ would be partition-order-dependent). Scale
+    * shape: one groupBy(split, group) aggregate over the corpus, then
+    * everything runs on the splits×groups cell relation (broadcast-joined
+    * grid completion so smoothing sees absent cells).
+    */
+  def mixtureDrift(docs: DataFrame, groupColName: String, keyCol: Column,
+                   trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val cells = docs
+      .select(assignSplit(keyCol, trainPct, valPct).as("split"),
+              col(groupColName).as("grp"))
+      .groupBy(col("split"), col("grp"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint() // grid + totals + vocab all read it
+    val groups = cells.select(col("grp")).distinct()
+    val vocab = groups.agg(count(lit(1)).as("__v"))
+    val totals = cells.groupBy(col("split")).agg(sum(col("c")).as("n_docs"))
+    // full split×group grid so absent cells smooth to (0+1)/(n+V);
+    // the ≤|splits|-row totals side is the broadcast one
+    val grid = groups.crossJoin(broadcast(totals))
+      .join(cells, Seq("split", "grp"), "left")
+      .na.fill(0L, Seq("c"))
+      .crossJoin(broadcast(vocab))
+      .select(col("split"), col("grp"), col("n_docs"),
+        ((col("c") + lit(1)).cast("double") /
+         (col("n_docs") + col("__v")).cast("double")).as("p"))
+    val train = grid.filter(col("split") === "train")
+      .select(col("grp"), col("p").as("q"))
+    val held = grid.filter(col("split") =!= "train")
+    val p = col("p"); val q = col("q")
+    val m = (p + q) / lit(2.0)
+    held.join(broadcast(train), Seq("grp"))
+      .groupBy(col("split"), col("n_docs"))
+      .agg(
+        sum(round(p * log(p / q) * lit(1e6)).cast("long"))
+          .as("kl_vs_train_micronats"),
+        sum(round((p * log(p / m) + q * log(q / m)) * lit(0.5) * lit(1e6))
+          .cast("long")).as("js_micronats"),
+        sum(round(abs(p - q) * lit(0.5) * lit(1e6)).cast("long"))
+          .as("tvd_micro"))
+      .select(col("split"), col("n_docs"),
+        col("kl_vs_train_micronats"), col("js_micronats"), col("tvd_micro"),
+        round(col("kl_vs_train_micronats") / lit(1e6), 6).as("kl_nats"),
+        round(col("js_micronats") / lit(1e6), 6).as("js_nats"),
+        round(col("tvd_micro") / lit(1e6), 6).as("tvd"))
+      .orderBy(col("split"))
+  }
 }

@@ -407,6 +407,74 @@ class CurationSpec extends AnyFunSuite {
     assert(out.keys.forall { case (a, b) => a < b }, "canonical pair order")
   }
 
+  test("labelAgreement: hand-computed kappa on a known confusion matrix") {
+    // n11=3, n10=1, n01=2, n00=2 → po=.625, pa=.5, pb=.625, pe=.5, κ=.25
+    val labeled = Seq(
+      (true, true), (true, true), (true, true), (true, false),
+      (false, true), (false, true), (false, false), (false, false)
+    ).toDF("a", "b")
+    val r = Curation.labelAgreement(labeled, col("a"), col("b")).head()
+    assert(r.getLong(0) == 8L && r.getLong(1) == 3L && r.getLong(2) == 1L
+      && r.getLong(3) == 2L && r.getLong(4) == 2L)
+    assert(r.getDouble(5) == 0.625 && r.getDouble(6) == 0.5)
+    assert(r.getDouble(7) == 0.25)
+  }
+
+  test("labelAgreement: kappa is NULL (not 0) when both raters are constant") {
+    val allPos = Seq((true, true), (true, true), (true, true)).toDF("a", "b")
+    val r = Curation.labelAgreement(allPos, col("a"), col("b")).head()
+    assert(r.getDouble(5) == 1.0, "perfect observed agreement")
+    assert(r.isNullAt(7), "pe = 1 → kappa undefined")
+  }
+
+  test("splitLeakage: canonical split pairs, shares sum to 1, cross flags") {
+    // pick one real id per split so the hash assignment is exercised
+    val byId = (0L until 200L).map(i =>
+      i -> null).toMap.keys.toSeq.toDF("doc_id")
+      .select(col("doc_id"), Curation.assignSplit(col("doc_id")).as("s"))
+      .collect().map(r => r.getString(1) -> r.getLong(0)).toMap
+    val (tr, va, te) = (byId("train"), byId("val"), byId("test"))
+    val pairs = Seq(
+      (tr, tr), (tr, va), (tr, va), (va, te), (tr, te), (te, te)
+    ).toDF("doc_a", "doc_b")
+    val out = Curation.splitLeakage(pairs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getBoolean(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out(("train", "train")) == ((false, 1L, round6(1.0 / 6))))
+    assert(out(("train", "val")) == ((true, 2L, round6(2.0 / 6))))
+    assert(out(("test", "val")) == ((true, 1L, round6(1.0 / 6))),
+      "split pair is canonicalized by name order")
+    assert(out(("test", "train")) == ((true, 1L, round6(1.0 / 6))))
+    assert(out(("test", "test")) == ((false, 1L, round6(1.0 / 6))))
+    // each share is independently rounded to 6 places → sum is 1 ± n·5e-7
+    assert(math.abs(out.values.map(_._3).sum - 1.0) < 1e-5)
+  }
+
+  test("mixtureDrift: hash split reads ~zero drift; a split-correlated " +
+       "grouping reads large drift") {
+    val quiet = Curation.mixtureDrift(docs, "source", col("doc_id"))
+      .collect()
+    assert(quiet.map(_.getString(0)).toSet == Set("val", "test"))
+    for (r <- quiet) {
+      val (kl, js, tvd) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      // KL/JS ≥ 0 up to per-group micro-nat rounding (≤ 1 per group)
+      assert(kl >= -10L && js >= -10L && tvd >= 0L)
+      assert(tvd <= 500000L, "TVD is at most 1/2 in micro units")
+      // val/test hold ~10% of the corpus each, so per-source share noise
+      // at the test SF (~150 held-out docs) is a few percent per source;
+      // the bound separates sampling noise from real drift (≥ 0.5 below)
+      assert(tvd < 350000L, s"hash split should show <0.35 TVD, got $tvd")
+    }
+    // adversarial grouping: the group IS the split → maximal drift
+    val skewed = (0L until 2000L).toDF("doc_id")
+      .select(col("doc_id"),
+        when(Curation.assignSplit(col("doc_id")) === "train", "a")
+          .otherwise("b").as("g"))
+    val loud = Curation.mixtureDrift(skewed, "g", col("doc_id")).collect()
+    assert(loud.forall(_.getLong(2) > 500000L),
+      "split-correlated grouping must read large KL")
+  }
+
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }
