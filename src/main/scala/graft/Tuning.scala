@@ -187,7 +187,15 @@ object Tuning {
     // (see the fixedShape note)
     "minhash_calibration",
     // brand_corr_stats: s8 half of its aqe0s8 tag (fixedShape note above)
-    "brand_corr_stats")
+    "brand_corr_stats",
+    // round-8 close (graft.TailAB, 2 interleaved runs): s8 ALONE —
+    // split_leakage_check 0.74→0.53 / 0.89→0.68, while aqe0 REGRESSED
+    // ~2x both runs (the banding self-join's candidate cardinality is
+    // data-dependent; AQE's coalescing earns its keep, the 8-partition
+    // floor just trims the tiny split-cell exchanges). NOT tagged from
+    // the same sweep: quality_kappa (aqe0s8 won 0.05/0.09 — first run
+    // under the 0.08 bar), mixture_kl_drift (base best; aqe0 regressed)
+    "split_leakage_check")
 
   /** Run `body` with the per-query conf overrides for `name`, restoring the
     * previous session values afterwards (exception-safe, so one query's
