@@ -3389,6 +3389,68 @@ object CatalogExt {
               |       round(kl_vs_train_micronats / 1000000.0, 6) AS kl_nats,
               |       round(js_micronats / 1000000.0, 6) AS js_nats,
               |       round(tvd_micro / 1000000.0, 6) AS tvd
-              |FROM ag ORDER BY split""".stripMargin))
+              |FROM ag ORDER BY split""".stripMargin)),
+
+    // ── Hard-negative mining (Similarity.hardNegatives): per query, the
+    //    k highest-cosine corpus vectors with a DIFFERENT label — the
+    //    contrastive-training negatives that are closest in embedding
+    //    space while semantically wrong. Same broadcast-queries /
+    //    streaming-corpus / partial-agg top-k family as cosine_topk; the
+    //    label-mismatch predicate runs before the dot product.
+    ("hard_negatives",
+      (spark, dir) => {
+        val emb = Tables.embeddings(spark, dir)
+        Similarity.hardNegatives(emb.filter(col("vec_id") < 8),
+                                 emb.filter(col("vec_id") >= 8), 5)
+          .transform(CatalogCore.orderedReport(_,
+            col("q_id"), col("cos_sim").desc, col("vec_id")))
+      },
+      Some("""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb, label AS q_label
+             |           FROM embeddings WHERE vec_id < 8),
+             |scored AS (
+             |  SELECT q.q_id, e.vec_id,
+             |         round(list_cosine_similarity(CAST(q.q_emb AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 6) AS cos_sim
+             |  FROM q CROSS JOIN embeddings e
+             |  WHERE e.vec_id >= 8 AND e.label <> q.q_label)
+             |SELECT q_id, vec_id, cos_sim FROM scored
+             |QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) <= 5
+             |ORDER BY q_id, cos_sim DESC, vec_id""".stripMargin)),
+
+    // ── NB-classifier reliability bins (TextAnalysis.reliabilityBins):
+    //    ECE-style calibration audit — per score-quartile bin, the actual
+    //    reference-class rate vs the mean sigmoid confidence and their
+    //    gap. Exact-percentile literal cuts (the curriculum_phases
+    //    parity); per-doc probabilities rounded to integer micro-units
+    //    BEFORE the sum (exact BIGINT bin confidence).
+    ("nb_reliability_bins",
+      (spark, dir) =>
+        TextAnalysis.reliabilityBins(
+          TextAnalysis.nbClassifierScores(Tables.documents(spark, dir),
+            refLang = "en", vocabSize = 50),
+          refLang = "en", bins = 4),
+      Some(s"""WITH $sqlNbScoredCtes,
+              |cuts AS (
+              |  SELECT round(quantile_cont(mean_logodds_unats, 0.25), 6) AS c0,
+              |         round(quantile_cont(mean_logodds_unats, 0.5), 6) AS c1,
+              |         round(quantile_cont(mean_logodds_unats, 0.75), 6) AS c2
+              |  FROM nbdoc),
+              |bd AS (
+              |  SELECT CAST(1 + (CASE WHEN mean_logodds_unats > c0 THEN 1 ELSE 0 END)
+              |              + (CASE WHEN mean_logodds_unats > c1 THEN 1 ELSE 0 END)
+              |              + (CASE WHEN mean_logodds_unats > c2 THEN 1 ELSE 0 END) AS INTEGER) AS bin,
+              |         lang,
+              |         CAST(round(1000000.0 / (1.0 + exp(-mean_logodds_unats / 1000000.0))) AS BIGINT) AS p
+              |  FROM nbdoc CROSS JOIN cuts),
+              |ag AS (
+              |  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+              |         CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+              |         CAST(SUM(p) AS BIGINT) AS conf_micro_sum
+              |  FROM bd GROUP BY 1)
+              |SELECT bin, n_docs, n_ref, conf_micro_sum,
+              |       round(CAST(n_ref AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS ref_rate,
+              |       round(CAST(conf_micro_sum AS DOUBLE) / CAST(n_docs AS DOUBLE) / 1000000.0, 6) AS mean_conf,
+              |       round(abs(CAST(n_ref AS DOUBLE) / CAST(n_docs AS DOUBLE)
+              |                 - CAST(conf_micro_sum AS DOUBLE) / CAST(n_docs AS DOUBLE) / 1000000.0), 6) AS calib_gap
+              |FROM ag ORDER BY bin""".stripMargin))
   )
 }

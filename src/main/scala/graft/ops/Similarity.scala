@@ -88,6 +88,27 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Hard-negative mining for contrastive training: for each query
+    * vector, the k highest-cosine corpus vectors whose `label` DIFFERS
+    * from the query's — the negatives a contrastive loss learns the most
+    * from (closest in embedding space while semantically wrong). Same
+    * plan family as [[cosineTopK]]: queries broadcast, the corpus
+    * streams once, and the label-mismatch predicate runs BEFORE the
+    * cosine so same-label rows never pay the dot product; the ranking
+    * tail is the partial-aggregating [[TopKByScore]] (map-side reduce to
+    * k rows per query — no per-query ranking window).
+    */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("q_id"),
+      col("embedding").as("q_emb"), col("label").as("q_label")))
+    val scored = corpus.select(col("vec_id"), col("embedding"), col("label"))
+      .crossJoin(q)
+      .filter(col("label") =!= col("q_label"))
+      .select(col("q_id"), col("vec_id"),
+              round(cosineSim(col("q_emb"), col("embedding")), 6).as("cos_sim"))
+    topKPerQuery(scored, k)
+  }
+
   /** Shared ranking tail: (q_id, vec_id, cos_sim) → k best per query via the
     * partial-aggregating [[TopKByScore]] (see [[cosineTopK]] scale note).
     */

@@ -310,6 +310,54 @@ object TextAnalysis {
                 .as("mean_logodds_unats"))
   }
 
+  /** Classifier reliability bins (the ECE-style calibration audit): docs
+    * bucketed into `bins` score quantiles of the NB classifier's
+    * per-token log-odds, each bin reporting the ACTUAL reference-class
+    * rate next to the MEAN PREDICTED probability (sigmoid of the score)
+    * and their gap — the "is the filter's confidence meaningful" check a
+    * pipeline runs before using classifier scores as sampling weights
+    * (DSIR, curriculum) rather than as a mere ranking.
+    *
+    * Determinism: bin cuts are exact-percentile literals (the
+    * [[graft.ops.Curation.curriculumPhases]] convention — Spark
+    * `percentile` and DuckDB `quantile_cont` share the interpolation
+    * formula, rounded to 6 before use); per-doc probabilities are
+    * rounded to integer micro-units BEFORE the sum so bin confidence is
+    * an exact BIGINT aggregate, not a partition-order-dependent double Σ.
+    * Scale shape: one driver-bounded quantile aggregate (≤ bins−1
+    * doubles), then a single map-side bracket + groupBy over `bins` keys.
+    */
+  def reliabilityBins(scored: DataFrame, refLang: String = "en",
+                      bins: Int = 4): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val qs = (1 until bins).map(i => i.toDouble / bins)
+    val arr = expr(s"percentile(mean_logodds_unats, array(${qs.mkString(", ")}))")
+    val cuts = scored
+      .select((0 until bins - 1).map(i => round(arr.getItem(i), 6).as(s"c$i")): _*)
+      .head().toSeq.map(_.asInstanceOf[Double])
+    val bin = cuts.foldLeft(lit(1)) { (acc, c) =>
+      acc + when(col("mean_logodds_unats") > lit(c), 1).otherwise(0)
+    }
+    val pMicro = round(lit(1e6) /
+        (lit(1.0) + exp(-col("mean_logodds_unats") / lit(1e6))))
+      .cast("long")
+    val n = col("n_docs").cast("double")
+    val acc = col("n_ref").cast("double") / n
+    val conf = col("conf_micro_sum").cast("double") / n / lit(1e6)
+    scored
+      .select(bin.cast("int").as("bin"),
+              (col("lang") === lit(refLang)).as("__r"), pMicro.as("__p"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(col("__r"), 1L).otherwise(0L)).as("n_ref"),
+           sum(col("__p")).as("conf_micro_sum"))
+      .select(col("bin"), col("n_docs"), col("n_ref"), col("conf_micro_sum"),
+              round(acc, 6).as("ref_rate"),
+              round(conf, 6).as("mean_conf"),
+              round(abs(acc - conf), 6).as("calib_gap"))
+      .orderBy(col("bin"))
+  }
+
   def unigramNll(docs: DataFrame, vocabSize: Int = 30,
                  textCol: String = "text"): DataFrame = {
     val toks = explodeTokens(docs, textCol)

@@ -45,6 +45,34 @@ class SimilaritySpec extends AnyFunSuite {
     assert(scores.sorted(Ordering[Double].reverse).sameElements(scores))
   }
 
+  test("hardNegatives: no same-label result, and it matches exact top-k " +
+       "over the label-filtered corpus") {
+    val qs = emb.filter($"vec_id" < 3)
+    val corpus = emb.filter($"vec_id" >= 3)
+    val out = Similarity.hardNegatives(qs, corpus, 5)
+    val qLabels = qs.select($"vec_id", $"label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val cLabels = corpus.select($"vec_id", $"label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (q, v) => cLabels(v) != qLabels(q) },
+      "a mined negative shares its query's label")
+    // equivalence: per query, hardNegatives == cosineTopK over the
+    // corpus with that query's label removed
+    for ((q, lbl) <- qLabels) {
+      val direct = Similarity.cosineTopK(
+          qs.filter($"vec_id" === q), corpus.filter($"label" =!= lbl), 5)
+        .select($"vec_id", $"cos_sim").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet
+      val mined = out.filter($"q_id" === q)
+        .select($"vec_id", $"cos_sim").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(mined == direct, s"query $q: hard negatives diverge from " +
+        "exact top-k over the label-filtered corpus")
+    }
+  }
+
   test("ANN recall against exact top-k is usable (approximate op bound)") {
     val qs = emb.filter($"vec_id" < 8); val corpus = emb.filter($"vec_id" >= 8)
     val exact = Similarity.cosineTopK(qs, corpus, 5)

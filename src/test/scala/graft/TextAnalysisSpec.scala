@@ -163,6 +163,31 @@ class TextAnalysisSpec extends AnyFunSuite {
       s"en mean ${means(true)} must exceed non-en mean ${means(false)}")
   }
 
+  test("reliabilityBins: bins partition the docs, confidence is monotone " +
+       "in the score bins, rates and gap stay in [0,1]") {
+    val scored = TextAnalysis.nbClassifierScores(
+      Tables.documents(spark, TestSpark.sfDir))
+    val out = TextAnalysis.reliabilityBins(scored, refLang = "en", bins = 4)
+      .collect()
+    assert(out.map(_.getInt(0)).toSeq == Seq(1, 2, 3, 4))
+    assert(out.map(_.getLong(1)).sum == scored.count(),
+      "bins must partition the scored docs")
+    // sigmoid is monotone in the score, bins are score-ordered → the mean
+    // confidence must be non-decreasing across bins
+    val confs = out.map(_.getDouble(5))
+    assert(confs.zip(confs.tail).forall { case (a, b) => a <= b },
+      s"mean_conf not monotone across bins: ${confs.mkString(", ")}")
+    for (r <- out) {
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+      assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0)
+      assert(r.getDouble(6) >= 0.0 && r.getDouble(6) <= 1.0)
+    }
+    // the top score bin should be en-richer than the bottom one (the NB
+    // score separates the classes — same property the scorer test pins)
+    assert(out.last.getDouble(4) > out.head.getDouble(4),
+      "top-quartile en rate must exceed bottom-quartile en rate")
+  }
+
   test("bigramNll: hand-computed interpolated NLL, short docs excluded") {
     // corpus: doc 1 "a b a b", doc 2 "a b", doc 3 "x" (no bigrams)
     // bigrams: "a b" ×3, "b a" ×1 → p(b|a)=3/3=1... wait cf('a')=3, cf('b')=1
