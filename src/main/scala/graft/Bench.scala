@@ -157,17 +157,15 @@ object Bench {
     // (BASELINE.md round-4 re-pin) so the host-factor correction is
     // coherent: a bench run in a slower window scales the bar to what
     // DuckDB would have measured there.
-    // 63.4 = the round-8 close measured 147-query pin (BASELINE.md
-    // "Round-8 close re-pin": median of 5 process runs, range 61.4–67.5,
-    // brackets 0.781 open / 0.810 close — window held). ZERO increment
-    // layers: every one of the 147 twins was measured in this single
-    // window. A 144-query pin earlier the same day read 63.6 (brackets
-    // 0.752/0.835); the two windows bracket each other — the 147 one is
-    // adopted as the newer full-coverage measurement (the three
-    // curation-QA twins add ~2.5 s nominal, absorbed by a faster window).
-    // `baseline_per_query.json` carries the same window (per-query
-    // medians sum 63.26).
-    val baselineQuiet = sys.env.getOrElse("SPARK_GRAFT_BASELINE_SEC", "63.4").toDouble
+    // 63.1 = the round-8 close measured 149-query pin (BASELINE.md
+    // "Round-8 close re-pin": median of 5 process runs, range 60.8–70.7,
+    // brackets 0.780 open / 0.839 close — held). ZERO increment layers:
+    // every one of the 149 twins was measured in this single window.
+    // Same-day full-coverage pins at 144 (63.6) and 147 (63.4) queries
+    // bracket it — the three windows agree within ~1%, so the newest
+    // full-coverage one is adopted. `baseline_per_query.json` carries
+    // the same window (per-query medians sum 63.4).
+    val baselineQuiet = sys.env.getOrElse("SPARK_GRAFT_BASELINE_SEC", "63.1").toDouble
     // Host-speed calibration (BASELINE.md "Host-speed calibration"): the
     // shared build host has multi-minute windows where EVERYTHING runs
     // 20-85% slower (hypervisor-level; guest vmstat shows idle CPU while
