@@ -560,13 +560,18 @@ object Curation {
     * integers in any engine, rounded once at 6 places (NULL when the
     * chance-corrected denominator is 0, i.e. pe = 1: both raters
     * constant — kappa undefined, not 0).
+    *
+    * Rows where EITHER cast label is NULL are excluded up front: a NULL
+    * label belongs in none of the four confusion cells (three-valued
+    * `when` would count it in n_docs but nowhere else, silently inflating
+    * the po/pe denominator), so the cells always partition n_docs exactly.
     */
   def labelAgreement(labeled: DataFrame, labelA: Column,
                      labelB: Column): DataFrame = {
     val a = labelA.cast("boolean")
     val b = labelB.cast("boolean")
     def cell(p: Column) = sum(when(p, 1L).otherwise(0L))
-    val counts = labeled.agg(
+    val counts = labeled.filter(a.isNotNull && b.isNotNull).agg(
       count(lit(1)).as("n_docs"),
       cell(a && b).as("n_both_pos"),
       cell(a && !b).as("n_a_only"),

@@ -611,15 +611,27 @@ object Stats {
     * and one partial+final aggregate on the same key, which AQE plans
     * without a second shuffle. Emits (user_id, n_gaps, mean_gap_s,
     * burstiness) for users with ≥ 2 events; both doubles rounded to 6.
+    *
+    * Seconds are FLOORED from exact epoch micros (not truncated toward
+    * zero), matching `epoch_us(ts) // 1000000` floor-division semantics
+    * for pre-1970 timestamps; the window tie-break column is a parameter
+    * so the operator runs on any events-shaped relation, not only ones
+    * carrying an `event_id`.
     */
   def burstiness(events: DataFrame, userCol: String = "user_id",
-                 tsCol: String = "ts"): DataFrame = {
-    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col("event_id"))
+                 tsCol: String = "ts",
+                 eventIdCol: String = "event_id"): DataFrame = {
+    // exact BIGINT micros; /1e6 is exact in double below 2^53 µs (~2255 CE)
+    // and floor() matches integer floor division for negative epochs too
+    def secs(c: Column) =
+      floor(unix_micros(c).cast("double") / lit(1e6)).cast("long")
+    val w = Window.partitionBy(col(userCol)).orderBy(secs(col(tsCol)),
+                                                     col(eventIdCol))
     val gaps = events
-      .withColumn("prev", lag(unix_timestamp(col(tsCol)), 1).over(w))
+      .withColumn("prev", lag(secs(col(tsCol)), 1).over(w))
       .filter(col("prev").isNotNull)
       .select(col(userCol),
-              (unix_timestamp(col(tsCol)) - col("prev")).as("d"))
+              (secs(col(tsCol)) - col("prev")).as("d"))
     gaps.groupBy(col(userCol))
       .agg(count(lit(1)).as("n_gaps"),
            sum(col("d")).as("sd"),

@@ -332,9 +332,23 @@ object TextAnalysis {
     require(bins >= 2, s"bins must be >= 2, got $bins")
     val qs = (1 until bins).map(i => i.toDouble / bins)
     val arr = expr(s"percentile(mean_logodds_unats, array(${qs.mkString(", ")}))")
-    val cuts = scored
+    // head(1), not head(): an empty scored input has no quantiles — fall
+    // through with placeholder cuts so the report is a schema-correct
+    // 0-row frame instead of a NoSuchElementException
+    val cutRow = scored
       .select((0 until bins - 1).map(i => round(arr.getItem(i), 6).as(s"c$i")): _*)
-      .head().toSeq.map(_.asInstanceOf[Double])
+      .head(1)
+    val cuts: Seq[Double] =
+      if (cutRow.isEmpty || cutRow.head.anyNull) Seq.fill(bins - 1)(0.0)
+      else cutRow.head.toSeq.map(_.asInstanceOf[Double])
+    // Low-cardinality score distributions can yield EQUAL adjacent cuts,
+    // which silently collapses bins (the bracket sum skips a value) — a
+    // collapsed-bin report is then indistinguishable from a genuine
+    // bins-way partition unless we say so.
+    if (cuts.distinct.size != cuts.size)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"reliabilityBins: duplicate quantile cuts ${cuts.mkString(", ")} — " +
+          s"fewer than $bins distinct bins will appear in the report")
     val bin = cuts.foldLeft(lit(1)) { (acc, c) =>
       acc + when(col("mean_logodds_unats") > lit(c), 1).otherwise(0)
     }

@@ -427,6 +427,21 @@ class CurationSpec extends AnyFunSuite {
     assert(r.isNullAt(7), "pe = 1 → kappa undefined")
   }
 
+  test("labelAgreement: NULL labels are excluded so the cells partition n_docs") {
+    // same confusion matrix as the hand-computed test, plus three rows
+    // carrying a NULL on one or both sides — they must not inflate n_docs
+    val labeled = Seq[(java.lang.Boolean, java.lang.Boolean)](
+      (true, true), (true, true), (true, true), (true, false),
+      (false, true), (false, true), (false, false), (false, false),
+      (null, true), (false, null), (null, null)
+    ).toDF("a", "b")
+    val r = Curation.labelAgreement(labeled, col("a"), col("b")).head()
+    assert(r.getLong(0) == 8L, s"n_docs must exclude NULL-label rows: ${r.getLong(0)}")
+    assert(r.getLong(1) + r.getLong(2) + r.getLong(3) + r.getLong(4) == r.getLong(0),
+      "confusion cells must partition n_docs")
+    assert(r.getDouble(7) == 0.25, "kappa unchanged by the NULL rows")
+  }
+
   test("splitLeakage: canonical split pairs, shares sum to 1, cross flags") {
     // pick one real id per split so the hash assignment is exercised
     val byId = (0L until 200L).map(i =>

@@ -251,4 +251,23 @@ class StatsSpec extends AnyFunSuite {
     assert(out("m").getDouble(3) == -1.0, s"metronome: ${out("m").getDouble(3)}")
     assert(out("b").getDouble(3) > 0.5, s"bursty: ${out("b").getDouble(3)}")
   }
+
+  test("burstiness: custom tie-break column and floored pre-1970 seconds") {
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    // no event_id column — the parameterized tie-break must be used
+    val noEid = (0L to 3L).map(i => ("u", ts(i * 10), s"k$i"))
+      .toDF("user_id", "ts", "row_key")
+    val r = Stats.burstiness(noEid, eventIdCol = "row_key")
+      .head()
+    assert(r.getLong(1) == 3L && r.getDouble(2) == 10.0)
+    // pre-1970: -0.5 s and -1.5 s must FLOOR to -1 and -2 (gap 1), not
+    // truncate to 0 and -1 (gap 1) … distinguish with -0.5 vs 0.5: floor
+    // gives seconds (-1, 0) → gap 1; truncation gives (0, 0) → gap 0
+    val neg = Seq(("n", new java.sql.Timestamp(-500L), 0L),
+                  ("n", new java.sql.Timestamp(500L), 1L))
+      .toDF("user_id", "ts", "event_id")
+    val g = Stats.burstiness(neg).head()
+    assert(g.getLong(1) == 1L && g.getDouble(2) == 1.0,
+      s"pre-1970 gap must floor to 1 s, got ${g.getDouble(2)}")
+  }
 }

@@ -188,6 +188,29 @@ class TextAnalysisSpec extends AnyFunSuite {
       "top-quartile en rate must exceed bottom-quartile en rate")
   }
 
+  test("reliabilityBins: empty input yields a 0-row schema-correct report, " +
+       "not an exception") {
+    val scored = TextAnalysis.nbClassifierScores(
+      Tables.documents(spark, TestSpark.sfDir)).filter(lit(false))
+    val out = TextAnalysis.reliabilityBins(scored, refLang = "en", bins = 4)
+    assert(out.columns.toSeq == Seq("bin", "n_docs", "n_ref",
+      "conf_micro_sum", "ref_rate", "mean_conf", "calib_gap"))
+    assert(out.count() == 0L)
+  }
+
+  test("reliabilityBins: constant scores collapse to one bin that still " +
+       "partitions the docs") {
+    // all scores equal → every quantile cut identical → a single bin; the
+    // report must stay a partition of the docs (the collapse is logged)
+    val scored = Seq((1L, "en", 4L, 0L), (2L, "de", 4L, 0L), (3L, "en", 4L, 0L))
+      .toDF("doc_id", "lang", "n_tokens", "logodds_unats")
+      .withColumn("mean_logodds_unats", lit(0.0))
+    val out = TextAnalysis.reliabilityBins(scored, refLang = "en", bins = 4)
+      .collect()
+    assert(out.map(_.getLong(1)).sum == 3L, "bins must still partition docs")
+    assert(out.length == 1, s"equal cuts collapse to one bin: ${out.length}")
+  }
+
   test("bigramNll: hand-computed interpolated NLL, short docs excluded") {
     // corpus: doc 1 "a b a b", doc 2 "a b", doc 3 "x" (no bigrams)
     // bigrams: "a b" ×3, "b a" ×1 → p(b|a)=3/3=1... wait cf('a')=3, cf('b')=1
