@@ -3451,6 +3451,241 @@ object CatalogExt {
               |       round(CAST(conf_micro_sum AS DOUBLE) / CAST(n_docs AS DOUBLE) / 1000000.0, 6) AS mean_conf,
               |       round(abs(CAST(n_ref AS DOUBLE) / CAST(n_docs AS DOUBLE)
               |                 - CAST(conf_micro_sum AS DOUBLE) / CAST(n_docs AS DOUBLE) / 1000000.0), 6) AS calib_gap
-              |FROM ag ORDER BY bin""".stripMargin))
+              |FROM ag ORDER BY bin""".stripMargin)),
+
+    // ── Market-basket association rules (Stats.copurchaseLift):
+    //    brand-pair support / directional confidence / lift over the
+    //    per-order distinct-brand sets. Pair universe bounded by brands²;
+    //    all ratios from exact BIGINTs, mirrored expression-for-expression.
+    ("copurchase_lift",
+      (spark, dir) =>
+        Stats.copurchaseLift(Tables.lineitem(spark, dir), Tables.part(spark, dir))
+          .transform(CatalogCore.orderedReport(_, col("brand_a"), col("brand_b"))),
+      Some("""WITH ob AS (SELECT DISTINCT l_orderkey AS okey, p_brand AS brand
+             |            FROM lineitem JOIN part ON p_partkey = l_partkey),
+             |t AS (SELECT CAST(COUNT(DISTINCT okey) AS BIGINT) AS n_orders FROM ob),
+             |bc AS (SELECT brand, CAST(COUNT(*) AS BIGINT) AS n_brand FROM ob GROUP BY 1),
+             |pr AS (SELECT a.brand AS brand_a, b.brand AS brand_b,
+             |              CAST(COUNT(*) AS BIGINT) AS n_pair
+             |       FROM ob a JOIN ob b ON a.okey = b.okey AND a.brand < b.brand
+             |       GROUP BY 1, 2)
+             |SELECT brand_a, brand_b, n_pair, ca.n_brand AS n_a, cb.n_brand AS n_b,
+             |       round(CAST(n_pair AS DOUBLE) / n_orders, 6) AS support,
+             |       round(CAST(n_pair AS DOUBLE) / ca.n_brand, 6) AS conf_a_to_b,
+             |       round(CAST(n_pair AS DOUBLE) / cb.n_brand, 6) AS conf_b_to_a,
+             |       round(CAST(n_pair AS DOUBLE) * n_orders
+             |             / (CAST(ca.n_brand AS DOUBLE) * cb.n_brand), 6) AS lift
+             |FROM pr
+             |JOIN bc ca ON brand_a = ca.brand
+             |JOIN bc cb ON brand_b = cb.brand
+             |CROSS JOIN t
+             |ORDER BY brand_a, brand_b""".stripMargin)),
+
+    // ── Per-nation revenue Gini (Stats.giniConcentration): inequality of
+    //    customer spend within each nation, computed from the per-nation
+    //    value histogram with decimal-exact rank sums (HUGEINT on the twin).
+    ("revenue_gini",
+      (spark, dir) => {
+        val cents = Scalars.moneyCents(col("o_totalprice"))
+        val perCust = Tables.orders(spark, dir).groupBy(col("o_custkey"))
+          .agg(sum(cents).as("cents"))
+        val members = perCust
+          .join(Tables.customer(spark, dir)
+                  .select(col("c_custkey"), col("c_nationkey")),
+                col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.nation(spark, dir)
+                  .select(col("n_nationkey"), col("n_name"))),
+                col("c_nationkey") === col("n_nationkey"))
+          .select(col("n_name"), col("cents"))
+        Stats.giniConcentration(members, "n_name", col("cents"))
+          .transform(CatalogCore.orderedReport(_, col("n_name")))
+      },
+      Some("""WITH pc AS (
+             |  SELECT o_custkey,
+             |         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+             |  FROM orders GROUP BY 1),
+             |m AS (SELECT n_name, cents FROM pc
+             |      JOIN customer ON o_custkey = c_custkey
+             |      JOIN nation ON c_nationkey = n_nationkey),
+             |h AS (SELECT n_name, cents AS v, CAST(COUNT(*) AS BIGINT) AS c
+             |      FROM m GROUP BY 1, 2),
+             |x AS (SELECT n_name, v, c,
+             |             COALESCE(SUM(c) OVER (PARTITION BY n_name ORDER BY v
+             |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+             |      FROM h),
+             |a AS (SELECT n_name, CAST(SUM(c) AS BIGINT) AS n,
+             |             SUM(CAST(v AS HUGEINT) * c) AS t,
+             |             SUM(CAST(v AS HUGEINT)
+             |                 * (CAST(c AS HUGEINT) * prev + (c * (c + 1)) // 2)) AS srx
+             |      FROM x GROUP BY 1)
+             |SELECT n_name, n, CAST(t AS BIGINT) AS total,
+             |       CASE WHEN CAST(t AS DOUBLE) = 0.0 THEN NULL
+             |            ELSE round((2.0 * CAST(srx AS DOUBLE)
+             |                        - CAST(n + 1 AS DOUBLE) * CAST(t AS DOUBLE))
+             |                       / (CAST(n AS DOUBLE) * CAST(t AS DOUBLE)), 6)
+             |       END AS gini
+             |FROM a ORDER BY n_name""".stripMargin)),
+
+    // ── RFM customer segmentation (Stats.rfmSegments): quintile scores
+    //    from exact-percentile literal cuts (quantile_cont parity, rounded
+    //    6 before use), reported per segment.
+    ("customer_rfm",
+      (spark, dir) =>
+        Stats.rfmSegments(Tables.orders(spark, dir))
+          .transform(CatalogCore.orderedReport(_, col("segment"))),
+      Some("""WITH pc AS (
+             |  SELECT o_custkey, max(CAST(o_orderdate AS DATE)) AS last_day,
+             |         CAST(COUNT(*) AS BIGINT) AS f,
+             |         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS m
+             |  FROM orders GROUP BY 1),
+             |anch AS (SELECT max(last_day) AS anchor FROM pc),
+             |prf AS (SELECT o_custkey, date_diff('day', last_day, anchor) AS r, f, m
+             |        FROM pc CROSS JOIN anch),
+             |cuts AS (SELECT
+             |  round(quantile_cont(r, 0.2), 6) AS r0, round(quantile_cont(r, 0.4), 6) AS r1,
+             |  round(quantile_cont(r, 0.6), 6) AS r2, round(quantile_cont(r, 0.8), 6) AS r3,
+             |  round(quantile_cont(f, 0.2), 6) AS f0, round(quantile_cont(f, 0.4), 6) AS f1,
+             |  round(quantile_cont(f, 0.6), 6) AS f2, round(quantile_cont(f, 0.8), 6) AS f3,
+             |  round(quantile_cont(m, 0.2), 6) AS m0, round(quantile_cont(m, 0.4), 6) AS m1,
+             |  round(quantile_cont(m, 0.6), 6) AS m2, round(quantile_cont(m, 0.8), 6) AS m3
+             |  FROM prf),
+             |sc AS (SELECT
+             |  6 - (1 + CASE WHEN r > r0 THEN 1 ELSE 0 END + CASE WHEN r > r1 THEN 1 ELSE 0 END
+             |         + CASE WHEN r > r2 THEN 1 ELSE 0 END + CASE WHEN r > r3 THEN 1 ELSE 0 END) AS rs,
+             |  1 + CASE WHEN f > f0 THEN 1 ELSE 0 END + CASE WHEN f > f1 THEN 1 ELSE 0 END
+             |    + CASE WHEN f > f2 THEN 1 ELSE 0 END + CASE WHEN f > f3 THEN 1 ELSE 0 END AS fs,
+             |  1 + CASE WHEN m > m0 THEN 1 ELSE 0 END + CASE WHEN m > m1 THEN 1 ELSE 0 END
+             |    + CASE WHEN m > m2 THEN 1 ELSE 0 END + CASE WHEN m > m3 THEN 1 ELSE 0 END AS ms,
+             |  r, m FROM prf CROSS JOIN cuts)
+             |SELECT CAST(rs AS VARCHAR) || '-' || CAST(fs AS VARCHAR) || '-' || CAST(ms AS VARCHAR) AS segment,
+             |       CAST(COUNT(*) AS BIGINT) AS n_customers,
+             |       CAST(SUM(m) AS BIGINT) AS monetary_cents,
+             |       round(avg(r), 6) AS mean_recency_days
+             |FROM sc GROUP BY 1 ORDER BY segment""".stripMargin)),
+
+    // ── EWMA daily-revenue anomaly screen (Stats.ewmaDailyAnomalies):
+    //    α = 1/2 so every weight·cents product is exact in double — the
+    //    7-lag renormalized EWMA is deterministic arithmetic on any engine.
+    ("daily_revenue_ewma",
+      (spark, dir) => Stats.ewmaDailyAnomalies(Tables.orders(spark, dir)),
+      Some("""WITH d AS (
+             |  SELECT CAST(o_orderdate AS DATE) AS day,
+             |         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+             |  FROM orders GROUP BY 1),
+             |l AS (SELECT day, rev_cents,
+             |             lag(rev_cents, 1) OVER (ORDER BY day) AS l1,
+             |             lag(rev_cents, 2) OVER (ORDER BY day) AS l2,
+             |             lag(rev_cents, 3) OVER (ORDER BY day) AS l3,
+             |             lag(rev_cents, 4) OVER (ORDER BY day) AS l4,
+             |             lag(rev_cents, 5) OVER (ORDER BY day) AS l5,
+             |             lag(rev_cents, 6) OVER (ORDER BY day) AS l6,
+             |             lag(rev_cents, 7) OVER (ORDER BY day) AS l7
+             |      FROM d),
+             |e AS (SELECT day, rev_cents,
+             |  (CASE WHEN l1 IS NOT NULL THEN l1 * 1.0 ELSE 0.0 END
+             |   + CASE WHEN l2 IS NOT NULL THEN l2 * 0.5 ELSE 0.0 END
+             |   + CASE WHEN l3 IS NOT NULL THEN l3 * 0.25 ELSE 0.0 END
+             |   + CASE WHEN l4 IS NOT NULL THEN l4 * 0.125 ELSE 0.0 END
+             |   + CASE WHEN l5 IS NOT NULL THEN l5 * 0.0625 ELSE 0.0 END
+             |   + CASE WHEN l6 IS NOT NULL THEN l6 * 0.03125 ELSE 0.0 END
+             |   + CASE WHEN l7 IS NOT NULL THEN l7 * 0.015625 ELSE 0.0 END) AS numer,
+             |  (CASE WHEN l1 IS NOT NULL THEN 1.0 ELSE 0.0 END
+             |   + CASE WHEN l2 IS NOT NULL THEN 0.5 ELSE 0.0 END
+             |   + CASE WHEN l3 IS NOT NULL THEN 0.25 ELSE 0.0 END
+             |   + CASE WHEN l4 IS NOT NULL THEN 0.125 ELSE 0.0 END
+             |   + CASE WHEN l5 IS NOT NULL THEN 0.0625 ELSE 0.0 END
+             |   + CASE WHEN l6 IS NOT NULL THEN 0.03125 ELSE 0.0 END
+             |   + CASE WHEN l7 IS NOT NULL THEN 0.015625 ELSE 0.0 END) AS denom
+             |  FROM l),
+             |e2 AS (SELECT day, rev_cents,
+             |              CASE WHEN denom > 0.0 THEN numer / denom END AS ew
+             |       FROM e)
+             |SELECT day, rev_cents, round(ew, 6) AS ewma_cents,
+             |       round((rev_cents - ew) / ew, 6) AS dev_ratio,
+             |       CASE WHEN ew IS NULL THEN NULL
+             |            ELSE abs((rev_cents - ew) / ew) > 0.25 END AS is_anomaly
+             |FROM e2 ORDER BY day""".stripMargin)),
+
+    // ── BM25 ranked retrieval (TextAnalysis.bm25TopK): literal query
+    //    terms, driver-literal integer-micro idf, per-(doc,term)
+    //    contributions micro-rounded BEFORE the per-doc sum (exact BIGINT
+    //    aggregate), TakeOrdered top-20 with doc_id tie-break.
+    ("bm25_topk",
+      (spark, dir) =>
+        TextAnalysis.bm25TopK(Tables.documents(spark, dir),
+                              Seq("join", "stream", "window"), k = 20),
+      Some("""WITH d2 AS (SELECT doc_id, len(string_split(text, ' ')) AS dl,
+             |                   string_split(text, ' ') AS toks
+             |            FROM documents),
+             |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS t FROM d2),
+             |q AS (SELECT doc_id, dl, unnest(toks) AS token FROM d2),
+             |qq AS (SELECT doc_id, dl, token FROM q
+             |       WHERE token IN ('join', 'stream', 'window')),
+             |dfs AS (SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+             |        FROM qq GROUP BY 1),
+             |idf AS (SELECT token,
+             |               CAST(round(ln((n - df + 0.5) / (df + 0.5) + 1.0) * 1e6) AS BIGINT) AS idf_micro
+             |        FROM dfs CROSS JOIN st),
+             |tf AS (SELECT doc_id, dl, token, CAST(COUNT(*) AS BIGINT) AS tf
+             |       FROM qq GROUP BY 1, 2, 3),
+             |sc AS (SELECT doc_id,
+             |              CAST(round(idf_micro * (CAST(tf AS DOUBLE) * (1.2 + 1.0)
+             |                / (CAST(tf AS DOUBLE)
+             |                   + 1.2 * ((1.0 - 0.75) + 0.75 * dl / (CAST(t AS DOUBLE) / n))))) AS BIGINT) AS s
+             |       FROM tf JOIN idf USING (token) CROSS JOIN st),
+             |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms_matched,
+             |               CAST(SUM(s) AS BIGINT) AS score_micro
+             |        FROM sc GROUP BY 1)
+             |SELECT doc_id, n_terms_matched, score_micro,
+             |       CAST(score_micro AS DOUBLE) / 1e6 AS bm25
+             |FROM agg ORDER BY score_micro DESC, doc_id LIMIT 20""".stripMargin)),
+
+    // ── Flesch readability (TextAnalysis.readability): reading-ease and
+    //    FK grade from exact integer word/sentence/vowel-run counts — pure
+    //    map-side scan arithmetic, one row per doc.
+    ("readability_scores",
+      (spark, dir) =>
+        TextAnalysis.readability(Tables.documents(spark, dir))
+          .orderBy(col("doc_id")),
+      Some("""WITH f AS (SELECT doc_id,
+             |                  len(string_split(text, ' ')) AS w,
+             |                  greatest(1, len(list_filter(string_split_regex(text, '[.!?]'),
+             |                                              s -> length(trim(s)) > 0))) AS s,
+             |                  len(regexp_extract_all(lower(text), '[aeiouy]+')) AS y
+             |           FROM documents)
+             |SELECT doc_id, w AS n_words, s AS n_sentences, y AS n_syllables,
+             |       round(206.835 - 1.015 * (CAST(w AS DOUBLE) / s)
+             |             - 84.6 * (y / CAST(w AS DOUBLE)), 6) AS flesch_ease,
+             |       round(0.39 * (CAST(w AS DOUBLE) / s)
+             |             + 11.8 * (y / CAST(w AS DOUBLE)) - 15.59, 6) AS fk_grade
+             |FROM f WHERE w > 0 ORDER BY doc_id""".stripMargin)),
+
+    // ── Set-containment duplicate pairs (Dedup.containmentPairs): the
+    //    asymmetric |A∩B|/|A| measure over the same df-capped hashed
+    //    shingle universe as ngram_jaccard_dups — catches subset/superset
+    //    duplication that Jaccard structurally misses.
+    ("containment_dups",
+      (spark, dir) =>
+        Dedup.containmentPairs(Tables.documents(spark, dir), 3, 0.8,
+                               maxShingleDf = 50)
+          .orderBy(col("doc_a"), col("doc_b")),
+      Some(s"""WITH sh0 AS (
+              |  SELECT DISTINCT doc_id, unnest(${sqlShingles(3)}) AS g FROM documents),
+              |keep AS (SELECT g FROM (SELECT g, COUNT(*) AS df FROM sh0 GROUP BY g) WHERE df <= 50),
+              |sh AS (SELECT sh0.doc_id, sh0.g FROM sh0 JOIN keep USING (g)),
+              |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+              |pairs AS (
+              |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+              |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2)
+              |SELECT doc_a, doc_b, CAST(shared AS BIGINT) AS n_shared,
+              |       round(CAST(shared AS DOUBLE) / sa.sz, 6) AS containment_a,
+              |       round(CAST(shared AS DOUBLE) / sb.sz, 6) AS containment_b
+              |FROM pairs
+              |JOIN sizes sa ON doc_a = sa.doc_id
+              |JOIN sizes sb ON doc_b = sb.doc_id
+              |WHERE greatest(CAST(shared AS DOUBLE) / sa.sz,
+              |               CAST(shared AS DOUBLE) / sb.sz) >= 0.8
+              |ORDER BY doc_a, doc_b""".stripMargin))
   )
 }

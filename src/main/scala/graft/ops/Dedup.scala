@@ -510,6 +510,16 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double,
                         maxShingleDf: Int = 0): DataFrame = {
+    val p = cappedHashedPostings(docs, n, maxShingleDf)
+    jaccardFromPostings(p, threshold)
+  }
+
+  /** Shared inverted-index core for [[ngramJaccardPairs]] and
+    * [[containmentPairs]]: distinct 64-bit-hashed (doc, shingle) postings,
+    * optionally df-capped, pre-partitioned on the shingle key.
+    */
+  private def cappedHashedPostings(docs: DataFrame, n: Int,
+                                   maxShingleDf: Int): DataFrame = {
     // Shingle strings are 64-bit-hashed at the explode (Broder's shingle
     // hashing): every downstream shuffle — df-cap aggregate, both self-join
     // sides, sizes — moves 8-byte longs instead of ~20-char strings, and
@@ -567,6 +577,10 @@ object Dedup {
           finally sess.conf.set("spark.sql.adaptive.enabled", prev)
         ck
       } else sh.select("doc_id", "g")
+    p
+  }
+
+  private def jaccardFromPostings(p: DataFrame, threshold: Double): DataFrame = {
     // Per-doc (capped-universe) set sizes join onto the PAIR AGGREGATE, not
     // onto the postings: the only full-size shuffles are then the inverted-
     // index self-join on `g` and the pair aggregation, while the sizes
@@ -598,6 +612,40 @@ object Dedup {
         col("shared").cast("double") / (col("sz_a") + col("sz_b") - col("shared")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** Asymmetric set-CONTAINMENT pairs (Broder 1997's "B ⊆̃ A" measure):
+    * `|A∩B| / |A|` and `|A∩B| / |B|` over the df-capped hashed shingle
+    * sets, keeping pairs where EITHER direction clears the threshold.
+    * Jaccard misses subset duplication by construction — a document
+    * wholly contained in one 10× its size scores J = |A|/|B| ≈ 0.1 but
+    * containment 1.0 — and quote-heavy or template-expanded corpora dup
+    * in exactly that shape, so a dedup pass needs both measures
+    * ([[ngramJaccardPairs]] for symmetric near-dups, this for
+    * subset/superset structure).
+    *
+    * Same inverted-index core and scale shape as [[ngramJaccardPairs]]
+    * (one postings shuffle, pair aggregate bounded by the df cap, sizes
+    * broadcast onto the pair set); the measure is exact over the capped
+    * shingle universe — integer counts, two double divisions, rounded 6
+    * AFTER the threshold filter so the gate sees the exact ratio.
+    */
+  def containmentPairs(docs: DataFrame, n: Int, threshold: Double,
+                       maxShingleDf: Int = 0): DataFrame = {
+    val p = cappedHashedPostings(docs, n, maxShingleDf)
+    val sizes = p.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    p.select(col("doc_id").as("doc_a"), col("g")).hint("shuffle_hash")
+      .join(p.select(col("doc_id").as("doc_b"), col("g")), Seq("g"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), Seq("doc_b"))
+      .withColumn("ca", col("n_shared").cast("double") / col("sz_a"))
+      .withColumn("cb", col("n_shared").cast("double") / col("sz_b"))
+      .filter(greatest(col("ca"), col("cb")) >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+              round(col("ca"), 6).as("containment_a"),
+              round(col("cb"), 6).as("containment_b"))
   }
 
   /** Lines (split on `\n`) occurring in at least `minDocs` *distinct*

@@ -645,4 +645,198 @@ object Stats {
           when(sig + mean > 0, (sig - mean) / (sig + mean))
         }, 6).as("burstiness"))
   }
+
+  /** Market-basket association rules at the brand level (Agrawal et al.
+    * 1993): for every pair of brands co-occurring in an order, support,
+    * both directional confidences, and lift — the "customers who bought X
+    * also bought Y" audit over the co-purchase structure, and the
+    * cross-sell complement to [[graft.ops.Graph]]'s co-supply edges.
+    *
+    * Brand-level, not part-level, deliberately: the pair universe is then
+    * bounded by brands² (≤ a few hundred rows at ANY corpus size), while
+    * a part-level pair set grows with the catalog and is sparse noise at
+    * every SF. Shape: one broadcast dim join (part is the small side by
+    * construction), one distinct on (order, brand) — partial map-side
+    * dedup, checkpointed ONCE for its three consumers (both self-join
+    * sides + the per-brand totals) — then a self-join keyed on the order
+    * key whose per-key fan-out is bounded by brands-per-order (≤ 14 in
+    * this corpus, never the catalog), and a pair aggregate over a
+    * brands²-bounded key space. n_orders rides a 1-row broadcast cross
+    * join, not a driver collect. All ratios derive from exact BIGINTs,
+    * rounded once at 6.
+    */
+  def copurchaseLift(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val ob = lineitem.select(col("l_orderkey").as("okey"), col("l_partkey"))
+      .join(broadcast(part.select(col("p_partkey"), col("p_brand"))),
+            col("l_partkey") === col("p_partkey"))
+      .select(col("okey"), col("p_brand").as("brand"))
+      .distinct()
+      .localCheckpoint()
+    val totals = ob.agg(countDistinct(col("okey")).as("n_orders"))
+    val counts = ob.groupBy(col("brand")).agg(count(lit(1)).as("n_brand"))
+    val a = ob.select(col("okey"), col("brand").as("brand_a"))
+    val b = ob.select(col("okey"), col("brand").as("brand_b"))
+    val np = col("n_pair").cast("double")
+    a.join(b, Seq("okey")).filter(col("brand_a") < col("brand_b"))
+      .groupBy(col("brand_a"), col("brand_b"))
+      .agg(count(lit(1)).as("n_pair"))
+      .join(broadcast(counts.select(col("brand").as("brand_a"),
+                                    col("n_brand").as("n_a"))), Seq("brand_a"))
+      .join(broadcast(counts.select(col("brand").as("brand_b"),
+                                    col("n_brand").as("n_b"))), Seq("brand_b"))
+      .crossJoin(broadcast(totals))
+      .select(col("brand_a"), col("brand_b"), col("n_pair"),
+        col("n_a"), col("n_b"),
+        round(np / col("n_orders"), 6).as("support"),
+        round(np / col("n_a"), 6).as("conf_a_to_b"),
+        round(np / col("n_b"), 6).as("conf_b_to_a"),
+        round(np * col("n_orders")
+          / (col("n_a").cast("double") * col("n_b")), 6).as("lift"))
+  }
+
+  /** Per-group Gini concentration of an integer-valued measure (revenue
+    * cents per customer within a nation): the inequality screen a
+    * marketplace runs to see where spend concentrates in a few whales vs
+    * spreads across the base.
+    *
+    * Exactness AND scale come from the same trick: Gini is computed from
+    * the per-group VALUE HISTOGRAM, not the raw member list. Ranks of a
+    * tie group of c members at cumulative offset p sum to c·p + c(c+1)/2,
+    * so Σ rank·value needs only a per-(group, value) count plus a
+    * running-count window PARTITIONED BY GROUP over histogram rows —
+    * bounded by the value domain (distinct cent amounts), never the
+    * member count. The rank-weighted sum brushes 2⁶³ long before the
+    * member count does (rank ≤ n multiplies value ≤ 2³⁰), so histogram
+    * rows promote to decimal(38,0) BEFORE the products — decimal is paid
+    * on domain-bounded rows only, the member-level aggregate stays
+    * long-speed (the [[pearsonOlsFixed]] cost split). Final projection:
+    * G = (2·Σrx − (n+1)·T) / (n·T) with each exact integer cast to double
+    * once, mirrored verbatim in the SQL twin.
+    */
+  def giniConcentration(members: DataFrame, groupCol: String,
+                        valueInt: Column): DataFrame = {
+    val hist = members
+      .select(col(groupCol), valueInt.as("v"))
+      .groupBy(col(groupCol), col("v")).agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val dec = "decimal(38,0)"
+    val prev = coalesce(sum(col("c")).over(w), lit(0L))
+    // Σ ranks of the tie group = c·prev + c(c+1)/2. The triangular term
+    // stays in long (c(c+1) is even, shiftright = exact halving; headroom
+    // c < 3·10⁹ members PER VALUE); the rank product is where 2⁶³ actually
+    // breaks, so it promotes to scale-0 decimal — scale 0 keeps every
+    // product exact to 10³⁸ with no scale-6 division residue.
+    val rankSum = (col("c").cast(dec) * col("prev"))
+      .plus(shiftright(col("c") * (col("c") + 1), 1).cast(dec))
+    val agg = hist
+      .withColumn("prev", prev)
+      .select(col(groupCol), col("c"),
+        (col("v").cast(dec) * col("c")).as("t"),
+        (col("v").cast(dec) * rankSum).as("rx"))
+      .groupBy(col(groupCol))
+      .agg(sum(col("c")).as("n"), sum(col("t")).as("t"), sum(col("rx")).as("srx"))
+    val nD = col("n").cast("double")
+    val tD = col("t").cast("double")
+    agg.select(col(groupCol), col("n"),
+      col("t").cast("long").as("total"),
+      when(tD === 0.0, lit(null).cast("double"))
+        .otherwise(round((lit(2.0) * col("srx").cast("double")
+          - (col("n") + 1).cast("double") * tD) / (nD * tD), 6)).as("gini"))
+  }
+
+  /** RFM customer segmentation (Hughes 1994): recency / frequency /
+    * monetary quintile scores per customer, reported as segment-level
+    * counts — the classic CRM partition, here as the per-segment audit a
+    * pipeline uses to stratify retention offers or sample training
+    * cohorts.
+    *
+    * Determinism: the anchor date is the corpus max order date (one
+    * bounded 1-row aggregate) and all 12 quintile cuts come from ONE
+    * exact-percentile aggregate rounded to 6 before use (Spark
+    * `percentile` ≡ DuckDB `quantile_cont`, the [[graft.ops.Curation
+    * .curriculumPhases]] convention) — bracket comparisons against
+    * literal cuts are tie-stable in any engine. Scale: one partial+final
+    * aggregate per customer, one driver-bounded cut row (12 doubles + 1
+    * date), one map-side bracket, and a ≤125-row segment aggregate.
+    * Recency scores INVERT (recent = high); frequency/monetary ascend.
+    */
+  def rfmSegments(orders: DataFrame): DataFrame = {
+    val cents = graft.ops.Scalars.moneyCents(col("o_totalprice"))
+    val perCust = orders.groupBy(col("o_custkey"))
+      .agg(max(to_date(col("o_orderdate"))).as("last_day"),
+           count(lit(1)).as("f"),
+           sum(cents).as("m"))
+      .localCheckpoint() // consumed twice: the cut aggregate + the bracket scan
+    val anchor = perCust.agg(max(col("last_day"))).head().getDate(0)
+    val withR = perCust
+      .select(col("o_custkey"), datediff(lit(anchor), col("last_day")).as("r"),
+              col("f"), col("m"))
+    val qs = Seq(0.2, 0.4, 0.6, 0.8)
+    def pct(c: String) = expr(s"percentile($c, array(${qs.mkString(", ")}))")
+    val cutRow = withR.select(
+      (0 until 4).map(i => round(pct("r").getItem(i), 6).as(s"r$i")) ++
+      (0 until 4).map(i => round(pct("f").getItem(i), 6).as(s"f$i")) ++
+      (0 until 4).map(i => round(pct("m").getItem(i), 6).as(s"m$i")): _*).head()
+    def score(c: Column, cuts: Seq[Double]) = cuts.foldLeft(lit(1)) {
+      (acc, cut) => acc + when(c > lit(cut), 1).otherwise(0)
+    }
+    val cut = cutRow.toSeq.map(_.asInstanceOf[Double])
+    val rScore = lit(6) - score(col("r"), cut.slice(0, 4)) // recent = high
+    val fScore = score(col("f"), cut.slice(4, 8))
+    val mScore = score(col("m"), cut.slice(8, 12))
+    withR
+      .select(concat_ws("-", rScore, fScore, mScore).as("segment"),
+              col("r"), col("m"))
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_customers"),
+           sum(col("m")).as("monetary_cents"),
+           round(avg(col("r")), 6).as("mean_recency_days"))
+  }
+
+  /** Finite-window EWMA anomaly screen over the daily revenue series: each
+    * day's revenue vs the exponentially-weighted mean of its previous 7
+    * days (α = 1/2), flagging days that deviate beyond ±25% — the volume
+    * spike/collapse alarm that complements [[madDailyOutliers]]' static
+    * per-day screen with a trend-following one.
+    *
+    * α is EXACTLY 1/2 by design: every weight (1/2)ⁱ is a power of two,
+    * so each weight·cents product is EXACT in double and the 7-term sum
+    * is order-independent below 2⁵³ — the whole statistic is deterministic
+    * double arithmetic from integer cents on any engine, no micro-unit
+    * rounding needed. Leading days with fewer than 7 predecessors
+    * renormalize over the weights actually present; day 1 has none and
+    * reports NULL.
+    *
+    * Scale: the input is the per-day aggregate (partial map-side sums; one
+    * shuffle on date), after which the lag window runs over ROWS = DISTINCT
+    * DAYS — domain-bounded at any corpus size (a century is ~36k rows), the
+    * same bounded-report class as [[graft.CatalogCore.orderedReport]], so
+    * the single-partition window is a non-issue by construction.
+    */
+  def ewmaDailyAnomalies(orders: DataFrame, lagDays: Int = 7,
+                         devThreshold: Double = 0.25): DataFrame = {
+    val cents = graft.ops.Scalars.moneyCents(col("o_totalprice"))
+    val daily = orders.groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(cents).as("rev_cents"))
+    val w = Window.orderBy(col("day"))
+    val terms = (1 to lagDays).map { i =>
+      val weight = math.pow(0.5, i - 1) // exact power of two
+      (lag(col("rev_cents"), i).over(w), weight)
+    }
+    val numer = terms.map { case (l, wt) =>
+      when(l.isNotNull, l * lit(wt)).otherwise(lit(0.0)) }.reduce(_ + _)
+    val denom = terms.map { case (l, wt) =>
+      when(l.isNotNull, lit(wt)).otherwise(lit(0.0)) }.reduce(_ + _)
+    val ewma = when(col("denom") > 0.0, col("numer") / col("denom"))
+    daily
+      .withColumn("numer", numer).withColumn("denom", denom)
+      .select(col("day"), col("rev_cents"),
+        round(ewma, 6).as("ewma_cents"),
+        round((col("rev_cents") - ewma) / ewma, 6).as("dev_ratio"),
+        when(ewma.isNull, lit(null).cast("boolean"))
+          .otherwise(abs((col("rev_cents") - ewma) / ewma) > devThreshold)
+          .as("is_anomaly"))
+      .orderBy(col("day"))
+  }
 }

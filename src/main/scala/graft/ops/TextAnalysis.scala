@@ -625,4 +625,90 @@ object TextAnalysis {
               round((cov / vx) * (cov / vy), 6).as("r2"))
         }: _*)
   }
+
+  /** BM25 ranked retrieval (Robertson & Zaragoza 2009, Lucene idf variant):
+    * score every document against a literal query-term set and return the
+    * top-k — the lexical-retrieval baseline a curation pipeline runs next
+    * to the embedding ANN (the hybrid-search pattern), and the relevance
+    * scorer behind "find me training docs about X" audits.
+    *
+    * score(D) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·|D|/avgdl)),
+    * idf(t) = ln((N−df+0.5)/(df+0.5)+1).
+    *
+    * Determinism discipline: corpus stats (N, total tokens) and per-term
+    * dfs are driver-bounded aggregates (1 row; ≤|terms| rows) turned into
+    * LITERALS — idf in integer micro-units, so the scoring scan carries no
+    * join at all; each (doc, term) contribution is micro-rounded BEFORE
+    * the per-doc sum (the [[reliabilityBins]] pMicro convention — the
+    * aggregate is an exact BIGINT sum, immune to partition order). Scale:
+    * the exploded stream is FILTERED TO QUERY TERMS at the scan (the
+    * shuffle is |matching postings|, not the corpus), one partial+final
+    * per-doc aggregate, then a TakeOrdered top-k — no global sort.
+    */
+  def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int = 20,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25TopK needs at least one query term")
+    val stats = docs.agg(count(lit(1)).as("n"),
+                         sum(size(tokens(col("text")))).as("t")).head()
+    val nDocs = stats.getLong(0)
+    val totTok = stats.getLong(1)
+    val avgdl = totTok.toDouble / nDocs // exact same division in the twin
+    val termArr = array(terms.map(lit): _*)
+    val toks = docs
+      .select(col("doc_id"), size(tokens(col("text"))).as("len"),
+              explode(tokens(col("text"))).as("token"))
+      .filter(array_contains(termArr, col("token")))
+    val dfs = toks.groupBy(col("token"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val idfMicro: Map[String, Long] = terms.map { t =>
+      val df = dfs.getOrElse(t, 0L).toDouble
+      t -> math.round(math.log((nDocs - df + 0.5) / (df + 0.5) + 1.0) * 1e6)
+    }.toMap
+    val tfFactor = {
+      val tf = col("tf").cast("double")
+      tf * (k1 + 1.0) / (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("len") / lit(avgdl)))
+    }
+    val termMicro = round(element_at(typedLit(idfMicro), col("token"))
+      * tfFactor).cast("long")
+    toks.groupBy(col("doc_id"), col("len"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+      .select(col("doc_id"), termMicro.as("s"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms_matched"), sum(col("s")).as("score_micro"))
+      .select(col("doc_id"), col("n_terms_matched"), col("score_micro"),
+              (col("score_micro").cast("double") / 1e6).as("bm25"))
+      .orderBy(col("score_micro").desc, col("doc_id")).limit(k)
+  }
+
+  /** Flesch readability per document: reading-ease and Flesch–Kincaid
+    * grade from exact integer counts — words (whitespace tokens),
+    * sentences (non-empty `[.!?]` segments, floored at 1 so unpunctuated
+    * docs read as one sentence), syllables (vowel-run heuristic
+    * `[aeiouy]+` over the lowercased text — vowel runs never span the
+    * token separator, so the whole-text count equals the per-word sum).
+    * The standard surface-form quality signal next to [[qualityColumns]]'
+    * lexical ratios: training-corpus audits bin on it to spot
+    * machine-garbled or keyword-stuffed segments.
+    *
+    * Pure map-side column arithmetic — no shuffle, no UDF; both scores are
+    * IEEE doubles from the three integers, rounded once at 6.
+    */
+  def readability(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val words = size(tokens(col(textCol)))
+    val sentences = greatest(lit(1),
+      size(filter(split(col(textCol), "[.!?]"), s => length(trim(s)) > 0)))
+    val syllables = size(regexp_extract_all(lower(col(textCol)),
+      lit("[aeiouy]+"), lit(0)))
+    val wD = col("n_words").cast("double")
+    docs.select(col("doc_id"), words.cast("long").as("n_words"),
+                sentences.cast("long").as("n_sentences"),
+                syllables.cast("long").as("n_syllables"))
+      .filter(col("n_words") > 0)
+      .select(col("doc_id"), col("n_words"), col("n_sentences"), col("n_syllables"),
+        round(lit(206.835) - lit(1.015) * (wD / col("n_sentences"))
+          - lit(84.6) * (col("n_syllables") / wD), 6).as("flesch_ease"),
+        round(lit(0.39) * (wD / col("n_sentences"))
+          + lit(11.8) * (col("n_syllables") / wD) - lit(15.59), 6).as("fk_grade"))
+  }
 }

@@ -211,6 +211,22 @@ class DedupSpec extends AnyFunSuite {
     assert(math.abs(out((1L, 2L)) - 1.0) < 1e-12)
   }
 
+  test("containmentPairs: subset dup scores 1.0 where jaccard would miss it") {
+    // B's 3-gram set {abc, bcd} ⊂ A's {abc, bcd, cde, def}: containment_b
+    // = 1.0 while jaccard is only 0.5; C is disjoint
+    val docs = Seq(
+      (1L, "a b c d e f"), (2L, "a b c d"), (3L, "q r s t u")
+    ).toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(docs, 3, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    assert(out.keySet == Set((1L, 2L)), s"got ${out.keySet}")
+    val r = out((1L, 2L))
+    assert(r.getLong(2) == 2L, "two shared shingles")
+    assert(r.getDouble(3) == 0.5 && r.getDouble(4) == 1.0)
+    // symmetric check: the jaccard gate at the same threshold finds nothing
+    assert(Dedup.ngramJaccardPairs(docs, 3, 0.9).count() == 0L)
+  }
+
   test("dropBoilerplateLines: shared lines go, unique lines keep order, empty docs survive") {
     val crafted = Seq(
       (1L, "nav home about\nreal prose one\ncopyright footer"),

@@ -270,4 +270,55 @@ class StatsSpec extends AnyFunSuite {
     assert(g.getLong(1) == 1L && g.getDouble(2) == 1.0,
       s"pre-1970 gap must floor to 1 s, got ${g.getDouble(2)}")
   }
+
+  test("copurchaseLift: hand-computed support/confidence/lift on 3 baskets") {
+    // o1 {A,B}, o2 {A,B}, o3 {A}: n=3, nA=3, nB=2, pair(A,B)=2
+    val li = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L), (3L, 10L),
+                 (3L, 12L)) // part 12 is also brand A — dedup via distinct
+      .toDF("l_orderkey", "l_partkey")
+    val part = Seq((10L, "A"), (11L, "B"), (12L, "A")).toDF("p_partkey", "p_brand")
+    val r = Stats.copurchaseLift(li, part).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getString(0) == "A" && row.getString(1) == "B")
+    assert(row.getLong(2) == 2L && row.getLong(3) == 3L && row.getLong(4) == 2L)
+    assert(row.getDouble(5) == 0.666667, "support 2/3")
+    assert(row.getDouble(6) == 0.666667, "conf A->B 2/3")
+    assert(row.getDouble(7) == 1.0, "conf B->A 2/2")
+    assert(row.getDouble(8) == 1.0, "lift 2*3/(3*2)")
+  }
+
+  test("giniConcentration: hand-computed on ties, zero on equal values") {
+    val m = Seq(("g", 1L), ("g", 1L), ("g", 2L), ("eq", 5L), ("eq", 5L))
+      .toDF("grp", "cents")
+    val out = Stats.giniConcentration(m, "grp", col("cents")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // g: sorted 1,1,2 → ΣRX = 1+2+6 = 9; G = (18 − 4·4)/(3·4) = 1/6
+    assert(out("g").getLong(1) == 3L && out("g").getLong(2) == 4L)
+    assert(out("g").getDouble(3) == 0.166667, s"gini: ${out("g").getDouble(3)}")
+    assert(out("eq").getDouble(3) == 0.0, "equal values → zero concentration")
+  }
+
+  test("rfmSegments: segments partition customers and format is r-f-m") {
+    val orders = Tables.orders(spark, TestSpark.sfDir)
+    val out = Stats.rfmSegments(orders).collect()
+    val nCust = orders.select("o_custkey").distinct().count()
+    assert(out.map(_.getLong(1)).sum == nCust, "segments must partition customers")
+    assert(out.forall(_.getString(0).matches("[1-5]-[1-5]-[1-5]")))
+    assert(out.length > 1, "a real corpus spans more than one segment")
+  }
+
+  test("ewmaDailyAnomalies: flat series pins ewma, a 2x day flags") {
+    def day(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-${d}%02d 00:00:00")
+    // 8 days at $1.00/day, day 9 at $2.00
+    val orders = ((1 to 8).map(d => (day(d), 1.0)) :+ (day(9), 2.0))
+      .toDF("o_orderdate", "o_totalprice")
+    val out = Stats.ewmaDailyAnomalies(orders).collect()
+    assert(out.head.isNullAt(2) && out.head.isNullAt(4), "day 1 has no history")
+    val d2 = out(1) // one lag: ewma = 100 cents exactly
+    assert(d2.getDouble(2) == 100.0 && d2.getDouble(3) == 0.0 && !d2.getBoolean(4))
+    val d9 = out(8) // seven equal lags: ewma = 100, dev = +1.0 → anomaly
+    assert(d9.getDouble(2) == 100.0, s"ewma: ${d9.getDouble(2)}")
+    assert(d9.getDouble(3) == 1.0 && d9.getBoolean(4), "2x day must flag")
+  }
 }

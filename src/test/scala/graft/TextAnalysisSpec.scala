@@ -211,6 +211,35 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out.length == 1, s"equal cuts collapse to one bin: ${out.length}")
   }
 
+  test("bm25TopK: hand-computed scores, non-matching docs absent") {
+    val df = Seq((1L, "x x y"), (2L, "x z"), (3L, "z z z")).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25TopK(df, Seq("x"), k = 10)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(!out.contains(3L), "doc without query terms must not score")
+    // N=3, df(x)=2, idf=ln(1.6); avgdl=8/3
+    val idfMicro = math.round(math.log((3 - 2 + 0.5) / (2 + 0.5) + 1.0) * 1e6)
+    def factor(tf: Double, len: Long) =
+      tf * (1.2 + 1.0) / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * len / (8.0 / 3)))
+    assert(out(1L).getLong(2) == math.round(idfMicro * factor(2, 3)))
+    assert(out(2L).getLong(2) == math.round(idfMicro * factor(1, 2)))
+    assert(out(1L).getLong(2) > out(2L).getLong(2), "tf 2 in len 3 outranks tf 1")
+  }
+
+  test("readability: hand-computed Flesch on a punctuated sentence") {
+    val df = Seq((1L, "the cat sat."), (2L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.readability(df).collect().map(r => r.getLong(0) -> r).toMap
+    val r = out(1L)
+    assert(r.getLong(1) == 3L && r.getLong(2) == 1L && r.getLong(3) == 3L)
+    val fre = 206.835 - 1.015 * 3.0 - 84.6 * 1.0
+    val fk = 0.39 * 3.0 + 11.8 * 1.0 - 15.59
+    assert(r.getDouble(4) == math.rint(fre * 1e6) / 1e6 ||
+           math.abs(r.getDouble(4) - fre) < 1e-6, s"fre: ${r.getDouble(4)}")
+    assert(math.abs(r.getDouble(5) - fk) < 1e-6, s"fk: ${r.getDouble(5)}")
+    // empty text tokenizes to one empty token in the corpus convention —
+    // whichever way, a 0-vowel doc must not divide by zero
+    assert(!out.contains(2L) || !out(2L).isNullAt(4))
+  }
+
   test("bigramNll: hand-computed interpolated NLL, short docs excluded") {
     // corpus: doc 1 "a b a b", doc 2 "a b", doc 3 "x" (no bigrams)
     // bigrams: "a b" ×3, "b a" ×1 → p(b|a)=3/3=1... wait cf('a')=3, cf('b')=1
