@@ -195,7 +195,13 @@ object Tuning {
     // floor just trims the tiny split-cell exchanges). NOT tagged from
     // the same sweep: quality_kappa (aqe0s8 won 0.05/0.09 — first run
     // under the 0.08 bar), mixture_kl_drift (base best; aqe0 regressed)
-    "split_leakage_check")
+    "split_leakage_check",
+    // round-9 (graft.TailAB, 2 interleaved runs): containment_dups
+    // 1.10→0.70 / 1.21→0.74 on partition count alone — same family as
+    // split_leakage_check and ngram_jaccard_dups' postings join: the pair
+    // cardinality is data-dependent (AQE stays ON; aqe0 regressed both
+    // runs), while the post-join report exchanges are tiny at 8.
+    "containment_dups")
 
   /** Run `body` with the per-query conf overrides for `name`, restoring the
     * previous session values afterwards (exception-safe, so one query's

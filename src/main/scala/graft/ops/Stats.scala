@@ -656,28 +656,36 @@ object Stats {
     * bounded by brands² (≤ a few hundred rows at ANY corpus size), while
     * a part-level pair set grows with the catalog and is sparse noise at
     * every SF. Shape: one broadcast dim join (part is the small side by
-    * construction), one distinct on (order, brand) — partial map-side
-    * dedup, checkpointed ONCE for its three consumers (both self-join
-    * sides + the per-brand totals) — then a self-join keyed on the order
-    * key whose per-key fan-out is bounded by brands-per-order (≤ 14 in
-    * this corpus, never the catalog), and a pair aggregate over a
-    * brands²-bounded key space. n_orders rides a 1-row broadcast cross
-    * join, not a driver collect. All ratios derive from exact BIGINTs,
-    * rounded once at 6.
+    * construction), then ONE corpus shuffle — groupBy(order) with a
+    * map-side-partial collect_set whose per-order set is bounded by the
+    * brand universe, never the catalog. collect_set itself dedups, so no
+    * upstream distinct exists (graft.BasketAB measured the self-join
+    * shape 1.60 s vs 1.14 s for this one at sf0.1 — and the self-join
+    * form re-shuffles the postings twice more at any scale). Pairs
+    * explode MAP-SIDE from the sorted basket array (i<j slices — the
+    * sort gives brand_a < brand_b for free), so the pair aggregate and
+    * the per-brand counts both read the checkpointed ≤|orders|-row basket
+    * relation, and n_orders rides a 1-row broadcast cross join, not a
+    * driver collect. All ratios derive from exact BIGINTs, rounded once
+    * at 6.
     */
   def copurchaseLift(lineitem: DataFrame, part: DataFrame): DataFrame = {
-    val ob = lineitem.select(col("l_orderkey").as("okey"), col("l_partkey"))
+    val baskets = lineitem
+      .select(col("l_orderkey").as("okey"), col("l_partkey"))
       .join(broadcast(part.select(col("p_partkey"), col("p_brand"))),
             col("l_partkey") === col("p_partkey"))
       .select(col("okey"), col("p_brand").as("brand"))
-      .distinct()
-      .localCheckpoint()
-    val totals = ob.agg(countDistinct(col("okey")).as("n_orders"))
-    val counts = ob.groupBy(col("brand")).agg(count(lit(1)).as("n_brand"))
-    val a = ob.select(col("okey"), col("brand").as("brand_a"))
-    val b = ob.select(col("okey"), col("brand").as("brand_b"))
+      .groupBy(col("okey")).agg(sort_array(collect_set(col("brand"))).as("bs"))
+      .localCheckpoint() // three consumers: totals, counts, pair explode
+    val totals = baskets.agg(count(lit(1)).as("n_orders"))
+    val counts = baskets.select(explode(col("bs")).as("brand"))
+      .groupBy(col("brand")).agg(count(lit(1)).as("n_brand"))
+    val pairExpr = flatten(transform(col("bs"), (a, i) =>
+      transform(slice(col("bs"), i + 2, size(col("bs"))), b =>
+        struct(a.as("brand_a"), b.as("brand_b")))))
     val np = col("n_pair").cast("double")
-    a.join(b, Seq("okey")).filter(col("brand_a") < col("brand_b"))
+    baskets.select(explode(pairExpr).as("p"))
+      .select(col("p.brand_a"), col("p.brand_b"))
       .groupBy(col("brand_a"), col("brand_b"))
       .agg(count(lit(1)).as("n_pair"))
       .join(broadcast(counts.select(col("brand").as("brand_a"),
