@@ -157,15 +157,14 @@ object Bench {
     // (BASELINE.md round-4 re-pin) so the host-factor correction is
     // coherent: a bench run in a slower window scales the bar to what
     // DuckDB would have measured there.
-    // 63.1 = the round-8 close measured 149-query pin (BASELINE.md
-    // "Round-8 close re-pin": median of 5 process runs, range 60.8–70.7,
-    // brackets 0.780 open / 0.839 close — held). ZERO increment layers:
-    // every one of the 149 twins was measured in this single window.
-    // Same-day full-coverage pins at 144 (63.6) and 147 (63.4) queries
-    // bracket it — the three windows agree within ~1%, so the newest
-    // full-coverage one is adopted. `baseline_per_query.json` carries
-    // the same window (per-query medians sum 63.4).
-    val baselineQuiet = sys.env.getOrElse("SPARK_GRAFT_BASELINE_SEC", "63.1").toDouble
+    // 63.7 = the round-9 measured 156-query pin (BASELINE.md "Round-9
+    // re-pin": median of 5 process runs, range 61.3–67.6, brackets
+    // 0.762 open / 0.706 close — both quiet). ZERO increment layers:
+    // every one of the 156 twins was measured in this single window,
+    // and it sits 0.6 s over the round-8 close 149-query pin (63.1) —
+    // consistent with the ~1.3 s of new twins inside window noise.
+    // `baseline_per_query.json` carries the same window.
+    val baselineQuiet = sys.env.getOrElse("SPARK_GRAFT_BASELINE_SEC", "63.7").toDouble
     // Host-speed calibration (BASELINE.md "Host-speed calibration"): the
     // shared build host has multi-minute windows where EVERYTHING runs
     // 20-85% slower (hypervisor-level; guest vmstat shows idle CPU while
