@@ -3686,6 +3686,153 @@ object CatalogExt {
               |JOIN sizes sb ON doc_b = sb.doc_id
               |WHERE greatest(CAST(shared AS DOUBLE) / sa.sz,
               |               CAST(shared AS DOUBLE) / sb.sz) >= 0.8
-              |ORDER BY doc_a, doc_b""".stripMargin))
+              |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // ── Snapshot drift report (Profile.snapshotDrift): two column
+    //    profiles joined with the ingest-gate deltas — null-rate movement,
+    //    distinct ratio, row ratio, null-safe min/max boundary flags. The
+    //    "snapshots" are the order stream split at a pivot date.
+    ("orders_snapshot_drift",
+      (spark, dir) => {
+        val o = Tables.orders(spark, dir)
+          .withColumn("__d", to_date(col("o_orderdate")))
+        val pivot = lit(java.sql.Date.valueOf("1995-06-17"))
+        val specs = Seq(
+          ("o_custkey", col("o_custkey"), col("o_custkey")),
+          ("o_orderpriority", col("o_orderpriority"), col("o_orderpriority")),
+          ("o_orderstatus", col("o_orderstatus"), col("o_orderstatus")),
+          ("o_totalprice", col("o_totalprice"),
+            Scalars.moneyCents(col("o_totalprice"))))
+        Profile.snapshotDrift(o.filter(col("__d") < pivot),
+                              o.filter(col("__d") >= pivot), specs)
+      },
+      Some {
+        def side(s: String, cmp: String) = {
+          def block(nm: String, canon: String) =
+            s"""SELECT '$nm' AS column_name, CAST(COUNT(*) AS BIGINT) AS n_rows_$s,
+               |       CAST(COUNT(*) - COUNT($nm) AS BIGINT) AS n_nulls_$s,
+               |       CAST(COUNT(DISTINCT $canon) AS BIGINT) AS n_distinct_$s,
+               |       CAST(MIN($canon) AS VARCHAR) AS mn_$s,
+               |       CAST(MAX($canon) AS VARCHAR) AS mx_$s
+               |FROM orders WHERE CAST(o_orderdate AS DATE) $cmp DATE '1995-06-17'""".stripMargin
+          Seq(block("o_custkey", "o_custkey"),
+              block("o_orderpriority", "o_orderpriority"),
+              block("o_orderstatus", "o_orderstatus"),
+              block("o_totalprice", "CAST(round(o_totalprice * 100) AS BIGINT)"))
+            .mkString("", "\nUNION ALL\n", "")
+        }
+        s"""WITH pa AS (
+           |${side("a", "<")}),
+           |pb AS (
+           |${side("b", ">=")})
+           |SELECT column_name, n_rows_a, n_rows_b, n_nulls_a, n_nulls_b,
+           |       n_distinct_a, n_distinct_b,
+           |       round((CASE WHEN n_rows_b > 0 THEN CAST(n_nulls_b AS DOUBLE) / n_rows_b END)
+           |             - (CASE WHEN n_rows_a > 0 THEN CAST(n_nulls_a AS DOUBLE) / n_rows_a END), 6) AS null_rate_delta,
+           |       CASE WHEN n_distinct_a > 0
+           |            THEN round(CAST(n_distinct_b AS DOUBLE) / n_distinct_a, 6) END AS distinct_ratio,
+           |       CASE WHEN n_rows_a > 0
+           |            THEN round(CAST(n_rows_b AS DOUBLE) / n_rows_a, 6) END AS row_ratio,
+           |       (mn_a IS DISTINCT FROM mn_b) AS min_changed,
+           |       (mx_a IS DISTINCT FROM mx_b) AS max_changed
+           |FROM pa JOIN pb USING (column_name) ORDER BY column_name""".stripMargin
+      }),
+
+    // ── Language-ID confusion matrix (TextAnalysis.langIdConfusion): the
+    //    heuristic's per-class QA against the labeled lang column.
+    ("langid_confusion",
+      (spark, dir) =>
+        TextAnalysis.langIdConfusion(Tables.documents(spark, dir))
+          .transform(CatalogCore.orderedReport(_, col("lang"), col("predicted"))),
+      Some(s"""WITH p AS (
+              |  SELECT lang,
+              |         CASE WHEN CAST(len(list_filter($sqlTokens, t -> list_contains($stopListSql, t))) AS DOUBLE)
+              |                   / len($sqlTokens) >= 0.04
+              |              THEN 'en' ELSE 'und' END AS predicted
+              |  FROM documents),
+              |c AS (SELECT lang, predicted, CAST(COUNT(*) AS BIGINT) AS n_docs
+              |      FROM p GROUP BY 1, 2),
+              |t AS (SELECT lang, CAST(SUM(n_docs) AS BIGINT) AS tt FROM c GROUP BY 1)
+              |SELECT lang, predicted, n_docs,
+              |       round(CAST(n_docs AS DOUBLE) / tt, 6) AS share_of_lang
+              |FROM c JOIN t USING (lang) ORDER BY lang, predicted""".stripMargin)),
+
+    // ── Deterministic weighted sampling without replacement
+    //    (Curation.weightedSampleNoReplace, Efraimidis–Spirakis A-ES):
+    //    −ln(u)/w keys from hash-uniform u, integer nano-units, exact
+    //    top-k — the corpus-subsampling primitive with rerun stability.
+    ("weighted_doc_sample",
+      (spark, dir) =>
+        Curation.weightedSampleNoReplace(Tables.documents(spark, dir), 100,
+                                         col("n_chars")),
+      Some("""WITH k AS (
+             |  SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+             |         CAST(round(-ln((CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS UBIGINT) AS BIGINT) + 1)
+             |                        / 4294967296.0) / n_chars * 1e9) AS BIGINT) AS key_nano
+             |  FROM documents)
+             |SELECT doc_id, weight, key_nano FROM k
+             |ORDER BY key_nano, doc_id LIMIT 100""".stripMargin)),
+
+    // ── Day-of-week seasonal outliers (Stats.dowSeasonalOutliers): each
+    //    day vs the mean of its 4 prior same-weekday values; weekday index
+    //    is pure (epochDay+4) mod 7 integer arithmetic (engine-neutral,
+    //    unlike dayofweek()).
+    ("dow_seasonal_outliers",
+      (spark, dir) => Stats.dowSeasonalOutliers(Tables.orders(spark, dir)),
+      Some("""WITH d AS (
+             |  SELECT CAST(o_orderdate AS DATE) AS day,
+             |         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+             |  FROM orders GROUP BY 1),
+             |dd AS (SELECT day, rev_cents,
+             |              CAST((date_diff('day', DATE '1970-01-01', day) + 4) % 7 AS INTEGER) AS dow_idx
+             |       FROM d),
+             |l AS (SELECT day, dow_idx, rev_cents,
+             |             lag(rev_cents, 1) OVER w AS l1,
+             |             lag(rev_cents, 2) OVER w AS l2,
+             |             lag(rev_cents, 3) OVER w AS l3,
+             |             lag(rev_cents, 4) OVER w AS l4
+             |      FROM dd WINDOW w AS (PARTITION BY dow_idx ORDER BY day)),
+             |e AS (SELECT day, dow_idx, rev_cents,
+             |  (CASE WHEN l1 IS NOT NULL THEN CAST(l1 AS DOUBLE) ELSE 0.0 END
+             |   + CASE WHEN l2 IS NOT NULL THEN CAST(l2 AS DOUBLE) ELSE 0.0 END
+             |   + CASE WHEN l3 IS NOT NULL THEN CAST(l3 AS DOUBLE) ELSE 0.0 END
+             |   + CASE WHEN l4 IS NOT NULL THEN CAST(l4 AS DOUBLE) ELSE 0.0 END) AS numer,
+             |  (CASE WHEN l1 IS NOT NULL THEN 1.0 ELSE 0.0 END
+             |   + CASE WHEN l2 IS NOT NULL THEN 1.0 ELSE 0.0 END
+             |   + CASE WHEN l3 IS NOT NULL THEN 1.0 ELSE 0.0 END
+             |   + CASE WHEN l4 IS NOT NULL THEN 1.0 ELSE 0.0 END) AS denom
+             |  FROM l),
+             |e2 AS (SELECT day, dow_idx, rev_cents,
+             |              CASE WHEN denom > 0.0 THEN numer / denom END AS m
+             |       FROM e)
+             |SELECT day, dow_idx, rev_cents, round(m, 6) AS dow_mean_cents,
+             |       round((rev_cents - m) / m, 6) AS dev_ratio,
+             |       CASE WHEN m IS NULL THEN NULL
+             |            ELSE abs((rev_cents - m) / m) > 0.3 END AS is_anomaly
+             |FROM e2 ORDER BY day""".stripMargin)),
+
+    // ── Per-language quality rank normalization
+    //    (Curation.rankNormalizedQuality): percent_rank of the heuristic
+    //    quality score within each language — calibration-free
+    //    cross-language comparability before a global sampling weight.
+    ("lang_quality_pctile",
+      (spark, dir) =>
+        Curation.rankNormalizedQuality(Tables.documents(spark, dir))
+          .orderBy(col("doc_id")),
+      Some(s"""WITH f AS (
+              |  SELECT doc_id, lang,
+              |         len($sqlTokens) AS n_tokens,
+              |         len(list_distinct($sqlTokens)) AS n_distinct,
+              |         len(list_filter($sqlTokens, t -> list_contains($stopListSql, t))) AS stop_hits
+              |  FROM documents),
+              |q AS (
+              |  SELECT doc_id, lang,
+              |         least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+              |           + (CAST(n_distinct AS DOUBLE) / n_tokens) * 0.3
+              |           + least((CAST(stop_hits AS DOUBLE) / n_tokens) * 5.0, 1.0) * 0.3 AS quality_score
+              |  FROM f)
+              |SELECT doc_id, lang, round(quality_score, 6) AS quality_score,
+              |       round(percent_rank() OVER (PARTITION BY lang ORDER BY quality_score, doc_id), 6) AS lang_pctile
+              |FROM q ORDER BY doc_id""".stripMargin))
   )
 }

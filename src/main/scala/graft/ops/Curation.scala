@@ -680,4 +680,55 @@ object Curation {
         round(col("tvd_micro") / lit(1e6), 6).as("tvd"))
       .orderBy(col("split"))
   }
+
+  /** Exact-size weighted sampling WITHOUT replacement (Efraimidis &
+    * Spirakis 2006's A-ES, the distributed-standard trick): each doc gets
+    * key −ln(u)/w from a DETERMINISTIC hash-uniform u (a pure function of
+    * doc_id, the [[assignSplit]] stability contract — reruns, repartitions,
+    * and corpus growth never reshuffle the kept set beyond what the new
+    * keys displace), and the k SMALLEST keys are the sample — provably the
+    * same distribution as sequential weighted draws without replacement.
+    * This is the exact-k counterpart to [[weightedMixtureSample]]'s
+    * per-group Bernoulli thinning.
+    *
+    * Determinism across engines: u = (h32 + 1)/2³² ∈ (0,1] from the md5
+    * prefix (canonical hex both sides); the key is rounded to integer
+    * NANO-units before ranking so the order is a BIGINT comparison — an
+    * engine ulp difference in ln() would need to land within 10⁻⁹ of a
+    * rounding boundary to flip a rank (≈10⁻⁸ probability per doc,
+    * verified green at every SF and replica). Scale: map-side key + one
+    * TakeOrdered top-k — no shuffle beyond the k-row collect tree.
+    */
+  def weightedSampleNoReplace(docs: DataFrame, k: Int,
+                              weight: Column): DataFrame = {
+    val h32 = conv(substring(md5(col("doc_id").cast("string").cast("binary")),
+                             1, 8), 16, 10).cast("long")
+    val u = (h32 + lit(1L)).cast("double") / lit(4294967296.0)
+    val keyNano = round(-log(u) / weight * lit(1e9)).cast("long")
+    docs.select(col("doc_id"), weight.cast("long").as("weight"),
+                keyNano.as("key_nano"))
+      .orderBy(col("key_nano"), col("doc_id")).limit(k)
+  }
+
+  /** Per-language rank normalization of the heuristic quality score:
+    * percent_rank within the language (ties broken by doc_id, so the rank
+    * is total and engine-stable) — the monotone transform that makes
+    * quality scores COMPARABLE across languages before they feed a global
+    * sampling weight (raw score distributions differ per language — the
+    * stopword component alone shifts `en` — so a single global threshold
+    * over-selects whichever language the heuristic flatters; the
+    * percentile is calibration-free). One key-partitioned window pass —
+    * scale-clean (partitions = languages, rows within stream through the
+    * rank).
+    */
+  def rankNormalizedQuality(docs: DataFrame): DataFrame = {
+    val score = TextAnalysis.qualityColumns(col("text"))("quality_score")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("quality_score"), col("doc_id"))
+    docs.select(col("doc_id"), col("lang"), score.as("quality_score"))
+      .withColumn("lang_pctile", round(percent_rank().over(w), 6))
+      .select(col("doc_id"), col("lang"),
+              round(col("quality_score"), 6).as("quality_score"),
+              col("lang_pctile"))
+  }
 }

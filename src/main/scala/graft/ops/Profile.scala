@@ -60,4 +60,46 @@ object Profile {
       .select(col("p.*"))
       .orderBy(col("column_name"))
   }
+
+  /** Snapshot drift report: two [[columnProfile]]s joined per column with
+    * the deltas an ingest gate actually alerts on — null-rate movement,
+    * distinct-cardinality ratio, row-volume ratio, and min/max boundary
+    * changes. The "did the upstream schema/distribution shift under us"
+    * check a 100 TB pipeline runs between a new batch and the standing
+    * corpus before the batch is allowed to join anything.
+    *
+    * Scale shape: each side is one wide-aggregate profile (two scans
+    * total, both column-pruned); the join is |specs| rows against
+    * |specs| rows. Ratios are exact-integer divisions surfaced as
+    * rounded doubles; NULL when the denominator side is empty or
+    * zero-distinct rather than inventing a sentinel.
+    */
+  def snapshotDrift(before: DataFrame, after: DataFrame,
+                    specs: Seq[(String, Column, Column)]): DataFrame = {
+    def side(df: DataFrame, s: String) =
+      columnProfile(df, specs).select(col("column_name"),
+        col("n_rows").as(s"n_rows_$s"), col("n_nulls").as(s"n_nulls_$s"),
+        col("n_distinct").as(s"n_distinct_$s"),
+        col("min_val").as(s"__mn_$s"), col("max_val").as(s"__mx_$s"))
+    def rate(n: String, d: String) =
+      when(col(d) > 0, col(n).cast("double") / col(d))
+    side(before, "a").join(side(after, "b"), Seq("column_name"))
+      .select(col("column_name"),
+        col("n_rows_a"), col("n_rows_b"),
+        col("n_nulls_a"), col("n_nulls_b"),
+        col("n_distinct_a"), col("n_distinct_b"),
+        round(rate("n_nulls_b", "n_rows_b") - rate("n_nulls_a", "n_rows_a"), 6)
+          .as("null_rate_delta"),
+        when(col("n_distinct_a") > 0,
+          round(col("n_distinct_b").cast("double") / col("n_distinct_a"), 6))
+          .as("distinct_ratio"),
+        when(col("n_rows_a") > 0,
+          round(col("n_rows_b").cast("double") / col("n_rows_a"), 6))
+          .as("row_ratio"),
+        // null-safe: an all-null side has NULL min/max and must still
+        // compare as changed/unchanged, not as NULL
+        (!(col("__mn_a") <=> col("__mn_b"))).as("min_changed"),
+        (!(col("__mx_a") <=> col("__mx_b"))).as("max_changed"))
+      .orderBy(col("column_name"))
+  }
 }

@@ -646,6 +646,46 @@ object Stats {
         }, 6).as("burstiness"))
   }
 
+  /** Day-of-week seasonal outlier screen: each day's revenue against the
+    * mean of its previous `lags` SAME-WEEKDAY values — the seasonal
+    * complement to [[ewmaDailyAnomalies]]' trend screen (a quiet Sunday is
+    * normal; a quiet Tuesday is not, and a trend-following EWMA blurs
+    * exactly that distinction).
+    *
+    * The weekday index is pure integer arithmetic — (epochDay + 4) mod 7,
+    * 0 = Sunday (1970-01-01 was a Thursday) — so it is engine-neutral by
+    * construction, unlike dayofweek() whose base differs per engine. The
+    * trailing mean is a fixed lag chain over a window PARTITIONED BY
+    * weekday (7 streams, each rows = distinct days of that weekday —
+    * domain-bounded, so the window is scale-clean); ≤`lags` longs sum in
+    * a fixed left-assoc order (exact below 2⁵³) and divide once.
+    */
+  def dowSeasonalOutliers(orders: DataFrame, lags: Int = 4,
+                          devThreshold: Double = 0.3): DataFrame = {
+    val cents = graft.ops.Scalars.moneyCents(col("o_totalprice"))
+    val daily = orders.groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(cents).as("rev_cents"))
+      .withColumn("dow_idx",
+        pmod(datediff(col("day"), lit(java.sql.Date.valueOf("1970-01-01"))) + 4,
+             lit(7)).cast("int"))
+    val w = Window.partitionBy(col("dow_idx")).orderBy(col("day"))
+    val ls = (1 to lags).map(i => lag(col("rev_cents"), i).over(w))
+    val numer = ls.map(l => when(l.isNotNull, l.cast("double"))
+      .otherwise(lit(0.0))).reduce(_ + _)
+    val denom = ls.map(l => when(l.isNotNull, lit(1.0)).otherwise(lit(0.0)))
+      .reduce(_ + _)
+    val mean = when(col("denom") > 0.0, col("numer") / col("denom"))
+    daily
+      .withColumn("numer", numer).withColumn("denom", denom)
+      .select(col("day"), col("dow_idx"), col("rev_cents"),
+        round(mean, 6).as("dow_mean_cents"),
+        round((col("rev_cents") - mean) / mean, 6).as("dev_ratio"),
+        when(mean.isNull, lit(null).cast("boolean"))
+          .otherwise(abs((col("rev_cents") - mean) / mean) > devThreshold)
+          .as("is_anomaly"))
+      .orderBy(col("day"))
+  }
+
   /** Market-basket association rules at the brand level (Agrawal et al.
     * 1993): for every pair of brands co-occurring in an order, support,
     * both directional confidences, and lift — the "customers who bought X

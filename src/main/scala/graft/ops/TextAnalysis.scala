@@ -626,6 +626,29 @@ object TextAnalysis {
         }: _*)
   }
 
+  /** Confusion matrix of the [[langId]] heuristic against the labeled
+    * `lang` column: per (actual, predicted) cell, the doc count and its
+    * share within the actual language — the classifier-QA face of the
+    * language gate (lang_id emits the per-doc predictions; this row says
+    * whether the 4% stopword threshold actually separates the labeled
+    * classes, per class).
+    *
+    * One map-side prediction + a ≤|langs|·2-cell aggregate; the per-lang
+    * totals broadcast back onto the cells. Shares are exact integer
+    * ratios rounded once at 6.
+    */
+  def langIdConfusion(docs: DataFrame): DataFrame = {
+    val (_, predicted) = langId(col("text"))
+    val cells = docs.select(col("lang"), predicted.as("predicted"))
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
+    val totals = cells.groupBy(col("lang")).agg(sum(col("n_docs")).as("__t"))
+    cells.join(broadcast(totals), Seq("lang"))
+      .select(col("lang"), col("predicted"), col("n_docs"),
+              round(col("n_docs").cast("double") / col("__t"), 6)
+                .as("share_of_lang"))
+  }
+
   /** BM25 ranked retrieval (Robertson & Zaragoza 2009, Lucene idf variant):
     * score every document against a literal query-term set and return the
     * top-k — the lexical-retrieval baseline a curation pipeline runs next

@@ -442,6 +442,44 @@ class CurationSpec extends AnyFunSuite {
     assert(r.getDouble(7) == 0.25, "kappa unchanged by the NULL rows")
   }
 
+  test("weightedSampleNoReplace: keys match a driver-side A-ES reference") {
+    val docs = (1L to 50L).map(i => (i, 10L + i)).toDF("doc_id", "w")
+    val out = Curation.weightedSampleNoReplace(docs, 10, col("w")).collect()
+    assert(out.length == 10)
+    assert(out.map(_.getLong(2)).toSeq == out.map(_.getLong(2)).toSeq.sorted,
+      "rows arrive in ascending key order")
+    // recompute the deterministic key driver-side for every returned row
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def key(id: Long, w: Long): Long = {
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(8)
+      val u = (java.lang.Long.parseLong(hex, 16) + 1L).toDouble / 4294967296.0
+      math.round(-math.log(u) / w * 1e9)
+    }
+    for (r <- out)
+      assert(r.getLong(2) == key(r.getLong(0), r.getLong(1)),
+        s"key mismatch for doc ${r.getLong(0)}")
+    // monotonicity contract: scaling every weight up scales keys down,
+    // so the all-equal-weight sample is pure hash order
+    val eq = Curation.weightedSampleNoReplace(
+      docs.withColumn("w", lit(7L)), 50, col("w")).collect()
+    assert(eq.map(_.getLong(0)).toSet == (1L to 50L).toSet)
+  }
+
+  test("rankNormalizedQuality: per-lang percentile spans [0,1], rank order " +
+       "follows the score") {
+    val df = Seq((1L, "a", "en"), (2L, "a a b b c", "en"),
+                 (3L, "the of and a in on for", "en"), (4L, "x", "de"))
+      .toDF("doc_id", "text", "lang")
+    val out = Curation.rankNormalizedQuality(df).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    assert(out(4L)._2 == 0.0, "single doc in its lang sits at percentile 0")
+    val en = Seq(1L, 2L, 3L).map(out)
+    assert(en.map(_._2).toSet == Set(0.0, 0.5, 1.0), s"en pctiles: $en")
+    // percentile order must agree with score order
+    assert(en.sortBy(_._1).map(_._2) == en.map(_._2).sorted)
+  }
+
   test("splitLeakage: canonical split pairs, shares sum to 1, cross flags") {
     // pick one real id per split so the hash assignment is exercised
     val byId = (0L until 200L).map(i =>

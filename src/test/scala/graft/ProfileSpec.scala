@@ -46,4 +46,24 @@ class ProfileSpec extends AnyFunSuite {
     // the two 1-row faces combine via broadcast; never a shuffled join
     assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"), plan)
   }
+
+  test("snapshotDrift: hand-computed deltas, null-safe min/max flags") {
+    val a = Seq((1L, Option("x")), (2L, None), (3L, Option("y")))
+      .toDF("id", "v")
+    val b = Seq((4L, Option.empty[String]), (5L, None)).toDF("id", "v")
+    val r = Profile.snapshotDrift(a, b, Seq(("v", col("v"), col("v"))))
+      .head()
+    assert(r.getLong(1) == 3L && r.getLong(2) == 2L, "rows a/b")
+    assert(r.getLong(3) == 1L && r.getLong(4) == 2L, "nulls a/b")
+    assert(r.getLong(5) == 2L && r.getLong(6) == 0L, "distinct a/b")
+    assert(r.getDouble(7) == 0.666667, s"null-rate delta: ${r.getDouble(7)}")
+    assert(r.getDouble(8) == 0.0, "distinct ratio b/a")
+    assert(r.getDouble(9) == 0.666667, "row ratio 2/3")
+    assert(r.getBoolean(10) && r.getBoolean(11),
+      "all-null side must flag min/max changed, not NULL")
+    // identical snapshots: all deltas zero, flags false
+    val same = Profile.snapshotDrift(a, a, Seq(("v", col("v"), col("v")))).head()
+    assert(same.getDouble(7) == 0.0 && same.getDouble(8) == 1.0
+      && same.getDouble(9) == 1.0 && !same.getBoolean(10) && !same.getBoolean(11))
+  }
 }

@@ -271,6 +271,22 @@ class StatsSpec extends AnyFunSuite {
       s"pre-1970 gap must floor to 1 s, got ${g.getDouble(2)}")
   }
 
+  test("dowSeasonalOutliers: same-weekday mean, spike flags, trend immune") {
+    def day(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-${d}%02d 00:00:00")
+    // 4 full weeks at $1/day, then day 29 (same weekday as 1,8,15,22) at $2
+    val orders = ((1 to 28).map(d => (day(d), 1.0)) :+ (day(29), 2.0))
+      .toDF("o_orderdate", "o_totalprice")
+    val out = Stats.dowSeasonalOutliers(orders).collect()
+    assert(out.take(7).forall(_.isNullAt(3)), "first week has no same-dow history")
+    val d8 = out(7) // one same-dow lag (day 1)
+    assert(d8.getDouble(3) == 100.0 && d8.getDouble(4) == 0.0 && !d8.getBoolean(5))
+    val d29 = out(28)
+    assert(d29.getDouble(3) == 100.0, s"mean of 4 flat lags: ${d29.getDouble(3)}")
+    assert(d29.getDouble(4) == 1.0 && d29.getBoolean(5), "2x same-weekday day flags")
+    // weekday index is engine-neutral integer arithmetic: 2024-01-01 = Monday
+    assert(out.head.getInt(1) == 1, s"dow_idx of a Monday: ${out.head.getInt(1)}")
+  }
+
   test("copurchaseLift: hand-computed support/confidence/lift on 3 baskets") {
     // o1 {A,B}, o2 {A,B}, o3 {A}: n=3, nA=3, nB=2, pair(A,B)=2
     val li = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L), (3L, 10L),

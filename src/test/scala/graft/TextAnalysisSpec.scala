@@ -240,6 +240,18 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(!out.contains(2L) || !out(2L).isNullAt(4))
   }
 
+  test("langIdConfusion: cells partition the corpus, shares are per-lang exact") {
+    val df = Seq((1L, "the a of and", "en"), (2L, "x y z w q", "de"),
+                 (3L, "the cat", "de")).toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.langIdConfusion(df).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(out(("en", "en")) == ((1L, 1.0)), "stopword-rich en doc predicted en")
+    assert(out(("de", "und")) == ((1L, 0.5)), "stopword-free doc predicted und")
+    assert(out(("de", "en")) == ((1L, 0.5)), "'the cat' crosses the 4% threshold")
+    assert(out.values.map(_._1).sum == 3L, "cells partition the corpus")
+  }
+
   test("bigramNll: hand-computed interpolated NLL, short docs excluded") {
     // corpus: doc 1 "a b a b", doc 2 "a b", doc 3 "x" (no bigrams)
     // bigrams: "a b" ×3, "b a" ×1 → p(b|a)=3/3=1... wait cf('a')=3, cf('b')=1
