@@ -3833,6 +3833,113 @@ object CatalogExt {
               |  FROM f)
               |SELECT doc_id, lang, round(quality_score, 6) AS quality_score,
               |       round(percent_rank() OVER (PARTITION BY lang ORDER BY quality_score, doc_id), 6) AS lang_pctile
-              |FROM q ORDER BY doc_id""".stripMargin))
+              |FROM q ORDER BY doc_id""".stripMargin)),
+
+    // ── Winsorized/trimmed robust price stats (Stats.winsorizedStats):
+    //    global 1%/99% exact-percentile clip bounds rounded to integer
+    //    cents, per-priority clip counts and robust means — BIGINT end to
+    //    end until the final division.
+    ("winsorized_price_stats",
+      (spark, dir) =>
+        Stats.winsorizedStats(Tables.orders(spark, dir), "o_orderpriority",
+                              Scalars.moneyCents(col("o_totalprice")))
+          .transform(CatalogCore.orderedReport(_, col("o_orderpriority"))),
+      Some("""WITH v AS (SELECT o_orderpriority AS grp,
+             |                  CAST(round(o_totalprice * 100) AS BIGINT) AS v
+             |           FROM orders),
+             |c AS (SELECT CAST(round(round(quantile_cont(v, 0.01), 6)) AS BIGINT) AS lo,
+             |             CAST(round(round(quantile_cont(v, 0.99), 6)) AS BIGINT) AS hi
+             |      FROM v),
+             |a AS (SELECT grp, lo, hi, CAST(COUNT(*) AS BIGINT) AS n,
+             |             CAST(SUM(CASE WHEN v < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
+             |             CAST(SUM(CASE WHEN v > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi,
+             |             CAST(SUM(least(greatest(v, lo), hi)) AS BIGINT) AS ws,
+             |             CAST(SUM(CASE WHEN v >= lo AND v <= hi THEN v ELSE 0 END) AS BIGINT) AS ts,
+             |             CAST(SUM(CASE WHEN v >= lo AND v <= hi THEN 1 ELSE 0 END) AS BIGINT) AS tn
+             |      FROM v CROSS JOIN c GROUP BY 1, 2, 3)
+             |SELECT grp AS o_orderpriority, n, n_clip_lo, n_clip_hi,
+             |       lo AS lo_clip, hi AS hi_clip,
+             |       round(CAST(ws AS DOUBLE) / n, 6) AS winsorized_mean,
+             |       CASE WHEN tn > 0 THEN round(CAST(ts AS DOUBLE) / tn, 6) END AS trimmed_mean
+             |FROM a ORDER BY o_orderpriority""".stripMargin)),
+
+    // ── Two-proportion A/B z-test + SRM guardrail
+    //    (Stats.abConversionTest): hash-bucketed arms, conversion =
+    //    purchases outnumber errors per user, pooled-variance z (NULL on
+    //    degenerate variance) and the 50/50 sample-ratio chi-square.
+    ("ab_conversion_ztest",
+      (spark, dir) => Stats.abConversionTest(Tables.events(spark, dir)),
+      Some(s"""WITH u AS (
+              |  SELECT user_id,
+              |         CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              |                   > SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              |              THEN 1 ELSE 0 END AS conv
+              |  FROM events GROUP BY 1),
+              |b AS (SELECT conv, ${sqlHashBucket("user_id", 2)} = 0 AS isa FROM u),
+              |c AS (SELECT CAST(SUM(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+              |             CAST(SUM(CASE WHEN isa THEN conv ELSE 0 END) AS BIGINT) AS conv_a,
+              |             CAST(SUM(CASE WHEN NOT isa THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+              |             CAST(SUM(CASE WHEN NOT isa THEN conv ELSE 0 END) AS BIGINT) AS conv_b
+              |      FROM b),
+              |s AS (SELECT n_a, conv_a, n_b, conv_b,
+              |             CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS pa,
+              |             CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS pb,
+              |             CAST(conv_a + conv_b AS DOUBLE)
+              |               / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) AS pp,
+              |             (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) / 2.0 AS half
+              |      FROM c),
+              |s2 AS (SELECT *,
+              |              sqrt(pp * (1.0 - pp) * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))) AS se,
+              |              (CAST(n_a AS DOUBLE) - half) * (CAST(n_a AS DOUBLE) - half) / half
+              |                + (CAST(n_b AS DOUBLE) - half) * (CAST(n_b AS DOUBLE) - half) / half AS srm
+              |       FROM s)
+              |SELECT n_a, conv_a, n_b, conv_b,
+              |       round(pa, 6) AS p_a, round(pb, 6) AS p_b,
+              |       round(CASE WHEN se > 0.0 THEN (pa - pb) / se END, 6) AS z_score,
+              |       round(srm, 6) AS srm_chisq,
+              |       (srm > 3.84) AS srm_flag
+              |FROM s2""".stripMargin)),
+
+    // ── Wilson 95% score intervals (Stats.wilsonRates): per-priority
+    //    finished-order rate with the small-sample-honest CI.
+    ("priority_wilson_ci",
+      (spark, dir) =>
+        Stats.wilsonRates(Tables.orders(spark, dir), "o_orderpriority",
+                          col("o_orderstatus") === lit("F"))
+          .transform(CatalogCore.orderedReport(_, col("o_orderpriority"))),
+      Some("""WITH a AS (
+             |  SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+             |         CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_success
+             |  FROM orders GROUP BY 1),
+             |s AS (SELECT o_orderpriority, n, n_success,
+             |             CAST(n_success AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+             |             (1.96 * 1.96) AS z2, CAST(n AS DOUBLE) AS nd
+             |      FROM a),
+             |s2 AS (SELECT *,
+             |              (1.0 + z2 / nd) AS denom,
+             |              (p + z2 / (2.0 * nd)) / (1.0 + z2 / nd) AS center,
+             |              1.96 * sqrt(p * (1.0 - p) / nd + z2 / (4.0 * nd * nd)) / (1.0 + z2 / nd) AS hw
+             |       FROM s)
+             |SELECT o_orderpriority, n, n_success, round(p, 6) AS rate,
+             |       round(center - hw, 6) AS wilson_lo,
+             |       round(center + hw, 6) AS wilson_hi
+             |FROM s2 ORDER BY o_orderpriority""".stripMargin)),
+
+    // ── Per-source token-length distribution (TextAnalysis
+    //    .sourceTokenStats): packing/mixture sizing audit — counts, mean,
+    //    exact per-group p50/p90 (percentile ≡ quantile_cont).
+    ("source_token_stats",
+      (spark, dir) =>
+        TextAnalysis.sourceTokenStats(Tables.documents(spark, dir))
+          .transform(CatalogCore.orderedReport(_, col("source"))),
+      Some("""WITH t AS (SELECT source,
+             |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+             |           FROM documents)
+             |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |       CAST(SUM(nt) AS BIGINT) AS total_tokens,
+             |       round(avg(nt), 6) AS mean_tokens,
+             |       round(quantile_cont(nt, 0.5), 6) AS p50_tokens,
+             |       round(quantile_cont(nt, 0.9), 6) AS p90_tokens
+             |FROM t GROUP BY 1 ORDER BY source""".stripMargin))
   )
 }

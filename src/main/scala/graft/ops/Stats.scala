@@ -646,6 +646,115 @@ object Stats {
         }, 6).as("burstiness"))
   }
 
+  /** Winsorized/trimmed robust statistics of an integer measure per group:
+    * global exact-percentile clip bounds (pLo/pHi, rounded to integer
+    * units half-up so every clamped value stays BIGINT), then per group
+    * the clip counts, winsorized mean (tails clamped to the bounds) and
+    * trimmed mean (tails excluded) — the outlier-robust location estimates
+    * a pipeline reports next to the raw mean before anyone trusts either.
+    *
+    * Exactness: the clamp and both conditional sums are BIGINT end to end
+    * (no double enters an aggregate); means are one division each, rounded
+    * 6. Scale: one percentile aggregate (driver-bounded 2 doubles) + one
+    * partial+final group aggregate.
+    */
+  def winsorizedStats(df: DataFrame, groupCol: String, valueInt: Column,
+                      pLo: Double = 0.01, pHi: Double = 0.99): DataFrame = {
+    val v = df.select(col(groupCol), valueInt.as("__v"))
+    val cutRow = v.select(
+      round(expr(s"percentile(__v, array($pLo, $pHi))").getItem(0), 6).as("lo"),
+      round(expr(s"percentile(__v, array($pLo, $pHi))").getItem(1), 6).as("hi"))
+      .head()
+    val lo = math.round(cutRow.getDouble(0))
+    val hi = math.round(cutRow.getDouble(1))
+    val clamped = least(greatest(col("__v"), lit(lo)), lit(hi))
+    val inRange = col("__v") >= lo && col("__v") <= hi
+    v.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+           sum(when(col("__v") < lo, 1L).otherwise(0L)).as("n_clip_lo"),
+           sum(when(col("__v") > hi, 1L).otherwise(0L)).as("n_clip_hi"),
+           sum(clamped).as("__ws"),
+           sum(when(inRange, col("__v")).otherwise(0L)).as("__ts"),
+           sum(when(inRange, 1L).otherwise(0L)).as("__tn"))
+      .select(col(groupCol), col("n"), col("n_clip_lo"), col("n_clip_hi"),
+        lit(lo).as("lo_clip"), lit(hi).as("hi_clip"),
+        round(col("__ws").cast("double") / col("n"), 6).as("winsorized_mean"),
+        when(col("__tn") > 0,
+          round(col("__ts").cast("double") / col("__tn"), 6)).as("trimmed_mean"))
+  }
+
+  /** Two-proportion z-test between hash-assigned experiment arms, with the
+    * sample-ratio-mismatch guardrail: users bucket into A/B by the
+    * [[graft.ops.Curation.hashBucket]] function of their id (pure,
+    * rerun-stable); a user "converts" when their `posType` events
+    * OUTNUMBER their `negType` events (an ever-touched-X indicator
+    * saturates at 100% on any active user base — this corpus converts
+    * every user on "≥1 purchase" at every SF, which is exactly the
+    * degenerate pooled-variance case); the report is one row — arm sizes,
+    * conversion counts/rates, the pooled-variance z statistic (NULL when
+    * the pooled variance is 0: all or none converted, no test exists),
+    * and the SRM chi-square against a 50/50 split (the assignment-bug
+    * detector every experimentation platform runs BEFORE reading the
+    * metric; χ² > 3.84 ≈ p < 0.05 on 1 df).
+    *
+    * Shape: one per-user aggregate (partial conditional sums), then one
+    * KEYLESS conditional aggregate — two exchanges total at any event
+    * volume, every statistic derived from four exact BIGINTs in one
+    * mirrored projection.
+    */
+  def abConversionTest(events: DataFrame, posType: String = "purchase",
+                       negType: String = "error",
+                       userCol: String = "user_id"): DataFrame = {
+    val perUser = events.groupBy(col(userCol))
+      .agg(when(sum(when(col("event_type") === posType, 1L).otherwise(0L))
+             > sum(when(col("event_type") === negType, 1L).otherwise(0L)),
+             1L).otherwise(0L).as("conv"))
+    val isA = graft.ops.Curation.hashBucket(col(userCol), 2) === 0
+    val counts = perUser.agg(
+      sum(when(isA, 1L).otherwise(0L)).as("n_a"),
+      sum(when(isA, col("conv")).otherwise(0L)).as("conv_a"),
+      sum(when(!isA, 1L).otherwise(0L)).as("n_b"),
+      sum(when(!isA, col("conv")).otherwise(0L)).as("conv_b"))
+    val na = col("n_a").cast("double"); val nb = col("n_b").cast("double")
+    val pa = col("conv_a").cast("double") / na
+    val pb = col("conv_b").cast("double") / nb
+    val pp = (col("conv_a") + col("conv_b")).cast("double") / (na + nb)
+    val se = sqrt(pp * (lit(1.0) - pp) * (lit(1.0) / na + lit(1.0) / nb))
+    val z = when(se > 0.0, (pa - pb) / se)
+    val half = (na + nb) / lit(2.0)
+    val srm = (na - half) * (na - half) / half + (nb - half) * (nb - half) / half
+    counts.select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+      round(pa, 6).as("p_a"), round(pb, 6).as("p_b"),
+      round(z, 6).as("z_score"),
+      round(srm, 6).as("srm_chisq"),
+      (srm > 3.84).as("srm_flag"))
+  }
+
+  /** Wilson 95% score interval for a per-group success rate — the
+    * small-sample-honest confidence band (a plain normal interval
+    * collapses or escapes [0,1] at extreme rates; Wilson never does), here
+    * over whatever boolean the caller frames as success. Exact counts →
+    * one mirrored double projection per group; z = 1.96 enters only as a
+    * folded literal product so both engines compute identical doubles.
+    */
+  def wilsonRates(df: DataFrame, groupCol: String,
+                  success: Column): DataFrame = {
+    val agg = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+           sum(when(success, 1L).otherwise(0L)).as("n_success"))
+    val n = col("n").cast("double")
+    val p = col("n_success").cast("double") / n
+    val z2 = lit(1.96) * lit(1.96)
+    val denom = lit(1.0) + z2 / n
+    val center = (p + z2 / (lit(2.0) * n)) / denom
+    val halfW = lit(1.96) * sqrt(p * (lit(1.0) - p) / n
+      + z2 / (lit(4.0) * n * n)) / denom
+    agg.select(col(groupCol), col("n"), col("n_success"),
+      round(p, 6).as("rate"),
+      round(center - halfW, 6).as("wilson_lo"),
+      round(center + halfW, 6).as("wilson_hi"))
+  }
+
   /** Day-of-week seasonal outlier screen: each day's revenue against the
     * mean of its previous `lags` SAME-WEEKDAY values — the seasonal
     * complement to [[ewmaDailyAnomalies]]' trend screen (a quiet Sunday is

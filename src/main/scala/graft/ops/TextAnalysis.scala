@@ -626,6 +626,22 @@ object TextAnalysis {
         }: _*)
   }
 
+  /** Per-source token-count distribution: doc count, total/mean tokens,
+    * and exact p50/p90 token-length percentiles — the corpus-shape audit
+    * behind packing (`pack_sequences` bin sizing) and mixture decisions.
+    * One map-side token count + one group aggregate; the percentile is
+    * Spark's exact `percentile` (≡ DuckDB `quantile_cont`), per group, no
+    * driver round-trip.
+    */
+  def sourceTokenStats(docs: DataFrame): DataFrame =
+    docs.select(col("source"), size(tokens(col("text"))).cast("long").as("nt"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("nt")).as("total_tokens"),
+           round(avg(col("nt")), 6).as("mean_tokens"),
+           round(expr("percentile(nt, 0.5)"), 6).as("p50_tokens"),
+           round(expr("percentile(nt, 0.9)"), 6).as("p90_tokens"))
+
   /** Confusion matrix of the [[langId]] heuristic against the labeled
     * `lang` column: per (actual, predicted) cell, the doc count and its
     * share within the actual language — the classifier-QA face of the

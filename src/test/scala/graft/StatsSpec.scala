@@ -271,6 +271,53 @@ class StatsSpec extends AnyFunSuite {
       s"pre-1970 gap must floor to 1 s, got ${g.getDouble(2)}")
   }
 
+  test("winsorizedStats: hand-computed clips and means with interior cuts") {
+    val df = Seq(("g", 1L), ("g", 2L), ("g", 3L), ("g", 100L)).toDF("grp", "v")
+    // percentile(0.25) of [1,2,3,100] = 1.75 -> lo 2; percentile(0.75) =
+    // 27.25 -> hi 27; clamp [2,2,3,27]; in-range {2,3}
+    val r = Stats.winsorizedStats(df, "grp", col("v"), 0.25, 0.75).head()
+    assert(r.getLong(1) == 4L && r.getLong(2) == 1L && r.getLong(3) == 1L)
+    assert(r.getLong(4) == 2L && r.getLong(5) == 27L)
+    assert(r.getDouble(6) == 8.5, s"winsorized mean: ${r.getDouble(6)}")
+    assert(r.getDouble(7) == 2.5, s"trimmed mean: ${r.getDouble(7)}")
+  }
+
+  test("abConversionTest: arms partition users, statistics recompute exactly") {
+    val events = Tables.events(spark, TestSpark.sfDir)
+    val r = Stats.abConversionTest(events).head()
+    val (na, ca, nb, cb) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val users = events.select("user_id").distinct().count()
+    assert(na + nb == users, "arms must partition the user base")
+    assert(ca <= na && cb <= nb)
+    val pa = ca.toDouble / na; val pb = cb.toDouble / nb
+    val pp = (ca + cb).toDouble / (na + nb)
+    val se = math.sqrt(pp * (1.0 - pp) * (1.0 / na + 1.0 / nb))
+    if (se > 0.0)
+      assert(math.abs(r.getDouble(6) - (pa - pb) / se) < 1e-6,
+        s"z: ${r.getDouble(6)} vs ${(pa - pb) / se}")
+    else assert(r.isNullAt(6), "degenerate variance must yield NULL z")
+    val half = (na + nb) / 2.0
+    val srm = (na - half) * (na - half) / half + (nb - half) * (nb - half) / half
+    assert(math.abs(r.getDouble(7) - srm) < 1e-6)
+    assert(r.getBoolean(8) == (srm > 3.84))
+  }
+
+  test("wilsonRates: hand-computed interval at p=0.5, bounds stay in [0,1]") {
+    val df = (1 to 100).map(i => ("g", i <= 50)).toDF("grp", "ok")
+    val r = Stats.wilsonRates(df, "grp", col("ok")).head()
+    assert(r.getLong(1) == 100L && r.getLong(2) == 50L && r.getDouble(3) == 0.5)
+    val z2 = 1.96 * 1.96; val n = 100.0; val p = 0.5
+    val denom = 1.0 + z2 / n
+    val center = (p + z2 / (2.0 * n)) / denom
+    val halfW = 1.96 * math.sqrt(p * (1.0 - p) / n + z2 / (4.0 * n * n)) / denom
+    assert(math.abs(r.getDouble(4) - (center - halfW)) < 1e-6)
+    assert(math.abs(r.getDouble(5) - (center + halfW)) < 1e-6)
+    // extreme rate: a 1/3 success group keeps bounds inside [0,1]
+    val ex = Stats.wilsonRates(Seq(("e", true), ("e", false), ("e", false))
+      .toDF("grp", "ok"), "grp", col("ok")).head()
+    assert(ex.getDouble(4) > 0.0 && ex.getDouble(5) < 1.0)
+  }
+
   test("dowSeasonalOutliers: same-weekday mean, spike flags, trend immune") {
     def day(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-${d}%02d 00:00:00")
     // 4 full weeks at $1/day, then day 29 (same weekday as 1,8,15,22) at $2

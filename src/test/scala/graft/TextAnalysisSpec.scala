@@ -240,6 +240,15 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(!out.contains(2L) || !out(2L).isNullAt(4))
   }
 
+  test("sourceTokenStats: hand-computed counts and interpolated percentiles") {
+    val df = Seq((1L, "a", "s1"), (2L, "a b", "s1"), (3L, "a b c", "s1"))
+      .toDF("doc_id", "text", "source")
+    val r = TextAnalysis.sourceTokenStats(df).head()
+    assert(r.getLong(1) == 3L && r.getLong(2) == 6L && r.getDouble(3) == 2.0)
+    assert(r.getDouble(4) == 2.0, "p50 of [1,2,3]")
+    assert(r.getDouble(5) == 2.8, s"p90 interpolates 2 + 0.8: ${r.getDouble(5)}")
+  }
+
   test("langIdConfusion: cells partition the corpus, shares are per-lang exact") {
     val df = Seq((1L, "the a of and", "en"), (2L, "x y z w q", "de"),
                  (3L, "the cat", "de")).toDF("doc_id", "text", "lang")
