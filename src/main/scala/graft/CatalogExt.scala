@@ -3940,6 +3940,82 @@ object CatalogExt {
              |       round(avg(nt), 6) AS mean_tokens,
              |       round(quantile_cont(nt, 0.5), 6) AS p50_tokens,
              |       round(quantile_cont(nt, 0.9), 6) AS p90_tokens
-             |FROM t GROUP BY 1 ORDER BY source""".stripMargin))
+             |FROM t GROUP BY 1 ORDER BY source""".stripMargin)),
+
+    // ── Cluster-aware split manifest (Curation.clusterAwareSplitAssign):
+    //    split by the DUP-CLUSTER canonical id so near-dup structure never
+    //    straddles the train/eval boundary (the zero-leakage property is
+    //    spec-pinned through splitLeakage); unclustered docs keep their
+    //    plain id-hash split.
+    ("cluster_aware_splits",
+      (spark, dir) => {
+        val docs = Tables.documents(spark, dir)
+        Curation.clusterAwareSplitAssign(docs,
+            Dedup.ngramJaccardPairs(docs, 3, 0.5))
+          .groupBy(col("split"))
+          .agg(count(lit(1)).as("n_docs"),
+               sum(when(col("canonical_id").isNotNull, 1L).otherwise(0L))
+                 .as("n_clustered_docs"),
+               sum(col("n_chars")).as("total_chars"))
+          .transform(CatalogCore.orderedReport(_, col("split")))
+      },
+      Some(s"""WITH RECURSIVE sh AS (
+              |  SELECT DISTINCT doc_id, unnest(${sqlShingles(3)}) AS g FROM documents),
+              |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+              |cnt AS (
+              |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+              |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2),
+              |pairs0 AS (
+              |  SELECT doc_a, doc_b FROM cnt
+              |  JOIN sizes sa ON doc_a = sa.doc_id
+              |  JOIN sizes sb ON doc_b = sb.doc_id
+              |  WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= 0.5),
+              |edges AS (
+              |  SELECT doc_a AS a, doc_b AS b FROM pairs0
+              |  UNION ALL SELECT doc_b, doc_a FROM pairs0),
+              |reach(a, b) AS (
+              |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+              |  UNION
+              |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+              |cl AS (SELECT a AS doc_id, MIN(b) AS canonical_id
+              |       FROM reach GROUP BY a),
+              |asg AS (
+              |  SELECT d.doc_id, d.n_chars, cl.canonical_id,
+              |         CASE WHEN ${sqlHashBucket("COALESCE(cl.canonical_id, d.doc_id)", 100)} < 80 THEN 'train'
+              |              WHEN ${sqlHashBucket("COALESCE(cl.canonical_id, d.doc_id)", 100)} < 90 THEN 'val'
+              |              ELSE 'test' END AS split
+              |  FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id)
+              |SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+              |       CAST(SUM(CASE WHEN canonical_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_clustered_docs,
+              |       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+              |FROM asg GROUP BY 1 ORDER BY split""".stripMargin)),
+
+    // ── Per-user behavioral feature table (Stats.userFeatureTable):
+    //    volume, purchase/error counts, type diversity with micro-nat
+    //    entropy (exact BIGINT sum), active days, events/day.
+    ("user_features",
+      (spark, dir) =>
+        Stats.userFeatureTable(Tables.events(spark, dir))
+          .orderBy(col("user_id")),
+      Some("""WITH bt AS (SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+             |            FROM events GROUP BY 1, 2),
+             |tm AS (SELECT user_id, event_type, c,
+             |              CAST(round(-(CAST(c AS DOUBLE) / SUM(c) OVER (PARTITION BY user_id))
+             |                         * ln(CAST(c AS DOUBLE) / SUM(c) OVER (PARTITION BY user_id))
+             |                         * 1e6) AS BIGINT) AS term
+             |       FROM bt),
+             |mix AS (SELECT user_id, CAST(SUM(c) AS BIGINT) AS n_events,
+             |               CAST(COUNT(*) AS BIGINT) AS n_types,
+             |               CAST(SUM(CASE WHEN event_type = 'purchase' THEN c ELSE 0 END) AS BIGINT) AS n_purchases,
+             |               CAST(SUM(CASE WHEN event_type = 'error' THEN c ELSE 0 END) AS BIGINT) AS n_errors,
+             |               CAST(SUM(term) AS BIGINT) AS entropy_micronats
+             |        FROM tm GROUP BY 1),
+             |d AS (SELECT user_id, CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS active_days
+             |      FROM events GROUP BY 1)
+             |SELECT mix.user_id, n_events, n_purchases, n_errors, n_types,
+             |       entropy_micronats, active_days,
+             |       round(CAST(n_events AS DOUBLE) / active_days, 6) AS events_per_active_day
+             |FROM mix JOIN d USING (user_id) ORDER BY user_id""".stripMargin))
   )
 }

@@ -681,6 +681,30 @@ object Curation {
       .orderBy(col("split"))
   }
 
+  /** Cluster-aware split assignment — the fix [[splitLeakage]] measures
+    * the need for: hash-split by the DUP-CLUSTER canonical id instead of
+    * the doc id, so every member of a near-dup cluster lands in the same
+    * split and cross-split leakage through duplicate structure is ZERO by
+    * construction (the spec pins that property through [[splitLeakage]]
+    * itself). Unclustered docs fall back to their own id — identical to
+    * [[assignSplit]] for them, so adopting cluster routing moves only the
+    * docs that were leaking.
+    *
+    * Scale shape: the cluster relation is bounded by docs WITH a dup edge
+    * (a small fraction of any deduped corpus) — the left join's build side
+    * is that relation, the probe is one corpus scan; everything downstream
+    * of [[graft.ops.Dedup.dupClusters]] reuses its measured machinery.
+    */
+  def clusterAwareSplitAssign(docs: DataFrame, dupPairs: DataFrame,
+                              trainPct: Int = 80,
+                              valPct: Int = 10): DataFrame = {
+    val clusters = Dedup.dupClusters(dupPairs)
+    docs.join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chars"), col("canonical_id"),
+        assignSplit(coalesce(col("canonical_id"), col("doc_id")),
+                    trainPct, valPct).as("split"))
+  }
+
   /** Exact-size weighted sampling WITHOUT replacement (Efraimidis &
     * Spirakis 2006's A-ES, the distributed-standard trick): each doc gets
     * key −ln(u)/w from a DETERMINISTIC hash-uniform u (a pure function of

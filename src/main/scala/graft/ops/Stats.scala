@@ -646,6 +646,46 @@ object Stats {
         }, 6).as("burstiness"))
   }
 
+  /** Per-user behavioral feature table — the feature-engineering pass a
+    * churn/bot model trains on: event volume, purchase/error counts,
+    * event-type diversity (distinct types + Shannon entropy of the type
+    * mix), active-day count, and events per active day.
+    *
+    * Entropy follows the micro-nat discipline: each type's −p·ln(p) term
+    * is rounded to integer micro-nats BEFORE the per-user sum, so the
+    * aggregate is an exact BIGINT (a double Σ would be
+    * partition-order-dependent). Shape: one (user, type) aggregate feeding
+    * the mix features + one per-user aggregate for the day/volume
+    * features, joined on the user key — both sides arrive hash-partitioned
+    * on that key, so the join re-uses the exchange.
+    */
+  def userFeatureTable(events: DataFrame,
+                       userCol: String = "user_id"): DataFrame = {
+    val byType = events.groupBy(col(userCol), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col(userCol))
+    val p = col("c").cast("double") / sum(col("c")).over(w)
+    val term = round(-p * log(p) * lit(1e6)).cast("long")
+    val mix = byType
+      .withColumn("term", term)
+      .groupBy(col(userCol))
+      .agg(sum(col("c")).as("n_events"),
+           count(lit(1)).as("n_types"),
+           sum(when(col("event_type") === "purchase", col("c"))
+             .otherwise(0L)).as("n_purchases"),
+           sum(when(col("event_type") === "error", col("c"))
+             .otherwise(0L)).as("n_errors"),
+           sum(col("term")).as("entropy_micronats"))
+    val days = events.groupBy(col(userCol))
+      .agg(countDistinct(to_date(col("ts"))).as("active_days"))
+    mix.join(days, Seq(userCol))
+      .select(col(userCol), col("n_events"), col("n_purchases"),
+        col("n_errors"), col("n_types"), col("entropy_micronats"),
+        col("active_days"),
+        round(col("n_events").cast("double") / col("active_days"), 6)
+          .as("events_per_active_day"))
+  }
+
   /** Winsorized/trimmed robust statistics of an integer measure per group:
     * global exact-percentile clip bounds (pLo/pHi, rounded to integer
     * units half-up so every clamped value stays BIGINT), then per group

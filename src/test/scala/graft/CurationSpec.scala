@@ -442,6 +442,26 @@ class CurationSpec extends AnyFunSuite {
     assert(r.getDouble(7) == 0.25, "kappa unchanged by the NULL rows")
   }
 
+  test("clusterAwareSplitAssign: zero cross-split dup pairs by construction, " +
+       "unclustered docs keep their id-hash split") {
+    val docs = Tables.documents(spark, TestSpark.sfDir)
+    val pairs = graft.ops.Dedup.ngramJaccardPairs(docs, 3, 0.5)
+    assert(pairs.count() > 0, "corpus must plant near-dups for this test")
+    val assign = Curation.clusterAwareSplitAssign(docs, pairs)
+      .select(col("doc_id"), col("canonical_id"), col("split"))
+      .localCheckpoint()
+    // the leakage property: no dup pair straddles a split
+    val a = assign.select(col("doc_id").as("doc_a"), col("split").as("sa"))
+    val b = assign.select(col("doc_id").as("doc_b"), col("split").as("sb"))
+    val crossing = pairs.join(a, Seq("doc_a")).join(b, Seq("doc_b"))
+      .filter(col("sa") =!= col("sb")).count()
+    assert(crossing == 0L, s"cluster routing must kill split leakage: $crossing")
+    // unclustered docs are identical to plain id-hash assignment
+    val drifted = assign.filter(col("canonical_id").isNull)
+      .filter(col("split") =!= Curation.assignSplit(col("doc_id"))).count()
+    assert(drifted == 0L, "unclustered docs must not move")
+  }
+
   test("weightedSampleNoReplace: keys match a driver-side A-ES reference") {
     val docs = (1L to 50L).map(i => (i, 10L + i)).toDF("doc_id", "w")
     val out = Curation.weightedSampleNoReplace(docs, 10, col("w")).collect()

@@ -271,6 +271,24 @@ class StatsSpec extends AnyFunSuite {
       s"pre-1970 gap must floor to 1 s, got ${g.getDouble(2)}")
   }
 
+  test("userFeatureTable: hand-computed features and micro-nat entropy") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 7L, "purchase", 1.0, "{}"),
+      (2L, ts("2024-01-01 11:00:00"), 7L, "purchase", 1.0, "{}"),
+      (3L, ts("2024-01-01 12:00:00"), 7L, "error", 1.0, "{}"),
+      (4L, ts("2024-01-02 09:00:00"), 7L, "view", 1.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = Stats.userFeatureTable(events).head()
+    assert(r.getLong(1) == 4L && r.getLong(2) == 2L && r.getLong(3) == 1L)
+    assert(r.getLong(4) == 3L, "three distinct types")
+    // entropy of [.5,.25,.25]: each term rounds to 346574 micro-nats
+    val t1 = math.round(0.5 * math.log(2.0) * 1e6)
+    val t2 = math.round(0.25 * math.log(4.0) * 1e6)
+    assert(r.getLong(5) == t1 + 2 * t2, s"entropy: ${r.getLong(5)}")
+    assert(r.getLong(6) == 2L && r.getDouble(7) == 2.0)
+  }
+
   test("winsorizedStats: hand-computed clips and means with interior cuts") {
     val df = Seq(("g", 1L), ("g", 2L), ("g", 3L), ("g", 100L)).toDF("grp", "v")
     // percentile(0.25) of [1,2,3,100] = 1.75 -> lo 2; percentile(0.75) =
