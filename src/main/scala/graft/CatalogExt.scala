@@ -3991,6 +3991,68 @@ object CatalogExt {
               |       CAST(SUM(n_chars) AS BIGINT) AS total_chars
               |FROM asg GROUP BY 1 ORDER BY split""".stripMargin)),
 
+    // ── ANN recall curve (Similarity.annRecallCurve): recall@{1,5,10} of
+    //    the sign-LSH ANN vs the exact top-k, both ranked once at k=10 —
+    //    the operating-point eval behind choosing the single-k ann_recall
+    //    number.
+    ("ann_recall_curve",
+      (spark, dir) => {
+        val emb = Tables.embeddings(spark, dir)
+        Similarity.annRecallCurve(emb.filter(col("vec_id") < 8),
+                                  emb.filter(col("vec_id") >= 8))
+      },
+      Some(s"""WITH ${sqlSignBuckets(8, 4)},
+              |cand AS (
+              |  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS vec_id
+              |  FROM buckets q JOIN buckets c ON q.t = c.t AND q.bucket = c.bucket
+              |  WHERE q.vec_id < 8 AND c.vec_id >= 8),
+              |annscored AS (
+              |  SELECT cand.q_id, cand.vec_id, ${sqlCos("eq", "ec")} AS cos_sim
+              |  FROM cand
+              |  JOIN embeddings eq ON cand.q_id = eq.vec_id
+              |  JOIN embeddings ec ON cand.vec_id = ec.vec_id),
+              |ann AS (
+              |  SELECT q_id, vec_id, rnk AS ra FROM (
+              |    SELECT q_id, vec_id,
+              |           row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rnk
+              |    FROM annscored) WHERE rnk <= 10),
+              |exscored AS (
+              |  SELECT q.vec_id AS q_id, e.vec_id,
+              |         round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 6) AS cos_sim
+              |  FROM embeddings q CROSS JOIN embeddings e
+              |  WHERE q.vec_id < 8 AND e.vec_id >= 8),
+              |ex AS (
+              |  SELECT q_id, vec_id, rnk AS re FROM (
+              |    SELECT q_id, vec_id,
+              |           row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rnk
+              |    FROM exscored) WHERE rnk <= 10),
+              |nq AS (SELECT CAST(COUNT(DISTINCT q_id) AS BIGINT) AS n_queries FROM ex),
+              |ks AS (SELECT unnest([1, 5, 10]) AS k),
+              |j AS (SELECT re, ra FROM ex JOIN ann USING (q_id, vec_id)),
+              |h AS (SELECT k,
+              |             CAST(COUNT(CASE WHEN re <= k AND ra <= k THEN 1 END) AS BIGINT) AS n_hits
+              |      FROM ks LEFT JOIN j ON TRUE GROUP BY k)
+              |SELECT k, n_queries, n_hits,
+              |       round(CAST(n_hits AS DOUBLE) / (k * n_queries), 6) AS recall
+              |FROM h CROSS JOIN nq ORDER BY k""".stripMargin)),
+
+    // ── Embedding-norm audit (Similarity.embeddingNormStats): per-label
+    //    vector counts, zero-norm counts, mean/median L2 norms in exact
+    //    micro-units.
+    ("embedding_norm_stats",
+      (spark, dir) =>
+        Similarity.embeddingNormStats(Tables.embeddings(spark, dir))
+          .transform(CatalogCore.orderedReport(_, col("label"))),
+      Some("""WITH n AS (
+             |  SELECT label,
+             |         CAST(round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) * 1e6) AS BIGINT) AS nm
+             |  FROM embeddings)
+             |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+             |       CAST(SUM(CASE WHEN nm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+             |       round(CAST(SUM(nm) AS DOUBLE) / COUNT(*) / 1e6, 6) AS mean_norm,
+             |       round(quantile_cont(nm, 0.5) / 1e6, 6) AS p50_norm
+             |FROM n GROUP BY 1 ORDER BY label""".stripMargin)),
+
     // ── Per-user behavioral feature table (Stats.userFeatureTable):
     //    volume, purchase/error counts, type diversity with micro-nat
     //    entropy (exact BIGINT sum), active days, events/day.

@@ -88,6 +88,67 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Recall@k CURVE of the sign-LSH ANN against the exact top-k, at
+    * several k in one pass — the eval a pipeline reads before choosing
+    * the ANN's operating point (recall@1 says "is the nearest neighbor
+    * found", recall@10 says "is the candidate pool usable"; a single-k
+    * recall number hides the shape between them).
+    *
+    * Both ranked lists are computed ONCE at max(ks) and every k is a
+    * bracket over the joined rank pairs — no per-k re-scan. The joined
+    * relation is ≤ |queries|·max(ks) rows (driver-bounded per the
+    * broadcast-queries contract), so the per-k aggregate is trivially
+    * small at any corpus size; n_queries rides a 1-row broadcast.
+    */
+  def annRecallCurve(queries: DataFrame, corpus: DataFrame,
+                     ks: Seq[Int] = Seq(1, 5, 10)): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1), s"ks must be >= 1: $ks")
+    val kMax = ks.max
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    val ex = cosineTopK(queries, corpus, kMax)
+      .withColumn("re", row_number().over(w))
+      .select(col("q_id"), col("vec_id"), col("re"))
+    val an = annTopK(queries, corpus, kMax)
+      .withColumn("ra", row_number().over(w))
+      .select(col("q_id"), col("vec_id"), col("ra"))
+    val j = ex.join(an, Seq("q_id", "vec_id"))
+    val totals = ex.agg(countDistinct(col("q_id")).as("n_queries"))
+    val kArr = array(ks.map(lit(_)): _*)
+    val hits = j.select(explode(kArr).as("k"), col("re"), col("ra"))
+      .filter(col("re") <= col("k") && col("ra") <= col("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n_hits"))
+    totals.select(explode(kArr).as("k"), col("n_queries"))
+      .join(hits, Seq("k"), "left")
+      .select(col("k"), col("n_queries"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)).cast("double")
+          / (col("k") * col("n_queries")), 6).as("recall"))
+      .orderBy(col("k"))
+  }
+
+  /** Per-label embedding-norm audit: vector counts, zero-norm counts, and
+    * mean/median L2 norms — the "are these embeddings even populated, and
+    * did one label's encoder drift" sanity pass that runs before any ANN
+    * work trusts the space. Norms accumulate per vector in array order
+    * (identical fold order in any engine), then micro-round to BIGINT
+    * before the per-label sum so mean is an exact-integer division; the
+    * median interpolates over the same BIGINT micro-norms. Pure map-side
+    * scan + one ≤|labels|-row aggregate.
+    */
+  def embeddingNormStats(embeddings: DataFrame): DataFrame = {
+    val norm = sqrt(aggregate(col("embedding"), lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+    val nm = round(norm * lit(1e6)).cast("long")
+    embeddings.select(col("label"), nm.as("nm"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+           sum(when(col("nm") === 0L, 1L).otherwise(0L)).as("n_zero"),
+           round(sum(col("nm")).cast("double") / count(lit(1)) / lit(1e6), 6)
+             .as("mean_norm"),
+           round(expr("percentile(nm, 0.5)") / lit(1e6), 6).as("p50_norm"))
+  }
+
   /** Hard-negative mining for contrastive training: for each query
     * vector, the k highest-cosine corpus vectors whose `label` DIFFERS
     * from the query's — the negatives a contrastive loss learns the most

@@ -328,4 +328,32 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r.getLong(0) == 4L && r.getLong(1) == 4L)
     assert(r.getLong(2) == 1L, s"only hub↔spoke-2 reciprocates: $r")
   }
+
+  test("annRecallCurve: bounded recall per k; self-queries hit at k=1") {
+    val qs = emb.filter(col("vec_id") < 8)
+    val corpus = emb.filter(col("vec_id") >= 8)
+    val out = Similarity.annRecallCurve(qs, corpus).collect()
+    assert(out.map(_.getInt(0)).toSeq == Seq(1, 5, 10))
+    for (r <- out) {
+      assert(r.getLong(1) == 8L, "eight queries")
+      assert(r.getLong(2) <= r.getInt(0) * r.getLong(1))
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+    // queries drawn FROM the corpus: the exact rank-1 hit is the vector
+    // itself, and an identical vector always shares every LSH bucket
+    val self = Similarity.annRecallCurve(corpus.limit(4), corpus, Seq(1))
+      .head()
+    assert(self.getDouble(3) == 1.0, s"self-query recall@1: $self")
+  }
+
+  test("embeddingNormStats: hand-computed norms, zero vector counted") {
+    val df = Seq((1L, Array(3f, 4f), 0), (2L, Array(0f, 0f), 0),
+                 (3L, Array(0f, 2f), 1)).toDF("vec_id", "embedding", "label")
+    val out = Similarity.embeddingNormStats(df).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    val l0 = out(0)
+    assert(l0.getLong(1) == 2L && l0.getLong(2) == 1L)
+    assert(l0.getDouble(3) == 2.5 && l0.getDouble(4) == 2.5)
+    assert(out(1).getDouble(3) == 2.0 && out(1).getLong(2) == 0L)
+  }
 }
