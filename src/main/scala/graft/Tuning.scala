@@ -109,6 +109,14 @@ object Tuning {
     // nothing left to coalesce and the stage pauses are pure floor — the
     // tag pair is only valid together (same pattern as supplier_pagerank)
     "minhash_calibration",
+    // round-9 (graft.TailAB, 2 interleaved runs): ann_recall_curve
+    // 0.58→0.49 / 0.57→0.44 with aqe0s8 BOTH runs while aqe0 ALONE
+    // regressed (0.86/0.65) — the minhash_calibration only-valid-together
+    // pattern: the broadcast-queries ranking pipeline has nothing to
+    // re-plan at 8 partitions, but at 32 the bucket joins want AQE's
+    // coalescing. NOT tagged from the same sweep: embedding_norm_stats
+    // (wins ≤0.01 — already one map-side aggregate deep).
+    "ann_recall_curve",
     // round-8 close (graft.TailAB, 2 interleaved runs): one broadcast
     // join + one ~25-group moment aggregate — every cardinality is
     // structural. brand_corr_stats 0.56→0.44 / 0.60→0.46 with aqe0s8.
@@ -196,6 +204,9 @@ object Tuning {
     // the same sweep: quality_kappa (aqe0s8 won 0.05/0.09 — first run
     // under the 0.08 bar), mixture_kl_drift (base best; aqe0 regressed)
     "split_leakage_check",
+    // ann_recall_curve: the s8 half of its only-valid-together aqe0s8
+    // pair (see the fixedShape note)
+    "ann_recall_curve",
     // round-9 (graft.TailAB, 2 interleaved runs): containment_dups
     // 1.10→0.70 / 1.21→0.74 on partition count alone — same family as
     // split_leakage_check and ngram_jaccard_dups' postings join: the pair
