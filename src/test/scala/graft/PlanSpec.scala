@@ -305,6 +305,26 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Join") || p.contains("join"), "join must exist")
   }
 
+  test("copurchase_lift shuffles the corpus exactly once (basket aggregate)") {
+    // the adopted BasketAB shape: one groupBy(okey) exchange; pairs
+    // explode map-side from the basket array, counts/totals broadcast —
+    // a second corpus-sized exchange would mean the self-join form crept
+    // back (the measured-worse 1.60 s shape)
+    val df = SparkEntry.queries("copurchase_lift")(spark, TestSpark.sfDir)
+    df.write.mode("overwrite").format("noop").save()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("SortMergeJoin"), "dim joins must broadcast:\n" + p)
+    val corpusExchanges = "Exchange hashpartitioning\\(okey".r.findAllIn(p).length
+    assert(corpusExchanges <= 1, s"one okey exchange allowed, got $corpusExchanges:\n$p")
+  }
+
+  test("weighted_doc_sample plans as TakeOrdered over a map-side key scan") {
+    val p = plan("weighted_doc_sample")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange hashpartitioning"),
+      "A-ES keys are map-side; no hash exchange belongs here:\n" + p)
+  }
+
   test("pagerank rounds stay off the catalog plan: result is a local relation") {
     // the small-graph path runs its rounds driver-chained over the one
     // checkpointed edge relation (Graph.pagerankFixed scaladoc); what the
