@@ -4053,6 +4053,46 @@ object CatalogExt {
              |       round(quantile_cont(nm, 0.5) / 1e6, 6) AS p50_norm
              |FROM n GROUP BY 1 ORDER BY label""".stripMargin)),
 
+    // ── Per-source language-mix entropy (TextAnalysis.sourceMixEntropy):
+    //    corpus mix diversity per source, micro-nat exact sums.
+    ("source_mix_entropy",
+      (spark, dir) =>
+        TextAnalysis.sourceMixEntropy(Tables.documents(spark, dir))
+          .transform(CatalogCore.orderedReport(_, col("source"))),
+      Some("""WITH bl AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c
+             |            FROM documents GROUP BY 1, 2),
+             |tm AS (SELECT source, c,
+             |              CAST(round(-(CAST(c AS DOUBLE) / SUM(c) OVER (PARTITION BY source))
+             |                         * ln(CAST(c AS DOUBLE) / SUM(c) OVER (PARTITION BY source))
+             |                         * 1e6) AS BIGINT) AS term
+             |       FROM bl)
+             |SELECT source, CAST(SUM(c) AS BIGINT) AS n_docs,
+             |       CAST(COUNT(*) AS BIGINT) AS n_langs,
+             |       CAST(SUM(term) AS BIGINT) AS entropy_micronats,
+             |       round(CAST(SUM(term) AS BIGINT) / 1e6, 6) AS entropy_nats
+             |FROM tm GROUP BY 1 ORDER BY source""".stripMargin)),
+
+    // ── Inter-order gap distribution (Stats.customerOrderGaps): days
+    //    between consecutive orders per customer, one corpus-level report
+    //    row with exact mean and percentiles.
+    ("customer_order_gaps",
+      (spark, dir) => Stats.customerOrderGaps(Tables.orders(spark, dir)),
+      Some("""WITH o AS (SELECT o_custkey, o_orderkey,
+             |                  CAST(o_orderdate AS DATE) AS day
+             |           FROM orders),
+             |g AS (SELECT o_custkey,
+             |             date_diff('day',
+             |               lag(day) OVER (PARTITION BY o_custkey ORDER BY day, o_orderkey),
+             |               day) AS gap
+             |      FROM o),
+             |gg AS (SELECT o_custkey, gap FROM g WHERE gap IS NOT NULL)
+             |SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+             |       CAST(COUNT(*) AS BIGINT) AS n_gaps,
+             |       round(CAST(SUM(gap) AS DOUBLE) / COUNT(*), 6) AS mean_gap_days,
+             |       round(quantile_cont(gap, 0.5), 6) AS p50_gap_days,
+             |       round(quantile_cont(gap, 0.9), 6) AS p90_gap_days
+             |FROM gg""".stripMargin)),
+
     // ── Per-user behavioral feature table (Stats.userFeatureTable):
     //    volume, purchase/error counts, type diversity with micro-nat
     //    entropy (exact BIGINT sum), active days, events/day.

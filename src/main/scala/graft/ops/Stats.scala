@@ -686,6 +686,37 @@ object Stats {
           .as("events_per_active_day"))
   }
 
+  /** Inter-order gap distribution: days between a customer's consecutive
+    * orders, reported as one corpus-level row (customers with gaps, gap
+    * count, exact mean, exact p50/p90) — the purchase-cadence
+    * complement to [[rfmSegments]]' point-in-time recency (recency says
+    * "how long since the last order"; the gap distribution says what
+    * NORMAL spacing looks like, which is what an expected-return-date or
+    * churn screen actually needs).
+    *
+    * Gaps are integer days from a customer-partitioned lag window
+    * (ordered by day then order key — same-day orders tie-break
+    * deterministically and contribute 0-day gaps); the mean is an exact
+    * BIGINT sum over count, the percentiles exact interpolation over the
+    * integer gaps. Window partitions = customers: scale-clean.
+    */
+  def customerOrderGaps(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("day"), col("o_orderkey"))
+    val gaps = orders
+      .select(col("o_custkey"), col("o_orderkey"),
+              to_date(col("o_orderdate")).as("day"))
+      .withColumn("prev", lag(col("day"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("o_custkey"), datediff(col("day"), col("prev")).as("gap"))
+    gaps.agg(
+      countDistinct(col("o_custkey")).as("n_customers"),
+      count(lit(1)).as("n_gaps"),
+      round(sum(col("gap")).cast("double") / count(lit(1)), 6).as("mean_gap_days"),
+      round(expr("percentile(gap, 0.5)"), 6).as("p50_gap_days"),
+      round(expr("percentile(gap, 0.9)"), 6).as("p90_gap_days"))
+  }
+
   /** Winsorized/trimmed robust statistics of an integer measure per group:
     * global exact-percentile clip bounds (pLo/pHi, rounded to integer
     * units half-up so every clamped value stays BIGINT), then per group

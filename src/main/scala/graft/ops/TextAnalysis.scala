@@ -642,6 +642,31 @@ object TextAnalysis {
            round(expr("percentile(nt, 0.5)"), 6).as("p50_tokens"),
            round(expr("percentile(nt, 0.9)"), 6).as("p90_tokens"))
 
+  /** Per-source language-mix entropy: how diverse is each source's
+    * language distribution (0 = monolingual, ln(n_langs) = uniform) —
+    * the corpus-mix audit behind mixture/curriculum decisions (a source
+    * whose mix collapsed between snapshots usually means an upstream
+    * crawl or filter change). Micro-nat discipline: each language's
+    * −p·ln(p) term rounds to integer micro-nats BEFORE the per-source
+    * sum (exact BIGINT aggregate). One (source, lang) aggregate + a
+    * source-partitioned share window over ≤ sources×langs rows.
+    */
+  def sourceMixEntropy(docs: DataFrame): DataFrame = {
+    val byLang = docs.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+    val p = col("c").cast("double") / sum(col("c")).over(w)
+    val term = round(-p * log(p) * lit(1e6)).cast("long")
+    byLang.withColumn("term", term)
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n_docs"),
+           count(lit(1)).as("n_langs"),
+           sum(col("term")).as("entropy_micronats"))
+      .select(col("source"), col("n_docs"), col("n_langs"),
+              col("entropy_micronats"),
+              round(col("entropy_micronats") / lit(1e6), 6).as("entropy_nats"))
+  }
+
   /** Confusion matrix of the [[langId]] heuristic against the labeled
     * `lang` column: per (actual, predicted) cell, the doc count and its
     * share within the actual language — the classifier-QA face of the

@@ -271,6 +271,19 @@ class StatsSpec extends AnyFunSuite {
       s"pre-1970 gap must floor to 1 s, got ${g.getDouble(2)}")
   }
 
+  test("customerOrderGaps: hand-computed gaps with same-day ties") {
+    def day(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-${d}%02d 00:00:00")
+    // cust 1: days 1, 4, 4, 10 -> gaps 3, 0, 6; cust 2: single order
+    val orders = Seq((10L, 1L, day(1)), (11L, 1L, day(4)), (12L, 1L, day(4)),
+                     (13L, 1L, day(10)), (14L, 2L, day(5)))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val r = Stats.customerOrderGaps(orders).head()
+    assert(r.getLong(0) == 1L, "only cust 1 has gaps")
+    assert(r.getLong(1) == 3L)
+    assert(r.getDouble(2) == 3.0, s"mean of 3,0,6: ${r.getDouble(2)}")
+    assert(r.getDouble(3) == 3.0, "p50 of [0,3,6]")
+  }
+
   test("userFeatureTable: hand-computed features and micro-nat entropy") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val events = Seq(

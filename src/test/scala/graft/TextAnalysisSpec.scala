@@ -249,6 +249,18 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r.getDouble(5) == 2.8, s"p90 interpolates 2 + 0.8: ${r.getDouble(5)}")
   }
 
+  test("sourceMixEntropy: monolingual source at zero, uniform pair at ln 2") {
+    val df = Seq((1L, "s1", "en"), (2L, "s1", "en"),
+                 (3L, "s2", "en"), (4L, "s2", "de"))
+      .toDF("doc_id", "source", "lang")
+    val out = TextAnalysis.sourceMixEntropy(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("s1").getLong(3) == 0L, "monolingual source has zero entropy")
+    val ln2Micro = 2 * math.round(0.5 * math.log(2.0) * 1e6)
+    assert(out("s2").getLong(3) == ln2Micro, s"uniform pair: ${out("s2").getLong(3)}")
+    assert(out("s2").getLong(1) == 2L && out("s2").getLong(2) == 2L)
+  }
+
   test("langIdConfusion: cells partition the corpus, shares are per-lang exact") {
     val df = Seq((1L, "the a of and", "en"), (2L, "x y z w q", "de"),
                  (3L, "the cat", "de")).toDF("doc_id", "text", "lang")
