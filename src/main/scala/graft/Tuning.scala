@@ -109,6 +109,12 @@ object Tuning {
     // nothing left to coalesce and the stage pauses are pure floor — the
     // tag pair is only valid together (same pattern as supplier_pagerank)
     "minhash_calibration",
+    // round-9 (graft.TailAB, 2 interleaved runs): customer_order_gaps
+    // 0.54→0.21 / 0.66→0.25 with aqe0 ALONE — a fixed
+    // window → keyless-aggregate chain (customer-partitioned lag + one
+    // report row); AQE's stage pauses are most of the query. NOT tagged
+    // from the same sweep: source_mix_entropy (base best both runs).
+    "customer_order_gaps",
     // round-9 (graft.TailAB, 2 interleaved runs): ann_recall_curve
     // 0.58→0.49 / 0.57→0.44 with aqe0s8 BOTH runs while aqe0 ALONE
     // regressed (0.86/0.65) — the minhash_calibration only-valid-together
