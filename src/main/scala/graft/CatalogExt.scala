@@ -3297,7 +3297,8 @@ object CatalogExt {
               |  FROM hf),
               |j AS (
               |  SELECT hl.la AS a, (nbdoc.logodds_unats > 0) AS b
-              |  FROM hl JOIN nbdoc USING (doc_id)),
+              |  FROM hl JOIN nbdoc USING (doc_id)
+              |  WHERE hl.la IS NOT NULL AND nbdoc.logodds_unats IS NOT NULL),
               |cf AS (
               |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
               |         CAST(SUM(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n_both_pos,
@@ -3564,8 +3565,12 @@ object CatalogExt {
              |FROM sc GROUP BY 1 ORDER BY segment""".stripMargin)),
 
     // ── EWMA daily-revenue anomaly screen (Stats.ewmaDailyAnomalies):
-    //    α = 1/2 so every weight·cents product is exact in double — the
-    //    7-lag renormalized EWMA is deterministic arithmetic on any engine.
+    //    weights ×2⁶ so numer64/denom64 are EXACT BIGINTs on both engines;
+    //    anomaly flag + ewma_cents are pure integer arithmetic (half-up
+    //    div), and the only floating point is dev_ratio's mirrored
+    //    CAST-double division at magnitude ≲10 — no decimal-literal typing
+    //    or precision-edge round left to the oracle engine's version
+    //    (the round-9 red row was exactly that drift).
     ("daily_revenue_ewma",
       (spark, dir) => Stats.ewmaDailyAnomalies(Tables.orders(spark, dir)),
       Some("""WITH d AS (
@@ -3582,29 +3587,29 @@ object CatalogExt {
              |             lag(rev_cents, 7) OVER (ORDER BY day) AS l7
              |      FROM d),
              |e AS (SELECT day, rev_cents,
-             |  (CASE WHEN l1 IS NOT NULL THEN l1 * 1.0 ELSE 0.0 END
-             |   + CASE WHEN l2 IS NOT NULL THEN l2 * 0.5 ELSE 0.0 END
-             |   + CASE WHEN l3 IS NOT NULL THEN l3 * 0.25 ELSE 0.0 END
-             |   + CASE WHEN l4 IS NOT NULL THEN l4 * 0.125 ELSE 0.0 END
-             |   + CASE WHEN l5 IS NOT NULL THEN l5 * 0.0625 ELSE 0.0 END
-             |   + CASE WHEN l6 IS NOT NULL THEN l6 * 0.03125 ELSE 0.0 END
-             |   + CASE WHEN l7 IS NOT NULL THEN l7 * 0.015625 ELSE 0.0 END) AS numer,
-             |  (CASE WHEN l1 IS NOT NULL THEN 1.0 ELSE 0.0 END
-             |   + CASE WHEN l2 IS NOT NULL THEN 0.5 ELSE 0.0 END
-             |   + CASE WHEN l3 IS NOT NULL THEN 0.25 ELSE 0.0 END
-             |   + CASE WHEN l4 IS NOT NULL THEN 0.125 ELSE 0.0 END
-             |   + CASE WHEN l5 IS NOT NULL THEN 0.0625 ELSE 0.0 END
-             |   + CASE WHEN l6 IS NOT NULL THEN 0.03125 ELSE 0.0 END
-             |   + CASE WHEN l7 IS NOT NULL THEN 0.015625 ELSE 0.0 END) AS denom
-             |  FROM l),
-             |e2 AS (SELECT day, rev_cents,
-             |              CASE WHEN denom > 0.0 THEN numer / denom END AS ew
-             |       FROM e)
-             |SELECT day, rev_cents, round(ew, 6) AS ewma_cents,
-             |       round((rev_cents - ew) / ew, 6) AS dev_ratio,
-             |       CASE WHEN ew IS NULL THEN NULL
-             |            ELSE abs((rev_cents - ew) / ew) > 0.25 END AS is_anomaly
-             |FROM e2 ORDER BY day""".stripMargin)),
+             |  (CASE WHEN l1 IS NOT NULL THEN l1 * CAST(64 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+             |   + CASE WHEN l2 IS NOT NULL THEN l2 * CAST(32 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+             |   + CASE WHEN l3 IS NOT NULL THEN l3 * CAST(16 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+             |   + CASE WHEN l4 IS NOT NULL THEN l4 * CAST(8 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+             |   + CASE WHEN l5 IS NOT NULL THEN l5 * CAST(4 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+             |   + CASE WHEN l6 IS NOT NULL THEN l6 * CAST(2 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+             |   + CASE WHEN l7 IS NOT NULL THEN l7 * CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS numer64,
+             |  (CASE WHEN l1 IS NOT NULL THEN CAST(64 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+             |   + CASE WHEN l2 IS NOT NULL THEN CAST(32 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+             |   + CASE WHEN l3 IS NOT NULL THEN CAST(16 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+             |   + CASE WHEN l4 IS NOT NULL THEN CAST(8 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+             |   + CASE WHEN l5 IS NOT NULL THEN CAST(4 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+             |   + CASE WHEN l6 IS NOT NULL THEN CAST(2 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+             |   + CASE WHEN l7 IS NOT NULL THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS denom64
+             |  FROM l)
+             |SELECT day, rev_cents,
+             |       CASE WHEN denom64 > 0 THEN
+             |         (numer64 * 2 + denom64) // (denom64 * 2) END AS ewma_cents,
+             |       CASE WHEN denom64 > 0 THEN
+             |         round(CAST(rev_cents * denom64 - numer64 AS DOUBLE) / CAST(numer64 AS DOUBLE), 6) END AS dev_ratio,
+             |       CASE WHEN denom64 = 0 THEN NULL
+             |            ELSE abs(rev_cents * denom64 - numer64) * CAST(4 AS BIGINT) > numer64 END AS is_anomaly
+             |FROM e ORDER BY day""".stripMargin)),
 
     // ── BM25 ranked retrieval (TextAnalysis.bm25TopK): literal query
     //    terms, driver-literal integer-micro idf, per-(doc,term)
@@ -3775,8 +3780,9 @@ object CatalogExt {
 
     // ── Day-of-week seasonal outliers (Stats.dowSeasonalOutliers): each
     //    day vs the mean of its 4 prior same-weekday values; weekday index
-    //    is pure (epochDay+4) mod 7 integer arithmetic (engine-neutral,
-    //    unlike dayofweek()).
+    //    mirrors Spark's non-negative pmod explicitly (((x%7)+7)%7, not
+    //    bare % — round-9 ADVICE); mean + flag are integer-exact (half-up
+    //    div / cross-multiplication), only dev_ratio divides in double.
     ("dow_seasonal_outliers",
       (spark, dir) => Stats.dowSeasonalOutliers(Tables.orders(spark, dir)),
       Some("""WITH d AS (
@@ -3784,7 +3790,7 @@ object CatalogExt {
              |         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
              |  FROM orders GROUP BY 1),
              |dd AS (SELECT day, rev_cents,
-             |              CAST((date_diff('day', DATE '1970-01-01', day) + 4) % 7 AS INTEGER) AS dow_idx
+             |              CAST((((date_diff('day', DATE '1970-01-01', day) + 4) % 7) + 7) % 7 AS INTEGER) AS dow_idx
              |       FROM d),
              |l AS (SELECT day, dow_idx, rev_cents,
              |             lag(rev_cents, 1) OVER w AS l1,
@@ -3793,23 +3799,23 @@ object CatalogExt {
              |             lag(rev_cents, 4) OVER w AS l4
              |      FROM dd WINDOW w AS (PARTITION BY dow_idx ORDER BY day)),
              |e AS (SELECT day, dow_idx, rev_cents,
-             |  (CASE WHEN l1 IS NOT NULL THEN CAST(l1 AS DOUBLE) ELSE 0.0 END
-             |   + CASE WHEN l2 IS NOT NULL THEN CAST(l2 AS DOUBLE) ELSE 0.0 END
-             |   + CASE WHEN l3 IS NOT NULL THEN CAST(l3 AS DOUBLE) ELSE 0.0 END
-             |   + CASE WHEN l4 IS NOT NULL THEN CAST(l4 AS DOUBLE) ELSE 0.0 END) AS numer,
-             |  (CASE WHEN l1 IS NOT NULL THEN 1.0 ELSE 0.0 END
-             |   + CASE WHEN l2 IS NOT NULL THEN 1.0 ELSE 0.0 END
-             |   + CASE WHEN l3 IS NOT NULL THEN 1.0 ELSE 0.0 END
-             |   + CASE WHEN l4 IS NOT NULL THEN 1.0 ELSE 0.0 END) AS denom
-             |  FROM l),
-             |e2 AS (SELECT day, dow_idx, rev_cents,
-             |              CASE WHEN denom > 0.0 THEN numer / denom END AS m
-             |       FROM e)
-             |SELECT day, dow_idx, rev_cents, round(m, 6) AS dow_mean_cents,
-             |       round((rev_cents - m) / m, 6) AS dev_ratio,
-             |       CASE WHEN m IS NULL THEN NULL
-             |            ELSE abs((rev_cents - m) / m) > 0.3 END AS is_anomaly
-             |FROM e2 ORDER BY day""".stripMargin)),
+             |  (CASE WHEN l1 IS NOT NULL THEN l1 ELSE CAST(0 AS BIGINT) END
+             |   + CASE WHEN l2 IS NOT NULL THEN l2 ELSE CAST(0 AS BIGINT) END
+             |   + CASE WHEN l3 IS NOT NULL THEN l3 ELSE CAST(0 AS BIGINT) END
+             |   + CASE WHEN l4 IS NOT NULL THEN l4 ELSE CAST(0 AS BIGINT) END) AS numer,
+             |  (CASE WHEN l1 IS NOT NULL THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+             |   + CASE WHEN l2 IS NOT NULL THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+             |   + CASE WHEN l3 IS NOT NULL THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+             |   + CASE WHEN l4 IS NOT NULL THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS denom
+             |  FROM l)
+             |SELECT day, dow_idx, rev_cents,
+             |       CASE WHEN denom > 0 THEN
+             |         (numer * 2 + denom) // (denom * 2) END AS dow_mean_cents,
+             |       CASE WHEN denom > 0 THEN
+             |         round(CAST(rev_cents * denom - numer AS DOUBLE) / CAST(numer AS DOUBLE), 6) END AS dev_ratio,
+             |       CASE WHEN denom = 0 THEN NULL
+             |            ELSE abs(rev_cents * denom - numer) * CAST(10 AS BIGINT) > numer * CAST(3 AS BIGINT) END AS is_anomaly
+             |FROM e ORDER BY day""".stripMargin)),
 
     // ── Per-language quality rank normalization
     //    (Curation.rankNormalizedQuality): percent_rank of the heuristic

@@ -357,9 +357,9 @@ class StatsSpec extends AnyFunSuite {
     val out = Stats.dowSeasonalOutliers(orders).collect()
     assert(out.take(7).forall(_.isNullAt(3)), "first week has no same-dow history")
     val d8 = out(7) // one same-dow lag (day 1)
-    assert(d8.getDouble(3) == 100.0 && d8.getDouble(4) == 0.0 && !d8.getBoolean(5))
+    assert(d8.getLong(3) == 100L && d8.getDouble(4) == 0.0 && !d8.getBoolean(5))
     val d29 = out(28)
-    assert(d29.getDouble(3) == 100.0, s"mean of 4 flat lags: ${d29.getDouble(3)}")
+    assert(d29.getLong(3) == 100L, s"mean of 4 flat lags: ${d29.getLong(3)}")
     assert(d29.getDouble(4) == 1.0 && d29.getBoolean(5), "2x same-weekday day flags")
     // weekday index is engine-neutral integer arithmetic: 2024-01-01 = Monday
     assert(out.head.getInt(1) == 1, s"dow_idx of a Monday: ${out.head.getInt(1)}")
@@ -410,9 +410,9 @@ class StatsSpec extends AnyFunSuite {
     val out = Stats.ewmaDailyAnomalies(orders).collect()
     assert(out.head.isNullAt(2) && out.head.isNullAt(4), "day 1 has no history")
     val d2 = out(1) // one lag: ewma = 100 cents exactly
-    assert(d2.getDouble(2) == 100.0 && d2.getDouble(3) == 0.0 && !d2.getBoolean(4))
+    assert(d2.getLong(2) == 100L && d2.getDouble(3) == 0.0 && !d2.getBoolean(4))
     val d9 = out(8) // seven equal lags: ewma = 100, dev = +1.0 → anomaly
-    assert(d9.getDouble(2) == 100.0, s"ewma: ${d9.getDouble(2)}")
+    assert(d9.getLong(2) == 100L, s"ewma: ${d9.getLong(2)}")
     assert(d9.getDouble(3) == 1.0 && d9.getBoolean(4), "2x day must flag")
   }
 }

@@ -1,7 +1,12 @@
 #!/usr/bin/env python3
 """Self-check harness mimicking the driver's DuckDB-oracle compare.
 
-Usage: python3 tools/selfcheck.py <sfDir> <verifyOutDir>
+Usage: python3 tools/selfcheck.py <sfDir> <verifyOutDir> [--exact]
+
+--exact drops the 1e-9 float tolerance: the driver's oracle compare hashes
+typed values bit-for-bit, so a 16th-significant-digit divergence (e.g. a
+round(x,6) at magnitude 1e8 — the round-9 daily_revenue_ewma failure) passes
+the tolerant gate but fails the driver. ALWAYS gate new rows with --exact.
 
 For each query dir under verifyOutDir: load the Spark parquet result, run the
 matching SQL from oracle_sql.json in DuckDB over <sfDir>'s tables, sort both
@@ -25,6 +30,8 @@ def norm_cell(v):
         return v.isoformat()
     return v
 
+EXACT = "--exact" in sys.argv  # driver parity: its hash compare has NO tolerance
+
 def cmp_cell(a, b):
     a, b = norm_cell(a), norm_cell(b)
     if a is None or b is None:
@@ -32,12 +39,18 @@ def cmp_cell(a, b):
     if isinstance(a, float) and isinstance(b, float):
         if a == b:
             return True
+        if EXACT:
+            return False  # the driver hashes typed values bit-for-bit
         return abs(a - b) <= 1e-9 * max(1.0, abs(a), abs(b))
     # cross-type numeric (e.g. int64 vs int32/Decimal)
     try:
         if not isinstance(a, str) and not isinstance(b, str):
             fa, fb = float(a), float(b)
-            return fa == fb or abs(fa - fb) <= 1e-9 * max(1.0, abs(fa), abs(fb))
+            if fa == fb:
+                return True
+            if EXACT:
+                return False
+            return abs(fa - fb) <= 1e-9 * max(1.0, abs(fa), abs(fb))
     except (TypeError, ValueError):
         pass
     return a == b
