@@ -4037,10 +4037,14 @@ object CatalogExt {
               |j AS (SELECT re, ra FROM ex JOIN ann USING (q_id, vec_id)),
               |h AS (SELECT k,
               |             CAST(COUNT(CASE WHEN re <= k AND ra <= k THEN 1 END) AS BIGINT) AS n_hits
-              |      FROM ks LEFT JOIN j ON TRUE GROUP BY k)
+              |      FROM ks LEFT JOIN j ON TRUE GROUP BY k),
+              |exn AS (SELECT k,
+              |               CAST(COUNT(CASE WHEN re <= k THEN 1 END) AS BIGINT) AS n_exact
+              |        FROM ks LEFT JOIN ex ON TRUE GROUP BY k)
               |SELECT k, n_queries, n_hits,
-              |       round(CAST(n_hits AS DOUBLE) / (k * n_queries), 6) AS recall
-              |FROM h CROSS JOIN nq ORDER BY k""".stripMargin)),
+              |       CASE WHEN n_exact > 0 THEN
+              |         round(CAST(n_hits AS DOUBLE) / n_exact, 6) END AS recall
+              |FROM h JOIN exn USING (k) CROSS JOIN nq ORDER BY k""".stripMargin)),
 
     // ── Embedding-norm audit (Similarity.embeddingNormStats): per-label
     //    vector counts, zero-norm counts, mean/median L2 norms in exact

@@ -118,12 +118,22 @@ object Similarity {
     val hits = j.select(explode(kArr).as("k"), col("re"), col("ra"))
       .filter(col("re") <= col("k") && col("ra") <= col("k"))
       .groupBy(col("k")).agg(count(lit(1)).as("n_hits"))
+    // denominator = exact pairs actually RANKED at each k (Σ_q min(k,
+    // |exact list for q|)), not k·n_queries: when the corpus holds fewer
+    // than k vectors the exact list is short and a perfect ANN must still
+    // read recall 1.0 (k·n_queries would cap it below 1 — round-9 ADVICE).
+    // Equal to k·n_queries whenever |corpus| >= max(ks).
+    val exact = ex.select(explode(kArr).as("k"), col("re"))
+      .filter(col("re") <= col("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n_exact"))
     totals.select(explode(kArr).as("k"), col("n_queries"))
       .join(hits, Seq("k"), "left")
+      .join(exact, Seq("k"), "left")
       .select(col("k"), col("n_queries"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-        round(coalesce(col("n_hits"), lit(0L)).cast("double")
-          / (col("k") * col("n_queries")), 6).as("recall"))
+        when(coalesce(col("n_exact"), lit(0L)) > 0L,
+          round(coalesce(col("n_hits"), lit(0L)).cast("double")
+            / col("n_exact"), 6)).as("recall"))
       .orderBy(col("k"))
   }
 

@@ -732,12 +732,18 @@ object Stats {
   def winsorizedStats(df: DataFrame, groupCol: String, valueInt: Column,
                       pLo: Double = 0.01, pHi: Double = 0.99): DataFrame = {
     val v = df.select(col(groupCol), valueInt.as("__v"))
+    // head(1) + placeholder cuts, not head().getDouble: an empty input's
+    // percentile aggregate is a NULL row, and the result must be the
+    // schema-correct 0-row frame (the reliabilityBins convention), not an
+    // NPE on the driver
     val cutRow = v.select(
       round(expr(s"percentile(__v, array($pLo, $pHi))").getItem(0), 6).as("lo"),
       round(expr(s"percentile(__v, array($pLo, $pHi))").getItem(1), 6).as("hi"))
-      .head()
-    val lo = math.round(cutRow.getDouble(0))
-    val hi = math.round(cutRow.getDouble(1))
+      .head(1)
+    val (lo, hi) =
+      if (cutRow.isEmpty || cutRow.head.anyNull) (0L, 0L)
+      else (math.round(cutRow.head.getDouble(0)),
+            math.round(cutRow.head.getDouble(1)))
     val clamped = least(greatest(col("__v"), lit(lo)), lit(hi))
     val inRange = col("__v") >= lo && col("__v") <= hi
     v.groupBy(col(groupCol))
@@ -1012,7 +1018,15 @@ object Stats {
            count(lit(1)).as("f"),
            sum(cents).as("m"))
       .localCheckpoint() // consumed twice: the cut aggregate + the bracket scan
-    val anchor = perCust.agg(max(col("last_day"))).head().getDate(0)
+    // head(1) + placeholder anchor/cuts on an empty corpus (max → NULL row):
+    // downstream groupBys are over the same empty frame, so placeholders
+    // never surface — the result is the schema-correct 0-row frame
+    // (the reliabilityBins convention)
+    val anchorRow = perCust.agg(max(col("last_day"))).head(1)
+    val anchor =
+      if (anchorRow.isEmpty || anchorRow.head.isNullAt(0))
+        java.sql.Date.valueOf("1970-01-01")
+      else anchorRow.head.getDate(0)
     val withR = perCust
       .select(col("o_custkey"), datediff(lit(anchor), col("last_day")).as("r"),
               col("f"), col("m"))
@@ -1021,11 +1035,13 @@ object Stats {
     val cutRow = withR.select(
       (0 until 4).map(i => round(pct("r").getItem(i), 6).as(s"r$i")) ++
       (0 until 4).map(i => round(pct("f").getItem(i), 6).as(s"f$i")) ++
-      (0 until 4).map(i => round(pct("m").getItem(i), 6).as(s"m$i")): _*).head()
+      (0 until 4).map(i => round(pct("m").getItem(i), 6).as(s"m$i")): _*).head(1)
     def score(c: Column, cuts: Seq[Double]) = cuts.foldLeft(lit(1)) {
       (acc, cut) => acc + when(c > lit(cut), 1).otherwise(0)
     }
-    val cut = cutRow.toSeq.map(_.asInstanceOf[Double])
+    val cut: Seq[Double] =
+      if (cutRow.isEmpty || cutRow.head.anyNull) Seq.fill(12)(0.0)
+      else cutRow.head.toSeq.map(_.asInstanceOf[Double])
     val rScore = lit(6) - score(col("r"), cut.slice(0, 4)) // recent = high
     val fScore = score(col("f"), cut.slice(4, 8))
     val mScore = score(col("m"), cut.slice(8, 12))

@@ -712,11 +712,19 @@ object TextAnalysis {
   def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int = 20,
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "bm25TopK needs at least one query term")
+    // empty corpus: count=0, sum=NULL — getLong would NPE; fall through
+    // with placeholder stats so the scoring scan (over the same empty
+    // frame) yields the schema-correct 0-row top-k (reliabilityBins
+    // convention)
     val stats = docs.agg(count(lit(1)).as("n"),
-                         sum(size(tokens(col("text")))).as("t")).head()
-    val nDocs = stats.getLong(0)
-    val totTok = stats.getLong(1)
-    val avgdl = totTok.toDouble / nDocs // exact same division in the twin
+                         sum(size(tokens(col("text")))).as("t")).head(1)
+    val nDocs =
+      if (stats.isEmpty || stats.head.isNullAt(0)) 0L else stats.head.getLong(0)
+    val totTok =
+      if (stats.isEmpty || stats.head.isNullAt(1)) 0L else stats.head.getLong(1)
+    // exact same division in the twin; 1.0 placeholder keeps idf/tf finite
+    // on the empty corpus (result is 0 rows regardless)
+    val avgdl = if (nDocs == 0L) 1.0 else totTok.toDouble / nDocs
     val termArr = array(terms.map(lit): _*)
     val toks = docs
       .select(col("doc_id"), size(tokens(col("text"))).as("len"),

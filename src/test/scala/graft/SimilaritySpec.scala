@@ -346,6 +346,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(self.getDouble(3) == 1.0, s"self-query recall@1: $self")
   }
 
+  test("annRecallCurve: corpus smaller than k normalizes by ranked pairs") {
+    // 3-vector corpus, k=10: the exact list per query is 3 pairs, so the
+    // denominator must be 3·3 = 9 ranked exact pairs (Σ min(k, list
+    // size)), not k·n_queries = 30 — a perfect ANN can reach 1.0 again
+    val tiny = emb.filter(col("vec_id") >= 8 && col("vec_id") < 11)
+    val out = Similarity.annRecallCurve(tiny, tiny, Seq(10)).head()
+    assert(out.getLong(1) == 3L, s"three queries: $out")
+    val hits = out.getLong(2)
+    assert(hits <= 9L, "at most 3x3 ranked pairs")
+    val expected = BigDecimal(hits.toDouble / 9.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.getDouble(3) == expected, s"recall = hits/9, got $out")
+    // self-queries share every bucket with themselves: rank-1 always hits
+    assert(hits >= 3L, s"self-pairs must all hit: $out")
+  }
+
   test("embeddingNormStats: hand-computed norms, zero vector counted") {
     val df = Seq((1L, Array(3f, 4f), 0), (2L, Array(0f, 0f), 0),
                  (3L, Array(0f, 2f), 1)).toDF("vec_id", "embedding", "label")

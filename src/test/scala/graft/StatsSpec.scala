@@ -393,6 +393,21 @@ class StatsSpec extends AnyFunSuite {
     assert(out("eq").getDouble(3) == 0.0, "equal values → zero concentration")
   }
 
+  test("winsorizedStats/rfmSegments: empty input yields a 0-row " +
+       "schema-correct report, not an exception") {
+    // the reliabilityBins convention: driver-side cut/anchor reads fall
+    // through on the NULL aggregate row instead of NPE-ing
+    val noOrders = Tables.orders(spark, TestSpark.sfDir).filter(lit(false))
+    val ws = Stats.winsorizedStats(
+      noOrders.select(col("o_custkey"), col("o_totalprice")),
+      "o_custkey", graft.ops.Scalars.moneyCents(col("o_totalprice")))
+    assert(ws.columns.length == 8 && ws.count() == 0L)
+    val rfm = Stats.rfmSegments(noOrders)
+    assert(rfm.columns.toSeq ==
+      Seq("segment", "n_customers", "monetary_cents", "mean_recency_days"))
+    assert(rfm.count() == 0L)
+  }
+
   test("rfmSegments: segments partition customers and format is r-f-m") {
     val orders = Tables.orders(spark, TestSpark.sfDir)
     val out = Stats.rfmSegments(orders).collect()

@@ -225,6 +225,15 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(1L).getLong(2) > out(2L).getLong(2), "tf 2 in len 3 outranks tf 1")
   }
 
+  test("bm25TopK: empty corpus yields a 0-row schema-correct top-k, " +
+       "not an exception") {
+    val df = Seq((1L, "x")).toDF("doc_id", "text").filter(lit(false))
+    val out = TextAnalysis.bm25TopK(df, Seq("x"), k = 10)
+    assert(out.columns.toSeq ==
+      Seq("doc_id", "n_terms_matched", "score_micro", "bm25"))
+    assert(out.count() == 0L)
+  }
+
   test("readability: hand-computed Flesch on a punctuated sentence") {
     val df = Seq((1L, "the cat sat."), (2L, "")).toDF("doc_id", "text")
     val out = TextAnalysis.readability(df).collect().map(r => r.getLong(0) -> r).toMap
