@@ -58,6 +58,59 @@ class CompactionSpec extends AnyFunSuite {
     assert(days == 2, "day1 partition not clobbered by day2-only batch")
   }
 
+  test("crash between stage and commit point: old data intact, recover " +
+       "rolls back") {
+    val path = tmp()
+    Compaction.compact(spark, batch(Seq(("r1", "f", day1, "old"))),
+      path, "replay_id", "uploadtime")
+    // stage a second batch but "die" before commitStaged — the staging dir
+    // is hidden, so readers still see exactly the old data
+    val (merged, hasExisting) = Compaction.mergedFor(spark,
+      batch(Seq(("r1", "f", day1 + 60, "new"))),
+      path, "replay_id", "uploadtime", Seq.empty)
+    assert(hasExisting)
+    Compaction.stage(spark, merged, path)
+    val seen = spark.read.parquet(path).collect()
+    assert(seen.length == 1 &&
+      seen.head.getAs[String]("payload") == "old",
+      "a reader mid-crash sees the old partition, whole")
+    val (fwd, back) = Compaction.recover(spark, path)
+    assert(fwd == 0 && back == 1, s"pre-commit leftovers roll back: $fwd/$back")
+    assert(spark.read.parquet(path).count() == 1, "old data still intact")
+    // staging root is clean — the next compact starts fresh
+    Compaction.compact(spark, batch(Seq(("r1", "f", day1 + 60, "new"))),
+      path, "replay_id", "uploadtime")
+    assert(spark.read.parquet(path).collect()
+      .head.getAs[String]("payload") == "new")
+  }
+
+  test("crash after the commit point: recover rolls the swap forward") {
+    val path = tmp()
+    Compaction.compact(spark, batch(Seq(("r1", "f", day1, "old"))),
+      path, "replay_id", "uploadtime")
+    val (merged, _) = Compaction.mergedFor(spark,
+      batch(Seq(("r1", "f", day1 + 60, "new"), ("r2", "f", day2, "d2"))),
+      path, "replay_id", "uploadtime", Seq.empty)
+    val txn = Compaction.stage(spark, merged, path)
+    // write the journal by hand (the commit point), then "die" before any
+    // swap happens — recover must finish the job from the journal alone
+    val root = new java.io.File(Compaction.stagingRoot(path))
+    val rels = Seq(s"format_id=f/day=2024-01-01", s"format_id=f/day=2024-01-02")
+    Files.writeString(java.nio.file.Path.of(root.getPath, s"$txn.commit"),
+      rels.mkString("", "\n", "\n"))
+    val (fwd, back) = Compaction.recover(spark, path)
+    assert(fwd == 1 && back == 0, s"journaled txn rolls forward: $fwd/$back")
+    val out = spark.read.parquet(path)
+    assert(out.count() == 2, "both partitions published")
+    assert(out.filter($"replay_id" === "r1").collect()
+      .head.getAs[String]("payload") == "new", "swap published the new day1")
+    assert(!new java.io.File(root, txn).exists() &&
+           !new java.io.File(root, s"$txn.commit").exists(),
+      "staging cleaned after roll-forward")
+    // recover is idempotent on a clean dataset
+    assert(Compaction.recover(spark, path) == ((0, 0)))
+  }
+
   test("compact is idempotent on re-delivery (T4)") {
     val path = tmp()
     val b = batch(Seq(("a", "f", day1, "x"), ("b", "f", day1, "y")))
