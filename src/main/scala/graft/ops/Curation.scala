@@ -375,7 +375,7 @@ object Curation {
     * like everything here, is a pure function of the keys (growing the
     * corpus only displaces a doc when a smaller-hash doc enters its group).
     *
-    * Routed through the partial-aggregating [[TopKByScore]] (score =
+    * Routed through the partial-aggregating [[org.apache.spark.sql.graft.TopKPairsAgg]] (score =
     * negated 48-bit hash — exact in a double, ties toward the smaller id),
     * so each map task reduces its slice to ≤ k rows before the shuffle —
     * the ranking-window form would hold a whole stratum in one task, the
@@ -386,13 +386,11 @@ object Curation {
     require(k > 0, s"sample size must be positive, got $k")
     val h48 = conv(substring(md5(col(keyCol).cast("string").cast("binary")), 1, 12), 16, 10)
       .cast("long")
-    val topk = udaf(new TopKByScore(k),
-      org.apache.spark.sql.Encoders.tuple(
-        org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaDouble))
     docs.select(col(groupCol), col(keyCol).cast("long").as("__id"),
                 negate(h48.cast("double")).as("__s"))
       .groupBy(col(groupCol))
-      .agg(topk(col("__id"), col("__s")).as("tk"))
+      .agg(org.apache.spark.sql.graft.TopKPairsAgg
+        .topkPairs(k, col("__id"), col("__s")).as("tk"))
       .select(col(groupCol), explode(col("tk")).as("e"))
       .select(col(groupCol), col("e._1").as(keyCol))
   }

@@ -292,7 +292,7 @@ object Stats {
     *
     * Scale shape: per-side distinct keys (map-side partial dedup), one
     * membership aggregate by hash, then ONE partial-agg pass holding all
-    * three bottom-k lists via [[TopKByScore]] (constant 0.0 score → ties
+    * three bottom-k lists via [[org.apache.spark.sql.graft.TopKPairsAgg]] (constant 0.0 score → ties
     * break on id ascending = the k smallest hashes, exactly; non-members
     * demoted below by a −1 sentinel and filtered after — the recall rows'
     * convention). Sketch size is k at any input; sketches merge by
@@ -340,9 +340,8 @@ object Stats {
     * (__h, in_a, in_b) — see [[kmvOverlap]] for the semantics. */
   private def kmvFromMembership(mem: DataFrame, k: Int): DataFrame = {
     val space = (1L << 60).toDouble
-    val topk = udaf(new TopKByScore(k),
-      org.apache.spark.sql.Encoders.tuple(
-        org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaDouble))
+    def topk(id: Column, s: Column) =
+      org.apache.spark.sql.graft.TopKPairsAgg.topkPairs(k, id, s)
     def side(flag: Column) = when(flag === 1, lit(0.0)).otherwise(lit(-1.0))
     val agged = mem.agg(
       topk(col("__h"), lit(0.0)).as("tk_u"),

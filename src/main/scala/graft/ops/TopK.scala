@@ -5,14 +5,21 @@ import org.apache.spark.sql.expressions.Aggregator
 
 /** Typed top-k aggregator (SURVEY §2.10's reserved custom
   * `Aggregator[IN, BUF, OUT]`): keeps the k best (score, id) pairs per group
-  * with a bounded buffer.
+  * with a bounded buffer. This is the typed `Dataset` face (`.toColumn` in
+  * typed pipelines — FetchTopKSpec); the catalog hot paths (ANN rescoring,
+  * stratified sampling, KMV) route through the contract-identical native
+  * [[org.apache.spark.sql.graft.TopKPairsAgg]], which skips the
+  * per-row encoder round-trip this face pays under the untyped `udaf`
+  * wrapper (measured ~25 µs/row — the largest single term in the ANN
+  * family's wall time at sf0.1).
   *
-  * Scale rationale: the ranking-window top-k (`row_number ≤ k`) shuffles
-  * *every* candidate row to its group's partition before ranking; this
-  * aggregator participates in partial aggregation, so each map task reduces
-  * its slice to ≤ k rows before the shuffle — for ANN rescoring with millions
-  * of candidates per query, the shuffle shrinks by orders of magnitude.
-  * Ties break toward the smaller id (same total order as the window form).
+  * Scale rationale (both faces): the ranking-window top-k (`row_number ≤ k`)
+  * shuffles *every* candidate row to its group's partition before ranking;
+  * this aggregator participates in partial aggregation, so each map task
+  * reduces its slice to ≤ k rows before the shuffle — for ANN rescoring
+  * with millions of candidates per query, the shuffle shrinks by orders of
+  * magnitude. Ties break toward the smaller id (same total order as the
+  * window form).
   */
 class TopKByScore(k: Int)
     extends Aggregator[(Long, Double), Array[(Long, Double)], Array[(Long, Double)]] {

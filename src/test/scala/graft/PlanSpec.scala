@@ -88,7 +88,7 @@ class PlanSpec extends AnyFunSuite {
 
   test("cosine_topk ranks via partial-aggregating top-k, not a per-query window") {
     // a window partitioned by q_id puts one query's whole scored corpus on
-    // one task; the TopKByScore aggregator reduces map-side to ≤ k rows
+    // one task; the TopKPairsAgg aggregate reduces map-side to ≤ k rows
     val p = plan("cosine_topk")
     assert(!p.contains("Window"), p)
     assert(p.contains("ObjectHashAggregate") && p.contains("partial_"), p)
