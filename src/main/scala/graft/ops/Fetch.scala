@@ -45,24 +45,31 @@ object HttpTransport {
 
   def forUrl(urlFor: String => String, readTimeoutMs: Long = 20000L)
       : (String, Int) => Either[(String, Boolean), String] =
-    (id, _) =>
-      try {
-        val req = java.net.http.HttpRequest
-          .newBuilder(java.net.URI.create(urlFor(id)))
-          .timeout(java.time.Duration.ofMillis(readTimeoutMs))
-          .GET().build()
-        val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
-        resp.statusCode() match {
-          case ok if ok >= 200 && ok < 300 => Right(resp.body())
-          case nr @ (401 | 403 | 404)      => Left((s"HTTP $nr", false))
-          case other                        => Left((s"HTTP $other", true))
-        }
-      } catch {
-        case e: java.net.http.HttpTimeoutException =>
-          Left((s"timeout: ${e.getMessage}", true))
-        case scala.util.control.NonFatal(e) =>
-          Left((s"${e.getClass.getSimpleName}: ${e.getMessage}", true))
+    (id, _) => get(urlFor(id), readTimeoutMs)
+
+  /** One classified GET — the shared primitive behind [[forUrl]] and the
+    * live discovery stream's page walk
+    * ([[graft.sources.LivePagedMicroBatchStream]]).
+    */
+  def get(url: String, readTimeoutMs: Long = 20000L)
+      : Either[(String, Boolean), String] =
+    try {
+      val req = java.net.http.HttpRequest
+        .newBuilder(java.net.URI.create(url))
+        .timeout(java.time.Duration.ofMillis(readTimeoutMs))
+        .GET().build()
+      val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+      resp.statusCode() match {
+        case ok if ok >= 200 && ok < 300 => Right(resp.body())
+        case nr @ (401 | 403 | 404)      => Left((s"HTTP $nr", false))
+        case other                        => Left((s"HTTP $other", true))
       }
+    } catch {
+      case e: java.net.http.HttpTimeoutException =>
+        Left((s"timeout: ${e.getMessage}", true))
+      case scala.util.control.NonFatal(e) =>
+        Left((s"${e.getClass.getSimpleName}: ${e.getMessage}", true))
+    }
 }
 
 object Fetch {
