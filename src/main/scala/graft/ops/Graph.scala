@@ -31,6 +31,18 @@ object Graph {
     */
   val BroadcastNodeLimit = 100000L
 
+  /** Edge-count ceiling for the driver-complete fast path (round 10): at or
+    * under it the whole edge list collects ONCE (≤ ~2M×2 boxed refs, the
+    * same order as a broadcast edge relation would pin per executor) and
+    * every damped round runs in driver arrays — zero per-round jobs, zero
+    * per-round plan analyses. The threshold-guarded driver fast path with a
+    * distributed fallback is the library's established shape
+    * (Dedup.unionFind's probe, the PageRank node guard above); past the
+    * ceiling the two distributed paths below self-select exactly as
+    * before.
+    */
+  val DriverEdgeLimit = 2000000L
+
   /** Fixed-iteration damped PageRank over a directed edge list
     * `(src, dst)` (any equatable node type). Every node must appear as a
     * src (for the symmetrized bipartite graphs this serves, that holds by
@@ -68,12 +80,84 @@ object Graph {
     *    huge n: drop the base a decade per 10× nodes (ranks are relative).
     */
   def pagerankFixed(edges: DataFrame, iters: Int,
-                    broadcastNodeLimit: Long = BroadcastNodeLimit): DataFrame = {
+                    broadcastNodeLimit: Long = BroadcastNodeLimit,
+                    driverEdgeLimit: Long = DriverEdgeLimit): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val spark = edges.sparkSession
-    val e0 = edges.select(col("src"), col("dst"))
-      .repartition(col("dst"))
-      .localCheckpoint()
+    // the edge-producing chain is scanned ONCE into an in-memory
+    // checkpoint; the dst-prehash exchange the distributed rounds reuse is
+    // deferred until a distributed path is actually chosen (the
+    // driver-complete path collects, so prehashing would be a wasted
+    // 0.1-0.2 s shuffle)
+    val eRaw = edges.select(col("src"), col("dst")).localCheckpoint()
+    // cheapest guard first: one in-memory count picks the driver-complete
+    // path for small graphs (degree build, contributions, and ALL rounds in
+    // driver arrays — the per-round broadcast rebuild + collect + plan
+    // analysis was ~0.1-0.15 s/round of pure fixed cost at the bench
+    // profile; identical Long arithmetic, so hashes are unchanged)
+    val nEdges = eRaw.count()
+    if (nEdges <= driverEdgeLimit) {
+      val nodeType = eRaw.schema("src").dataType
+      val edgeRows = eRaw.collect()
+      // index nodes once; the rounds are then pure primitive-array loops
+      // (boxed per-edge map lookups per round cost ~0.4 s at 0.9 M edges)
+      val index = new java.util.HashMap[Any, Integer](edgeRows.length * 2)
+      val nodes = scala.collection.mutable.ArrayBuffer[Any]()
+      def idOf(v: Any): Int = {
+        val got = index.get(v)
+        if (got != null) got.intValue
+        else { val i = nodes.length; index.put(v, i); nodes += v; i }
+      }
+      val srcIdx = new Array[Int](edgeRows.length)
+      val dstIdx = new Array[Int](edgeRows.length)
+      var k = 0
+      while (k < edgeRows.length) {
+        val r = edgeRows(k)
+        srcIdx(k) = idOf(r.get(0)); dstIdx(k) = idOf(r.get(1)); k += 1
+      }
+      val n = nodes.length
+      val deg = new Array[Long](n)
+      srcIdx.foreach(deg(_) += 1)
+      // exact join ∘ groupBy(dst) semantics of the relational rounds:
+      // contribution = rank div d for rank-holding nodes with out-edges;
+      // a node holds a rank next round iff ≥1 in-edge src contributed
+      var rank = Array.fill(n)(RankBase)
+      var has = deg.map(_ > 0L)
+      for (_ <- 1 to iters) {
+        val contrib = new Array[Long](n)
+        val cHas = new Array[Boolean](n)
+        var i = 0
+        while (i < n) {
+          if (has(i) && deg(i) > 0L) { contrib(i) = rank(i) / deg(i); cHas(i) = true }
+          i += 1
+        }
+        val acc = new Array[Long](n)
+        val aHas = new Array[Boolean](n)
+        var e = 0
+        while (e < srcIdx.length) {
+          val s = srcIdx(e)
+          if (cHas(s)) { val d = dstIdx(e); acc(d) += contrib(s); aHas(d) = true }
+          e += 1
+        }
+        i = 0
+        while (i < n) {
+          if (aHas(i)) rank(i) = RankBase * 15 / 100 + acc(i) * 85 / 100
+          i += 1
+        }
+        has = aHas
+      }
+      val outRows = (0 until n).collect {
+        case i if has(i) => Row(nodes(i), rank(i))
+      }
+      val outSchema = StructType(Seq(
+        StructField("node", nodeType), StructField("rank", LongType, nullable = false)))
+      return spark.createDataFrame(
+        new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+          .SeqHasAsJava(outRows).asJava), outSchema)
+    }
+    // distributed paths: NOW pay the dst-prehash exchange their round
+    // aggregates reuse exchange-free
+    val e0 = eRaw.repartition(col("dst")).localCheckpoint()
     // exact node count in one in-memory job (a limit-capped degree collect
     // was tried first: CollectLimit's incremental partition scale-up cost
     // 2-3 jobs against the checkpoint for the same decision)

@@ -43,19 +43,29 @@ class GraphSpec extends AnyFunSuite {
     val edges = Seq("hub" -> "l1", "hub" -> "l2", "l1" -> "hub", "l2" -> "hub",
                     "l1" -> "l2", "l2" -> "l1")
     val df = edges.toDF("src", "dst")
-    val viaBroadcast = Graph.pagerankFixed(df, 3)
+    val viaDriver = Graph.pagerankFixed(df, 3)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val viaBucketed = Graph.pagerankFixed(df, 3, broadcastNodeLimit = 0L)
+    val viaBroadcast = Graph.pagerankFixed(df, 3, driverEdgeLimit = 0L)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val viaBucketed = Graph.pagerankFixed(df, 3, broadcastNodeLimit = 0L,
+        driverEdgeLimit = 0L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaDriver == viaBroadcast, "driver-complete path shares the arithmetic")
     assert(viaBroadcast == viaBucketed)
   }
 
   test("pagerankFixed: path selection is visible in the returned plan") {
     val edges = Seq("a" -> "b", "b" -> "a").toDF("src", "dst")
     def finalPlan(limit: Long): String =
-      Graph.pagerankFixed(edges, 1, broadcastNodeLimit = limit)
+      Graph.pagerankFixed(edges, 1, broadcastNodeLimit = limit,
+          driverEdgeLimit = 0L)
         .queryExecution.executedPlan.toString
-    // small-n: rounds are driver-chained, the result is a local relation
+    // tiny edge list: the driver-complete path returns a local relation
+    val driver = Graph.pagerankFixed(edges, 1)
+      .queryExecution.executedPlan.toString
+    assert(driver.contains("LocalTableScan") && !driver.contains("Join"), driver)
+    // edge guard forced off, small-n: rounds are driver-chained with a
+    // broadcast state relation, the result is still a local relation
     val small = finalPlan(100000L)
     assert(small.contains("LocalTableScan"), small)
     assert(!small.contains("Join"), "driver-held path leaves no join:\n" + small)
