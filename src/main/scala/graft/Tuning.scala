@@ -129,7 +129,16 @@ object Tuning {
     // NOT tagged from the same sweep: orders_column_profile (base was
     // best or within 0.01 both runs — its Expand multi-distinct WANTS
     // AQE's coalescing) and hll_shard_merge (s8 wins 0.02, under the bar)
-    "brand_corr_stats")
+    "brand_corr_stats",
+    // round-10 (graft.TailAB, 2 interleaved runs, after the native-top-k +
+    // fused-training plan changes): ivfpq_ann_topk 1.63→1.50 / 1.69→1.60
+    // and copurchase_lift 1.00→0.85 / 1.30→1.07, both with aqe0s8 — the
+    // fused plans are fixed-shape scans whose aggregates are bounded
+    // (brand² pairs / k·queries rows); at 8 partitions AQE has nothing to
+    // coalesce and its stage pauses are pure floor. NOT tagged from the
+    // same sweep: ivf_ann_topk (base best — third non-reproduction),
+    // pq_recall / pq_ann_topk / pq_codes (wins ≤ 0.05, under the bar).
+    "ivfpq_ann_topk", "copurchase_lift")
   // NOT tagged despite a small A/B win: dup_clusters — iterative
   // data-dependent join loop (the classification rule says AQE on), and its
   // −0.10 s reading did not reproduce (+0.53 s in the validation run).
@@ -218,7 +227,10 @@ object Tuning {
     // split_leakage_check and ngram_jaccard_dups' postings join: the pair
     // cardinality is data-dependent (AQE stays ON; aqe0 regressed both
     // runs), while the post-join report exchanges are tiny at 8.
-    "containment_dups")
+    "containment_dups",
+    // round-10: the s8 halves of the aqe0s8 pairs tagged in fixedShape
+    // above (ivfpq_ann_topk 2-run reproduced; copurchase_lift likewise)
+    "ivfpq_ann_topk", "copurchase_lift")
 
   /** Run `body` with the per-query conf overrides for `name`, restoring the
     * previous session values afterwards (exception-safe, so one query's
