@@ -17,6 +17,14 @@ object CatalogExt {
   /** DuckDB fragment: distinct whitespace tokens of `text`. */
   private val sqlTokens = "string_split(text, ' ')"
 
+  /** DuckDB fragment: the exact daily-revenue-cents series (twin of
+    * [[graft.ops.Stats]]' shared dailyRevenue input) — splice as a CTE body.
+    */
+  private val sqlDailyRevenue =
+    """SELECT CAST(o_orderdate AS DATE) AS day,
+      |                CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+      |         FROM orders GROUP BY 1""".stripMargin
+
   /** DuckDB fragment: word n-gram shingle list with the <n-token fallback —
     * mirrors [[TextAnalysis.shingles]].
     */
@@ -4128,6 +4136,90 @@ object CatalogExt {
              |SELECT mix.user_id, n_events, n_purchases, n_errors, n_types,
              |       entropy_micronats, active_days,
              |       round(CAST(n_events AS DOUBLE) / active_days, 6) AS events_per_active_day
-             |FROM mix JOIN d USING (user_id) ORDER BY user_id""".stripMargin))
+             |FROM mix JOIN d USING (user_id) ORDER BY user_id""".stripMargin)),
+
+    // ── CUSUM mean-shift changepoint on daily revenue
+    //    (Stats.cusumChangepoint): argmax |n·prefix − t·total| in exact
+    //    wide-integer arithmetic, ties broken by day.
+    ("revenue_cusum_changepoint",
+      (spark, dir) => Stats.cusumChangepoint(Tables.orders(spark, dir)),
+      Some(s"""WITH d AS ($sqlDailyRevenue),
+              |c AS (SELECT day, rev_cents,
+              |             CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t,
+              |             CAST(SUM(rev_cents) OVER (ORDER BY day
+              |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS prefix,
+              |             CAST(COUNT(*) OVER () AS BIGINT) AS n,
+              |             CAST(SUM(rev_cents) OVER () AS BIGINT) AS total
+              |      FROM d),
+              |s AS (SELECT *, CAST(prefix AS HUGEINT) * n - CAST(total AS HUGEINT) * t AS dd
+              |      FROM c WHERE t < n)
+              |SELECT n AS n_days, day AS cp_day, t AS cp_index,
+              |       CAST(abs(dd) AS DOUBLE) AS max_abs_d,
+              |       round(CAST(abs(dd) AS DOUBLE)
+              |             / (CAST(n AS DOUBLE) * CAST(total AS DOUBLE)), 6) AS cusum_stat,
+              |       (prefix * 2 + t) // (t * 2) AS mean_before_cents,
+              |       ((total - prefix) * 2 + (n - t)) // ((n - t) * 2) AS mean_after_cents
+              |FROM s ORDER BY abs(dd) DESC, day LIMIT 1""".stripMargin)),
+
+    // ── Lagged-pairs autocorrelation of daily revenue at lags 1..7
+    //    (Stats.dailyRevenueAcf): the weekly-cadence screen, exact BIGINT
+    //    moments per lag (HUGEINT second moments in the twin — they outgrow
+    //    BIGINT at replica scale).
+    ("daily_revenue_acf",
+      (spark, dir) => Stats.dailyRevenueAcf(Tables.orders(spark, dir)),
+      Some {
+        val branches = (1 to 7).map(i =>
+          s"SELECT CAST($i AS BIGINT) AS lag, l$i AS x, y FROM l WHERE l$i IS NOT NULL")
+          .mkString("\n      UNION ALL ")
+        val lagCols = (1 to 7)
+          .map(i => s"lag(rev_cents, $i) OVER (ORDER BY day) AS l$i").mkString(",\n             ")
+        s"""WITH d AS ($sqlDailyRevenue),
+           |l AS (SELECT rev_cents AS y,
+           |             $lagCols
+           |      FROM d),
+           |p AS ($branches),
+           |s AS (SELECT lag, CAST(COUNT(*) AS BIGINT) AS n,
+           |             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+           |             SUM(CAST(x AS HUGEINT) * x) AS sxx,
+           |             SUM(CAST(y AS HUGEINT) * y) AS syy,
+           |             SUM(CAST(x AS HUGEINT) * y) AS sxy
+           |      FROM p GROUP BY 1)
+           |SELECT lag, n,
+           |  CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) = 0
+           |         OR (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) = 0
+           |       THEN NULL
+           |       ELSE round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           |            / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+           |             * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+           |  END AS acf,
+           |  CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) = 0
+           |       THEN NULL
+           |       ELSE round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           |            / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+           |  END AS slope
+           |FROM s ORDER BY lag""".stripMargin
+      }),
+
+    // ── Seasonal-naive backtest (Stats.seasonalNaiveBacktest): x̂_t =
+    //    x_{t−7}, residual profile in exact cents — the no-model forecast
+    //    baseline.
+    ("seasonal_naive_backtest",
+      (spark, dir) => Stats.seasonalNaiveBacktest(Tables.orders(spark, dir)),
+      Some(s"""WITH d AS ($sqlDailyRevenue),
+              |s AS (SELECT rev_cents,
+              |             rev_cents - lag(rev_cents, 7) OVER (ORDER BY day) AS err
+              |      FROM d),
+              |f AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_scored,
+              |             CAST(SUM(abs(err)) AS BIGINT) AS sae,
+              |             CAST(SUM(err) AS BIGINT) AS se,
+              |             CAST(SUM(rev_cents) AS BIGINT) AS sy,
+              |             round(quantile_cont(abs(err), 0.9), 6) AS p90_abs_err_cents
+              |      FROM s WHERE err IS NOT NULL)
+              |SELECT n_scored,
+              |       (sae * 2 + n_scored) // (n_scored * 2) AS mae_cents,
+              |       round(CAST(sae AS DOUBLE) / CAST(sy AS DOUBLE), 6) AS wape,
+              |       round(CAST(se AS DOUBLE) / CAST(n_scored AS DOUBLE), 6) AS bias_cents,
+              |       p90_abs_err_cents
+              |FROM f""".stripMargin))
   )
 }

@@ -1130,4 +1130,121 @@ object Stats {
           .as("is_anomaly"))
       .orderBy(col("day"))
   }
+
+  /** Shared daily-revenue series: exact cents per order day — the input of
+    * the time-series screens below. One partial+final shuffle on date; the
+    * result is domain-bounded (rows = distinct days, a century ≈ 36k), so
+    * every downstream single-partition day window is scale-clean by
+    * construction (the [[ewmaDailyAnomalies]] argument).
+    */
+  private def dailyRevenue(orders: DataFrame): DataFrame =
+    orders.groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(graft.ops.Scalars.moneyCents(col("o_totalprice"))).as("rev_cents"))
+
+  /** CUSUM changepoint locator over the daily revenue series (Page 1954,
+    * mean-shift form): the split point t maximizing
+    * |D_t| = |n·prefix_t − t·total| — the scaled distance between the
+    * cumulative sum and the no-change diagonal, the classic "did the level
+    * shift, and when" screen a revenue pipeline runs before trusting any
+    * trend statistic.
+    *
+    * Exactness: prefix/total are BIGINT cent sums; D_t is computed in
+    * decimal(38,0) (HUGEINT in the twin) because n·total genuinely
+    * outgrows 2⁶³ at large corpus scale (a century of 10¹⁶-cent totals is
+    * ~10²⁰) — the [[pearsonOlsFixed]] precedent of paying wide integers
+    * only past the aggregate, here on rows = distinct days. The argmax is
+    * made total by the (|D| desc, day asc) order; `max_abs_d` surfaces as
+    * ONE correctly-rounded decimal→double cast, `cusum_stat` =
+    * |D|/(n·total) as one mirrored double division, and the two segment
+    * means as half-up integer cent division (the [[ewmaDailyAnomalies]]
+    * 15-digit-edge rule). Interior split points only (t < n; D_n ≡ 0).
+    */
+  def cusumChangepoint(orders: DataFrame): DataFrame = {
+    val w = Window.orderBy(col("day"))
+    val wAll = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = dailyRevenue(orders)
+      .withColumn("t", row_number().over(w).cast("long"))
+      .withColumn("prefix", sum(col("rev_cents")).over(w))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("total", sum(col("rev_cents")).over(wAll))
+    val d = col("prefix").cast("decimal(38,0)") * col("n") -
+      col("total").cast("decimal(38,0)") * col("t")
+    cum.withColumn("d", d)
+      .filter(col("t") < col("n"))
+      .orderBy(abs(col("d")).desc, col("day"))
+      .limit(1)
+      .select(
+        col("n").as("n_days"),
+        col("day").as("cp_day"),
+        col("t").as("cp_index"),
+        abs(col("d")).cast("double").as("max_abs_d"),
+        round(abs(col("d")).cast("double") /
+              (col("n").cast("double") * col("total").cast("double")), 6)
+          .as("cusum_stat"),
+        expr("(prefix * 2 + t) div (t * 2)").as("mean_before_cents"),
+        expr("((total - prefix) * 2 + (n - t)) div ((n - t) * 2)")
+          .as("mean_after_cents"))
+  }
+
+  /** Sample autocorrelation of the daily revenue series at lags 1..maxLag —
+    * the Pearson correlation of (x_t, x_{t−L}) pairs per lag (the
+    * lagged-pairs ACF variant, which unlike the fixed-mean form needs no
+    * global centering pass and inherits [[pearsonOlsFixed]]'s exact BIGINT
+    * moments wholesale). The weekly cadence screen: a retail-shaped series
+    * shows the lag-7 spike this row exists to surface.
+    *
+    * Shape: the domain-bounded daily aggregate, ONE lag window carrying all
+    * maxLag offsets, then a map-side `stack` unpivot to (lag, x, y) rows —
+    * maxLag·days rows into one partial+final moment aggregate with groups =
+    * lags. No self-join of the series (an equi-join on day+L would shuffle
+    * the series maxLag times for the same pairs).
+    */
+  def dailyRevenueAcf(orders: DataFrame, maxLag: Int = 7): DataFrame = {
+    val w = Window.orderBy(col("day"))
+    val lagged = dailyRevenue(orders)
+      .select(col("rev_cents").as("y") +:
+        (1 to maxLag).map(i => lag(col("rev_cents"), i).over(w).as(s"l$i")): _*)
+    val pairs = lagged
+      .select(col("y"), expr(
+        s"stack($maxLag, ${(1 to maxLag).map(i => s"${i}L, l$i").mkString(", ")}) AS (lag, x)"))
+      .filter(col("x").isNotNull)
+    pearsonOlsFixed(pairs, Seq("lag"), col("x"), col("y"))
+      .withColumnRenamed("corr", "acf")
+      .orderBy(col("lag"))
+  }
+
+  /** Seasonal-naive forecast backtest: predict each day's revenue as the
+    * value one season earlier (x̂_t = x_{t−season}, season = 7 ⇒ "same
+    * weekday last week") and score the residuals — the no-model baseline
+    * every revenue forecast must beat, reported as the error profile
+    * (count, MAE, WAPE, bias, p90) a forecasting readiness review starts
+    * from.
+    *
+    * Exactness: errors are BIGINT cent differences; `mae_cents` is half-up
+    * integer division (magnitude ~10⁸ — the [[ewmaDailyAnomalies]]
+    * 15-digit-edge rule), `wape` = Σ|err|/Σ|actual| and `bias_cents` one
+    * mirrored double division each (wape ≤ O(1); bias ≲ 10⁵, both far
+    * inside double precision), `p90_abs_err_cents` exact interpolation
+    * over integer residuals (the [[customerOrderGaps]] percentile
+    * convention).
+    */
+  def seasonalNaiveBacktest(orders: DataFrame, season: Int = 7): DataFrame = {
+    val w = Window.orderBy(col("day"))
+    val scored = dailyRevenue(orders)
+      .withColumn("pred", lag(col("rev_cents"), season).over(w))
+      .filter(col("pred").isNotNull)
+      .select(col("rev_cents"), (col("rev_cents") - col("pred")).as("err"))
+    scored
+      .agg(count(lit(1)).as("n_scored"),
+           sum(abs(col("err"))).as("sae"),
+           sum(col("err")).as("se"),
+           sum(col("rev_cents")).as("sy"),
+           round(expr("percentile(abs(err), 0.9)"), 6).as("p90_abs_err_cents"))
+      .select(col("n_scored"),
+        expr("(sae * 2 + n_scored) div (n_scored * 2)").as("mae_cents"),
+        round(col("sae").cast("double") / col("sy").cast("double"), 6).as("wape"),
+        round(col("se").cast("double") / col("n_scored").cast("double"), 6)
+          .as("bias_cents"),
+        col("p90_abs_err_cents"))
+  }
 }

@@ -82,6 +82,51 @@ class StatsSpec extends AnyFunSuite {
     assert(messages(ex).exists(_.contains("headroom exhausted")), ex.toString)
   }
 
+  private def dayOrders(rows: Seq[(Int, Double)]) =
+    // (day offset from 2024-01-01, o_totalprice) — one order per row
+    rows.zipWithIndex.map { case ((d, p), i) =>
+      (i.toLong, java.sql.Timestamp.valueOf(
+         java.time.LocalDate.of(2024, 1, 1).plusDays(d).atStartOfDay()), p)
+    }.toDF("o_orderkey", "o_orderdate", "o_totalprice")
+
+  test("cusumChangepoint: locates a planted level shift exactly") {
+    // 10 days at $100 then 10 days at $300: the max |n·prefix − t·total|
+    // must land on the boundary day (t = 10), and the two segment means
+    // must be the exact planted levels in cents
+    val orders = dayOrders((0 until 10).map(d => (d, 100.0)) ++
+                           (10 until 20).map(d => (d, 300.0)))
+    val r = graft.ops.Stats.cusumChangepoint(orders).collect()(0)
+    assert(r.getAs[Long]("n_days") == 20L)
+    assert(r.getAs[Long]("cp_index") == 10L, r.toString)
+    assert(r.getAs[java.sql.Date]("cp_day").toString == "2024-01-10")
+    assert(r.getAs[Long]("mean_before_cents") == 10000L)
+    assert(r.getAs[Long]("mean_after_cents") == 30000L)
+  }
+
+  test("dailyRevenueAcf: weekly-periodic series peaks at lag 7") {
+    // period-7 sawtooth over 8 full weeks: lag-7 pairs repeat the value
+    // exactly (acf = 1); lag 1..6 pairs mix phases (acf < 1)
+    val orders = dayOrders((0 until 56).map(d => (d, 100.0 + 50.0 * (d % 7))))
+    val acf = graft.ops.Stats.dailyRevenueAcf(orders).collect()
+      .map(r => r.getAs[Long]("lag") -> r.getAs[Double]("acf")).toMap
+    assert(acf(7L) == 1.0, acf.toString)
+    (1L to 6L).foreach(l => assert(acf(l) < 1.0, s"lag $l: ${acf(l)}"))
+  }
+
+  test("seasonalNaiveBacktest: zero error on a perfectly periodic series") {
+    val periodic = dayOrders((0 until 28).map(d => (d, 100.0 + 10.0 * (d % 7))))
+    val r0 = graft.ops.Stats.seasonalNaiveBacktest(periodic).collect()(0)
+    assert(r0.getAs[Long]("n_scored") == 21L)
+    assert(r0.getAs[Long]("mae_cents") == 0L && r0.getAs[Double]("wape") == 0.0)
+    // a one-day $50 spike in the scored region: MAE feels it twice (the
+    // spike day errs vs last week, and next week errs vs the spike)
+    val spiked = dayOrders((0 until 28).map(d =>
+      (d, if (d == 14) 150.0 else 100.0)))
+    val r1 = graft.ops.Stats.seasonalNaiveBacktest(spiked).collect()(0)
+    assert(r1.getAs[Long]("mae_cents") == math.round(2 * 5000.0 / 21))
+    assert(r1.getAs[Double]("bias_cents") == 0.0, r1.toString)
+  }
+
   test("pearsonOlsFixed: exact fits on crafted groups") {
     val out = fit(Seq(
       // perfect line y = 3x + 1 → corr 1, slope 3
