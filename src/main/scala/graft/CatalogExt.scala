@@ -4220,6 +4220,109 @@ object CatalogExt {
               |       round(CAST(sae AS DOUBLE) / CAST(sy AS DOUBLE), 6) AS wape,
               |       round(CAST(se AS DOUBLE) / CAST(n_scored AS DOUBLE), 6) AS bias_cents,
               |       p90_abs_err_cents
-              |FROM f""".stripMargin))
+              |FROM f""".stripMargin)),
+
+    // ── Right-censored inter-order lifetable (Stats.orderGapHazard):
+    //    Kaplan–Meier-style at-risk/event/censor counts and discrete hazard
+    //    per 30-day bin — the unbiased time-to-return curve.
+    ("order_gap_hazard",
+      (spark, dir) => Stats.orderGapHazard(Tables.orders(spark, dir)),
+      Some("""WITH base AS (SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS day FROM orders),
+             |g AS (SELECT CAST(date_diff('day',
+             |               lag(day) OVER (PARTITION BY o_custkey ORDER BY day, o_orderkey),
+             |               day) AS BIGINT) AS dur
+             |      FROM base),
+             |t AS (SELECT CAST(date_diff('day', MAX(day), (SELECT MAX(day) FROM base)) AS BIGINT) AS dur
+             |      FROM base GROUP BY o_custkey),
+             |u AS (SELECT dur // 30 AS bin, CAST(0 AS BIGINT) AS censored FROM g WHERE dur IS NOT NULL
+             |      UNION ALL
+             |      SELECT dur // 30 AS bin, CAST(1 AS BIGINT) AS censored FROM t),
+             |b AS (SELECT bin, CAST(SUM(1 - censored) AS BIGINT) AS n_events,
+             |             CAST(SUM(censored) AS BIGINT) AS n_censored
+             |      FROM u GROUP BY 1),
+             |r AS (SELECT *, CAST(SUM(n_events + n_censored) OVER (ORDER BY bin DESC
+             |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_at_risk
+             |      FROM b)
+             |SELECT bin, bin * 30 AS bin_start_day, n_at_risk, n_events, n_censored,
+             |       round(CAST(n_events AS DOUBLE) / CAST(n_at_risk AS DOUBLE), 6) AS hazard
+             |FROM r ORDER BY bin""".stripMargin)),
+
+    // ── Mann–Whitney U rank test (Stats.mannWhitneyU): returned vs
+    //    accepted lineitem quantities, tie-corrected normal approximation
+    //    with exact doubled-rank arithmetic.
+    ("mann_whitney_quantity",
+      (spark, dir) =>
+        Stats.mannWhitneyU(Tables.lineitem(spark, dir), "l_returnflag",
+                           "R", "A", col("l_quantity").cast("long")),
+      Some("""WITH c AS (SELECT CAST(l_quantity AS BIGINT) AS v,
+             |                  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             |                  CAST(SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+             |           FROM lineitem WHERE l_returnflag IN ('R', 'A') GROUP BY 1),
+             |r AS (SELECT *, c1 + c2 AS c,
+             |             COALESCE(CAST(SUM(c1 + c2) OVER (ORDER BY v
+             |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+             |               CAST(0 AS BIGINT)) AS below
+             |      FROM c),
+             |a AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2,
+             |             SUM(CAST(c1 AS HUGEINT) * (2 * below + c + 1)) AS r1x2,
+             |             SUM(CAST(c AS HUGEINT) * c * c - c) AS ties3
+             |      FROM r),
+             |f AS (SELECT n1, n2,
+             |             (CAST(r1x2 AS DOUBLE) - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0)) / 2.0 AS u1,
+             |             sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0 *
+             |                  ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) + 1.0)
+             |                   - CAST(ties3 AS DOUBLE)
+             |                     / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+             |                        * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 1.0)))) AS sigma
+             |      FROM a)
+             |SELECT n1, n2, round(u1, 6) AS u1,
+             |       CASE WHEN sigma = 0 THEN NULL
+             |            ELSE round((u1 - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0) / sigma, 6)
+             |       END AS z,
+             |       round(u1 / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6) AS auc
+             |FROM f""".stripMargin)),
+
+    // ── Floor-clamped wallet balance per user (Windows.cappedRunningBalance):
+    //    the Lindley-reflection closed form of the sequential clamp fold —
+    //    purchases credit, errors debit, balance can't go below zero.
+    ("capped_running_balance",
+      (spark, dir) => {
+        val ev = Tables.events(spark, dir)
+          .filter(col("event_type").isin("purchase", "error"))
+        val cents = Scalars.moneyCents(col("value"))
+        val delta = when(col("event_type") === "purchase", cents)
+          .otherwise(-cents)
+        Windows.cappedRunningBalance(ev, "user_id", delta,
+            Seq(col("ts"), col("event_id")))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH d AS (
+             |  SELECT user_id, event_id, ts,
+             |         CASE WHEN event_type = 'purchase'
+             |              THEN CAST(round(value * 100) AS BIGINT)
+             |              ELSE -CAST(round(value * 100) AS BIGINT) END AS delta
+             |  FROM events WHERE event_type IN ('purchase', 'error')),
+             |s1 AS (SELECT user_id, event_id, ts, delta,
+             |              CAST(SUM(delta) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS prefix,
+             |              row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn_desc
+             |       FROM d),
+             |s2 AS (SELECT user_id, prefix, rn_desc,
+             |              least(CAST(0 AS BIGINT),
+             |                    COALESCE(CAST(MIN(prefix) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+             |                      CAST(0 AS BIGINT))) AS runmin_prev
+             |       FROM s1),
+             |s3 AS (SELECT user_id, prefix, rn_desc,
+             |              least(runmin_prev, prefix) AS runmin,
+             |              prefix - least(runmin_prev, prefix) AS balance,
+             |              CASE WHEN prefix < runmin_prev THEN 1 ELSE 0 END AS floor_hit
+             |       FROM s2)
+             |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_txns,
+             |       CAST(MAX(CASE WHEN rn_desc = 1 THEN balance END) AS BIGINT) AS final_balance,
+             |       CAST(MAX(CASE WHEN rn_desc = 1 THEN prefix END) AS BIGINT) AS net_sum,
+             |       CAST(-MIN(runmin) AS BIGINT) AS floor_absorbed,
+             |       CAST(SUM(floor_hit) AS BIGINT) AS n_floor_hits,
+             |       CAST(MAX(balance) AS BIGINT) AS peak_balance
+             |FROM s3 GROUP BY 1 ORDER BY user_id""".stripMargin))
   )
 }

@@ -1213,6 +1213,106 @@ object Stats {
       .orderBy(col("lag"))
   }
 
+  /** Kaplan–Meier-style lifetable over inter-order gaps with RIGHT
+    * CENSORING: every consecutive-order gap is an observed "return" event
+    * at its duration; each customer's open tail (last order → corpus max
+    * day) is a censored duration — it only testifies that the customer
+    * survived that long without returning. Binned to `binDays`-wide
+    * intervals, the table reports per bin the at-risk count (durations
+    * reaching the bin), events, censorings, and the discrete hazard
+    * d/n — the time-to-return curve a churn model calibrates against,
+    * where the naive gap histogram ([[customerOrderGaps]]) is biased low
+    * because it silently drops every still-open interval.
+    *
+    * Exactness: durations and bins are integer days (same lag-window gap
+    * definition as [[customerOrderGaps]], same-day orders contribute
+    * 0-day gaps); hazard is the one mirrored double division, rounded 6.
+    * Scale: gaps from the customer-partitioned window; the corpus max day
+    * joins in as a broadcast 1-row aggregate (never a driver read); the
+    * reverse-cumulative at-risk window runs over rows = bins — calendar
+    * domain / binDays, bounded at any corpus size.
+    */
+  def orderGapHazard(orders: DataFrame, binDays: Int = 30): DataFrame = {
+    val base = orders.select(col("o_custkey"), col("o_orderkey"),
+                             to_date(col("o_orderdate")).as("day"))
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("day"), col("o_orderkey"))
+    val gaps = base.withColumn("prev", lag(col("day"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(datediff(col("day"), col("prev")).cast("long").as("dur"),
+              lit(0L).as("censored"))
+    val maxDay = base.agg(max(col("day")).as("max_day"))
+    val tails = base.groupBy(col("o_custkey"))
+      .agg(max(col("day")).as("last_day"))
+      .crossJoin(broadcast(maxDay))
+      .select(datediff(col("max_day"), col("last_day")).cast("long").as("dur"),
+              lit(1L).as("censored"))
+    val byBin = gaps.unionByName(tails)
+      .select(expr(s"dur div $binDays").as("bin"), col("censored"))
+      .groupBy(col("bin"))
+      .agg(sum(lit(1L) - col("censored")).as("n_events"),
+           sum(col("censored")).as("n_censored"))
+    val wRev = Window.orderBy(col("bin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byBin
+      .withColumn("n_at_risk",
+        sum(col("n_events") + col("n_censored")).over(wRev))
+      .select(col("bin"), (col("bin") * binDays).as("bin_start_day"),
+        col("n_at_risk"), col("n_events"), col("n_censored"),
+        round(col("n_events").cast("double") / col("n_at_risk").cast("double"), 6)
+          .as("hazard"))
+      .orderBy(col("bin"))
+  }
+
+  /** Mann–Whitney U rank test between two groups of an INTEGER-valued
+    * measure (Mann & Whitney 1947, normal approximation with the standard
+    * tie correction) — the nonparametric two-sample location test that
+    * [[abConversionZTest]]'s proportion z cannot replace when the measure
+    * is a skewed count. Group labels come from `flagCol` ∈ {groupA,
+    * groupB}; rows outside both are ignored.
+    *
+    * Rank arithmetic is EXACT: values aggregate to per-value counts first
+    * (rows = value domain, e.g. 50 quantities — bounded), tie-averaged
+    * ranks are held DOUBLED (2·avgrank = 2·count_below + count + 1, an
+    * integer), and the doubled rank sum / tie-correction cube sum
+    * accumulate in decimal(38,0) (HUGEINT twin) because c³ outgrows
+    * BIGINT on heavy value collisions at corpus scale — the
+    * [[pearsonOlsFixed]] wide-integers-past-the-aggregate rule on ≤|domain|
+    * rows. Only z and the common-language effect size (U/(n1·n2), the
+    * Wilcoxon AUC) are doubles: fixed +,−,×,/,√ trees on exact operands.
+    */
+  def mannWhitneyU(df: DataFrame, flagCol: String, groupA: String,
+                   groupB: String, valueInt: Column): DataFrame = {
+    val counts = df
+      .filter(col(flagCol) === groupA || col(flagCol) === groupB)
+      .groupBy(valueInt.as("v"))
+      .agg(sum(when(col(flagCol) === groupA, 1L).otherwise(0L)).as("c1"),
+           sum(when(col(flagCol) === groupB, 1L).otherwise(0L)).as("c2"))
+    val wAsc = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = counts
+      .withColumn("c", col("c1") + col("c2"))
+      .withColumn("below", coalesce(sum(col("c")).over(wAsc), lit(0L)))
+      // doubled tie-averaged rank of every row holding value v
+      .withColumn("r2", lit(2L) * col("below") + col("c") + lit(1L))
+    val agg = ranked.agg(
+      sum(col("c1")).as("n1"), sum(col("c2")).as("n2"),
+      sum(col("c1").cast("decimal(38,0)") * col("r2")).as("r1x2"),
+      sum((col("c").cast("decimal(38,0)") * col("c") * col("c") - col("c"))
+        .cast("decimal(38,0)")).as("ties3"))
+    val n1 = col("n1").cast("double")
+    val n2 = col("n2").cast("double")
+    val n = n1 + n2
+    val u1 = (col("r1x2").cast("double") - n1 * (n1 + 1.0)) / 2.0
+    val sigma = sqrt(n1 * n2 / 12.0 *
+      ((n + 1.0) - col("ties3").cast("double") / (n * (n - 1.0))))
+    agg.select(col("n1"), col("n2"),
+      round(u1, 6).as("u1"),
+      when(sigma === 0.0, lit(null))
+        .otherwise(round((u1 - n1 * n2 / 2.0) / sigma, 6)).as("z"),
+      round(u1 / (n1 * n2), 6).as("auc"))
+  }
+
   /** Seasonal-naive forecast backtest: predict each day's revenue as the
     * value one season earlier (x̂_t = x_{t−season}, season = 7 ⇒ "same
     * weekday last week") and score the residuals — the no-model baseline

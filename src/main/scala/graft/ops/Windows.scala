@@ -180,4 +180,52 @@ object Windows {
       .withColumn("cum_n",
         sum(col("n")).over(Window.partitionBy(col("g")).orderBy(col("day"))))
   }
+
+  /** Floor-clamped running balance per key — the stateful accumulator
+    * (wallet floor, inventory that can't go negative, token bucket) that
+    * looks like it needs a per-key sequential fold, expressed DECLARATIVELY
+    * through the Lindley reflection identity: with prefix sums P_t of the
+    * signed deltas, the balance clamped below at 0 is
+    *
+    *   B_t = P_t − min(0, min_{k ≤ t} P_k)
+    *
+    * (the queueing-theory waiting-time recursion in closed form), and the
+    * floor binds at t exactly when P_t sets a new running minimum below 0.
+    * So the whole operator is two per-key ordered windows — prefix sum and
+    * running min — with NO mapGroups/flatMapGroups iterator: it stays in
+    * whole-stage codegen, partitions by key, and an engine twin can mirror
+    * it as plain SQL windows (a recursive per-row fold can't cross the
+    * oracle gate at all). All arithmetic is BIGINT-exact.
+    *
+    * Emits one row per key: transaction count, final clamped balance,
+    * unclamped net sum, total absorbed by the floor (= −min running
+    * prefix, ≥ 0), number of floor hits, and the clamped running peak.
+    * `order` must totally order rows within a key.
+    */
+  def cappedRunningBalance(df: DataFrame, key: String, deltaInt: Column,
+                           order: Seq[Column]): DataFrame = {
+    val wOrd = Window.partitionBy(col(key)).orderBy(order: _*)
+    val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, -1)
+    val stepped = df
+      .select(Seq(col(key), deltaInt.as("delta")) ++ order: _*)
+      .withColumn("prefix", sum(col("delta")).over(wOrd))
+      .withColumn("runmin_prev",
+        least(lit(0L), coalesce(min(col("prefix")).over(wPrev), lit(0L))))
+      .withColumn("runmin", least(col("runmin_prev"), col("prefix")))
+      .withColumn("balance", col("prefix") - col("runmin"))
+      .withColumn("floor_hit",
+        when(col("prefix") < col("runmin_prev"), 1L).otherwise(0L))
+      // "last row" selected by rank, not by aggregate arrival order —
+      // last() in a groupBy is partition-order-dependent and would break
+      // the determinism contract
+      .withColumn("rn_desc",
+        row_number().over(Window.partitionBy(col(key)).orderBy(order.map(_.desc_nulls_last): _*)))
+    stepped.groupBy(col(key))
+      .agg(count(lit(1)).as("n_txns"),
+           max(when(col("rn_desc") === 1, col("balance"))).as("final_balance"),
+           max(when(col("rn_desc") === 1, col("prefix"))).as("net_sum"),
+           (-min(col("runmin"))).as("floor_absorbed"),
+           sum(col("floor_hit")).as("n_floor_hits"),
+           max(col("balance")).as("peak_balance"))
+  }
 }

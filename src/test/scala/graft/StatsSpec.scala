@@ -127,6 +127,46 @@ class StatsSpec extends AnyFunSuite {
     assert(r1.getAs[Double]("bias_cents") == 0.0, r1.toString)
   }
 
+  test("orderGapHazard: censored tails enter at-risk, never the event count") {
+    // customer 1: orders on day 0, 35, 40 → gaps 35 (bin 1), 5 (bin 0),
+    // censored tail 0 (bin 0). customer 2: one order on day 0 → censored
+    // tail 40 (bin 1). corpus max day = 40.
+    val orders = Seq((1L, 1L, 0), (2L, 1L, 35), (3L, 1L, 40), (4L, 2L, 0))
+      .map { case (ok, ck, d) =>
+        (ok, ck, java.sql.Timestamp.valueOf(
+           java.time.LocalDate.of(2024, 1, 1).plusDays(d).atStartOfDay())) }
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val bins = graft.ops.Stats.orderGapHazard(orders).collect()
+      .map(r => r.getAs[Long]("bin") -> r).toMap
+    val b0 = bins(0L)
+    assert(b0.getAs[Long]("n_at_risk") == 4L && b0.getAs[Long]("n_events") == 1L
+           && b0.getAs[Long]("n_censored") == 1L)
+    assert(b0.getAs[Double]("hazard") == 0.25)
+    val b1 = bins(1L)
+    assert(b1.getAs[Long]("n_at_risk") == 2L && b1.getAs[Long]("n_events") == 1L
+           && b1.getAs[Long]("n_censored") == 1L)
+    assert(b1.getAs[Double]("hazard") == 0.5)
+  }
+
+  test("mannWhitneyU: separation, symmetry, and tie handling") {
+    def mw(rows: Seq[(String, Long)]) =
+      graft.ops.Stats.mannWhitneyU(rows.toDF("flag", "v"), "flag", "A", "B",
+        col("v")).collect()(0)
+    // complete separation: every A above every B → U1 = n1·n2, AUC = 1
+    val sep = mw(Seq(("A", 5L), ("A", 6L), ("A", 7L),
+                     ("B", 1L), ("B", 2L), ("B", 3L)))
+    assert(sep.getAs[Double]("u1") == 9.0 && sep.getAs[Double]("auc") == 1.0)
+    assert(sep.getAs[Double]("z") > 1.9, sep.toString)
+    // identical (all-tied) samples → U1 = n1·n2/2, AUC = 0.5, sigma = 0 →
+    // z NULL (the tie correction removes all variance)
+    val tied = mw(Seq(("A", 2L), ("A", 2L), ("B", 2L), ("B", 2L)))
+    assert(tied.getAs[Double]("u1") == 2.0 && tied.getAs[Double]("auc") == 0.5)
+    assert(tied.isNullAt(tied.fieldIndex("z")), tied.toString)
+    // mirrored samples → AUC exactly 0.5, z = 0
+    val sym = mw(Seq(("A", 1L), ("A", 3L), ("B", 1L), ("B", 3L)))
+    assert(sym.getAs[Double]("auc") == 0.5 && sym.getAs[Double]("z") == 0.0)
+  }
+
   test("pearsonOlsFixed: exact fits on crafted groups") {
     val out = fit(Seq(
       // perfect line y = 3x + 1 → corr 1, slope 3

@@ -10,6 +10,43 @@ class WindowsSpec extends AnyFunSuite {
 
   private def ts(s: String) = java.sql.Timestamp.valueOf(s)
 
+  test("cappedRunningBalance: Lindley reflection equals the sequential clamp fold") {
+    // crafted: user 1 clamps once (+5,−10,+3 → balances 5,0,3); user 2
+    // never clamps (+5,−2 → 5,3)
+    val crafted = Seq(
+      (1L, 1L, 5L), (1L, 2L, -10L), (1L, 3L, 3L),
+      (2L, 1L, 5L), (2L, 2L, -2L)).toDF("user_id", "seq", "delta")
+    val out = Windows.cappedRunningBalance(crafted, "user_id", col("delta"),
+        Seq(col("seq"))).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val u1 = out(1L)
+    assert(u1.getAs[Long]("final_balance") == 3L && u1.getAs[Long]("net_sum") == -2L)
+    assert(u1.getAs[Long]("floor_absorbed") == 5L && u1.getAs[Long]("n_floor_hits") == 1L)
+    assert(u1.getAs[Long]("peak_balance") == 5L)
+    val u2 = out(2L)
+    assert(u2.getAs[Long]("final_balance") == 3L && u2.getAs[Long]("floor_absorbed") == 0L)
+    assert(u2.getAs[Long]("n_floor_hits") == 0L && u2.getAs[Long]("peak_balance") == 5L)
+
+    // property: 300 pseudorandom deltas across 3 users must match an
+    // imperative clamp fold exactly — the identity, not a special case
+    val rng = new scala.util.Random(42)
+    val rows = (1 to 300).map(i => ((i % 3).toLong, i.toLong, rng.between(-50L, 51L)))
+    val got = Windows.cappedRunningBalance(rows.toDF("user_id", "seq", "delta"),
+        "user_id", col("delta"), Seq(col("seq"))).collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[Long]("final_balance"), r.getAs[Long]("n_floor_hits"),
+         r.getAs[Long]("peak_balance"), r.getAs[Long]("floor_absorbed"))).toMap
+    rows.groupBy(_._1).foreach { case (u, rs) =>
+      var bal = 0L; var hits = 0L; var peak = 0L; var absorbed = 0L
+      rs.sortBy(_._2).foreach { case (_, _, d) =>
+        val raw = bal + d
+        if (raw < 0) { hits += 1; absorbed += -raw; bal = 0 } else bal = raw
+        peak = math.max(peak, bal)
+      }
+      assert(got(u) == ((bal, hits, peak, absorbed)), s"user $u")
+    }
+  }
+
   test("funnelStages: strict ordering, NULL propagation, out-of-order stages rejected") {
     val ev = Seq(
       // user 1: full ordered funnel
