@@ -4323,6 +4323,123 @@ object CatalogExt {
              |       CAST(-MIN(runmin) AS BIGINT) AS floor_absorbed,
              |       CAST(SUM(floor_hit) AS BIGINT) AS n_floor_hits,
              |       CAST(MAX(balance) AS BIGINT) AS peak_balance
-             |FROM s3 GROUP BY 1 ORDER BY user_id""".stripMargin))
+             |FROM s3 GROUP BY 1 ORDER BY user_id""".stripMargin)),
+
+    // ── Common-neighbor link prediction (Graph.linkPrediction) on the
+    //    part-level co-purchase graph (edge = co-purchased in >= 2 orders;
+    //    the supplier graph is complete at small SFs — no links to
+    //    predict): top-50 non-adjacent part pairs by shared neighborhood.
+    ("copurchase_link_prediction",
+      (spark, dir) =>
+        Graph.linkPrediction(Tables.lineitem(spark, dir),
+                             "l_orderkey", "l_partkey", minSupport = 2, k = 50),
+      Some("""WITH ds AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+             |e AS (SELECT a.it AS u, b.it AS v
+             |      FROM ds a JOIN ds b ON a.bk = b.bk AND a.it < b.it
+             |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+             |adj AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+             |deg AS (SELECT u AS x, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY 1),
+             |cand AS (SELECT l.u AS u, r.u AS v, CAST(COUNT(*) AS BIGINT) AS common
+             |         FROM adj l JOIN adj r ON l.v = r.v AND l.u < r.u
+             |         GROUP BY 1, 2),
+             |nc AS (SELECT * FROM cand c
+             |       WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = c.u AND e.v = c.v))
+             |SELECT nc.u, nc.v, common, d1.d AS du, d2.d AS dv,
+             |       round(CAST(common AS DOUBLE) / CAST(d1.d + d2.d - common AS DOUBLE), 6) AS jaccard
+             |FROM nc JOIN deg d1 ON d1.x = nc.u JOIN deg d2 ON d2.x = nc.v
+             |ORDER BY common DESC, jaccard DESC, u, v LIMIT 50""".stripMargin)),
+
+    // ── SymSpell deletion-neighborhood fuzzy match (Dedup.symDeleteMatch):
+    //    deterministically perturbed customer names resolved back against
+    //    the clean list at lev ≤ 1 — equi-join-only ER with provable recall.
+    ("symdelete_fuzzy_match",
+      (spark, dir) => {
+        val cust = Tables.customer(spark, dir)
+        val len = length(col("c_name"))
+        val p = (col("c_custkey") % len.cast("long")).cast("int") + lit(1)
+        val dirty = cust.select(
+          col("c_custkey").as("dirty_id"), col("c_custkey").as("source_id"),
+          concat(col("c_name").substr(lit(1), p - 1),
+                 col("c_name").substr(p + 1, len - p)).as("dirty_name"))
+        val clean = cust.select(col("c_custkey").as("clean_id"),
+                                col("c_name").as("clean_name"))
+        Dedup.symDeleteMatch(dirty, clean).orderBy(col("dirty_id"))
+      },
+      Some("""WITH clean AS (SELECT c_custkey AS clean_id, c_name AS clean_name FROM customer),
+             |dirty AS (SELECT c_custkey AS dirty_id, c_custkey AS source_id,
+             |                 substring(c_name, 1, CAST(c_custkey % length(c_name) AS INT)) ||
+             |                 substring(c_name, CAST(c_custkey % length(c_name) AS INT) + 2,
+             |                           length(c_name) - CAST(c_custkey % length(c_name) AS INT) - 1) AS dirty_name
+             |          FROM customer),
+             |dv AS (SELECT dirty_id, dirty_name,
+             |              unnest(list_transform(range(0, length(dirty_name) + 1),
+             |                i -> CASE WHEN i = 0 THEN dirty_name
+             |                          ELSE substring(dirty_name, 1, CAST(i - 1 AS INT)) ||
+             |                               substring(dirty_name, CAST(i + 1 AS INT),
+             |                                         length(dirty_name) - CAST(i AS INT)) END)) AS key
+             |       FROM dirty),
+             |cv AS (SELECT clean_id, clean_name,
+             |              unnest(list_transform(range(0, length(clean_name) + 1),
+             |                i -> CASE WHEN i = 0 THEN clean_name
+             |                          ELSE substring(clean_name, 1, CAST(i - 1 AS INT)) ||
+             |                               substring(clean_name, CAST(i + 1 AS INT),
+             |                                         length(clean_name) - CAST(i AS INT)) END)) AS key
+             |       FROM clean),
+             |cd AS (SELECT DISTINCT d.dirty_id, d.dirty_name, c.clean_id, c.clean_name
+             |       FROM dv d JOIN cv c USING (key)
+             |       WHERE levenshtein(d.dirty_name, c.clean_name) <= 1),
+             |pd AS (SELECT dirty_id, CAST(COUNT(*) AS BIGINT) AS n_candidates,
+             |              CAST(MIN(levenshtein(dirty_name, clean_name)) AS BIGINT) AS min_dist
+             |       FROM cd GROUP BY 1),
+             |rec AS (SELECT DISTINCT cd.dirty_id
+             |        FROM cd JOIN dirty ON cd.dirty_id = dirty.dirty_id
+             |        WHERE cd.clean_id = dirty.source_id)
+             |SELECT d.dirty_id,
+             |       COALESCE(pd.n_candidates, CAST(0 AS BIGINT)) AS n_candidates,
+             |       pd.min_dist,
+             |       CASE WHEN rec.dirty_id IS NOT NULL THEN true ELSE false END AS source_recovered
+             |FROM dirty d
+             |LEFT JOIN pd ON d.dirty_id = pd.dirty_id
+             |LEFT JOIN rec ON d.dirty_id = rec.dirty_id
+             |ORDER BY d.dirty_id""".stripMargin)),
+
+    // ── Gaps-and-islands run collapse (Windows.stateIslands): maximal
+    //    same-event-type runs per user — the SCD-2 validity-interval
+    //    builder over a change log.
+    ("event_type_islands",
+      (spark, dir) =>
+        Windows.stateIslands(Tables.events(spark, dir), "user_id", "ts",
+            "event_type", col("event_id"))
+          .orderBy(col("user_id"), col("island")),
+      Some("""WITH m AS (
+             |  SELECT user_id, event_id, ts, event_type,
+             |         CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             |               OR lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) <> event_type
+             |              THEN 1 ELSE 0 END AS chg
+             |  FROM events),
+             |s AS (
+             |  SELECT user_id, event_type, ts,
+             |         CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS island
+             |  FROM m)
+             |SELECT user_id, island, MAX(event_type) AS state,
+             |       MIN(CAST(floor(epoch(ts)) AS BIGINT)) AS start_epoch,
+             |       MAX(CAST(floor(epoch(ts)) AS BIGINT)) AS end_epoch,
+             |       COUNT(*) AS n_events
+             |FROM s GROUP BY 1, 2 ORDER BY user_id, island""".stripMargin)),
+
+    // ── Trailing 7-day distinct active users (Windows.rollingDistinct):
+    //    exact sliding-window COUNT(DISTINCT) via cover-set expansion of
+    //    deduped (day, user) pairs.
+    ("rolling_active_users",
+      (spark, dir) =>
+        Windows.rollingDistinct(Tables.events(spark, dir), "user_id",
+            to_date(col("ts")), 7)
+          .orderBy(col("day")),
+      Some("""WITH p AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+             |g AS (SELECT DISTINCT day FROM p)
+             |SELECT g.day, CAST(COUNT(DISTINCT p.user_id) AS BIGINT) AS distinct_7d
+             |FROM g JOIN p ON p.day BETWEEN g.day - 6 AND g.day
+             |GROUP BY 1 ORDER BY g.day""".stripMargin))
   )
 }

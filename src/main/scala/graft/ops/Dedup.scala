@@ -1016,4 +1016,56 @@ object Dedup {
       .filter(col("edit_sim") >= minSim)
       .select("doc_a", "doc_b", "edit_dist", "edit_sim")
   }
+
+  /** Deletion-neighborhood (SymSpell/FastSS-style) fuzzy entity match:
+    * resolve "dirty" strings against a clean reference at edit distance
+    * ≤ 1 with GUARANTEED recall and equi-joins only. Both sides expand to
+    * their 1-deletion neighborhoods (the string itself plus every
+    * drop-one-character variant — len+1 keys, a bounded map-side explode);
+    * any lev-≤1 pair must share a key (delete the edited position on
+    * whichever side carries it), so the candidate join is a plain hash
+    * join on the variant key — no all-pairs comparison exists at ANY
+    * corpus size, the same banding argument as [[lshCandidatePairs]] with
+    * an exact (not probabilistic) recall proof. Candidates dedup, then the
+    * exact `levenshtein ≤ 1` verify drops the false positives the
+    * neighborhood join admits (distance-2 pairs sharing a deletion).
+    *
+    * Emits one row per dirty id: candidate count, whether the TRUE source
+    * (`sourceId`) is among them, and the minimum distance — the
+    * recall/ambiguity audit of a record-linkage stage. Dirty rows with no
+    * candidate survive via left join (n_candidates = 0): silent drops are
+    * the one thing a linkage audit must not do.
+    */
+  def symDeleteMatch(dirty: DataFrame, clean: DataFrame): DataFrame = {
+    def variants(df: DataFrame, idCol: String, nameCol: String, side: String) =
+      df.select(col(idCol), col(nameCol),
+          explode(expr(
+            s"""transform(sequence(0, length($nameCol)), i ->
+               |  CASE WHEN i = 0 THEN $nameCol
+               |       ELSE concat(substring($nameCol, 1, i - 1),
+               |                   substring($nameCol, i + 1, length($nameCol) - i))
+               |  END)""".stripMargin)).as("key"))
+        .select(col(idCol).as(s"${side}_id"), col(nameCol).as(s"${side}_name"),
+                col("key"))
+    val dv = variants(dirty, "dirty_id", "dirty_name", "d")
+    val cv = variants(clean, "clean_id", "clean_name", "c")
+    val cands = dv.join(cv, Seq("key"))
+      .select(col("d_id"), col("d_name"), col("c_id"), col("c_name"))
+      .distinct()
+      .filter(levenshtein(col("d_name"), col("c_name")) <= 1)
+    val perDirty = cands.groupBy(col("d_id"))
+      .agg(count(lit(1)).as("n_candidates"),
+           min(levenshtein(col("d_name"), col("c_name")).cast("long"))
+             .as("min_dist"))
+    dirty.select(col("dirty_id").as("d_id"), col("source_id"))
+      .join(perDirty, Seq("d_id"), "left")
+      .join(cands.select(col("d_id"), col("c_id")).distinct()
+              .withColumnRenamed("c_id", "source_id")
+              .withColumn("source_recovered", lit(true)),
+            Seq("d_id", "source_id"), "left")
+      .select(col("d_id").as("dirty_id"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        col("min_dist"),
+        coalesce(col("source_recovered"), lit(false)).as("source_recovered"))
+  }
 }

@@ -284,4 +284,51 @@ object Graph {
         round(lit(3.0) * col("n_triangles") / nullif(col("n_wedges"), lit(0L)), 6)
           .as("clustering"))
   }
+
+  /** Common-neighbor link prediction (Liben-Nowell & Kleinberg 2003) over
+    * the same support-pruned co-occurrence graph as [[triangleStats]]:
+    * for every NON-adjacent node pair sharing at least one neighbor, the
+    * common-neighbor count and neighborhood Jaccard — "these two suppliers
+    * never co-supply an order, but their order neighborhoods overlap" is
+    * exactly the candidate edge a recommender or assortment planner ranks.
+    * Top-k under the total order (common desc, jaccard desc, u, v).
+    *
+    * Shape: wedges enumerate at their CENTER — adjacency self-joined on
+    * the center with endpoint order u < v, so each unordered candidate
+    * pair aggregates once; the wedge relation is Σ C(d,2) rows (the same
+    * n_wedges the triangle census reports — support pruning keeps it
+    * near-linear in edges), reduced by one partial+final count before the
+    * degree joins. Known edges leave via a left_anti equi-join. Jaccard =
+    * common / (du + dv − common) from exact BIGINTs, one mirrored division.
+    * Every join is an equi-join; the k-row result is TakeOrdered, never a
+    * global sort.
+    */
+  def linkPrediction(baskets: DataFrame, basketCol: String, itemCol: String,
+                     minSupport: Long, k: Int): DataFrame = {
+    require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
+    val ds = baskets.select(col(basketCol).as("bk"), col(itemCol).as("it")).distinct()
+    val edges = ds.as("a").join(ds.as("b"),
+        col("a.bk") === col("b.bk") && col("a.it") < col("b.it"))
+      .groupBy(col("a.it").as("u"), col("b.it").as("v"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= minSupport)
+      .select("u", "v")
+      .localCheckpoint()
+    val adj = edges.unionAll(edges.select(col("v").as("u"), col("u").as("v")))
+    val deg = adj.groupBy(col("u").as("x")).agg(count(lit(1)).as("d"))
+    val cand = adj.as("l").join(adj.as("r"),
+        col("l.v") === col("r.v") && col("l.u") < col("r.u"))
+      .groupBy(col("l.u").as("u"), col("r.u").as("v"))
+      .agg(count(lit(1)).as("common"))
+      .join(edges, Seq("u", "v"), "left_anti")
+    cand
+      .join(deg.select(col("x").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("x").as("v"), col("d").as("dv")), Seq("v"))
+      .select(col("u"), col("v"), col("common"), col("du"), col("dv"),
+        round(col("common").cast("double") /
+              (col("du") + col("dv") - col("common")).cast("double"), 6)
+          .as("jaccard"))
+      .orderBy(col("common").desc, col("jaccard").desc, col("u"), col("v"))
+      .limit(k)
+  }
 }

@@ -181,6 +181,60 @@ object Windows {
         sum(col("n")).over(Window.partitionBy(col("g")).orderBy(col("day"))))
   }
 
+  /** Gaps-and-islands: collapse each key's ordered event stream into
+    * maximal runs of an unchanged `stateCol` value — the SCD-2 dimension
+    * builder (validity intervals from a change log) and the run-length
+    * view behind "how long do users stay in a mode". A run breaks exactly
+    * when `stateCol` differs from the previous row; `island` is the
+    * 1-based per-key run number (change-flag running sum — the same
+    * lag→cumsum rule as the sessionizer, keyed on value change instead of
+    * time gap).
+    *
+    * Emits one row per island: key, island, state, start/end epoch,
+    * n_events. Integer-exact throughout; `orderCols` must totally order
+    * rows within a key. One shuffle on the key; islands aggregate with
+    * partial map-side combine.
+    */
+  def stateIslands(events: DataFrame, key: String, tsCol: String,
+                   stateCol: String, tiebreak: Column): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(tsCol), tiebreak)
+    val flagged = events
+      .withColumn("__chg",
+        when(lag(col(stateCol), 1).over(w).isNull ||
+             lag(col(stateCol), 1).over(w) =!= col(stateCol), 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("__chg")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    flagged.groupBy(col(key), col("island"))
+      .agg(max(col(stateCol)).as("state"),
+           min(unix_seconds(col(tsCol))).as("start_epoch"),
+           max(unix_seconds(col(tsCol))).as("end_epoch"),
+           count(lit(1)).as("n_events"))
+  }
+
+  /** Distinct keys over a trailing `days`-day sliding window, per active
+    * day — the "7-day active users" metric. COUNT(DISTINCT) is not a
+    * window function in any engine; the scalable exact form is cover-set
+    * expansion: dedup to (day, key) pairs (map-side partial), explode each
+    * pair onto the ≤`days` window-end days it covers (a bounded fanout of
+    * pre-aggregated rows, NOT raw events), and count distinct keys per
+    * cover day. Reported days are restricted to days that actually have
+    * activity (semi-join against the observed-day set, mirrored in the
+    * twin); the trailing window is the calendar intersection, so leading
+    * days report their partial-but-exact window.
+    */
+  def rollingDistinct(events: DataFrame, key: String, dayCol: Column,
+                      days: Int): DataFrame = {
+    val pairs = events.select(dayCol.as("day"), col(key).as("k")).distinct()
+    val observed = pairs.select(col("day")).distinct()
+    pairs
+      .select(col("k"), explode(sequence(col("day"),
+        date_add(col("day"), days - 1), expr("interval 1 day"))).as("day"))
+      .join(observed, Seq("day"), "left_semi")
+      .groupBy(col("day"))
+      .agg(countDistinct(col("k")).as(s"distinct_${days}d"))
+  }
+
   /** Floor-clamped running balance per key — the stateful accumulator
     * (wallet floor, inventory that can't go negative, token bucket) that
     * looks like it needs a per-key sequential fold, expressed DECLARATIVELY

@@ -437,4 +437,23 @@ class DedupSpec extends AnyFunSuite {
     assert(rows.forall(_.getLong(0) >= 2L), "band match implies >= rowsPerBand")
     assert(rows.forall(r => r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0))
   }
+
+  test("symDeleteMatch: every 1-edit type is recalled, distance-2 is rejected") {
+    import spark.implicits._
+    val clean = Seq((1L, "alphabet"), (2L, "spark"), (3L, "duckdb"))
+      .toDF("clean_id", "clean_name")
+    val dirty = Seq(
+      (10L, 1L, "alphabet"),  // identity (distance 0)
+      (11L, 1L, "alphabe"),   // deletion
+      (12L, 2L, "sparks"),    // insertion
+      (13L, 2L, "spork"),     // substitution
+      (14L, 3L, "duckXY"))    // distance 2 -> must NOT match
+      .toDF("dirty_id", "source_id", "dirty_name")
+    val out = graft.ops.Dedup.symDeleteMatch(dirty, clean).collect()
+      .map(r => r.getAs[Long]("dirty_id") ->
+        (r.getAs[Long]("n_candidates"), r.getAs[Boolean]("source_recovered"))).toMap
+    assert(out(10L) == ((1L, true)) && out(11L) == ((1L, true)))
+    assert(out(12L) == ((1L, true)) && out(13L) == ((1L, true)))
+    assert(out(14L) == ((0L, false)), out.toString)
+  }
 }

@@ -132,4 +132,23 @@ class GraphSpec extends AnyFunSuite {
     assert(row.getLong(3) == 1L, row.toString)
     assert(row.getLong(0) == 7L && row.getLong(1) == 7L, row.toString)
   }
+
+  test("linkPrediction: path graph predicts the closing edge, known edges excluded") {
+    import spark.implicits._
+    // a-b (x2 baskets), b-c (x2): candidates must be exactly (a,c) with
+    // common = 1 (the shared neighbor b) and jaccard = 1/(1+1-1) = 1
+    val baskets = Seq(1L -> "a", 1L -> "b", 2L -> "a", 2L -> "b",
+                      3L -> "b", 3L -> "c", 4L -> "b", 4L -> "c")
+      .toDF("bk", "it")
+    val out = graft.ops.Graph.linkPrediction(baskets, "bk", "it",
+      minSupport = 2, k = 10).collect()
+    assert(out.length == 1, out.mkString(";"))
+    val r = out.head
+    assert(r.getAs[String]("u") == "a" && r.getAs[String]("v") == "c")
+    assert(r.getAs[Long]("common") == 1L && r.getAs[Double]("jaccard") == 1.0)
+    // triangle (all three edges present) → nothing left to predict
+    val closed = baskets.unionAll(Seq(5L -> "a", 5L -> "c", 6L -> "a", 6L -> "c")
+      .toDF("bk", "it"))
+    assert(graft.ops.Graph.linkPrediction(closed, "bk", "it", 2, 10).count() == 0L)
+  }
 }

@@ -10,6 +10,39 @@ class WindowsSpec extends AnyFunSuite {
 
   private def ts(s: String) = java.sql.Timestamp.valueOf(s)
 
+  test("stateIslands: runs break on change, not on time; ties ordered by id") {
+    val ev = Seq(
+      (1L, 10L, "view", ts("2024-01-01 10:00:00")),
+      (2L, 10L, "view", ts("2024-01-01 11:00:00")),
+      (3L, 10L, "click", ts("2024-01-01 12:00:00")),
+      (4L, 10L, "view", ts("2024-01-01 13:00:00")),  // back to view: NEW island
+      (5L, 20L, "view", ts("2024-01-01 10:00:00")))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val out = Windows.stateIslands(ev, "user_id", "ts", "event_type", col("event_id"))
+      .orderBy(col("user_id"), col("island")).collect()
+    assert(out.length == 4)
+    val u10 = out.filter(_.getAs[Long]("user_id") == 10L)
+    assert(u10.map(r => (r.getAs[Long]("island"), r.getAs[String]("state"),
+                         r.getAs[Long]("n_events"))).toSeq ==
+           Seq((1L, "view", 2L), (2L, "click", 1L), (3L, "view", 1L)))
+  }
+
+  test("rollingDistinct: window unions per-day actives; inactive days unreported") {
+    val ev = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00")),
+      (2L, 2L, ts("2024-01-01 11:00:00")),
+      (3L, 1L, ts("2024-01-02 10:00:00")),
+      // gap: Jan 3-9 inactive
+      (4L, 3L, ts("2024-01-10 10:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    val out = Windows.rollingDistinct(ev, "user_id", to_date(col("ts")), 7)
+      .collect().map(r => r.getAs[java.sql.Date]("day").toString ->
+                          r.getAs[Long]("distinct_7d")).toMap
+    // Jan 1: {1,2}; Jan 2: {1,2}; Jan 10: {3} (window Jan 4-10); no rows
+    // for the inactive Jan 3-9 even though windows ending there are nonempty
+    assert(out == Map("2024-01-01" -> 2L, "2024-01-02" -> 2L, "2024-01-10" -> 1L))
+  }
+
   test("cappedRunningBalance: Lindley reflection equals the sequential clamp fold") {
     // crafted: user 1 clamps once (+5,−10,+3 → balances 5,0,3); user 2
     // never clamps (+5,−2 → 5,3)
