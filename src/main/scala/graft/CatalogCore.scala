@@ -109,6 +109,30 @@ object CatalogCore {
       staged
     })
 
+  /** Sentinel-closed staging for stream_session_parity: the events
+    * (user_id, ts) written as file 1, then a single far-future sentinel
+    * row (user_id = −1, max ts + 2 h) as file 2 — with
+    * `maxFilesPerTrigger = 1` the sentinel trigger pushes the watermark
+    * past every real session's end (+30 min gap, −1 h lateness), so
+    * APPEND-mode session windows all close and emit deterministically
+    * (without it, sessions inside the final lateness horizon never leave
+    * the state store and the row would hash short). Append order controls
+    * trigger order, exactly as in [[stagedEventsTimeline]].
+    */
+  private val SessionStage =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+  private def stagedSessionEvents(spark: SparkSession, dir: String): String =
+    SessionStage.computeIfAbsent((spark, dir), _ => {
+      val staged = scratchDir("graft_session_parity_")
+      val ev = Tables.events(spark, dir).select(col("user_id"), col("ts"))
+      ev.coalesce(1).write.mode("append").parquet(s"$staged/src")
+      ev.agg(max(col("ts")).as("mx"))
+        .select(lit(-1L).as("user_id"),
+                (col("mx") + expr("INTERVAL 2 HOURS")).as("ts"))
+        .coalesce(1).write.mode("append").parquet(s"$staged/src")
+      staged
+    })
+
   /** Timeline-sliced staging for stream_context_parity: the events table
     * written as two SEQUENTIAL one-file slices (days ≤15 / ≥16) so
     * `maxFilesPerTrigger = 1` replays them as ordered micro-batches — an
@@ -1262,6 +1286,53 @@ object CatalogCore {
       },
       Some("""SELECT DISTINCT user_id, event_type FROM events
              |ORDER BY 1, 2""".stripMargin)),
+
+    // ── T7's session-window twin driver-hashed through a REAL two-trigger
+    //    micro-batch execution: gap-merged session windows
+    //    (Streaming.sessionStats, 30-min gap) over the sentinel-closed
+    //    staging, hashed against the batch gaps-and-islands form. The twin
+    //    pins session_window's STRICT boundary (a gap of exactly the
+    //    timeout starts a NEW session — [t, t+gap) windows that merely
+    //    touch do not overlap), in microsecond precision end to end.
+    ("stream_session_parity",
+      (spark, dir) => {
+        val staged = stagedSessionEvents(spark, dir)
+        val run = ParityRun.incrementAndGet()
+        val name = s"graft_session_parity_$run"
+        val src = spark.readStream
+          .schema("user_id BIGINT, ts TIMESTAMP")
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$staged/src")
+        val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+        val q =
+          try {
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+            graft.streaming.Streaming
+              .sessionStats(src, "user_id", "ts", "30 minutes", "1 hour")
+              .writeStream.outputMode("append").format("memory").queryName(name)
+              .option("checkpointLocation", s"$staged/ckpt_$run").start()
+          } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+        try q.processAllAvailable() finally q.stop()
+        spark.table(name)
+          .filter(col("user_id") >= 0L) // the sentinel's own session is scaffolding
+          .select(col("user_id"),
+                  unix_micros(col("session_start")).as("start_us"),
+                  unix_micros(col("session_end")).as("end_us"),
+                  col("n_events"))
+          .orderBy(col("user_id"), col("start_us"))
+      },
+      Some("""WITH e AS (SELECT user_id, ts, epoch_us(ts) AS ep FROM events),
+             |m AS (SELECT user_id, ts, ep,
+             |             CASE WHEN lag(ep) OVER w IS NULL
+             |                    OR ep - lag(ep) OVER w >= 1800000000 THEN 1 ELSE 0 END AS nw
+             |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+             |s AS (SELECT user_id, ep,
+             |             CAST(SUM(nw) OVER (PARTITION BY user_id ORDER BY ts
+             |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sn
+             |      FROM m)
+             |SELECT user_id, MIN(ep) AS start_us, MAX(ep) + 1800000000 AS end_us,
+             |       COUNT(*) AS n_events
+             |FROM s GROUP BY user_id, sn ORDER BY user_id, start_us""".stripMargin)),
 
     // ── T5's custom streaming state driver-hashed through a REAL
     //    flatMapGroupsWithState execution: the staged three-round attempt

@@ -4440,6 +4440,74 @@ object CatalogExt {
              |g AS (SELECT DISTINCT day FROM p)
              |SELECT g.day, CAST(COUNT(DISTINCT p.user_id) AS BIGINT) AS distinct_7d
              |FROM g JOIN p ON p.day BETWEEN g.day - 6 AND g.day
-             |GROUP BY 1 ORDER BY g.day""".stripMargin))
+             |GROUP BY 1 ORDER BY g.day""".stripMargin)),
+
+    // ── χ² keyness of src0's vocabulary vs the rest of the corpus
+    //    (TextAnalysis.keynessChi2): top-50 most source-distinctive terms
+    //    with over/under-representation direction.
+    ("keyness_chi2_terms",
+      (spark, dir) =>
+        TextAnalysis.keynessChi2(Tables.documents(spark, dir), "src0", 50),
+      Some(s"""WITH t AS (SELECT source, unnest($sqlTokens) AS token FROM documents),
+              |c AS (SELECT token,
+              |             CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+              |             CAST(SUM(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS b
+              |      FROM t GROUP BY 1),
+              |tot AS (SELECT CAST(SUM(a) AS BIGINT) AS ta, CAST(SUM(b) AS BIGINT) AS tb FROM c)
+              |SELECT token, a, b,
+              |       CASE WHEN (CAST(a AS DOUBLE) + CAST(b AS DOUBLE))
+              |                 * (CAST(ta - a AS DOUBLE) + CAST(tb - b AS DOUBLE))
+              |                 * CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE) = 0 THEN NULL
+              |            ELSE round((CAST(ta AS DOUBLE) + CAST(tb AS DOUBLE))
+              |                       * (CAST(a AS DOUBLE) * CAST(tb - b AS DOUBLE)
+              |                          - CAST(b AS DOUBLE) * CAST(ta - a AS DOUBLE))
+              |                       * (CAST(a AS DOUBLE) * CAST(tb - b AS DOUBLE)
+              |                          - CAST(b AS DOUBLE) * CAST(ta - a AS DOUBLE))
+              |                       / ((CAST(a AS DOUBLE) + CAST(b AS DOUBLE))
+              |                          * (CAST(ta - a AS DOUBLE) + CAST(tb - b AS DOUBLE))
+              |                          * CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE)), 6)
+              |       END AS chi2,
+              |       CASE WHEN a * tb > b * ta THEN 1
+              |            WHEN a * tb < b * ta THEN -1 ELSE 0 END AS direction
+              |FROM c CROSS JOIN tot
+              |ORDER BY chi2 DESC, token LIMIT 50""".stripMargin)),
+
+    // ── Largest-remainder (Hamilton) proration (Allocate.largestRemainder):
+    //    each order's header total allocated across its lineitems
+    //    proportional to quantity, cents conserved exactly per order.
+    ("largest_remainder_alloc",
+      (spark, dir) => {
+        val li = Tables.lineitem(spark, dir)
+          .select(col("l_orderkey"), col("l_linenumber"),
+                  col("l_quantity").cast("long").as("qty"))
+        val o = Tables.orders(spark, dir)
+          .select(col("o_orderkey"),
+                  Scalars.moneyCents(col("o_totalprice")).as("total_cents"))
+        // tiebreak (linenumber, qty): the synthetic lineitem repeats
+        // linenumbers within an order, and two equal-remainder rows with
+        // different qty must not swap their bump across engines
+        Allocate.largestRemainder(
+            li.join(o, col("l_orderkey") === col("o_orderkey")),
+            "l_orderkey", col("total_cents"), col("qty"),
+            Seq(col("l_linenumber"), col("qty")))
+          .select(col("l_orderkey"), col("l_linenumber"), col("qty"),
+                  col("alloc").as("alloc_cents"), col("bumped"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"), col("qty"),
+                   col("bumped"))
+      },
+      Some("""WITH j AS (SELECT l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT) AS qty,
+             |                  CAST(round(o_totalprice * 100) AS BIGINT) AS total
+             |           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+             |w AS (SELECT *, CAST(SUM(qty) OVER (PARTITION BY l_orderkey) AS BIGINT) AS wsum FROM j),
+             |s AS (SELECT *, (total * qty) // wsum AS share,
+             |             total * qty - ((total * qty) // wsum) * wsum AS rem
+             |      FROM w),
+             |t AS (SELECT *, CAST(total - SUM(share) OVER (PARTITION BY l_orderkey) AS BIGINT) AS leftover,
+             |             row_number() OVER (PARTITION BY l_orderkey ORDER BY rem DESC, l_linenumber, qty) AS rk
+             |      FROM s)
+             |SELECT l_orderkey, l_linenumber, qty,
+             |       CAST(share + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc_cents,
+             |       rk <= leftover AS bumped
+             |FROM t ORDER BY l_orderkey, l_linenumber, qty, bumped""".stripMargin))
   )
 }

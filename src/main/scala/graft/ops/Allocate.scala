@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact money allocation: prorate an integer total across the members of a
+  * group so the parts sum back to the whole EXACTLY. Floating-point
+  * proration (`total * q_i / Q`) leaks cents on every order — the classic
+  * ledger reconciliation bug; the largest-remainder (Hamilton) method is
+  * the standard fix: floor the proportional integer shares, then hand the
+  * leftover cents to the largest fractional remainders under a total
+  * order.
+  */
+object Allocate {
+
+  /** Largest-remainder allocation of `totalInt` (constant within a group)
+    * across the group's rows, proportional to `weightInt`:
+    *
+    *   share_i  = ⌊total·w_i / W⌋           (exact integer)
+    *   rem_i    = total·w_i − share_i·W     (the fractional part, ×W)
+    *   leftover = total − Σ share_i         (< group size)
+    *
+    * and the `leftover` rows ranking first by (rem desc, tiebreak asc)
+    * receive one extra unit. Σ alloc ≡ total per group BY CONSTRUCTION —
+    * the invariant the op exists for, surfaced as `bumped` so an audit can
+    * see exactly which rows absorbed the rounding.
+    *
+    * Exactness/overflow: everything is BIGINT; per-row products total·w
+    * must fit 2⁶³ (cents·quantity ≈ 2³⁰·2⁶ here — orders of magnitude of
+    * headroom). Scale: two windows over the SAME group partitioning (sum +
+    * rank — one shuffle on the group key, no join), then map-side
+    * arithmetic; groups are orders, rows per group bounded by order size.
+    * `tiebreak` must totally order rows within a group.
+    */
+  def largestRemainder(df: DataFrame, groupCol: String, totalInt: Column,
+                       weightInt: Column, tiebreaks: Seq[Column]): DataFrame = {
+    // `tiebreaks` need only totalize rows whose remainder AND emitted
+    // columns could otherwise swap: rows identical in every output column
+    // may tie freely — any k of them bumping yields the same row multiset
+    val wg = Window.partitionBy(col(groupCol))
+    val based = df
+      .withColumn("__total", totalInt)
+      .withColumn("__w", weightInt)
+      // NOT "__W": Spark's resolver is case-insensitive by default, and a
+      // name differing only in case silently aliases the weight column
+      .withColumn("__wsum", sum(col("__w")).over(wg))
+    val share = expr("(__total * __w) div __wsum")
+    val ranked = based
+      .withColumn("__share", share)
+      .withColumn("__rem",
+        col("__total") * col("__w") - col("__share") * col("__wsum"))
+      .withColumn("__leftover", col("__total") - sum(col("__share")).over(wg))
+      .withColumn("__rk",
+        row_number().over(wg.orderBy(col("__rem").desc +: tiebreaks: _*)))
+    ranked
+      .withColumn("bumped", (col("__rk") <= col("__leftover")).cast("boolean"))
+      .withColumn("alloc",
+        col("__share") + when(col("bumped"), 1L).otherwise(0L))
+      .drop("__total", "__w", "__wsum", "__share", "__rem", "__leftover", "__rk")
+  }
+}

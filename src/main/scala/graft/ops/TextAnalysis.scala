@@ -667,6 +667,43 @@ object TextAnalysis {
               round(col("entropy_micronats") / lit(1e6), 6).as("entropy_nats"))
   }
 
+  /** χ² keyness of tokens in one source vs the rest of the corpus (the
+    * corpus-linguistics keyword statistic — Rayson & Garside 2000 use
+    * log-likelihood, Pearson's χ² is the classic alternative): which
+    * terms are most over/under-represented in `focusSource`, the "what
+    * changed in this crawl slice" screen behind mixture debugging. Per
+    * token, the 2×2 table (a = occurrences in focus, b = in rest, c/d =
+    * the complements against the corpus token totals) scores
+    * χ² = N(ad − bc)² / ((a+b)(c+d)(a+c)(b+d)); `direction` is +1 where
+    * the focus over-represents (a·tb > b·ta, integer cross-multiplication
+    * — no rate division), −1 under, 0 balanced.
+    *
+    * Counts are exact BIGINTs from one token aggregate (map-side partial);
+    * the 1-row totals broadcast back; χ² is a fixed double tree on exact
+    * operands, rounded once at 6. Top-k by (χ², token) is TakeOrdered.
+    */
+  def keynessChi2(docs: DataFrame, focusSource: String, k: Int): DataFrame = {
+    val counts = docs
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("token"))
+      .agg(sum(when(col("source") === focusSource, 1L).otherwise(0L)).as("a"),
+           sum(when(col("source") =!= focusSource, 1L).otherwise(0L)).as("b"))
+    val totals = counts.agg(sum(col("a")).as("ta"), sum(col("b")).as("tb"))
+    def d(c: Column) = c.cast("double")
+    val (a, b, ta, tb) = (col("a"), col("b"), col("ta"), col("tb"))
+    val (cc, dd) = (ta - a, tb - b)
+    val n = d(ta) + d(tb)
+    val num = n * (d(a) * d(dd) - d(b) * d(cc)) * (d(a) * d(dd) - d(b) * d(cc))
+    val den = (d(a) + d(b)) * (d(cc) + d(dd)) * d(ta) * d(tb)
+    counts.crossJoin(broadcast(totals))
+      .select(col("token"), a, b,
+        when(den === 0.0, lit(null)).otherwise(round(num / den, 6)).as("chi2"),
+        when(a * tb > b * ta, 1).when(a * tb < b * ta, -1).otherwise(0)
+          .as("direction"))
+      .orderBy(col("chi2").desc, col("token"))
+      .limit(k)
+  }
+
   /** Confusion matrix of the [[langId]] heuristic against the labeled
     * `lang` column: per (actual, predicted) cell, the doc count and its
     * share within the actual language — the classifier-QA face of the

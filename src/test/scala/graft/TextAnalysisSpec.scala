@@ -376,4 +376,24 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r4.getLong(0) == 4L)
     assert(r4.getDouble(1) < 0, "slope negative on a decaying head")
   }
+
+  test("keynessChi2: source-exclusive terms rank first with the right sign") {
+    // "badger" appears only in the focus source, "filler" everywhere;
+    // "common" is balanced and must score ~0 with direction 0
+    val docs = Seq(
+      (1L, "srcA", "badger badger common filler"),
+      (2L, "srcA", "badger common filler"),
+      (3L, "srcB", "common common filler filler"),
+      (4L, "srcB", "common filler filler"))
+      .toDF("doc_id", "source", "text")
+    val out = TextAnalysis.keynessChi2(docs, "srcA", 10).collect()
+    val first = out.head
+    assert(first.getAs[String]("token") == "badger", first.toString)
+    assert(first.getAs[Int]("direction") == 1)
+    assert(first.getAs[Long]("a") == 3L && first.getAs[Long]("b") == 0L)
+    val byTok = out.map(r => r.getAs[String]("token") -> r).toMap
+    assert(byTok("filler").getAs[Int]("direction") == -1)
+    // chi2 is monotone in distinctiveness: exclusive beats skewed beats shared
+    assert(first.getAs[Double]("chi2") > byTok("common").getAs[Double]("chi2"))
+  }
 }
