@@ -4472,6 +4472,36 @@ object CatalogExt {
               |FROM c CROSS JOIN tot
               |ORDER BY chi2 DESC, token LIMIT 50""".stripMargin)),
 
+    // ── Poisson-bootstrap 95% CI of mean daily revenue
+    //    (Stats.bootstrapMeanCi): 200 hash-deterministic resamples, weights
+    //    from integer threshold comparisons — no RNG, no engine float
+    //    surface in the weights.
+    ("bootstrap_mean_ci",
+      (spark, dir) => Stats.bootstrapMeanCi(Tables.orders(spark, dir)),
+      Some {
+        val Seq(t0, t1, t2, t3, t4) = Stats.PoissonThresholds
+        s"""WITH d AS ($sqlDailyRevenue),
+           |x AS (SELECT day, rev_cents, unnest(range(0, 201)) AS b FROM d),
+           |wgt AS (SELECT rev_cents, b,
+           |               CAST(CAST('0x' || substr(md5(CAST(day AS VARCHAR) || '#' || CAST(b AS VARCHAR)), 1, 8) AS UBIGINT) AS BIGINT) AS h
+           |        FROM x),
+           |ww AS (SELECT rev_cents, b,
+           |              CASE WHEN h < $t0 THEN 0 WHEN h < $t1 THEN 1
+           |                   WHEN h < $t2 THEN 2 WHEN h < $t3 THEN 3
+           |                   WHEN h < $t4 THEN 4 ELSE 5 END AS w
+           |       FROM wgt),
+           |m AS (SELECT CAST(SUM(w * rev_cents) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) AS m
+           |      FROM ww GROUP BY b HAVING SUM(w) > 0),
+           |base AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+           |                CAST(SUM(rev_cents) AS BIGINT) AS s
+           |         FROM d)
+           |SELECT n_days, (s * 2 + n_days) // (n_days * 2) AS mean_cents,
+           |       (SELECT CAST(COUNT(*) AS BIGINT) FROM m) AS n_boot,
+           |       (SELECT quantile_cont(m, 0.025) FROM m) AS ci_lo_cents,
+           |       (SELECT quantile_cont(m, 0.975) FROM m) AS ci_hi_cents
+           |FROM base""".stripMargin
+      }),
+
     // ── Largest-remainder (Hamilton) proration (Allocate.largestRemainder):
     //    each order's header total allocated across its lineitems
     //    proportional to quantity, cents conserved exactly per order.

@@ -1213,6 +1213,69 @@ object Stats {
       .orderBy(col("lag"))
   }
 
+  /** Poisson-bootstrap cumulative thresholds: t_k = ⌊CDF_Poisson(1)(k)·2³²⌋
+    * for k = 0..4, computed ONCE here and injected as the SAME integer
+    * literals into both the Spark plan and the DuckDB twin — the resample
+    * weight is then pure integer comparison on the portable md5-prefix
+    * hash, with no cross-engine floating-point surface at all. Weights cap
+    * at 5 (P(w > 5) ≈ 6·10⁻⁴ — the standard truncation is statistically
+    * immaterial and buys exactness).
+    */
+  val PoissonThresholds: Seq[Long] = {
+    val pmf = (0 until 4).scanLeft(math.exp(-1.0)) { (p, k) => p / (k + 1) }
+    pmf.scanLeft(0.0)(_ + _).tail.map(c => (c * 4294967296.0).toLong)
+  }
+
+  /** Poisson bootstrap of the mean daily revenue (Chamandy et al. 2012 —
+    * the bootstrap that streams: independent per-(row, replicate) weights
+    * instead of size-n resamples, which is the only form that distributes):
+    * B deterministic resamples of the daily series, each mean an exact
+    * BIGINT ratio, and the 95% CI the exact percentile interpolation over
+    * the B means. Every resample weight is a pure function of
+    * (day, replicate) through the md5-prefix hash against
+    * [[PoissonThresholds]] — reruns, repartitions, and engines agree
+    * bit-for-bit; no RNG state exists.
+    *
+    * Scale: the input is the domain-bounded daily aggregate; the explode
+    * is days×B pre-aggregated rows (never raw orders), collapsing to B
+    * rows in one partial+final aggregate keyed on the replicate. The point
+    * estimate is half-up integer division (the 15-digit-edge rule). The CI
+    * bounds are emitted UNROUNDED: B = 201 puts both percentile indices on
+    * exact ranks (0.025·200 = 5, 0.975·200 = 195), so each bound IS one of
+    * the bootstrap means — a single mirrored double division — and no
+    * interpolation arithmetic (whose association differs between engines)
+    * or edge-prone round-at-10⁹-cents exists at all. (A round(…,6) form
+    * failed the sf0.1 gate by one 16th-digit ulp — the round-9
+    * daily_revenue_ewma class, caught before commit this time.)
+    * `b` must keep (b−1)·0.025 integral.
+    */
+  def bootstrapMeanCi(orders: DataFrame, b: Int = 201): DataFrame = {
+    require((b - 1) % 40 == 0, "need exact percentile ranks: (b-1) % 40 == 0")
+    val Seq(t0, t1, t2, t3, t4) = PoissonThresholds
+    val h32 = conv(substring(md5(concat(col("day").cast("string"), lit("#"),
+                                        col("b").cast("string"))
+                                   .cast("binary")), 1, 8), 16, 10)
+      .cast("long")
+    val w = when(h32 < t0, 0L).when(h32 < t1, 1L).when(h32 < t2, 2L)
+      .when(h32 < t3, 3L).when(h32 < t4, 4L).otherwise(5L)
+    val means = dailyRevenue(orders)
+      .select(col("day"), col("rev_cents"),
+              explode(sequence(lit(0), lit(b - 1))).as("b"))
+      .withColumn("w", w)
+      .groupBy(col("b"))
+      .agg(sum(col("w") * col("rev_cents")).as("swx"), sum(col("w")).as("sw"))
+      .filter(col("sw") > 0L)
+      .select((col("swx").cast("double") / col("sw").cast("double")).as("m"))
+    val base = dailyRevenue(orders)
+      .agg(count(lit(1)).as("n_days"), sum(col("rev_cents")).as("s"))
+      .select(col("n_days"),
+        expr("(s * 2 + n_days) div (n_days * 2)").as("mean_cents"))
+    base.crossJoin(broadcast(means.agg(
+      count(lit(1)).as("n_boot"),
+      expr("percentile(m, 0.025)").as("ci_lo_cents"),
+      expr("percentile(m, 0.975)").as("ci_hi_cents"))))
+  }
+
   /** Kaplan–Meier-style lifetable over inter-order gaps with RIGHT
     * CENSORING: every consecutive-order gap is an observed "return" event
     * at its duration; each customer's open tail (last order → corpus max

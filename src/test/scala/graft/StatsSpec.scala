@@ -127,6 +127,26 @@ class StatsSpec extends AnyFunSuite {
     assert(r1.getAs[Double]("bias_cents") == 0.0, r1.toString)
   }
 
+  test("bootstrapMeanCi: degenerate series collapses the CI; real spread brackets the mean") {
+    // constant $100 days: every resample mean is exactly 10000 cents, so
+    // the CI is the point — any deviation means the weights leaked noise
+    val flat = dayOrders((0 until 60).map(d => (d, 100.0)))
+    val r = graft.ops.Stats.bootstrapMeanCi(flat).collect()(0)
+    assert(r.getAs[Long]("mean_cents") == 10000L)
+    assert(r.getAs[Long]("n_boot") == 201L)
+    assert(r.getAs[Double]("ci_lo_cents") == 10000.0)
+    assert(r.getAs[Double]("ci_hi_cents") == 10000.0)
+    // alternating 100/300: CI must bracket the 20000-cent mean strictly
+    val mixed = dayOrders((0 until 60).map(d => (d, if (d % 2 == 0) 100.0 else 300.0)))
+    val m = graft.ops.Stats.bootstrapMeanCi(mixed).collect()(0)
+    assert(m.getAs[Double]("ci_lo_cents") < 20000.0 &&
+           m.getAs[Double]("ci_hi_cents") > 20000.0, m.toString)
+    assert(m.getAs[Double]("ci_hi_cents") - m.getAs[Double]("ci_lo_cents") < 8000.0)
+    // the threshold ladder is strictly increasing and below 2^32
+    val t = graft.ops.Stats.PoissonThresholds
+    assert(t == t.sorted && t.last < 4294967296L && t.head > 1500000000L)
+  }
+
   test("orderGapHazard: censored tails enter at-risk, never the event count") {
     // customer 1: orders on day 0, 35, 40 → gaps 35 (bin 1), 5 (bin 0),
     // censored tail 0 (bin 0). customer 2: one order on day 0 → censored
