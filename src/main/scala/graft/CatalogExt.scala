@@ -25,6 +25,38 @@ object CatalogExt {
       |                CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
       |         FROM orders GROUP BY 1""".stripMargin
 
+  /** DuckDB CTE chain for the SQ8 family (twin of
+    * [[graft.ops.Similarity.sq8TopK]]/sq8Recall): L2-normalize →
+    * micro-unit grid (the ONE mirrored rounding) → corpus-trained BIGINT
+    * [min,max] ladder → clamp-then-floor 8-bit codes → decoded (×255)
+    * integer dots, one double division chain at the end. Splice after
+    * `WITH `; produces CTE `s(q_id, vec_id, approx_cos)`. Pre-stripped
+    * (no margin pipes) so the outer stripMargin can't eat it.
+    */
+  private val sqlSq8Ctes: String = Seq(
+    "nv AS (SELECT vec_id,",
+    "              sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm,",
+    "              CAST(embedding AS DOUBLE[]) AS emb",
+    "       FROM embeddings),",
+    "x0 AS (SELECT vec_id, nrm, generate_subscripts(emb, 1) - 1 AS d, unnest(emb) AS v FROM nv),",
+    "x AS (SELECT vec_id, d,",
+    "             CASE WHEN nrm = 0 THEN CAST(0 AS BIGINT)",
+    "                  ELSE CAST(round(v / nrm * 1000000.0) AS BIGINT) END AS xm",
+    "      FROM x0),",
+    "st AS (SELECT d, CAST(MIN(xm) AS BIGINT) AS mn, CAST(MAX(xm) AS BIGINT) AS mx",
+    "       FROM x WHERE vec_id >= 8 GROUP BY 1),",
+    "dc AS (SELECT x.vec_id, x.d,",
+    "              CASE WHEN mx = mn THEN mn * 255",
+    "                   ELSE mn * 255 + CAST(floor(CAST((least(greatest(xm, mn), mx) - mn) * 255 AS DOUBLE)",
+    "                          / CAST(mx - mn AS DOUBLE)) AS BIGINT) * (mx - mn)",
+    "              END AS dec255",
+    "       FROM x JOIN st USING (d)),",
+    "s AS (SELECT q.vec_id AS q_id, c.vec_id,",
+    "             round(CAST(SUM(q.dec255 * c.dec255) AS DOUBLE) / 65025.0 / 1e12, 6) AS approx_cos",
+    "      FROM dc q JOIN dc c ON q.d = c.d",
+    "      WHERE q.vec_id < 8 AND c.vec_id >= 8",
+    "      GROUP BY 1, 2)").mkString("\n")
+
   /** DuckDB fragment: word n-gram shingle list with the <n-token fallback —
     * mirrors [[TextAnalysis.shingles]].
     */
@@ -4471,6 +4503,54 @@ object CatalogExt {
               |            WHEN a * tb < b * ta THEN -1 ELSE 0 END AS direction
               |FROM c CROSS JOIN tot
               |ORDER BY chi2 DESC, token LIMIT 50""".stripMargin)),
+
+    // ── SQ8 scalar-quantization ANN (Similarity.sq8TopK): per-dimension
+    //    L2-normalize, micro-unit grid, 8-bit codes against the
+    //    corpus-trained BIGINT ladder, ranking on the decoded integer dot
+    //    (cosine after normalization) — the faiss-SQ8 deployment shape.
+    ("sq8_ann_topk",
+      (spark, dir) => {
+        val emb = Tables.embeddings(spark, dir)
+        Similarity.sq8TopK(emb.filter(col("vec_id") < 8),
+                           emb.filter(col("vec_id") >= 8), 5)
+          .transform(CatalogCore.orderedReport(_,
+            col("q_id"), col("approx_cos").desc, col("vec_id")))
+      },
+      Some(s"""WITH $sqlSq8Ctes
+              |SELECT q_id, vec_id, approx_cos FROM s
+              |QUALIFY row_number() OVER (PARTITION BY q_id
+              |          ORDER BY approx_cos DESC, vec_id) <= 5
+              |ORDER BY q_id, approx_cos DESC, vec_id""".stripMargin)),
+
+    // ── SQ8 recall vs the exact cosine top-k (Similarity.sq8Recall): the
+    //    quantization-loss eval for the row above, fused into one corpus
+    //    scan on the Spark side.
+    ("sq8_recall",
+      (spark, dir) => {
+        val emb = Tables.embeddings(spark, dir)
+        Similarity.sq8Recall(emb.filter(col("vec_id") < 8),
+                             emb.filter(col("vec_id") >= 8), 5)
+          .transform(CatalogCore.orderedReport(_, col("q_id")))
+      },
+      Some(s"""WITH $sqlSq8Ctes,
+              |sqtop AS (
+              |  SELECT q_id, vec_id FROM s
+              |  QUALIFY row_number() OVER (PARTITION BY q_id
+              |            ORDER BY approx_cos DESC, vec_id) <= 5),
+              |exscored AS (
+              |  SELECT qq.vec_id AS q_id, e.vec_id,
+              |         round(list_cosine_similarity(CAST(qq.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 6) AS cos_sim
+              |  FROM embeddings qq CROSS JOIN embeddings e
+              |  WHERE qq.vec_id < 8 AND e.vec_id >= 8),
+              |ex AS (
+              |  SELECT q_id, vec_id FROM exscored
+              |  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) <= 5)
+              |SELECT ex.q_id, COUNT(*) AS n_exact,
+              |       CAST(SUM(CASE WHEN sqtop.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+              |       CAST(SUM(CASE WHEN sqtop.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+              |         / COUNT(*) AS recall
+              |FROM ex LEFT JOIN sqtop ON ex.q_id = sqtop.q_id AND ex.vec_id = sqtop.vec_id
+              |GROUP BY ex.q_id ORDER BY ex.q_id""".stripMargin)),
 
     // ── Poisson-bootstrap 95% CI of mean daily revenue
     //    (Stats.bootstrapMeanCi): 200 hash-deterministic resamples, weights

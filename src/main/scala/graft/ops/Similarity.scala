@@ -194,6 +194,145 @@ object Similarity {
       .select(col("q_id"), col("e._1").as("vec_id"), col("e._2").as("cos_sim"))
   }
 
+  /** SQ8 scalar-quantization ANN (the faiss `SQ8` index family): every
+    * dimension maps to an 8-bit code against per-dimension [min, max]
+    * trained on the CORPUS (queries clamp into the trained range — the
+    * deployment asymmetry is deliberate), and similarity is the SYMMETRIC
+    * quantized dot product — an exact BIGINT per pair, which makes this
+    * the one ANN variant whose scores carry NO floating-point surface at
+    * all (PQ/IVF rescore in doubles; SQ8 ranks on integers). 4× memory
+    * cut vs float32 with near-exact ranking — the standard first step
+    * before PQ when recall matters.
+    *
+    * Shape: the 64-row dim-stats aggregate collects driver-side (dim- not
+    * corpus-bounded, the centroid precedent); quantization is a map-side
+    * codegen'd HOF over each vector; scoring streams the corpus once
+    * against broadcast queries through the same partial top-k aggregate as
+    * [[cosineTopK]] — ≤ k rows per query leave every map task. Code
+    * arithmetic: `floor` in double then clamp in BIGINT, mirrored
+    * operation for operation in the twin; constant dimensions code to 0.
+    */
+  /** L2-normalized micro-unit components: each vector scales to unit norm
+    * (the standard cosine-ANN preconditioning — inner product then IS
+    * cosine), and each component rounds half-up to integer MICRO-UNITS —
+    * after this one mirrored rounding (the [[embeddingNormStats]] norm
+    * discipline) the ENTIRE quantization pipeline is integer arithmetic,
+    * immune to engine ulp drift. Zero vectors map to all-zero.
+    */
+  private def sq8MicroCol(c: Column): Column = {
+    val norm = sqrt(aggregate(c, lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+    transform(c, x => when(norm === 0.0, lit(0L))
+      .otherwise(round(x.cast("double") / norm * lit(1e6)).cast("long")))
+  }
+
+  /** Corpus-trained per-dimension [min, max] ladder over the micro-unit
+    * components — dim-bounded driver collect (the centroid precedent).
+    */
+  private def sq8Ladder(corpus: DataFrame): Array[(Long, Long)] = {
+    val stats = corpus
+      .select(posexplode(sq8MicroCol(col("embedding"))).as(Seq("d", "v")))
+      .groupBy(col("d")).agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    (0 until stats.size).map(stats).toArray
+  }
+
+  /** 8-bit code + decode (×255) per dimension, all BIGINT: clamp into the
+    * trained range FIRST (so the integer division sees a non-negative
+    * numerator — `div` truncation and `//` flooring agree there, and
+    * out-of-range QUERY components saturate exactly like faiss), then
+    * code = (x−mn)·255 / (mx−mn) and dec255 = mn·255 + code·(mx−mn).
+    */
+  private def sq8Dec255(c: Column, ladder: Array[(Long, Long)]): Column = {
+    val mins = array(ladder.map(s => lit(s._1)): _*)
+    val maxs = array(ladder.map(s => lit(s._2)): _*)
+    zip_with(c, zip_with(mins, maxs, (a, b) => struct(a.as("mn"), b.as("mx"))),
+      (x, s) => {
+        val (mn, mx) = (s.getField("mn"), s.getField("mx"))
+        val xc = least(greatest(x, mn), mx)
+        // floor of the double quotient IS the integer quotient here: the
+        // numerator (≤ 2·10⁶·255) is double-exact and the rounding error
+        // of the division (~2⁻⁵² relative) is orders below the 1/(mx−mn)
+        // distance to the nearest boundary — and floor()-then-widen is the
+        // one form Spark (truncating cast) and DuckDB (rounding cast)
+        // mirror exactly
+        val code = when(mx === mn, lit(0L))
+          .otherwise(floor(((xc - mn) * lit(255L)).cast("double")
+                             / (mx - mn).cast("double")))
+        mn * lit(255L) + code * (mx - mn)
+      })
+  }
+
+  /** SQ8 scalar-quantization ANN (the faiss `SQ8` index family) for
+    * COSINE ranking: vectors L2-normalize, components snap to the
+    * micro-unit grid, each dimension quantizes to an 8-bit code against
+    * the corpus-trained [min, max] ladder, and similarity is the dot of
+    * DECODED codes — an exact BIGINT per pair (bound: 64 dims ×
+    * (255·10⁶)² ≈ 4.2·10¹⁸ < 2⁶³), surfaced as `approx_cos` through one
+    * mirrored double division chain. 4× memory cut vs float32; the
+    * recall row below measures the quantization loss against the exact
+    * cosine ranking.
+    *
+    * Shape: the dim-bounded ladder collects driver-side (the centroid
+    * precedent); quantization is a map-side codegen'd HOF over each
+    * vector; scoring streams the corpus once against broadcast queries
+    * through the same partial top-k aggregate as [[cosineTopK]] — ≤ k
+    * rows per query leave every map task.
+    */
+  def sq8TopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val ladder = sq8Ladder(corpus)
+    def dec(c: Column) = sq8Dec255(sq8MicroCol(c), ladder)
+    val q = broadcast(queries.select(col("vec_id").as("q_id"),
+                                     dec(col("embedding")).as("qc")))
+    val scored = corpus.select(col("vec_id"), dec(col("embedding")).as("cc"))
+      .crossJoin(q)
+      .select(col("q_id"), col("vec_id"),
+        round(aggregate(zip_with(col("qc"), col("cc"), (a, b) => a * b),
+                        lit(0L), (acc, y) => acc + y).cast("double")
+                / lit(65025.0) / lit(1e12), 6).as("cos_sim"))
+    topKPerQuery(scored, k).withColumnRenamed("cos_sim", "approx_cos")
+  }
+
+  /** Per-query recall of the SQ8 quantized top-k against the exact
+    * brute-force top-k in ONE corpus action (the [[pqRecall]] fusion on
+    * the SQ8 surface): each corpus row projects its exact all-query
+    * cosines AND its integer quantized dots map-side, one partial-agg
+    * pass keeps both top-k lists. Query codes are fixed at plan-build
+    * from the same trained [min,max] ladder the corpus quantizes
+    * against — the identical double expression the twin evaluates in SQL.
+    * Returns (q_id, n_exact, n_hit, recall), unordered.
+    */
+  def sq8Recall(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val ladder = sq8Ladder(corpus)
+    // query decode vectors fix at plan-build — integer arithmetic end to
+    // end after the shared micro-unit rounding, so the driver-side fold
+    // cannot drift from the executor/twin forms
+    val qRows = queries
+      .select(col("vec_id"), col("embedding"),
+              sq8Dec255(sq8MicroCol(col("embedding")), ladder).as("qc"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray,
+                 r.getSeq[Long](2).toArray))
+      .sortBy(_._1)
+    val qIds = lit(qRows.map(_._1))
+    val cosArr = array(qRows.map { case (_, qv, _) =>
+      round(cosineSim(lit(qv), col("embedding")), 6) }: _*)
+    val dec = sq8Dec255(sq8MicroCol(col("embedding")), ladder)
+    val scored = corpus
+      .withColumn("__dec", dec)
+      .select(col("vec_id"), cosArr.as("__exact"),
+              posexplode(array(qRows.indices.map(i =>
+                round(aggregate(zip_with(lit(qRows(i)._3), col("__dec"),
+                                         (a, b) => a * b),
+                                lit(0L), (acc, y) => acc + y).cast("double")
+                        / lit(65025.0) / lit(1e12), 6)): _*))
+                .as(Seq("qi", "approx_score")))
+      .select(col("qi"), col("vec_id"),
+              element_at(col("__exact"), col("qi") + 1).as("cos_sim"),
+              col("approx_score"))
+    dualTopKRecall(scored, qIds, k)
+  }
+
   /** Exact cosine near-dup pairs above a threshold (vec_a < vec_b). The
     * brute-force O(N²) form — the exact *baseline* (recall oracle for specs
     * and small-SF audits); the default scale path is [[lshNearDupPairs]].
