@@ -4307,7 +4307,7 @@ object CatalogExt {
              |                     / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
              |                        * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 1.0)))) AS sigma
              |      FROM a)
-             |SELECT n1, n2, round(u1, 6) AS u1,
+             |SELECT n1, n2, u1,
              |       CASE WHEN sigma = 0 THEN NULL
              |            ELSE round((u1 - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0) / sigma, 6)
              |       END AS z,

@@ -1369,8 +1369,11 @@ object Stats {
     val u1 = (col("r1x2").cast("double") - n1 * (n1 + 1.0)) / 2.0
     val sigma = sqrt(n1 * n2 / 12.0 *
       ((n + 1.0) - col("ties3").cast("double") / (n * (n - 1.0))))
+    // u1 is an exactly-representable (half-)integer in double up to
+    // ~10^15 — emitted UNROUNDED per the already-exact-doubles convention
+    // (a round(.,6) at 2e10 magnitude is the class-B audit's edge case)
     agg.select(col("n1"), col("n2"),
-      round(u1, 6).as("u1"),
+      u1.as("u1"),
       when(sigma === 0.0, lit(null))
         .otherwise(round((u1 - n1 * n2 / 2.0) / sigma, 6)).as("z"),
       round(u1 / (n1 * n2), 6).as("auc"))
