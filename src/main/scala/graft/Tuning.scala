@@ -138,7 +138,23 @@ object Tuning {
     // coalesce and its stage pauses are pure floor. NOT tagged from the
     // same sweep: ivf_ann_topk (base best — third non-reproduction),
     // pq_recall / pq_ann_topk / pq_codes (wins ≤ 0.05, under the bar).
-    "ivfpq_ann_topk", "copurchase_lift")
+    "ivfpq_ann_topk", "copurchase_lift",
+    // round-10 session-2 (graft.TailAB, 2-3 interleaved runs): all three
+    // are fixed window/aggregate chains over bounded relations — aqe0s8
+    // reproduced every run. bootstrap_mean_ci 0.73→0.40 / 0.75→0.42 (the
+    // days×201 explode collapses to 201 groups — nothing to re-plan),
+    // event_type_islands 0.71→0.30 / 0.85→0.34 (one user-partitioned
+    // window + island aggregate), capped_running_balance 0.45→0.28 /
+    // 0.40→0.33 / 0.31→0.22 (two windows + per-user aggregate, the
+    // Lindley plan). NOT tagged from the same sweep: symdelete_fuzzy_match
+    // (aqe0s8 +0.30 did not reproduce: −0.05 in validation),
+    // largest_remainder_alloc (best variant flipped s8/aqe0s8 between
+    // runs, wins ~0.11), sq8_ann_topk / sq8_recall (no variant moved
+    // them), and the first-sweep rows revenue_cusum_changepoint /
+    // daily_revenue_acf / seasonal_naive_backtest / order_gap_hazard /
+    // mann_whitney_quantity / keyness_chi2_terms / rolling_active_users
+    // (wins under the 0.08 s bar).
+    "bootstrap_mean_ci", "event_type_islands", "capped_running_balance")
   // NOT tagged despite a small A/B win: dup_clusters — iterative
   // data-dependent join loop (the classification rule says AQE on), and its
   // −0.10 s reading did not reproduce (+0.53 s in the validation run).
@@ -230,7 +246,14 @@ object Tuning {
     "containment_dups",
     // round-10: the s8 halves of the aqe0s8 pairs tagged in fixedShape
     // above (ivfpq_ann_topk 2-run reproduced; copurchase_lift likewise)
-    "ivfpq_ann_topk", "copurchase_lift")
+    "ivfpq_ann_topk", "copurchase_lift",
+    // round-10 session-2: s8 halves of the aqe0s8 trio above, plus
+    // copurchase_link_prediction on partition count ALONE (1.61/1.50 vs
+    // base 2.00/1.78; AQE stays ON per the classification rule — the
+    // common-neighbor pair cardinality is data-dependent and aqe0
+    // regressed ~2x both runs, the split_leakage_check pattern)
+    "bootstrap_mean_ci", "event_type_islands", "capped_running_balance",
+    "copurchase_link_prediction")
 
   /** Run `body` with the per-query conf overrides for `name`, restoring the
     * previous session values afterwards (exception-safe, so one query's
