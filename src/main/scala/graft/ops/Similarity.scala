@@ -219,19 +219,28 @@ object Similarity {
     * discipline) the ENTIRE quantization pipeline is integer arithmetic,
     * immune to engine ulp drift. Zero vectors map to all-zero.
     */
-  private def sq8MicroCol(c: Column): Column = {
-    val norm = sqrt(aggregate(c, lit(0.0),
+  private def sq8Norm(c: Column): Column =
+    sqrt(aggregate(c, lit(0.0),
       (acc, x) => acc + x.cast("double") * x.cast("double")))
+
+  /** `norm` MUST be a plain column reference (pre-computed via
+    * [[sq8Norm]] in a withColumn), NOT the aggregate expression itself:
+    * a lambda-embedded aggregate re-expands per element and the 64-element
+    * transform then carries a ~16k-node tree — measured as ~2.5 s of pure
+    * plan-build/codegen per sq8 row before this hoist.
+    */
+  private def sq8MicroCol(c: Column, norm: Column): Column =
     transform(c, x => when(norm === 0.0, lit(0L))
       .otherwise(round(x.cast("double") / norm * lit(1e6)).cast("long")))
-  }
 
   /** Corpus-trained per-dimension [min, max] ladder over the micro-unit
     * components — dim-bounded driver collect (the centroid precedent).
     */
   private def sq8Ladder(corpus: DataFrame): Array[(Long, Long)] = {
     val stats = corpus
-      .select(posexplode(sq8MicroCol(col("embedding"))).as(Seq("d", "v")))
+      .withColumn("__nrm", sq8Norm(col("embedding")))
+      .select(posexplode(sq8MicroCol(col("embedding"), col("__nrm")))
+        .as(Seq("d", "v")))
       .groupBy(col("d")).agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
       .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
     (0 until stats.size).map(stats).toArray
@@ -243,24 +252,24 @@ object Similarity {
     * out-of-range QUERY components saturate exactly like faiss), then
     * code = (x−mn)·255 / (mx−mn) and dec255 = mn·255 + code·(mx−mn).
     */
-  private def sq8Dec255(c: Column, ladder: Array[(Long, Long)]): Column = {
-    val mins = array(ladder.map(s => lit(s._1)): _*)
-    val maxs = array(ladder.map(s => lit(s._2)): _*)
-    zip_with(c, zip_with(mins, maxs, (a, b) => struct(a.as("mn"), b.as("mx"))),
-      (x, s) => {
-        val (mn, mx) = (s.getField("mn"), s.getField("mx"))
-        val xc = least(greatest(x, mn), mx)
-        // floor of the double quotient IS the integer quotient here: the
-        // numerator (≤ 2·10⁶·255) is double-exact and the rounding error
-        // of the division (~2⁻⁵² relative) is orders below the 1/(mx−mn)
-        // distance to the nearest boundary — and floor()-then-widen is the
-        // one form Spark (truncating cast) and DuckDB (rounding cast)
-        // mirror exactly
-        val code = when(mx === mn, lit(0L))
-          .otherwise(floor(((xc - mn) * lit(255L)).cast("double")
-                             / (mx - mn).cast("double")))
-        mn * lit(255L) + code * (mx - mn)
-      })
+  private def sq8Dec255(micro: Column, ladder: Array[(Long, Long)]): Column = {
+    val mins = lit(ladder.map(_._1))
+    val maxs = lit(ladder.map(_._2))
+    transform(micro, (x, i) => {
+      val mn = element_at(mins, i + 1)
+      val mx = element_at(maxs, i + 1)
+      val xc = least(greatest(x, mn), mx)
+      // floor of the double quotient IS the integer quotient here: the
+      // numerator (≤ 2·10⁶·255) is double-exact and the rounding error
+      // of the division (~2⁻⁵² relative) is orders below the 1/(mx−mn)
+      // distance to the nearest boundary — and floor()-then-widen is the
+      // one form Spark (truncating cast) and DuckDB (rounding cast)
+      // mirror exactly
+      val code = when(mx === mn, lit(0L))
+        .otherwise(floor(((xc - mn) * lit(255L)).cast("double")
+                           / (mx - mn).cast("double")))
+      mn * lit(255L) + code * (mx - mn)
+    })
   }
 
   /** SQ8 scalar-quantization ANN (the faiss `SQ8` index family) for
@@ -281,10 +290,12 @@ object Similarity {
     */
   def sq8TopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val ladder = sq8Ladder(corpus)
-    def dec(c: Column) = sq8Dec255(sq8MicroCol(c), ladder)
-    val q = broadcast(queries.select(col("vec_id").as("q_id"),
-                                     dec(col("embedding")).as("qc")))
-    val scored = corpus.select(col("vec_id"), dec(col("embedding")).as("cc"))
+    def dec(df: DataFrame, as: String) = df
+      .withColumn("__nrm", sq8Norm(col("embedding")))
+      .select(col("vec_id"),
+        sq8Dec255(sq8MicroCol(col("embedding"), col("__nrm")), ladder).as(as))
+    val q = broadcast(dec(queries, "qc").withColumnRenamed("vec_id", "q_id"))
+    val scored = dec(corpus, "cc")
       .crossJoin(q)
       .select(col("q_id"), col("vec_id"),
         round(aggregate(zip_with(col("qc"), col("cc"), (a, b) => a * b),
@@ -308,8 +319,10 @@ object Similarity {
     // end after the shared micro-unit rounding, so the driver-side fold
     // cannot drift from the executor/twin forms
     val qRows = queries
+      .withColumn("__nrm", sq8Norm(col("embedding")))
       .select(col("vec_id"), col("embedding"),
-              sq8Dec255(sq8MicroCol(col("embedding")), ladder).as("qc"))
+              sq8Dec255(sq8MicroCol(col("embedding"), col("__nrm")), ladder)
+                .as("qc"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray,
                  r.getSeq[Long](2).toArray))
@@ -317,9 +330,10 @@ object Similarity {
     val qIds = lit(qRows.map(_._1))
     val cosArr = array(qRows.map { case (_, qv, _) =>
       round(cosineSim(lit(qv), col("embedding")), 6) }: _*)
-    val dec = sq8Dec255(sq8MicroCol(col("embedding")), ladder)
     val scored = corpus
-      .withColumn("__dec", dec)
+      .withColumn("__nrm", sq8Norm(col("embedding")))
+      .withColumn("__dec",
+        sq8Dec255(sq8MicroCol(col("embedding"), col("__nrm")), ladder))
       .select(col("vec_id"), cosArr.as("__exact"),
               posexplode(array(qRows.indices.map(i =>
                 round(aggregate(zip_with(lit(qRows(i)._3), col("__dec"),
