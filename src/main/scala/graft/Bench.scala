@@ -142,6 +142,9 @@ object Bench {
       // state retained across micro-batches, plus the closing
       // watermark-advance batch) vs a batch range-join twin
       "stream_context_parity",
+      // real two-trigger session-window execution (sentinel watermark
+      // closure) vs a batch gaps-and-islands twin
+      "stream_session_parity",
       // bucketed-table staging writes on first invocation; the twin never
       // writes (steady-state reads are symmetric, the 3-pass min usually
       // lands there, but the stage can be charged to pass 1 in a cold run)

@@ -4386,7 +4386,10 @@ object CatalogExt {
     //    the clean list at lev ≤ 1 — equi-join-only ER with provable recall.
     ("symdelete_fuzzy_match",
       (spark, dir) => {
-        val cust = Tables.customer(spark, dir)
+        // spread: the 19x variant explode + levenshtein verify otherwise
+        // run at the single-file scan's parallelism (measured: two ~1 s
+        // single-task jobs at sf0.1)
+        val cust = Tables.spread(Tables.customer(spark, dir), col("c_custkey"))
         val len = length(col("c_name"))
         val p = (col("c_custkey") % len.cast("long")).cast("int") + lit(1)
         val dirty = cust.select(

@@ -154,7 +154,13 @@ object Tuning {
     // daily_revenue_acf / seasonal_naive_backtest / order_gap_hazard /
     // mann_whitney_quantity / keyness_chi2_terms / rolling_active_users
     // (wins under the 0.08 s bar).
-    "bootstrap_mean_ci", "event_type_islands", "capped_running_balance")
+    "bootstrap_mean_ci", "event_type_islands", "capped_running_balance",
+    // symdelete_fuzzy_match AFTER its spread fix (3 interleaved runs):
+    // aqe0s8 1.26/1.08/1.44 vs base 2.74/1.61/1.88 — the
+    // minhash_calibration only-valid-together pattern again (aqe0 ALONE
+    // regressed 2.9/7.0/4.7: at 32 partitions the variant-key join wants
+    // AQE's coalescing; at 8 there is nothing to coalesce)
+    "symdelete_fuzzy_match")
   // NOT tagged despite a small A/B win: dup_clusters — iterative
   // data-dependent join loop (the classification rule says AQE on), and its
   // −0.10 s reading did not reproduce (+0.53 s in the validation run).
@@ -253,7 +259,9 @@ object Tuning {
     // common-neighbor pair cardinality is data-dependent and aqe0
     // regressed ~2x both runs, the split_leakage_check pattern)
     "bootstrap_mean_ci", "event_type_islands", "capped_running_balance",
-    "copurchase_link_prediction")
+    "copurchase_link_prediction",
+    // symdelete_fuzzy_match: s8 half of its only-valid-together pair
+    "symdelete_fuzzy_match")
 
   /** Run `body` with the per-query conf overrides for `name`, restoring the
     * previous session values afterwards (exception-safe, so one query's
