@@ -4477,6 +4477,77 @@ object CatalogExt {
              |FROM g JOIN p ON p.day BETWEEN g.day - 6 AND g.day
              |GROUP BY 1 ORDER BY g.day""".stripMargin)),
 
+    // ── First-order Markov transition matrix of the per-user event stream
+    //    (Windows.transitionMatrix): (from, to) counts + row-normalized
+    //    probabilities over the ≤|types|² matrix.
+    ("event_transition_matrix",
+      (spark, dir) =>
+        Windows.transitionMatrix(Tables.events(spark, dir), "user_id", "ts",
+            "event_type", col("event_id"))
+          .orderBy(col("from_state"), col("to_state")),
+      Some("""WITH m AS (
+             |  SELECT user_id, event_type,
+             |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_state
+             |  FROM events),
+             |c AS (SELECT from_state, event_type AS to_state, CAST(COUNT(*) AS BIGINT) AS n
+             |      FROM m WHERE from_state IS NOT NULL GROUP BY 1, 2)
+             |SELECT from_state, to_state, n,
+             |       round(CAST(n AS DOUBLE)
+             |             / CAST(CAST(SUM(n) OVER (PARTITION BY from_state) AS BIGINT) AS DOUBLE), 6) AS p
+             |FROM c ORDER BY from_state, to_state""".stripMargin)),
+
+    // ── Two-stage funnel conversion latency (Windows.funnelLatency):
+    //    first view → first at-or-after purchase per user, exact
+    //    integer-second latency profile.
+    ("funnel_latency",
+      (spark, dir) =>
+        Windows.funnelLatency(Tables.events(spark, dir), "user_id", "ts",
+                              "event_type", "view", "purchase"),
+      Some("""WITH ff AS (SELECT user_id, MIN(CAST(floor(epoch(ts)) AS BIGINT)) AS t_from
+             |            FROM events WHERE event_type = 'view' GROUP BY 1),
+             |cv AS (SELECT e.user_id, MIN(CAST(floor(epoch(e.ts)) AS BIGINT)) AS t_conv
+             |       FROM events e JOIN ff ON e.user_id = ff.user_id
+             |       WHERE e.event_type = 'purchase'
+             |         AND CAST(floor(epoch(e.ts)) AS BIGINT) >= ff.t_from
+             |       GROUP BY 1),
+             |l AS (SELECT cv.t_conv - ff.t_from AS latency_s
+             |      FROM cv JOIN ff ON cv.user_id = ff.user_id)
+             |SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+             |       round(CAST(SUM(latency_s) AS DOUBLE) / COUNT(*), 6) AS mean_latency_s,
+             |       round(quantile_cont(latency_s, 0.5), 6) AS p50_latency_s,
+             |       round(quantile_cont(latency_s, 0.9), 6) AS p90_latency_s
+             |FROM l""".stripMargin)),
+
+    // ── Linear multi-touch attribution (Allocate.linearAttribution):
+    //    each purchase's 10⁶ micro-credits split across its prior-7-day
+    //    view/click touches via largest remainder — credit conserved to
+    //    the unit, no-touch purchases itemized.
+    ("linear_attribution",
+      (spark, dir) =>
+        Allocate.linearAttribution(Tables.events(spark, dir))
+          .orderBy(col("touch_type")),
+      Some("""WITH p AS (SELECT event_id AS p_id, user_id, epoch_us(ts) AS p_us
+             |           FROM events WHERE event_type = 'purchase'),
+             |t AS (SELECT user_id, event_id AS t_id, event_type AS touch_type, epoch_us(ts) AS t_us
+             |      FROM events WHERE event_type IN ('view', 'click')),
+             |pr AS (SELECT p.p_id, t.touch_type, t.t_us, t.t_id
+             |       FROM p JOIN t ON p.user_id = t.user_id
+             |        AND t.t_us >= p.p_us - 604800000000 AND t.t_us < p.p_us),
+             |w AS (SELECT *, CAST(COUNT(*) OVER (PARTITION BY p_id) AS BIGINT) AS n,
+             |             row_number() OVER (PARTITION BY p_id ORDER BY t_us, t_id) AS rk
+             |      FROM pr),
+             |a AS (SELECT touch_type,
+             |             1000000 // n + CASE WHEN rk <= 1000000 % n THEN 1 ELSE 0 END AS credit
+             |      FROM w)
+             |SELECT touch_type, CAST(COUNT(*) AS BIGINT) AS n_touches,
+             |       CAST(SUM(credit) AS BIGINT) AS credit_micro
+             |FROM a GROUP BY 1
+             |UNION ALL
+             |SELECT '(unattributed)', CAST(COUNT(*) AS BIGINT),
+             |       CAST(COUNT(*) AS BIGINT) * 1000000
+             |FROM p WHERE NOT EXISTS (SELECT 1 FROM pr WHERE pr.p_id = p.p_id)
+             |ORDER BY touch_type""".stripMargin)),
+
     // ── χ² keyness of src0's vocabulary vs the rest of the corpus
     //    (TextAnalysis.keynessChi2): top-50 most source-distinctive terms
     //    with over/under-representation direction.

@@ -59,4 +59,44 @@ object Allocate {
         col("__share") + when(col("bumped"), 1L).otherwise(0L))
       .drop("__total", "__w", "__wsum", "__share", "__rem", "__leftover", "__rk")
   }
+
+  /** Linear multi-touch attribution with EXACT credit conservation: each
+    * purchase's `creditUnits` micro-credits split equally across the
+    * user's view/click touchpoints in the preceding `windowSeconds` —
+    * equal split via [[largestRemainder]] (weight 1 per touch, leftover
+    * micro-credits to the earliest touches), so Σ credit ≡ purchases ×
+    * creditUnits to the last unit, with purchases that had NO touch in
+    * window reported as an explicit `(unattributed)` row (silently
+    * dropping them is the classic attribution-report bug). Emits one row
+    * per touch type: touch count and total micro-credit.
+    *
+    * Shape: the purchase×touch pair join is an equi-join on the user with
+    * a residual time-range predicate — pairs are bounded by per-user
+    * activity × window, the prior-window family; the split is two windows
+    * on the purchase key; the report aggregate is domain-bounded.
+    */
+  def linearAttribution(events: DataFrame, windowSeconds: Long = 7 * 86400L,
+                        creditUnits: Long = 1000000L): DataFrame = {
+    val winMicros = windowSeconds * 1000000L
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+              unix_micros(col("ts")).as("p_us"))
+    val t = events.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id").as("t_user"), col("event_id").as("t_id"),
+              col("event_type").as("touch_type"), unix_micros(col("ts")).as("t_us"))
+    val pairs = p.join(t,
+      col("p_user") === col("t_user") &&
+        col("t_us") >= col("p_us") - winMicros && col("t_us") < col("p_us"))
+    val attributed =
+      largestRemainder(pairs, "p_id", lit(creditUnits), lit(1L),
+          Seq(col("t_us"), col("t_id")))
+        .groupBy(col("touch_type"))
+        .agg(count(lit(1)).as("n_touches"), sum(col("alloc")).as("credit_micro"))
+    val unattributed = p
+      .join(pairs.select(col("p_id")).distinct(), Seq("p_id"), "left_anti")
+      .agg(count(lit(1)).as("n_touches"))
+      .select(lit("(unattributed)").as("touch_type"), col("n_touches"),
+              (col("n_touches") * creditUnits).as("credit_micro"))
+    attributed.unionByName(unattributed)
+  }
 }

@@ -235,6 +235,59 @@ object Windows {
       .agg(countDistinct(col("k")).as(s"distinct_${days}d"))
   }
 
+  /** First-order Markov transition matrix of the per-key event stream:
+    * for every ordered pair of consecutive events, the (from, to) count
+    * and the row-normalized transition probability — the behavioral
+    * fingerprint behind "what do users do after an error". States are
+    * domain-bounded, so the matrix is ≤ |types|² rows at any corpus size;
+    * one key-partitioned lag window + one partial+final aggregate, then a
+    * states-partitioned share window over matrix rows only. `p` is the
+    * one mirrored double division, rounded 6.
+    */
+  def transitionMatrix(events: DataFrame, key: String, tsCol: String,
+                       stateCol: String, tiebreak: Column): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(tsCol), tiebreak)
+    val pairs = events
+      .withColumn("from_state", lag(col(stateCol), 1).over(w))
+      .filter(col("from_state").isNotNull)
+      .groupBy(col("from_state"), col(stateCol).as("to_state"))
+      .agg(count(lit(1)).as("n"))
+    val wRow = Window.partitionBy(col("from_state"))
+    pairs
+      .withColumn("row_total", sum(col("n")).over(wRow))
+      .select(col("from_state"), col("to_state"), col("n"),
+        round(col("n").cast("double") / col("row_total").cast("double"), 6)
+          .as("p"))
+  }
+
+  /** Conversion latency through a two-stage funnel: per key, the first
+    * `fromState` event and the first `toState` event at-or-after it; the
+    * report row carries the conversion count and the latency profile in
+    * exact integer seconds (mean = one mirrored division, percentiles =
+    * exact interpolation — the [[graft.ops.Stats.customerOrderGaps]]
+    * convention). Two min-aggregates on the key (map-side partial), no
+    * window over raw events.
+    */
+  def funnelLatency(events: DataFrame, key: String, tsCol: String,
+                    stateCol: String, fromState: String,
+                    toState: String): DataFrame = {
+    val firstFrom = events.filter(col(stateCol) === fromState)
+      .groupBy(col(key)).agg(min(unix_seconds(col(tsCol))).as("t_from"))
+    val converted = events.filter(col(stateCol) === toState)
+      .select(col(key), unix_seconds(col(tsCol)).as("t_to"))
+      .join(firstFrom, Seq(key))
+      .filter(col("t_to") >= col("t_from"))
+      .groupBy(col(key)).agg(min(col("t_to")).as("t_conv"))
+      .join(firstFrom, Seq(key))
+      .select((col("t_conv") - col("t_from")).as("latency_s"))
+    converted.agg(
+      count(lit(1)).as("n_converted"),
+      round(sum(col("latency_s")).cast("double") / count(lit(1)), 6)
+        .as("mean_latency_s"),
+      round(expr("percentile(latency_s, 0.5)"), 6).as("p50_latency_s"),
+      round(expr("percentile(latency_s, 0.9)"), 6).as("p90_latency_s"))
+  }
+
   /** Floor-clamped running balance per key — the stateful accumulator
     * (wallet floor, inventory that can't go negative, token bucket) that
     * looks like it needs a per-key sequential fold, expressed DECLARATIVELY

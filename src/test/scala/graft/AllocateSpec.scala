@@ -25,6 +25,28 @@ class AllocateSpec extends AnyFunSuite {
     assert(e.forall(!_.getAs[Boolean]("bumped")))
   }
 
+  test("linearAttribution: credit conserved to the micro-unit, no-touch itemized") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      // purchase with 3 touches in window: 1e6 splits 333334/333333/333333
+      // (leftover micro-credit to the EARLIEST touch)
+      (1L, 10L, "view", ts("2024-01-01 10:00:00")),
+      (2L, 10L, "click", ts("2024-01-02 10:00:00")),
+      (3L, 10L, "view", ts("2024-01-03 10:00:00")),
+      (4L, 10L, "purchase", ts("2024-01-04 10:00:00")),
+      // touch OUTSIDE the 7-day window: purchase lands unattributed
+      (5L, 20L, "view", ts("2024-01-01 10:00:00")),
+      (6L, 20L, "purchase", ts("2024-01-20 10:00:00")))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val out = Allocate.linearAttribution(ev).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_touches"),
+                                   r.getAs[Long]("credit_micro"))).toMap
+    assert(out("view") == ((2L, 666667L)), out.toString)   // 333334 + 333333
+    assert(out("click") == ((1L, 333333L)))
+    assert(out("(unattributed)") == ((1L, 1000000L)))
+    assert(out.values.map(_._2).sum == 2L * 1000000L, "credit conservation")
+  }
+
   test("largestRemainder: cents conserved exactly on pseudorandom groups") {
     val rng = new scala.util.Random(7)
     val rows = (1 to 400).map { i =>

@@ -10,6 +10,41 @@ class WindowsSpec extends AnyFunSuite {
 
   private def ts(s: String) = java.sql.Timestamp.valueOf(s)
 
+  test("transitionMatrix: counts ordered pairs, rows normalize to 1") {
+    val ev = Seq(
+      (1L, 10L, "view", ts("2024-01-01 10:00:00")),
+      (2L, 10L, "click", ts("2024-01-01 11:00:00")),
+      (3L, 10L, "view", ts("2024-01-01 12:00:00")),
+      (4L, 10L, "click", ts("2024-01-01 13:00:00")),
+      (5L, 20L, "view", ts("2024-01-01 10:00:00")),
+      (6L, 20L, "purchase", ts("2024-01-01 11:00:00")))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val out = Windows.transitionMatrix(ev, "user_id", "ts", "event_type",
+        col("event_id")).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+                (r.getAs[Long]("n"), r.getAs[Double]("p"))).toMap
+    // view→click twice, click→view once, view→purchase once
+    assert(out(("view", "click")) == ((2L, 0.666667)))
+    assert(out(("view", "purchase")) == ((1L, 0.333333)))
+    assert(out(("click", "view")) == ((1L, 1.0)))
+    assert(out.size == 3)
+  }
+
+  test("funnelLatency: first view to first at-or-after purchase, per user") {
+    val ev = Seq(
+      // user 10: purchase BEFORE any view must not count; next one does
+      (1L, 10L, "purchase", ts("2024-01-01 09:00:00")),
+      (2L, 10L, "view", ts("2024-01-01 10:00:00")),
+      (3L, 10L, "purchase", ts("2024-01-01 10:30:00")),
+      // user 20: view but never converts
+      (4L, 20L, "view", ts("2024-01-01 10:00:00")))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val r = Windows.funnelLatency(ev, "user_id", "ts", "event_type",
+                                  "view", "purchase").collect()(0)
+    assert(r.getAs[Long]("n_converted") == 1L)
+    assert(r.getAs[Double]("mean_latency_s") == 1800.0)
+  }
+
   test("stateIslands: runs break on change, not on time; ties ordered by id") {
     val ev = Seq(
       (1L, 10L, "view", ts("2024-01-01 10:00:00")),
