@@ -160,7 +160,14 @@ object Tuning {
     // minhash_calibration only-valid-together pattern again (aqe0 ALONE
     // regressed 2.9/7.0/4.7: at 32 partitions the variant-key join wants
     // AQE's coalescing; at 8 there is nothing to coalesce)
-    "symdelete_fuzzy_match")
+    "symdelete_fuzzy_match",
+    // batch-5 rows (graft.TailAB, 2 interleaved runs each, aqe0s8):
+    // event_transition_matrix 0.49→0.35 / 0.52→0.32 (domain-bounded
+    // matrix aggregate), funnel_latency 0.42→0.30 / 0.39→0.29 (two
+    // per-user min-aggregates + one report row), linear_attribution
+    // 0.74→0.61 / 0.80→0.48 (prior-window pair join + purchase-key
+    // windows — cardinality bounded by user activity × window)
+    "event_transition_matrix", "funnel_latency", "linear_attribution")
   // NOT tagged despite a small A/B win: dup_clusters — iterative
   // data-dependent join loop (the classification rule says AQE on), and its
   // −0.10 s reading did not reproduce (+0.53 s in the validation run).
@@ -261,7 +268,9 @@ object Tuning {
     "bootstrap_mean_ci", "event_type_islands", "capped_running_balance",
     "copurchase_link_prediction",
     // symdelete_fuzzy_match: s8 half of its only-valid-together pair
-    "symdelete_fuzzy_match")
+    "symdelete_fuzzy_match",
+    // batch-5 rows: s8 halves of the aqe0s8 tags above
+    "event_transition_matrix", "funnel_latency", "linear_attribution")
 
   /** Run `body` with the per-query conf overrides for `name`, restoring the
     * previous session values afterwards (exception-safe, so one query's
