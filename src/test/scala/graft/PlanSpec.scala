@@ -200,6 +200,46 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("symdelete_fuzzy_match: variant-key equi-joins only, never a pair loop") {
+    // the deletion-neighborhood contract: candidate generation must be a
+    // hash/SMJ equi-join on the variant key — a nested loop here means the
+    // provable-recall banding has silently degenerated to all-pairs
+    val p = plan("symdelete_fuzzy_match")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Generate"), p) // the len+1 variant explode is map-side
+  }
+
+  test("copurchase_link_prediction: anti-join stays equi; top-k is TakeOrdered") {
+    val p = plan("copurchase_link_prediction")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("linear_attribution: prior-window pair join is an equi-join with residual") {
+    val p = plan("linear_attribution")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("sq8_ann_topk: queries broadcast; ranking is the partial top-k aggregate") {
+    val p = plan("sq8_ann_topk")
+    // corpus streams against the k-row broadcast — the crossJoin is the
+    // bounded BNLJ form, and the ranking never windows the N×Q score set
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(p.contains("partial_topk_pairs"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("capped_running_balance: one key exchange feeds both Lindley windows") {
+    val p = plan("capped_running_balance")
+    // two ordered windows + the rank window share the user_id partitioning:
+    // exactly one shuffle on user_id may appear
+    val exchanges = "hashpartitioning\\(user_id".r.findAllIn(p).length
+    assert(p.contains("Window"), p)
+    assert(exchanges <= 1, s"expected <= 1 user_id exchange, got $exchanges:\n$p")
+  }
+
   test("packed_text: text rides the packing window — no join in the plan") {
     val p = plan("packed_text")
     assert(!p.contains("Join"), p)
