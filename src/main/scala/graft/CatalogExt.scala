@@ -4477,6 +4477,36 @@ object CatalogExt {
              |FROM g JOIN p ON p.day BETWEEN g.day - 6 AND g.day
              |GROUP BY 1 ORDER BY g.day""".stripMargin)),
 
+    // ── k-anonymity audit (Scrub.kAnonymityAudit) over the customer
+    //    quasi-identifier tuple (nation, segment, $1000 balance bucket):
+    //    equivalence-class structure + rows re-identifiable below k = 5.
+    //    Bucket via floor of a double division (truncating `div` and
+    //    flooring `//` disagree on the negative balances this corpus has).
+    ("k_anonymity_audit",
+      (spark, dir) => {
+        val bucket = floor(Scalars.moneyCents(col("c_acctbal")).cast("double")
+                             / lit(100000.0))
+        Scrub.kAnonymityAudit(
+          Tables.customer(spark, dir)
+            .select(col("c_nationkey"), col("c_mktsegment"),
+                    bucket.as("bal_bucket")),
+          Seq(col("c_nationkey"), col("c_mktsegment"), col("bal_bucket")), 5)
+      },
+      Some("""WITH q AS (SELECT c_nationkey, c_mktsegment,
+             |                  CAST(floor(CAST(CAST(round(c_acctbal * 100) AS BIGINT) AS DOUBLE)
+             |                             / 100000.0) AS BIGINT) AS bal_bucket
+             |           FROM customer),
+             |cls AS (SELECT c_nationkey, c_mktsegment, bal_bucket,
+             |               CAST(COUNT(*) AS BIGINT) AS sz
+             |        FROM q GROUP BY 1, 2, 3)
+             |SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+             |       CAST(SUM(sz) AS BIGINT) AS n_rows,
+             |       CAST(MIN(sz) AS BIGINT) AS min_class_size,
+             |       CAST(SUM(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS BIGINT) AS classes_below_k,
+             |       CAST(SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT) AS rows_below_k,
+             |       round(CAST(SUM(sz) AS DOUBLE) / COUNT(*), 6) AS mean_class_size
+             |FROM cls""".stripMargin)),
+
     // ── First-order Markov transition matrix of the per-user event stream
     //    (Windows.transitionMatrix): (from, to) counts + row-normalized
     //    probabilities over the ≤|types|² matrix.

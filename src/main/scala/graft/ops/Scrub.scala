@@ -108,4 +108,30 @@ object Scrub {
   def tokenCount(c: Column, token: String): Column =
     ((length(c) - length(replace(c, lit(token), lit(""))))
       / lit(token.length)).cast("long")
+
+  /** k-anonymity audit (Sweeney 2002) over a quasi-identifier tuple: group
+    * rows by the QI columns and report the equivalence-class structure —
+    * class count, minimum class size, and how many classes/rows fall below
+    * the anonymity threshold `k` (every such row is re-identifiable to
+    * better than 1-in-k). The release-readiness gate a training-data
+    * pipeline runs AFTER masking ([[maskAll]] hides direct identifiers;
+    * k-anonymity measures what the remaining QUASI-identifiers still leak
+    * in combination).
+    *
+    * One partial+final aggregate on the QI tuple, then a classes-sized
+    * report aggregate (classes ≤ QI domain — bounded). All counts BIGINT;
+    * the mean is the one mirrored division.
+    */
+  def kAnonymityAudit(df: org.apache.spark.sql.DataFrame,
+                      quasiIds: Seq[Column], k: Int): org.apache.spark.sql.DataFrame = {
+    val classes = df.groupBy(quasiIds: _*).agg(count(lit(1)).as("sz"))
+    classes.agg(
+      count(lit(1)).as("n_classes"),
+      sum(col("sz")).as("n_rows"),
+      min(col("sz")).as("min_class_size"),
+      sum(when(col("sz") < k, 1L).otherwise(0L)).as("classes_below_k"),
+      sum(when(col("sz") < k, col("sz")).otherwise(0L)).as("rows_below_k"),
+      round(sum(col("sz")).cast("double") / count(lit(1)), 6)
+        .as("mean_class_size"))
+  }
 }

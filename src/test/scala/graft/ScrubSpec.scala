@@ -95,4 +95,19 @@ class ScrubSpec extends AnyFunSuite {
       assert(r.getAs[Long]("chars_removed") > 0L)
     }
   }
+
+  test("kAnonymityAudit: class structure and below-k exposure counted exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // classes: (a,1)x3, (a,2)x1, (b,1)x2 -> below k=3: two classes, 3 rows
+    val df = Seq(("a", 1), ("a", 1), ("a", 1), ("a", 2), ("b", 1), ("b", 1))
+      .toDF("seg", "bucket")
+    val r = Scrub.kAnonymityAudit(df, Seq(col("seg"), col("bucket")), 3)
+      .collect()(0)
+    assert(r.getAs[Long]("n_classes") == 3L && r.getAs[Long]("n_rows") == 6L)
+    assert(r.getAs[Long]("min_class_size") == 1L)
+    assert(r.getAs[Long]("classes_below_k") == 2L)
+    assert(r.getAs[Long]("rows_below_k") == 3L)
+    assert(r.getAs[Double]("mean_class_size") == 2.0)
+  }
 }
