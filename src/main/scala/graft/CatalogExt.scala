@@ -4722,6 +4722,263 @@ object CatalogExt {
              |SELECT l_orderkey, l_linenumber, qty,
              |       CAST(share + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc_cents,
              |       rk <= leftover AS bumped
-             |FROM t ORDER BY l_orderkey, l_linenumber, qty, bumped""".stripMargin))
+             |FROM t ORDER BY l_orderkey, l_linenumber, qty, bumped""".stripMargin)),
+
+    // ── Rank-windowed Theil–Sen trend (Stats.theilSenTrend): median of
+    //    pairwise daily-revenue slopes within 90 rank positions — the
+    //    robust slope one spike day cannot drag. Median by rank SELECTION
+    //    (two middle order statistics), slopes emitted unrounded (they
+    //    pass the round(…,6) 15-digit edge at replica scale).
+    ("theil_sen_trend",
+      (spark, dir) => Stats.theilSenTrend(Tables.orders(spark, dir)),
+      Some(s"""WITH d AS ($sqlDailyRevenue),
+              |t AS (SELECT day, rev_cents,
+              |             CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t
+              |      FROM d),
+              |p AS (SELECT b.rev_cents - a.rev_cents AS drev,
+              |             CAST(b.rev_cents - a.rev_cents AS DOUBLE)
+              |               / CAST(date_diff('day', a.day, b.day) AS DOUBLE) AS slope
+              |      FROM t a JOIN t b ON b.t - a.t BETWEEN 1 AND 90),
+              |r AS (SELECT drev, slope,
+              |             CAST(row_number() OVER (ORDER BY slope) AS BIGINT) AS rn,
+              |             CAST(COUNT(*) OVER () AS BIGINT) AS np
+              |      FROM p),
+              |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+              |             CAST(SUM(CASE WHEN drev > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
+              |             CAST(SUM(CASE WHEN drev = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flat,
+              |             CAST(SUM(CASE WHEN drev < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_down,
+              |             MIN(CASE WHEN rn = (np + 1) // 2 THEN slope END) AS slope_lo,
+              |             MIN(CASE WHEN rn = np // 2 + 1 THEN slope END) AS slope_hi
+              |      FROM r),
+              |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM d)
+              |SELECT n_days, n_pairs, n_up, n_flat, n_down, slope_lo, slope_hi,
+              |       (slope_lo + slope_hi) / CAST(2 AS DOUBLE) AS sen_slope
+              |FROM s CROSS JOIN nd""".stripMargin)),
+
+    // ── CUPED variance-reduced A/B lift (Stats.cupedAdjustedLift):
+    //    pre-period spend as the covariate, deterministic hash-split arms,
+    //    θ from the exact-moment OLS fit (HUGEINT second moments in the
+    //    twin — per-customer cent totals square past 2⁶³ at replica scale).
+    ("cuped_adjusted_lift",
+      (spark, dir) => Stats.cupedAdjustedLift(Tables.orders(spark, dir)),
+      Some(s"""WITH per AS (
+              |  SELECT o_custkey,
+              |         CAST(SUM(CASE WHEN o_orderdate < DATE '1996-01-01'
+              |                       THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS x,
+              |         CAST(SUM(CASE WHEN o_orderdate >= DATE '1996-01-01'
+              |                       THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS y,
+              |         ${sqlHashBucket("o_custkey", 2)} AS arm
+              |  FROM orders GROUP BY 1),
+              |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+              |             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+              |             CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
+              |             CAST(SUM(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy,
+              |             CAST(SUM(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy
+              |      FROM per),
+              |f AS (SELECT
+              |  CASE WHEN (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) = 0
+              |         OR (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) = 0
+              |       THEN NULL
+              |       ELSE round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              |            / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              |             * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+              |  END AS corr,
+              |  CASE WHEN (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) = 0
+              |       THEN NULL
+              |       ELSE round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              |            / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+              |  END AS theta
+              |  FROM m),
+              |a AS (SELECT
+              |  CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_treat,
+              |  CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ctrl,
+              |  CAST(SUM(CASE WHEN arm = 1 THEN x ELSE 0 END) AS BIGINT) AS sx_t,
+              |  CAST(SUM(CASE WHEN arm = 1 THEN y ELSE 0 END) AS BIGINT) AS sy_t,
+              |  CAST(SUM(CASE WHEN arm = 0 THEN x ELSE 0 END) AS BIGINT) AS sx_c,
+              |  CAST(SUM(CASE WHEN arm = 0 THEN y ELSE 0 END) AS BIGINT) AS sy_c
+              |  FROM per)
+              |SELECT n_treat, n_ctrl, theta, round(corr * corr, 6) AS rho2,
+              |       CASE WHEN n_treat > 0 AND n_ctrl > 0 THEN
+              |         round(CAST(sy_t AS DOUBLE) / CAST(n_treat AS DOUBLE), 6) END AS mean_y_treat,
+              |       CASE WHEN n_treat > 0 AND n_ctrl > 0 THEN
+              |         round(CAST(sy_c AS DOUBLE) / CAST(n_ctrl AS DOUBLE), 6) END AS mean_y_ctrl,
+              |       CASE WHEN n_treat > 0 AND n_ctrl > 0 THEN
+              |         round(CAST(sy_t AS DOUBLE) / CAST(n_treat AS DOUBLE)
+              |               - CAST(sy_c AS DOUBLE) / CAST(n_ctrl AS DOUBLE), 6) END AS raw_lift,
+              |       CASE WHEN n_treat > 0 AND n_ctrl > 0 THEN
+              |         round((CAST(sy_t AS DOUBLE) / CAST(n_treat AS DOUBLE)
+              |                - theta * (CAST(sx_t AS DOUBLE) / CAST(n_treat AS DOUBLE)))
+              |               - (CAST(sy_c AS DOUBLE) / CAST(n_ctrl AS DOUBLE)
+              |                  - theta * (CAST(sx_c AS DOUBLE) / CAST(n_ctrl AS DOUBLE))), 6) END AS adj_lift
+              |FROM a CROSS JOIN f""".stripMargin)),
+
+    // ── Distinct l-diversity audit (Scrub.lDiversityAudit) over the same
+    //    customer quasi-identifier tuple as k_anonymity_audit, sensitive
+    //    attribute = market segment, l = 3: the homogeneity-attack gate
+    //    k-anonymity alone cannot close.
+    ("l_diversity_audit",
+      (spark, dir) => {
+        val bucket = floor(Scalars.moneyCents(col("c_acctbal")).cast("double")
+                             / lit(100000.0))
+        Scrub.lDiversityAudit(
+          Tables.customer(spark, dir)
+            .select(col("c_nationkey"), col("c_mktsegment"),
+                    bucket.as("bal_bucket")),
+          Seq(col("c_nationkey"), col("bal_bucket")), col("c_mktsegment"), 3)
+      },
+      Some("""WITH q AS (SELECT c_nationkey, c_mktsegment,
+             |                  CAST(floor(CAST(CAST(round(c_acctbal * 100) AS BIGINT) AS DOUBLE)
+             |                             / 100000.0) AS BIGINT) AS bal_bucket
+             |           FROM customer),
+             |cls AS (SELECT c_nationkey, bal_bucket,
+             |               CAST(COUNT(*) AS BIGINT) AS sz,
+             |               CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS dv
+             |        FROM q GROUP BY 1, 2)
+             |SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+             |       CAST(SUM(sz) AS BIGINT) AS n_rows,
+             |       CAST(MIN(dv) AS BIGINT) AS min_diversity,
+             |       CAST(SUM(CASE WHEN dv < 3 THEN 1 ELSE 0 END) AS BIGINT) AS classes_below_l,
+             |       CAST(SUM(CASE WHEN dv < 3 THEN sz ELSE 0 END) AS BIGINT) AS rows_below_l,
+             |       round(CAST(SUM(dv) AS DOUBLE) / COUNT(*), 6) AS mean_diversity
+             |FROM cls""".stripMargin)),
+
+    // ── ANN NDCG curve (Similarity.annNdcgCurve): rank-position quality of
+    //    the sign-LSH ANN at k = 1/5/10 — integer log2-discount gains
+    //    (literals injected into BOTH engines), micro-averaged Σdcg/Σidcg.
+    ("ann_ndcg",
+      (spark, dir) => {
+        val emb = Tables.embeddings(spark, dir)
+        Similarity.annNdcgCurve(emb.filter(col("vec_id") < 8),
+                                emb.filter(col("vec_id") >= 8))
+      },
+      Some {
+        val disc = Similarity.ndcgDiscountsMicro(10)
+        val discList = disc.mkString("[", ", ", "]")
+        s"""WITH ${sqlSignBuckets(8, 4)},
+           |cand AS (
+           |  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS vec_id
+           |  FROM buckets q JOIN buckets c ON q.t = c.t AND q.bucket = c.bucket
+           |  WHERE q.vec_id < 8 AND c.vec_id >= 8),
+           |annscored AS (
+           |  SELECT cand.q_id, cand.vec_id, ${sqlCos("eq", "ec")} AS cos_sim
+           |  FROM cand
+           |  JOIN embeddings eq ON cand.q_id = eq.vec_id
+           |  JOIN embeddings ec ON cand.vec_id = ec.vec_id),
+           |ann AS (
+           |  SELECT q_id, vec_id, rnk AS ra FROM (
+           |    SELECT q_id, vec_id,
+           |           row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rnk
+           |    FROM annscored) WHERE rnk <= 10),
+           |exscored AS (
+           |  SELECT q.vec_id AS q_id, e.vec_id,
+           |         round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 6) AS cos_sim
+           |  FROM embeddings q CROSS JOIN embeddings e
+           |  WHERE q.vec_id < 8 AND e.vec_id >= 8),
+           |ex AS (
+           |  SELECT q_id, vec_id, rnk AS re FROM (
+           |    SELECT q_id, vec_id,
+           |           row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rnk
+           |    FROM exscored) WHERE rnk <= 10),
+           |nq AS (SELECT CAST(COUNT(DISTINCT q_id) AS BIGINT) AS n_queries FROM ex),
+           |ks AS (SELECT unnest([1, 5, 10]) AS k),
+           |j AS (SELECT re, ra FROM ex JOIN ann USING (q_id, vec_id)),
+           |dd AS (SELECT k,
+           |              CAST(SUM(CASE WHEN re <= k AND ra <= k
+           |                            THEN $discList[CAST(ra AS INT)] ELSE 0 END) AS BIGINT) AS dcg_micro
+           |       FROM ks LEFT JOIN j ON TRUE GROUP BY k),
+           |ii AS (SELECT k,
+           |              CAST(SUM(CASE WHEN re <= k
+           |                            THEN $discList[CAST(re AS INT)] ELSE 0 END) AS BIGINT) AS idcg_micro
+           |       FROM ks LEFT JOIN ex ON TRUE GROUP BY k)
+           |SELECT k, n_queries, dcg_micro, idcg_micro,
+           |       CASE WHEN idcg_micro > 0 THEN
+           |         round(CAST(dcg_micro AS DOUBLE) / CAST(idcg_micro AS DOUBLE), 6) END AS ndcg
+           |FROM dd JOIN ii USING (k) CROSS JOIN nq ORDER BY k""".stripMargin
+      }),
+
+    // ── Language×source mutual information (TextAnalysis.langSourceMi):
+    //    how much the source labels leak the language mix — the
+    //    second-order confound screen behind sourceMixEntropy, micro-nat
+    //    exact cell terms over the bounded label grid.
+    ("lang_source_mi",
+      (spark, dir) => TextAnalysis.langSourceMi(Tables.documents(spark, dir)),
+      Some("""WITH cells AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS c
+             |               FROM documents
+             |               WHERE lang IS NOT NULL AND source IS NOT NULL
+             |               GROUP BY 1, 2),
+             |g AS (SELECT c,
+             |             CAST(SUM(c) OVER (PARTITION BY lang) AS BIGINT) AS cx,
+             |             CAST(SUM(c) OVER (PARTITION BY source) AS BIGINT) AS cy,
+             |             CAST(SUM(c) OVER () AS BIGINT) AS n
+             |      FROM cells),
+             |t AS (SELECT n,
+             |             CAST(round((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+             |                        * ln((CAST(n AS DOUBLE) * CAST(c AS DOUBLE))
+             |                             / (CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE)))
+             |                        * 1e6) AS BIGINT) AS term
+             |      FROM g)
+             |SELECT CAST(MAX(n) AS BIGINT) AS n_docs,
+             |       CAST(COUNT(*) AS BIGINT) AS n_cells,
+             |       CAST(SUM(term) AS BIGINT) AS mi_micronats,
+             |       round(CAST(SUM(term) AS BIGINT) / 1e6, 6) AS mi_nats
+             |FROM t""".stripMargin)),
+
+    // ── Two-sample Kolmogorov–Smirnov drift (TextAnalysis.ksSourceDrift)
+    //    between src0 and src1 n_chars distributions: the supremum located
+    //    by exact integer cross-multiplication, one mirrored division.
+    ("ks_source_drift",
+      (spark, dir) =>
+        TextAnalysis.ksSourceDrift(Tables.documents(spark, dir), "src0", "src1"),
+      Some("""WITH g AS (SELECT CAST(n_chars AS BIGINT) AS v,
+             |                  CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             |                  CAST(SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS b
+             |           FROM documents WHERE source IN ('src0', 'src1') GROUP BY 1),
+             |c AS (SELECT v,
+             |             CAST(SUM(a) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ca,
+             |             CAST(SUM(b) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cb,
+             |             CAST(SUM(a) OVER () AS BIGINT) AS na,
+             |             CAST(SUM(b) OVER () AS BIGINT) AS nb
+             |      FROM g),
+             |m AS (SELECT *, abs(ca * nb - cb * na) AS dnum FROM c)
+             |SELECT na AS n_a, nb AS n_b, v AS d_at_value,
+             |       CAST(dnum AS BIGINT) AS d_numerator,
+             |       round(CAST(dnum AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) AS ks_d,
+             |       round((CAST(dnum AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)))
+             |             / sqrt(CAST(na + nb AS DOUBLE)
+             |                    / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))), 6) AS ks_scaled
+             |FROM m ORDER BY dnum DESC, v LIMIT 1""".stripMargin)),
+
+    // ── Wald SPRT conversion monitor (Stats.sprtConversionMonitor):
+    //    sequential H₀ p=0.18 vs H₁ p=0.22 over the daily urgent-order
+    //    rate — all-BIGINT micro-nat walk (coefficients injected into both
+    //    engines), first Wald-boundary crossing + final state.
+    ("sprt_conversion_monitor",
+      (spark, dir) => Stats.sprtConversionMonitor(Tables.orders(spark, dir)),
+      Some {
+        val (w1, w0, up, lo) = Stats.sprtCoefficients(0.18, 0.22, 0.05, 0.05)
+        s"""WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day,
+           |                  CAST(COUNT(*) AS BIGINT) AS n,
+           |                  CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS s
+           |           FROM orders GROUP BY 1),
+           |c AS (SELECT day, n, s,
+           |             CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t,
+           |             CAST(SUM(s * ($w1) + (n - s) * ($w0))
+           |                  OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS llr
+           |      FROM d),
+           |f AS (SELECT 1 AS k, day AS decision_day, t AS decision_index,
+           |             llr AS decision_llr_micronats,
+           |             CASE WHEN llr >= $up THEN 'accept_h1' ELSE 'accept_h0' END AS decision
+           |      FROM c WHERE llr >= $up OR llr <= $lo ORDER BY day LIMIT 1),
+           |l AS (SELECT 1 AS k, llr AS final_llr_micronats FROM c ORDER BY day DESC LIMIT 1),
+           |a AS (SELECT 1 AS k, CAST(COUNT(*) AS BIGINT) AS n_days,
+           |             CAST(SUM(n) AS BIGINT) AS n_trials,
+           |             CAST(SUM(s) AS BIGINT) AS n_successes
+           |      FROM c)
+           |SELECT n_days, n_trials, n_successes,
+           |       COALESCE(decision, 'continue') AS decision,
+           |       decision_day, decision_index, decision_llr_micronats,
+           |       final_llr_micronats
+           |FROM a LEFT JOIN f USING (k) LEFT JOIN l USING (k)""".stripMargin
+      })
   )
 }

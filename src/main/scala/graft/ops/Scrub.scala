@@ -134,4 +134,34 @@ object Scrub {
       round(sum(col("sz")).cast("double") / count(lit(1)), 6)
         .as("mean_class_size"))
   }
+
+  /** Distinct l-diversity audit (Machanavajjhala et al. 2007) — the
+    * companion gate to [[kAnonymityAudit]]: k-anonymity bounds CLASS SIZE,
+    * but a class of 50 rows that all share one sensitive value still leaks
+    * it (the homogeneity attack); l-diversity requires every
+    * quasi-identifier class to contain at least `l` DISTINCT sensitive
+    * values. Reports the diversity structure — class count, minimum
+    * diversity, classes/rows below `l` (each such row's sensitive value is
+    * inferable to better than 1-in-l by an adversary who knows the QI
+    * tuple).
+    *
+    * Shape mirrors [[kAnonymityAudit]]: one exact-distinct aggregate on
+    * the QI tuple (Spark expands COUNT DISTINCT to a two-phase partial
+    * aggregate — map-side dedup before the shuffle), then a
+    * classes-sized report aggregate. All counts BIGINT; the mean is the
+    * one mirrored division.
+    */
+  def lDiversityAudit(df: org.apache.spark.sql.DataFrame, quasiIds: Seq[Column],
+                      sensitive: Column, l: Int): org.apache.spark.sql.DataFrame = {
+    val classes = df.groupBy(quasiIds: _*)
+      .agg(count(lit(1)).as("sz"), countDistinct(sensitive).as("dv"))
+    classes.agg(
+      count(lit(1)).as("n_classes"),
+      sum(col("sz")).as("n_rows"),
+      min(col("dv")).as("min_diversity"),
+      sum(when(col("dv") < l, 1L).otherwise(0L)).as("classes_below_l"),
+      sum(when(col("dv") < l, col("sz")).otherwise(0L)).as("rows_below_l"),
+      round(sum(col("dv")).cast("double") / count(lit(1)), 6)
+        .as("mean_diversity"))
+  }
 }

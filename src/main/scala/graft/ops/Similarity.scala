@@ -137,6 +137,71 @@ object Similarity {
       .orderBy(col("k"))
   }
 
+  /** Integer log2-discount table for [[annNdcgCurve]]: discₖ(i) =
+    * round(10⁶ / log2(i+1)) for ANN rank i, computed ONCE here in driver
+    * Scala and injected as the SAME literals into both the Spark plan and
+    * the DuckDB twin (the Poisson-threshold convention) — rank gains are
+    * then pure BIGINT arithmetic with zero cross-engine float surface.
+    */
+  def ndcgDiscountsMicro(kMax: Int): Seq[Long] =
+    (1 to kMax).map(i => math.round(1e6 / (math.log(i + 1.0) / math.log(2.0))))
+
+  /** Micro-averaged binary-relevance NDCG@k curve of the sign-LSH ANN
+    * against the exact cosine ranking — the rank-POSITION complement of
+    * [[annRecallCurve]]: recall@k only asks whether exact-top-k items
+    * appear anywhere in the ANN's top-k; NDCG also charges the ANN for
+    * ranking them low (a hit at ANN rank 1 earns disc(1), at rank 10 only
+    * disc(10) — Järvelin & Kekäläinen 2002). Relevant = exact-top-k
+    * membership; gains are the integer [[ndcgDiscountsMicro]] micro-units,
+    * so per-k DCG/IDCG are exact BIGINT sums over the joined rank pairs.
+    *
+    * Micro-averaging (Σ DCG / Σ IDCG across queries, ONE mirrored double
+    * division per k) rather than per-query NDCG means: a per-query mean
+    * would sum Q doubles in engine-dependent order — the exact
+    * nondeterminism the BIGINT convention exists to avoid — and weighs a
+    * 1-relevant-item query equally with a k-item one. Both ranked lists
+    * are computed once at max(ks); every k is a bracket over the same
+    * pairs (the [[annRecallCurve]] shape, ≤ |queries|·max(ks) rows).
+    */
+  def annNdcgCurve(queries: DataFrame, corpus: DataFrame,
+                   ks: Seq[Int] = Seq(1, 5, 10)): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1), s"ks must be >= 1: $ks")
+    val kMax = ks.max
+    val discArr = array(ndcgDiscountsMicro(kMax).map(lit(_)): _*)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    val ex = cosineTopK(queries, corpus, kMax)
+      .withColumn("re", row_number().over(w))
+      .select(col("q_id"), col("vec_id"), col("re"))
+    val an = annTopK(queries, corpus, kMax)
+      .withColumn("ra", row_number().over(w))
+      .select(col("q_id"), col("vec_id"), col("ra"))
+    val kArr = array(ks.map(lit(_)): _*)
+    val dcg = ex.join(an, Seq("q_id", "vec_id"))
+      .select(explode(kArr).as("k"), col("re"), col("ra"))
+      .filter(col("re") <= col("k") && col("ra") <= col("k"))
+      .groupBy(col("k"))
+      .agg(sum(element_at(discArr, col("ra"))).as("dcg_micro"))
+    // IDCG@k = Σ_q Σ_{i=1..|exact list ∩ top-k|} disc(i) — summing disc(re)
+    // over exact rows with re ≤ k is that same double sum, row-at-a-time.
+    val idcg = ex.select(explode(kArr).as("k"), col("re"))
+      .filter(col("re") <= col("k"))
+      .groupBy(col("k"))
+      .agg(sum(element_at(discArr, col("re"))).as("idcg_micro"))
+    val totals = ex.agg(countDistinct(col("q_id")).as("n_queries"))
+    totals.select(explode(kArr).as("k"), col("n_queries"))
+      .join(dcg, Seq("k"), "left")
+      .join(idcg, Seq("k"), "left")
+      .select(col("k"), col("n_queries"),
+        coalesce(col("dcg_micro"), lit(0L)).as("dcg_micro"),
+        coalesce(col("idcg_micro"), lit(0L)).as("idcg_micro"))
+      .withColumn("ndcg",
+        when(col("idcg_micro") > 0L,
+          round(col("dcg_micro").cast("double")
+            / col("idcg_micro").cast("double"), 6)))
+      .orderBy(col("k"))
+  }
+
   /** Per-label embedding-norm audit: vector counts, zero-norm counts, and
     * mean/median L2 norms — the "are these embeddings even populated, and
     * did one label's encoder drift" sanity pass that runs before any ANN

@@ -70,9 +70,11 @@ object Stats {
     // per-row-product bounds (each factor ≤ 2⁵³-exact)
     val headroom = lit(9.0e18)
     val safe =
-      d("mx") * d("mx") < headroom && d("my") * d("my") < headroom &&
-      d("mx") * d("my") < headroom &&
-      col("n") < lit(1073741824L) // 2^30: split-sum + Σx/Σy headroom proof
+      col("n") === 0L || // an empty (global-agg) group is vacuously safe:
+        // null moments flow to NULL corr/slope below instead of a throw
+        (d("mx") * d("mx") < headroom && d("my") * d("my") < headroom &&
+         d("mx") * d("my") < headroom &&
+         col("n") < lit(1073741824L)) // 2^30: split-sum + Σx/Σy headroom proof
     val guard = when(safe, lit(true)).otherwise(raise_error(concat(
       lit("pearsonOlsFixed: BIGINT moment-sum headroom exhausted for group n="),
       col("n").cast("string"),
@@ -1412,5 +1414,175 @@ object Stats {
         round(col("se").cast("double") / col("n_scored").cast("double"), 6)
           .as("bias_cents"),
         col("p90_abs_err_cents"))
+  }
+
+  /** Rank-windowed Theil–Sen trend estimator over the daily revenue series
+    * (Theil 1950 / Sen 1968): the median of pairwise slopes
+    * (yⱼ−yᵢ)/(dayⱼ−dayᵢ) over all day pairs within `maxRankGap` positions
+    * of each other — the robust alternative to the OLS slope that one
+    * promotion-day spike cannot drag (breakdown point 29%, vs 0 for OLS).
+    * The rank-window cap is what makes the classically-O(n²) estimator a
+    * bounded relation: pairs = days·maxRankGap, never days², and it is the
+    * standard windowed variant for long series (recent-lag pairs carry the
+    * trend signal; century-apart pairs only dilute it).
+    *
+    * Shape: domain-bounded daily aggregate → ×maxRankGap offset explode →
+    * ONE equi-join back on the rank index (never a range-predicate BNLJ),
+    * then a single-partition rank window over days·maxRankGap rows — the
+    * same bounded-report class as [[cusumChangepoint]] (a century at the
+    * default gap is ~3.2M rows).
+    *
+    * Exactness: pair direction counts are pure BIGINT; each slope is ONE
+    * mirrored double division of exact integers (cent delta / day gap);
+    * the median is rank SELECTION, not interpolation — `slope_lo`/
+    * `slope_hi` are the two middle order statistics (equal when the pair
+    * count is odd) and `sen_slope` their mirrored midpoint, all emitted
+    * UNROUNDED (slopes reach ~10⁹ cents/day at replica scale, past the
+    * round(…,6) 15-digit edge — the bootstrap-CI rule).
+    */
+  def theilSenTrend(orders: DataFrame, maxRankGap: Int = 90): DataFrame = {
+    require(maxRankGap >= 1, s"maxRankGap must be >= 1: $maxRankGap")
+    // checkpoint the bounded series: both self-join sides and the day
+    // count reuse it, so the CORPUS is scanned once, not three times
+    val daily = dailyRevenue(orders)
+      .withColumn("t", row_number().over(Window.orderBy(col("day"))).cast("long"))
+      .localCheckpoint()
+    val left = daily.select(
+        col("t").as("t_a"), col("day").as("day_a"), col("rev_cents").as("rev_a"),
+        explode(sequence(lit(1L), lit(maxRankGap.toLong))).as("g"))
+      .withColumn("t", col("t_a") + col("g"))
+    val pairs = left
+      .join(daily.select(col("t"), col("day").as("day_b"),
+                         col("rev_cents").as("rev_b")), Seq("t"))
+      .select((col("rev_b") - col("rev_a")).as("drev"),
+              ((col("rev_b") - col("rev_a")).cast("double")
+                / datediff(col("day_b"), col("day_a")).cast("double"))
+                .as("slope"))
+    val ranked = pairs
+      .withColumn("rn", row_number().over(Window.orderBy(col("slope"))).cast("long"))
+      .withColumn("np", count(lit(1)).over(
+        Window.orderBy(col("slope"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    val rep = ranked.agg(
+      count(lit(1)).as("n_pairs"),
+      sum(when(col("drev") > 0L, 1L).otherwise(0L)).as("n_up"),
+      sum(when(col("drev") === 0L, 1L).otherwise(0L)).as("n_flat"),
+      sum(when(col("drev") < 0L, 1L).otherwise(0L)).as("n_down"),
+      min(when(col("rn") === expr("(np + 1) div 2"), col("slope"))).as("slope_lo"),
+      min(when(col("rn") === expr("np div 2 + 1"), col("slope"))).as("slope_hi"))
+    rep.crossJoin(daily.agg(count(lit(1)).as("n_days")))
+      .select(col("n_days"), col("n_pairs"), col("n_up"), col("n_flat"),
+        col("n_down"), col("slope_lo"), col("slope_hi"),
+        ((col("slope_lo") + col("slope_hi")) / lit(2.0)).as("sen_slope"))
+  }
+
+  /** SPRT micro-nat coefficients for [[sprtConversionMonitor]]: per-success
+    * and per-failure log-likelihood-ratio increments and the Wald decision
+    * boundaries, as INTEGER micro-nats computed once here in driver Scala
+    * and injected as the SAME literals into both engines (the
+    * [[PoissonThresholds]] convention) — the monitor is then pure BIGINT
+    * arithmetic end to end.
+    */
+  def sprtCoefficients(p0: Double, p1: Double, alpha: Double,
+                       beta: Double): (Long, Long, Long, Long) = (
+    math.round(1e6 * math.log(p1 / p0)),
+    math.round(1e6 * math.log((1 - p1) / (1 - p0))),
+    math.round(1e6 * math.log((1 - beta) / alpha)),
+    math.round(1e6 * math.log(beta / (1 - alpha))))
+
+  /** Wald sequential probability ratio test (Wald 1945) over the daily
+    * urgent-order conversion stream: H₀ p=p0 vs H₁ p=p1, monitored
+    * day-by-day — the "stop the experiment as soon as the evidence is in"
+    * monitor that a fixed-horizon z-test ([[graft.CatalogExt]]'s
+    * ab_conversion_ztest) cannot provide. Each day contributes
+    * s·ln(p1/p0) + (n−s)·ln(q1/q0) to the log-likelihood ratio; the walk
+    * stops at the first day crossing the Wald boundaries
+    * ln((1−β)/α) / ln(β/(1−α)).
+    *
+    * Exactness: with [[sprtCoefficients]] the daily increments, the
+    * cumulative walk, and both boundary comparisons are pure BIGINT — no
+    * float exists anywhere, so engines cannot diverge. The walk is a
+    * window cumsum over the domain-bounded daily aggregate; the first
+    * crossing and the final state are two 1-row limit frames joined back
+    * (the [[cusumChangepoint]] report shape).
+    */
+  def sprtConversionMonitor(orders: DataFrame, p0: Double = 0.18,
+                            p1: Double = 0.22, alpha: Double = 0.05,
+                            beta: Double = 0.05): DataFrame = {
+    val (w1, w0, up, lo) = sprtCoefficients(p0, p1, alpha, beta)
+    val w = Window.orderBy(col("day"))
+    val cum = orders
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("n"),
+           sum(when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L))
+             .as("s"))
+      .withColumn("t", row_number().over(w).cast("long"))
+      .withColumn("llr", sum(col("s") * lit(w1) + (col("n") - col("s")) * lit(w0))
+        .over(w))
+      .localCheckpoint() // three bounded consumers, one corpus scan
+    val crossing = col("llr") >= up || col("llr") <= lo
+    val first = cum.filter(crossing).orderBy(col("day")).limit(1)
+      .select(lit(1L).as("k"), col("day").as("decision_day"),
+        col("t").as("decision_index"), col("llr").as("decision_llr_micronats"),
+        when(col("llr") >= up, lit("accept_h1")).otherwise(lit("accept_h0"))
+          .as("decision"))
+    val last = cum.orderBy(col("day").desc).limit(1)
+      .select(lit(1L).as("k"), col("llr").as("final_llr_micronats"))
+    cum.agg(count(lit(1)).as("n_days"), sum(col("n")).as("n_trials"),
+            sum(col("s")).as("n_successes"))
+      .withColumn("k", lit(1L))
+      .join(first, Seq("k"), "left").join(last, Seq("k"), "left")
+      .select(col("n_days"), col("n_trials"), col("n_successes"),
+        coalesce(col("decision"), lit("continue")).as("decision"),
+        col("decision_day"), col("decision_index"),
+        col("decision_llr_micronats"), col("final_llr_micronats"))
+  }
+
+  /** CUPED variance-reduced A/B lift (Deng et al. 2013) over per-customer
+    * spend: units are customers, the covariate X their pre-period order
+    * cents, the metric Y their experiment-period order cents, arms a
+    * deterministic hash split of the customer key ([[graft.ops.Curation.hashBucket]]
+    * — rerun- and engine-stable, never `rand()`). θ = cov(X,Y)/var(X) is
+    * the pooled OLS slope from [[pearsonOlsFixed]]'s exact BIGINT moments
+    * (per-customer cent totals square past 2⁶³ at replica scale — the
+    * split-accumulated form is load-bearing, HUGEINT in the twin), and the
+    * adjusted lift is (ȳ_t−θx̄_t) − (ȳ_c−θx̄_c): the global-mean centering
+    * term cancels in the difference, leaving six exact-integer ratios and
+    * one rounded final projection. `rho2` = ρ² is the variance-reduction
+    * fraction CUPED guarantees on the adjusted metric.
+    *
+    * Shape: one partial+final aggregate to customer grain, then TWO 1-row
+    * aggregates (conditional per-arm sums + the moment fit) cross-joined —
+    * shuffle volume is customers×3, report size 1, at any corpus scale.
+    */
+  def cupedAdjustedLift(orders: DataFrame,
+                        pivotDate: String = "1996-01-01"): DataFrame = {
+    val cents = graft.ops.Scalars.moneyCents(col("o_totalprice"))
+    val pivot = lit(pivotDate).cast("date")
+    val per = orders.groupBy(col("o_custkey"))
+      .agg(sum(when(col("o_orderdate") < pivot, cents).otherwise(0L)).as("x"),
+           sum(when(col("o_orderdate") >= pivot, cents).otherwise(0L)).as("y"))
+      .withColumn("arm", graft.ops.Curation.hashBucket(col("o_custkey"), 2))
+    val arms = per.agg(
+      sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("n_treat"),
+      sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("n_ctrl"),
+      sum(when(col("arm") === 1L, col("x")).otherwise(0L)).as("sx_t"),
+      sum(when(col("arm") === 1L, col("y")).otherwise(0L)).as("sy_t"),
+      sum(when(col("arm") === 0L, col("x")).otherwise(0L)).as("sx_c"),
+      sum(when(col("arm") === 0L, col("y")).otherwise(0L)).as("sy_c"))
+    val fit = pearsonOlsFixed(per, Nil, col("x"), col("y"))
+      .select(col("corr"), col("slope").as("theta"))
+    def m(s: String, n: String) = col(s).cast("double") / col(n).cast("double")
+    // both-arms-populated guard: 0/0 on an empty arm would emit NaN, not NULL
+    val ok = col("n_treat") > 0L && col("n_ctrl") > 0L
+    arms.crossJoin(fit).select(
+      col("n_treat"), col("n_ctrl"), col("theta"),
+      round(col("corr") * col("corr"), 6).as("rho2"),
+      when(ok, round(m("sy_t", "n_treat"), 6)).as("mean_y_treat"),
+      when(ok, round(m("sy_c", "n_ctrl"), 6)).as("mean_y_ctrl"),
+      when(ok, round(m("sy_t", "n_treat") - m("sy_c", "n_ctrl"), 6)).as("raw_lift"),
+      when(ok, round((m("sy_t", "n_treat") - col("theta") * m("sx_t", "n_treat"))
+            - (m("sy_c", "n_ctrl") - col("theta") * m("sx_c", "n_ctrl")), 6))
+        .as("adj_lift"))
   }
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis surface for a large-scale training-data pipeline over the
@@ -665,6 +666,87 @@ object TextAnalysis {
       .select(col("source"), col("n_docs"), col("n_langs"),
               col("entropy_micronats"),
               round(col("entropy_micronats") / lit(1e6), 6).as("entropy_nats"))
+  }
+
+  /** Mutual information between the corpus's language and source labels —
+    * the second-order companion to [[sourceMixEntropy]]: entropy says how
+    * mixed each source is, MI says how much knowing the source TELLS YOU
+    * about the language (0 = the mix is identical everywhere; high = the
+    * sources are de-facto language shards, and any source-stratified
+    * sample is silently language-stratified too — the confound a mixture
+    * designer needs surfaced). I(X;Y) = Σ p(x,y)·ln(p(x,y)/(p(x)p(y))),
+    * accumulated in the [[sourceMixEntropy]] micro-nat convention: each
+    * cell term is one fixed double tree on exact BIGINT counts,
+    * micro-rounded, then exactly summed — engine-identical.
+    *
+    * Shape: ONE corpus aggregate to the ≤|langs|·|sources| cell grid;
+    * marginals ride window sums over the bounded grid (never a second
+    * corpus scan). MI of two label columns at 100 TB costs one map-side
+    * partial count.
+    */
+  def langSourceMi(docs: DataFrame): DataFrame = {
+    val cells = docs
+      .filter(col("lang").isNotNull && col("source").isNotNull)
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("c"))
+    val wx = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+    val wy = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val g = cells
+      .withColumn("cx", sum(col("c")).over(wx))
+      .withColumn("cy", sum(col("c")).over(wy))
+      .withColumn("n", sum(col("c")).over(wAll))
+    val p = col("c").cast("double") / col("n").cast("double")
+    val r = (col("n").cast("double") * col("c").cast("double")) /
+            (col("cx").cast("double") * col("cy").cast("double"))
+    g.withColumn("term", round(p * log(r) * lit(1e6)).cast("long"))
+      .agg(max(col("n")).as("n_docs"),
+           count(lit(1)).as("n_cells"),
+           sum(col("term")).as("mi_micronats"))
+      .select(col("n_docs"), col("n_cells"), col("mi_micronats"),
+              round(col("mi_micronats") / lit(1e6), 6).as("mi_nats"))
+  }
+
+  /** Exact two-sample Kolmogorov–Smirnov distance between the `n_chars`
+    * distributions of two sources — the distribution-drift screen behind
+    * "did this crawl slice change shape" (mean/percentile rows see location
+    * moves; KS sees ANY shape move, with a distribution-free null). The
+    * supremum D = max|F_a(x) − F_b(x)| is located by pure INTEGER
+    * cross-multiplication — |cum_a·n_b − cum_b·n_a| over the merged value
+    * grid, exact BIGINTs (≤ n_a·n_b ≈ 10¹⁸ at 10⁹ docs/source — inside
+    * 2⁶³ for any same-corpus pair of sources; past it the [[graft.ops.Stats.pearsonOlsFixed]]
+    * wide-int rule applies) — and only the final D is one mirrored
+    * division. The critical-value scaling √((n_a+n_b)/(n_a·n_b)) is
+    * emitted as ks_scaled = D/√(…) for threshold reads.
+    *
+    * Shape: one partial+final count aggregate to the ≤|distinct values|
+    * grid, two window cumsums over the bounded grid, one argmax row. The
+    * corpus is scanned once.
+    */
+  def ksSourceDrift(docs: DataFrame, srcA: String, srcB: String): DataFrame = {
+    val wv = Window.orderBy(col("v"))
+    val grid = docs.filter(col("source").isin(srcA, srcB))
+      .groupBy(col("n_chars").cast("long").as("v"))
+      .agg(sum(when(col("source") === srcA, 1L).otherwise(0L)).as("a"),
+           sum(when(col("source") === srcB, 1L).otherwise(0L)).as("b"))
+    val cum = grid
+      .withColumn("ca", sum(col("a")).over(wv))
+      .withColumn("cb", sum(col("b")).over(wv))
+      .withColumn("na", sum(col("a")).over(
+        wv.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("nb", sum(col("b")).over(
+        wv.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("dnum", abs(col("ca") * col("nb") - col("cb") * col("na")))
+    cum.orderBy(col("dnum").desc, col("v")).limit(1)
+      .select(col("na").as("n_a"), col("nb").as("n_b"),
+        col("v").as("d_at_value"), col("dnum").as("d_numerator"),
+        round(col("dnum").cast("double")
+          / (col("na").cast("double") * col("nb").cast("double")), 6).as("ks_d"),
+        round((col("dnum").cast("double")
+            / (col("na").cast("double") * col("nb").cast("double")))
+          / sqrt((col("na") + col("nb")).cast("double")
+                 / (col("na").cast("double") * col("nb").cast("double"))), 6)
+          .as("ks_scaled"))
   }
 
   /** χ² keyness of tokens in one source vs the rest of the corpus (the

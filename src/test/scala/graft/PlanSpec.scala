@@ -365,6 +365,60 @@ class PlanSpec extends AnyFunSuite {
       "A-ES keys are map-side; no hash exchange belongs here:\n" + p)
   }
 
+  test("theil_sen_trend: pair generation is an offset equi-join, never a range loop") {
+    // the rank-window pairing contract: days explode to ≤maxRankGap offset
+    // rows and join BACK on the rank index as a hash join — a cartesian
+    // here means the range-predicate form crept in and the relation is
+    // days² again. (The 1-row report crossJoin IS allowed to plan as the
+    // bounded BNLJ, like every other report join in the catalog.)
+    val p = plan("theil_sen_trend")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), "pairing must stay an equi-join:\n" + p)
+    assert(p.contains("Generate explode"), "offset explode must be map-side:\n" + p)
+    // the checkpointed daily series: the corpus feeds ONE scan, both pair
+    // sides and the day count reuse the ≤days-row local relation
+    assert(!p.contains("FileScan"), "orders must not be rescanned past the checkpoint:\n" + p)
+  }
+
+  test("cuped_adjusted_lift: one customer-grain exchange feeds both report aggregates") {
+    val df = SparkEntry.queries("cuped_adjusted_lift")(spark, TestSpark.sfDir)
+    df.write.mode("overwrite").format("noop").save()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_"), "customer grain must partial-aggregate:\n" + p)
+  }
+
+  test("l_diversity_audit: exact-distinct runs as a two-phase partial aggregate") {
+    val p = plan("l_diversity_audit")
+    assert(p.contains("partial_count(distinct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("ann_ndcg: ranking rides the partial top-k aggregate, queries broadcast") {
+    val p = plan("ann_ndcg")
+    assert(p.contains("partial_topk_pairs"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("lang_source_mi: one corpus scan feeds the bounded label grid") {
+    val p = plan("lang_source_mi")
+    assert(p.contains("partial_count"), "cell counts must map-side combine:\n" + p)
+    assert("FileScan".r.findAllIn(p).length == 1,
+      "marginals must ride the grid, not rescan the corpus:\n" + p)
+  }
+
+  test("ks_source_drift: one scan, argmax as TakeOrdered") {
+    val p = plan("ks_source_drift")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert("FileScan".r.findAllIn(p).length == 1, p)
+  }
+
+  test("sprt_conversion_monitor: walk consumers reuse the checkpointed series") {
+    val p = plan("sprt_conversion_monitor")
+    assert(!p.contains("FileScan"),
+      "orders must not be rescanned past the checkpoint:\n" + p)
+  }
+
   test("pagerank rounds stay off the catalog plan: result is a local relation") {
     // the small-graph path runs its rounds driver-chained over the one
     // checkpointed edge relation (Graph.pagerankFixed scaladoc); what the

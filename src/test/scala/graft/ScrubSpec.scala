@@ -110,4 +110,21 @@ class ScrubSpec extends AnyFunSuite {
     assert(r.getAs[Long]("rows_below_k") == 3L)
     assert(r.getAs[Double]("mean_class_size") == 2.0)
   }
+
+  test("lDiversityAudit: homogeneous class flagged that k-anonymity would pass") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // class A: 3 rows, ONE sensitive value (k=3-anonymous, yet fully
+    // leaking); class B: 4 rows, 3 distinct values
+    val df = Seq(("A", "s1"), ("A", "s1"), ("A", "s1"),
+                 ("B", "s1"), ("B", "s2"), ("B", "s3"), ("B", "s3"))
+      .toDF("qi", "sensitive")
+    val r = Scrub.lDiversityAudit(df, Seq(col("qi")), col("sensitive"), 3)
+      .collect()(0)
+    assert(r.getAs[Long]("n_classes") == 2L && r.getAs[Long]("n_rows") == 7L)
+    assert(r.getAs[Long]("min_diversity") == 1L)
+    assert(r.getAs[Long]("classes_below_l") == 1L)
+    assert(r.getAs[Long]("rows_below_l") == 3L)
+    assert(r.getAs[Double]("mean_diversity") == 2.0)
+  }
 }

@@ -404,4 +404,42 @@ class SimilaritySpec extends AnyFunSuite {
     // catalog's sq8_recall row against the DuckDB oracle
     rec.foreach(r => assert(r.getAs[Long]("n_exact") == 5L))
   }
+
+  test("ndcgDiscountsMicro: exact integer log2 discounts") {
+    assert(Similarity.ndcgDiscountsMicro(3) == Seq(1000000L, 630930L, 500000L))
+  }
+
+  test("annNdcgCurve: perfect rank agreement reads 1.0; a bucket-missed corpus reads 0") {
+    // corpus all along the query's own direction: identical sign pattern
+    // ⇒ every table's bucket matches ⇒ the ANN sees the whole corpus and
+    // its ranking equals the exact one ⇒ NDCG = 1 at every k
+    def ray(id: Long, scale: Float) = {
+      val v = new Array[Float](64); v(0) = scale; v(1) = 0.5f * scale
+      (id, v)
+    }
+    val queries = Seq(ray(0L, 1f)).toDF("vec_id", "embedding")
+    val corpus = (10 until 22).map(i => ray(i.toLong, 1f + i * 0.1f))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.annNdcgCurve(queries, corpus)
+      .collect().map(r => r.getAs[Int]("k") ->
+        (r.getAs[Long]("dcg_micro"), r.getAs[Long]("idcg_micro"),
+         r.getAs[Double]("ndcg"))).toMap
+    Seq(1, 5, 10).foreach { k =>
+      val (d, i, n) = out(k)
+      assert(d == i && n == 1.0, s"k=$k: dcg=$d idcg=$i ndcg=$n")
+    }
+    // idcg@1 is exactly one top-rank gain; @5 the prefix-sum of the table
+    assert(out(1)._2 == 1000000L)
+    assert(out(5)._2 == Similarity.ndcgDiscountsMicro(5).sum)
+    // an opposite-sign corpus flips every hyperplane dot: no bucket ever
+    // collides, the ANN returns nothing, and NDCG collapses to 0
+    val anti = (10 until 22).map { i =>
+      val (id, v) = ray(i.toLong, 1f); (id, v.map(-_)) }
+      .toDF("vec_id", "embedding")
+    val miss = Similarity.annNdcgCurve(queries, anti).collect()
+    miss.foreach { r =>
+      assert(r.getAs[Long]("dcg_micro") == 0L && r.getAs[Double]("ndcg") == 0.0)
+      assert(r.getAs[Long]("idcg_micro") > 0L, "exact side still ranks")
+    }
+  }
 }

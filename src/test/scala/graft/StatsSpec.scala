@@ -535,4 +535,89 @@ class StatsSpec extends AnyFunSuite {
     assert(d9.getLong(2) == 100L, s"ewma: ${d9.getLong(2)}")
     assert(d9.getDouble(3) == 1.0 && d9.getBoolean(4), "2x day must flag")
   }
+
+  test("theilSenTrend: exact slope on a linear series; one spike cannot drag the median") {
+    // rev = $100 + $2·d per day: every pairwise slope is exactly 200
+    // cents/day, so both middle order statistics ARE the slope
+    val linear = dayOrders((0 until 30).map(d => (d, 100.0 + 2.0 * d)))
+    val r = Stats.theilSenTrend(linear).collect()(0)
+    assert(r.getAs[Long]("n_days") == 30L)
+    assert(r.getAs[Long]("n_pairs") == 435L) // C(30,2): gap 90 > 29 keeps all
+    assert(r.getAs[Long]("n_up") == 435L && r.getAs[Long]("n_down") == 0L)
+    assert(r.getAs[Double]("slope_lo") == 200.0 &&
+           r.getAs[Double]("slope_hi") == 200.0)
+    assert(r.getAs[Double]("sen_slope") == 200.0)
+    // a 100x day-15 spike touches only 29 of 435 pairs: the median slope
+    // must not move (the robustness property OLS lacks)
+    val spiked = dayOrders((0 until 30).map(d =>
+      (d, if (d == 15) 10000.0 else 100.0 + 2.0 * d)))
+    val s = Stats.theilSenTrend(spiked).collect()(0)
+    assert(s.getAs[Double]("sen_slope") == 200.0, s.toString)
+  }
+
+  test("theilSenTrend: rank-window cap bounds the pair relation") {
+    val many = dayOrders((0 until 20).map(d => (d, 100.0)))
+    val r = Stats.theilSenTrend(many, maxRankGap = 3).collect()(0)
+    // gaps 1..3 over 20 days: 19 + 18 + 17 pairs
+    assert(r.getAs[Long]("n_pairs") == 54L)
+    assert(r.getAs[Long]("n_flat") == 54L && r.getAs[Double]("sen_slope") == 0.0)
+  }
+
+  test("cupedAdjustedLift: perfectly correlated covariate cancels the lift exactly") {
+    // per-customer spend identical in pre and post period: Y = X ⇒ θ = 1,
+    // ρ² = 1, and the adjusted lift is identically 0 whatever the raw
+    // imbalance between the hash-assigned arms
+    val orders = (1 to 40).flatMap { c =>
+      Seq((c.toLong, java.sql.Date.valueOf("1995-03-01"), 100.0 + c),
+          (c.toLong, java.sql.Date.valueOf("1997-03-01"), 100.0 + c))
+    }.toDF("o_custkey", "o_orderdate", "o_totalprice")
+    val r = Stats.cupedAdjustedLift(orders).collect()(0)
+    assert(r.getAs[Long]("n_treat") > 0L && r.getAs[Long]("n_ctrl") > 0L)
+    assert(r.getAs[Long]("n_treat") + r.getAs[Long]("n_ctrl") == 40L)
+    assert(r.getAs[Double]("theta") == 1.0, r.toString)
+    assert(r.getAs[Double]("rho2") == 1.0)
+    assert(r.getAs[Double]("adj_lift") == 0.0, r.toString)
+    assert(r.getAs[Double]("raw_lift") ==
+      math.round((r.getAs[Double]("mean_y_treat") -
+                  r.getAs[Double]("mean_y_ctrl")) * 1e6) / 1e6)
+  }
+
+  test("cupedAdjustedLift: uncorrelated covariate leaves the lift untouched") {
+    // X constant across customers: var(X) = 0 ⇒ θ NULL, adjusted lift NULL
+    // (no covariate signal to subtract), raw lift still reported
+    val orders = (1 to 30).flatMap { c =>
+      Seq((c.toLong, java.sql.Date.valueOf("1995-03-01"), 50.0),
+          (c.toLong, java.sql.Date.valueOf("1997-03-01"), 100.0 + c))
+    }.toDF("o_custkey", "o_orderdate", "o_totalprice")
+    val r = Stats.cupedAdjustedLift(orders).collect()(0)
+    assert(r.isNullAt(r.fieldIndex("theta")) && r.isNullAt(r.fieldIndex("adj_lift")))
+    assert(!r.isNullAt(r.fieldIndex("raw_lift")))
+  }
+
+  test("sprtConversionMonitor: decisive streams cross the Wald boundary on the exact day") {
+    val (w1, w0, up, lo) = Stats.sprtCoefficients(0.18, 0.22, 0.05, 0.05)
+    def days(nDays: Int, urgentPerDay: Int, otherPerDay: Int) =
+      (0 until nDays).flatMap { d =>
+        val day = java.sql.Date.valueOf(
+          java.time.LocalDate.of(2024, 1, 1).plusDays(d))
+        (0 until urgentPerDay).map(_ => (day, "1-URGENT")) ++
+          (0 until otherPerDay).map(_ => (day, "3-MEDIUM"))
+      }.toDF("o_orderdate", "o_orderpriority")
+    // all-urgent days climb by 10·w1 each: H1 accepted on day ⌈up/(10·w1)⌉
+    val h1 = Stats.sprtConversionMonitor(days(30, 10, 0)).collect()(0)
+    val expectH1 = (up + 10 * w1 - 1) / (10 * w1)
+    assert(h1.getAs[String]("decision") == "accept_h1")
+    assert(h1.getAs[Long]("decision_index") == expectH1, h1.toString)
+    assert(h1.getAs[Long]("decision_llr_micronats") >= up)
+    // all-failure days descend by 10·|w0|: H0 on day ⌈|lo|/(10·|w0|)⌉
+    val h0 = Stats.sprtConversionMonitor(days(30, 0, 10)).collect()(0)
+    val expectH0 = (-lo + 10 * -w0 - 1) / (10 * -w0)
+    assert(h0.getAs[String]("decision") == "accept_h0")
+    assert(h0.getAs[Long]("decision_index") == expectH0, h0.toString)
+    // a two-day stream that never crosses keeps monitoring
+    val cont = Stats.sprtConversionMonitor(days(2, 2, 8)).collect()(0)
+    assert(cont.getAs[String]("decision") == "continue")
+    assert(cont.isNullAt(cont.fieldIndex("decision_day")))
+    assert(!cont.isNullAt(cont.fieldIndex("final_llr_micronats")))
+  }
 }

@@ -396,4 +396,40 @@ class TextAnalysisSpec extends AnyFunSuite {
     // chi2 is monotone in distinctiveness: exclusive beats skewed beats shared
     assert(first.getAs[Double]("chi2") > byTok("common").getAs[Double]("chi2"))
   }
+
+  test("langSourceMi: zero on independent labels, ln(2) on a 1:1 shard map") {
+    import spark.implicits._
+    // independent: every (lang, source) cell holds the product mass —
+    // each term is p·ln(1) = 0 exactly
+    val indep = (for (l <- Seq("en", "de"); s <- Seq("s0", "s1");
+                      _ <- 1 to 5) yield (l, s)).toDF("lang", "source")
+    val r0 = TextAnalysis.langSourceMi(indep).collect()(0)
+    assert(r0.getAs[Long]("n_docs") == 20L && r0.getAs[Long]("n_cells") == 4L)
+    assert(r0.getAs[Long]("mi_micronats") == 0L)
+    // deterministic shards: source decides the language ⇒ I = H = ln 2
+    val sharded = (Seq.fill(5)(("en", "s0")) ++ Seq.fill(5)(("de", "s1")))
+      .toDF("lang", "source")
+    val r1 = TextAnalysis.langSourceMi(sharded).collect()(0)
+    val expected = 2 * math.round(0.5 * math.log(2) * 1e6) // 693148 ≈ ln 2
+    assert(r1.getAs[Long]("mi_micronats") == expected)
+    assert(r1.getAs[Double]("mi_nats") == expected / 1e6)
+  }
+
+  test("ksSourceDrift: identical distributions read 0, disjoint supports read 1") {
+    import spark.implicits._
+    def docs(rows: Seq[(String, Long)]) =
+      rows.zipWithIndex.map { case ((s, n), i) => (i.toLong, s, n) }
+        .toDF("doc_id", "source", "n_chars")
+    val same = docs(Seq("src0", "src1").flatMap(s =>
+      (1L to 10L).map(n => (s, n * 100))))
+    val r0 = TextAnalysis.ksSourceDrift(same, "src0", "src1").collect()(0)
+    assert(r0.getAs[Long]("n_a") == 10L && r0.getAs[Long]("n_b") == 10L)
+    assert(r0.getAs[Long]("d_numerator") == 0L && r0.getAs[Double]("ks_d") == 0.0)
+    // src0 entirely below src1: at the support boundary F_a=1, F_b=0
+    val split = docs((1L to 10L).map(n => ("src0", n)) ++
+                     (1L to 10L).map(n => ("src1", n + 1000)))
+    val r1 = TextAnalysis.ksSourceDrift(split, "src0", "src1").collect()(0)
+    assert(r1.getAs[Double]("ks_d") == 1.0, r1.toString)
+    assert(r1.getAs[Long]("d_at_value") == 10L, "sup sits at src0's max")
+  }
 }
