@@ -4979,6 +4979,127 @@ object CatalogExt {
            |       decision_day, decision_index, decision_llr_micronats,
            |       final_llr_micronats
            |FROM a LEFT JOIN f USING (k) LEFT JOIN l USING (k)""".stripMargin
-      })
+      }),
+
+    // ── Shapley channel attribution (Allocate.shapleyChannelAttribution):
+    //    exact 3-channel Shapley over coalition conversion micro-rates —
+    //    the efficient/symmetric credit split position rules violate.
+    ("shapley_attribution",
+      (spark, dir) =>
+        Allocate.shapleyChannelAttribution(Tables.events(spark, dir)),
+      Some {
+        def phi6(solo: String, base: String, withA: String, aOnly: String,
+                 withB: String, bOnly: String, full: String, rest: String) =
+          s"2 * ($solo - $base) + ($withA - $aOnly) + ($withB - $bOnly) + 2 * ($full - $rest)"
+        s"""WITH u AS (SELECT user_id,
+           |                  MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS hv,
+           |                  MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS hc,
+           |                  MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS hs,
+           |                  MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS cv
+           |           FROM events GROUP BY 1),
+           |s AS (SELECT hv, hc, hs, CAST(COUNT(*) AS BIGINT) AS n,
+           |             CAST(SUM(cv) AS BIGINT) AS k
+           |      FROM u GROUP BY 1, 2, 3),
+           |r AS (SELECT hv, hc, hs, (k * 2000000 + n) // (2 * n) AS r FROM s),
+           |p AS (SELECT
+           |  COALESCE(MAX(CASE WHEN hv=0 AND hc=0 AND hs=0 THEN r END), 0) AS r000,
+           |  COALESCE(MAX(CASE WHEN hv=1 AND hc=0 AND hs=0 THEN r END), 0) AS r100,
+           |  COALESCE(MAX(CASE WHEN hv=0 AND hc=1 AND hs=0 THEN r END), 0) AS r010,
+           |  COALESCE(MAX(CASE WHEN hv=0 AND hc=0 AND hs=1 THEN r END), 0) AS r001,
+           |  COALESCE(MAX(CASE WHEN hv=1 AND hc=1 AND hs=0 THEN r END), 0) AS r110,
+           |  COALESCE(MAX(CASE WHEN hv=1 AND hc=0 AND hs=1 THEN r END), 0) AS r101,
+           |  COALESCE(MAX(CASE WHEN hv=0 AND hc=1 AND hs=1 THEN r END), 0) AS r011,
+           |  COALESCE(MAX(CASE WHEN hv=1 AND hc=1 AND hs=1 THEN r END), 0) AS r111
+           |  FROM r),
+           |ch AS (
+           |  SELECT 'view' AS channel,
+           |         CAST(${phi6("r100", "r000", "r110", "r010", "r101", "r001", "r111", "r011")} AS BIGINT) AS phi_micro6 FROM p
+           |  UNION ALL
+           |  SELECT 'click',
+           |         CAST(${phi6("r010", "r000", "r110", "r100", "r011", "r001", "r111", "r101")} AS BIGINT) FROM p
+           |  UNION ALL
+           |  SELECT 'signup',
+           |         CAST(${phi6("r001", "r000", "r101", "r100", "r011", "r010", "r111", "r110")} AS BIGINT) FROM p)
+           |SELECT channel, phi_micro6,
+           |       round(CAST(phi_micro6 AS DOUBLE) / 6000000.0, 6) AS phi
+           |FROM ch ORDER BY channel""".stripMargin
+      }),
+
+    // ── Population stability index (Stats.psiDrift) of the order-value
+    //    distribution, ≤1996 vs ≥1999, over 10 exact integer bins of the
+    //    pooled range — micro-nat terms, one-sided bins excluded and
+    //    reported.
+    ("psi_price_drift",
+      (spark, dir) =>
+        Stats.psiDrift(Tables.orders(spark, dir),
+          Scalars.moneyCents(col("o_totalprice")),
+          col("o_orderdate") < lit("1997-01-01").cast("date"),
+          col("o_orderdate") >= lit("1999-01-01").cast("date")),
+      Some("""WITH base AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c,
+             |                     CASE WHEN o_orderdate < DATE '1997-01-01' THEN 1 ELSE 0 END AS a,
+             |                     CASE WHEN o_orderdate >= DATE '1999-01-01' THEN 1 ELSE 0 END AS b
+             |              FROM orders
+             |              WHERE o_orderdate < DATE '1997-01-01'
+             |                 OR o_orderdate >= DATE '1999-01-01'),
+             |bounds AS (SELECT CAST(MIN(c) AS BIGINT) AS lo, CAST(MAX(c) AS BIGINT) AS hi FROM base),
+             |grid AS (SELECT ((c - lo) * 10) // (hi - lo + 1) AS bin,
+             |                CAST(SUM(a) AS BIGINT) AS ca, CAST(SUM(b) AS BIGINT) AS cb
+             |         FROM base CROSS JOIN bounds GROUP BY 1),
+             |g AS (SELECT *, CAST(SUM(ca) OVER () AS BIGINT) AS na,
+             |             CAST(SUM(cb) OVER () AS BIGINT) AS nb
+             |      FROM grid),
+             |t AS (SELECT na, nb,
+             |             CASE WHEN ca > 0 AND cb > 0 THEN
+             |               CAST(round((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)
+             |                           - CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))
+             |                          * ln((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE))
+             |                               / (CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)))
+             |                          * 1e6) AS BIGINT) END AS term
+             |      FROM g)
+             |SELECT CAST(MAX(na) AS BIGINT) AS n_a, CAST(MAX(nb) AS BIGINT) AS n_b,
+             |       CAST(SUM(CASE WHEN term IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_bins_used,
+             |       CAST(SUM(CASE WHEN term IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_bins_skipped,
+             |       CAST(COALESCE(SUM(term), 0) AS BIGINT) AS psi_micronats,
+             |       round(CAST(COALESCE(SUM(term), 0) AS BIGINT) / 1e6, 6) AS psi
+             |FROM t""".stripMargin)),
+
+    // ── Qini uplift deciles (Stats.qiniUpliftDeciles): cumulative
+    //    incremental conversions of the hash-split arms by pre-period
+    //    spend decile — the uplift eval, run here as an A/A flatness
+    //    check. Exact rank deciles, never ntile.
+    ("qini_uplift_deciles",
+      (spark, dir) => Stats.qiniUpliftDeciles(Tables.orders(spark, dir)),
+      Some(s"""WITH per AS (
+              |  SELECT o_custkey,
+              |         CAST(SUM(CASE WHEN o_orderdate < DATE '1996-01-01'
+              |                       THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS x,
+              |         CAST(MAX(CASE WHEN o_orderdate >= DATE '1996-01-01'
+              |                        AND o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS cv,
+              |         ${sqlHashBucket("o_custkey", 2)} AS arm
+              |  FROM orders GROUP BY 1),
+              |rk AS (SELECT *, CAST(row_number() OVER (ORDER BY x DESC, o_custkey) AS BIGINT) AS rn,
+              |              CAST(COUNT(*) OVER () AS BIGINT) AS n
+              |       FROM per),
+              |d AS (SELECT ((rn - 1) * 10) // n AS decile, arm, cv FROM rk),
+              |byd AS (SELECT decile,
+              |               CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+              |               CAST(SUM(CASE WHEN arm = 1 THEN cv ELSE 0 END) AS BIGINT) AS tc,
+              |               CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS cn,
+              |               CAST(SUM(CASE WHEN arm = 0 THEN cv ELSE 0 END) AS BIGINT) AS cc
+              |        FROM d GROUP BY 1),
+              |cum AS (SELECT *,
+              |        CAST(SUM(tn) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ctn,
+              |        CAST(SUM(tc) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ctc,
+              |        CAST(SUM(cn) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ccn,
+              |        CAST(SUM(cc) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ccc
+              |        FROM byd)
+              |SELECT decile, tn, tc, cn, cc,
+              |       CASE WHEN ctn > 0 AND ccn > 0 THEN
+              |         round(CAST(ctc AS DOUBLE) / CAST(ctn AS DOUBLE)
+              |               - CAST(ccc AS DOUBLE) / CAST(ccn AS DOUBLE), 6) END AS uplift_cum,
+              |       CASE WHEN ctn > 0 AND ccn > 0 THEN
+              |         round(CAST(ctc AS DOUBLE) - CAST(ccc AS DOUBLE)
+              |               * (CAST(ctn AS DOUBLE) / CAST(ccn AS DOUBLE)), 6) END AS qini_cum
+              |FROM cum ORDER BY decile""".stripMargin))
   )
 }

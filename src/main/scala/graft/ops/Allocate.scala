@@ -99,4 +99,57 @@ object Allocate {
               (col("n_touches") * creditUnits).as("credit_micro"))
     attributed.unionByName(unattributed)
   }
+
+  /** Exact Shapley-value channel attribution (the data-driven attribution
+    * model behind e.g. Google's DDA — Shapley 1953 applied to coalition
+    * conversion rates): each user contributes their observed channel
+    * COALITION (which of view/click/signup they touched) and whether they
+    * converted; the characteristic function v(S) is the conversion rate of
+    * users whose coalition is exactly S (0 for unobserved coalitions), and
+    * channel i earns φᵢ = Σ_S |S|!(|C|−|S|−1)!/|C|!·(v(S∪i) − v(S)) — the
+    * only credit split that is efficient (Σφ = v(C) − v(∅)), symmetric,
+    * and null-player-zero, which position rules (first/last/linear touch)
+    * all violate.
+    *
+    * Exactness: v(S) is a half-up integer micro-rate ((k·2·10⁶ + n) div
+    * 2n); with |C| = 3 the Shapley weights are {2,1,1,2}/6, so 6·φ is pure
+    * BIGINT arithmetic on the eight micro-rates and only the final φ is
+    * one mirrored division. Shape: ONE corpus aggregate to user grain
+    * (map-side partial max flags), an 8-row coalition grid, a 1-row pivot,
+    * three output rows — scale-free past the first aggregate.
+    */
+  def shapleyChannelAttribution(events: DataFrame): DataFrame = {
+    val u = events.groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "view", 1L).otherwise(0L)).as("hv"),
+           max(when(col("event_type") === "click", 1L).otherwise(0L)).as("hc"),
+           max(when(col("event_type") === "signup", 1L).otherwise(0L)).as("hs"),
+           max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("cv"))
+    val grid = u.groupBy(col("hv"), col("hc"), col("hs"))
+      .agg(count(lit(1)).as("n"), sum(col("cv")).as("k"))
+      .withColumn("r", expr("(k * 2000000 + n) div (2 * n)"))
+    def rAt(v: Int, c: Int, s: Int) = coalesce(
+      max(when(col("hv") === v && col("hc") === c && col("hs") === s,
+        col("r"))), lit(0L))
+    val p = grid.agg(
+      rAt(0, 0, 0).as("r000"), rAt(1, 0, 0).as("r100"),
+      rAt(0, 1, 0).as("r010"), rAt(0, 0, 1).as("r001"),
+      rAt(1, 1, 0).as("r110"), rAt(1, 0, 1).as("r101"),
+      rAt(0, 1, 1).as("r011"), rAt(1, 1, 1).as("r111"))
+    def phi6(solo: String, base: String, withA: String, aOnly: String,
+             withB: String, bOnly: String, full: String, rest: String) =
+      lit(2L) * (col(solo) - col(base)) + (col(withA) - col(aOnly)) +
+        (col(withB) - col(bOnly)) + lit(2L) * (col(full) - col(rest))
+    val rows = p.select(
+      phi6("r100", "r000", "r110", "r010", "r101", "r001", "r111", "r011")
+        .as("view"),
+      phi6("r010", "r000", "r110", "r100", "r011", "r001", "r111", "r101")
+        .as("click"),
+      phi6("r001", "r000", "r101", "r100", "r011", "r010", "r111", "r110")
+        .as("signup"))
+    rows.select(expr(
+        "stack(3, 'click', click, 'signup', signup, 'view', view) AS (channel, phi_micro6)"))
+      .select(col("channel"), col("phi_micro6"),
+        round(col("phi_micro6").cast("double") / lit(6000000.0), 6).as("phi"))
+      .orderBy(col("channel"))
+  }
 }

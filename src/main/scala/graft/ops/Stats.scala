@@ -1476,6 +1476,110 @@ object Stats {
         ((col("slope_lo") + col("slope_hi")) / lit(2.0)).as("sen_slope"))
   }
 
+  /** Population stability index between two slices of an integer-cents
+    * value column (the standard model-ops drift gate: PSI < 0.1 stable,
+    * 0.1–0.25 drifting, > 0.25 shifted) over `bins` EXACT fixed-width bins
+    * of the pooled range — the [[histogramQuantiles]] integer bin rule
+    * (`((c−lo)·bins) div span`), so bin membership cannot drift across
+    * engines the way float quantile edges can. PSI = Σ (p_a−p_b)·ln(p_a/p_b)
+    * accumulated in the micro-nat convention (each bin term one fixed
+    * double tree on exact counts, micro-rounded, exactly summed). Bins
+    * populated on only one side have an undefined term (ln 0); standard
+    * practice is an arbitrary epsilon — here they are excluded and
+    * REPORTED (`n_bins_skipped`), keeping the number engine-portable and
+    * the omission visible.
+    *
+    * Shape: one corpus scan to the bins-sized grid (the 1-row pooled
+    * bounds broadcast back), window totals over the grid, 1-row report.
+    */
+  def psiDrift(df: DataFrame, cents: Column, inA: Column, inB: Column,
+               bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2: $bins")
+    val base = df.filter(inA || inB)
+      .select(cents.as("c"), when(inA, 1L).otherwise(0L).as("a"),
+              when(inB, 1L).otherwise(0L).as("b"))
+    val bounds = base.agg(min(col("c")).as("lo"), max(col("c")).as("hi"))
+    val grid = base.crossJoin(broadcast(bounds))
+      .select(expr(s"((c - lo) * $bins) div (hi - lo + 1)").as("bin"),
+              col("a"), col("b"))
+      .groupBy(col("bin"))
+      .agg(sum(col("a")).as("ca"), sum(col("b")).as("cb"))
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val g = grid
+      .withColumn("na", sum(col("ca")).over(wAll))
+      .withColumn("nb", sum(col("cb")).over(wAll))
+    val pa = col("ca").cast("double") / col("na").cast("double")
+    val pb = col("cb").cast("double") / col("nb").cast("double")
+    val term = round((pa - pb) * log(pa / pb) * lit(1e6)).cast("long")
+    g.withColumn("term",
+        when(col("ca") > 0L && col("cb") > 0L, term))
+      .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+           sum(when(col("term").isNotNull, 1L).otherwise(0L)).as("n_bins_used"),
+           sum(when(col("term").isNull, 1L).otherwise(0L)).as("n_bins_skipped"),
+           coalesce(sum(col("term")), lit(0L)).as("psi_micronats"))
+      .select(col("n_a"), col("n_b"), col("n_bins_used"), col("n_bins_skipped"),
+              col("psi_micronats"),
+              round(col("psi_micronats") / lit(1e6), 6).as("psi"))
+  }
+
+  /** Qini uplift-by-decile curve (Radcliffe 2007) for the hash-split A/B:
+    * customers ranked by their pre-period spend (the targeting score),
+    * cut into ten EXACT rank deciles (`((rank−1)·10) div n` — never
+    * `ntile`, whose remainder distribution is not an engine contract),
+    * then per cumulative decile the incremental conversions the treatment
+    * produced over the control at equal exposure:
+    * qini_k = cumTC − cumCC·(cumTN/cumCN). The uplift-model eval a
+    * targeting pipeline reads before trusting any score — applied here to
+    * the null experiment (hash arms), where the curve's flatness is
+    * itself the A/A sanity check.
+    *
+    * Exactness: rank/decile/cumulative counts are pure BIGINT; uplift and
+    * qini are mirrored double chains on exact operands, rounded once.
+    * Shape: one partial+final aggregate to customer grain, a rank window,
+    * a 10-row grid with window cumsums — the [[cusumChangepoint]]
+    * bounded-report class.
+    */
+  def qiniUpliftDeciles(orders: DataFrame,
+                        pivotDate: String = "1996-01-01"): DataFrame = {
+    val cents = graft.ops.Scalars.moneyCents(col("o_totalprice"))
+    val pivot = lit(pivotDate).cast("date")
+    val per = orders.groupBy(col("o_custkey"))
+      .agg(sum(when(col("o_orderdate") < pivot, cents).otherwise(0L)).as("x"),
+           max(when(col("o_orderdate") >= pivot &&
+                    col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L))
+             .as("cv"))
+      .withColumn("arm", graft.ops.Curation.hashBucket(col("o_custkey"), 2))
+    val ranked = per
+      .withColumn("rn", row_number()
+        .over(Window.orderBy(col("x").desc, col("o_custkey"))).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    val byDec = ranked
+      .select(expr("((rn - 1) * 10) div n").as("decile"),
+              col("arm"), col("cv"))
+      .groupBy(col("decile"))
+      .agg(sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("tn"),
+           sum(when(col("arm") === 1L, col("cv")).otherwise(0L)).as("tc"),
+           sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("cn"),
+           sum(when(col("arm") === 0L, col("cv")).otherwise(0L)).as("cc"))
+    val wc = Window.orderBy(col("decile"))
+    val cum = byDec
+      .withColumn("ctn", sum(col("tn")).over(wc))
+      .withColumn("ctc", sum(col("tc")).over(wc))
+      .withColumn("ccn", sum(col("cn")).over(wc))
+      .withColumn("ccc", sum(col("cc")).over(wc))
+    val ok = col("ctn") > 0L && col("ccn") > 0L
+    cum.select(col("decile"), col("tn"), col("tc"), col("cn"), col("cc"),
+      when(ok, round(col("ctc").cast("double") / col("ctn").cast("double")
+        - col("ccc").cast("double") / col("ccn").cast("double"), 6))
+        .as("uplift_cum"),
+      when(ok, round(col("ctc").cast("double") - col("ccc").cast("double")
+        * (col("ctn").cast("double") / col("ccn").cast("double")), 6))
+        .as("qini_cum"))
+      .orderBy(col("decile"))
+  }
+
   /** SPRT micro-nat coefficients for [[sprtConversionMonitor]]: per-success
     * and per-failure log-likelihood-ratio increments and the Wald decision
     * boundaries, as INTEGER micro-nats computed once here in driver Scala

@@ -66,4 +66,39 @@ class AllocateSpec extends AnyFunSuite {
       assert(r.getAs[Long]("nb") < r.getAs[Long]("n"))
     }
   }
+
+  test("shapleyChannelAttribution: symmetric coalitions split credit equally") {
+    import spark.implicits._
+    // every coalition observed with conversion rate |S|/3: each channel's
+    // marginal contribution is 1/3 at every coalition, so Shapley must
+    // award exactly 1/3 each — and efficiency Σφ = v(C) − v(∅) holds
+    val coalitions = for {
+      hv <- 0 to 1; hc <- 0 to 1; hs <- 0 to 1
+    } yield (hv, hc, hs)
+    val events = coalitions.zipWithIndex.flatMap { case ((hv, hc, hs), ci) =>
+      (0 until 3).flatMap { u =>
+        val uid = (ci * 3 + u).toLong
+        val size = hv + hc + hs
+        val touches =
+          (if (hv == 1) Seq("view") else Nil) ++
+          (if (hc == 1) Seq("click") else Nil) ++
+          (if (hs == 1) Seq("signup") else Nil)
+        val base = if (touches.isEmpty) Seq("error") else touches
+        val conv = if (u < size) Seq("purchase") else Nil
+        (base ++ conv).map(t => (uid, t))
+      }
+    }.zipWithIndex.map { case ((uid, t), i) =>
+      (i.toLong, uid,
+       java.sql.Timestamp.valueOf(s"2024-01-01 00:00:${i % 60}"), t)
+    }.toDF("event_id", "user_id", "ts", "event_type")
+    val out = Allocate.shapleyChannelAttribution(events).collect()
+      .map(r => r.getAs[String]("channel") ->
+        (r.getAs[Long]("phi_micro6"), r.getAs[Double]("phi"))).toMap
+    Seq("view", "click", "signup").foreach { ch =>
+      assert(out(ch)._1 == 2000000L, s"$ch: ${out(ch)}")
+      assert(out(ch)._2 == 0.333333)
+    }
+    // efficiency: Σ 6φ = 6·(v(C) − v(∅)) = 6·(10⁶ − 0)
+    assert(out.values.map(_._1).sum == 6000000L)
+  }
 }

@@ -419,6 +419,28 @@ class PlanSpec extends AnyFunSuite {
       "orders must not be rescanned past the checkpoint:\n" + p)
   }
 
+  test("shapley_attribution: one corpus scan into the user-grain aggregate") {
+    val p = plan("shapley_attribution")
+    assert("FileScan".r.findAllIn(p).length == 1,
+      "the coalition grid/pivot must ride the one user aggregate:\n" + p)
+    assert(p.contains("partial_"), p)
+  }
+
+  test("psi_price_drift: the two documented passes, bounds broadcast back") {
+    // bounds + binning are the histogramQuantiles 2-pass shape; more scans
+    // means the grid arithmetic regressed to per-row re-aggregation
+    val p = plan("psi_price_drift")
+    assert("FileScan".r.findAllIn(p).length == 2, p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "pooled bounds must broadcast:\n" + p)
+  }
+
+  test("qini_uplift_deciles: one scan to customer grain, decile grid windows") {
+    val p = plan("qini_uplift_deciles")
+    assert("FileScan".r.findAllIn(p).length == 1, p)
+    assert(p.contains("partial_"), p)
+  }
+
   test("pagerank rounds stay off the catalog plan: result is a local relation") {
     // the small-graph path runs its rounds driver-chained over the one
     // checkpointed edge relation (Graph.pagerankFixed scaladoc); what the

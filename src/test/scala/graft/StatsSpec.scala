@@ -620,4 +620,50 @@ class StatsSpec extends AnyFunSuite {
     assert(cont.isNullAt(cont.fieldIndex("decision_day")))
     assert(!cont.isNullAt(cont.fieldIndex("final_llr_micronats")))
   }
+
+  test("psiDrift: identical slices read 0; disjoint supports skip every bin") {
+    import org.apache.spark.sql.functions.col
+    def df(rows: Seq[(Long, Int, Int)]) =
+      rows.toDF("c", "ia", "ib")
+    // same distribution on both sides: every bin term is exactly 0
+    val same = df((1L to 100L).flatMap(v => Seq((v * 7, 1, 0), (v * 7, 0, 1))))
+    val r0 = Stats.psiDrift(same, col("c"), col("ia") === 1, col("ib") === 1)
+      .collect()(0)
+    assert(r0.getAs[Long]("n_a") == 100L && r0.getAs[Long]("n_b") == 100L)
+    assert(r0.getAs[Long]("psi_micronats") == 0L && r0.getAs[Double]("psi") == 0.0)
+    assert(r0.getAs[Long]("n_bins_skipped") == 0L)
+    // disjoint supports: every populated bin is one-sided → skipped
+    val apart = df((1L to 50L).map(v => (v, 1, 0)) ++
+                   (1L to 50L).map(v => (v + 1000000L, 0, 1)))
+    val r1 = Stats.psiDrift(apart, col("c"), col("ia") === 1, col("ib") === 1)
+      .collect()(0)
+    assert(r1.getAs[Long]("n_bins_used") == 0L, r1.toString)
+    assert(r1.getAs[Long]("psi_micronats") == 0L)
+    assert(r1.getAs[Long]("n_bins_skipped") >= 2L)
+    // a mild overlap with different shapes must read positive
+    val shifted = df((1L to 100L).map(v => (v, 1, 0)) ++
+                     (1L to 100L).map(v => (v + 30L, 0, 1)))
+    val r2 = Stats.psiDrift(shifted, col("c"), col("ia") === 1, col("ib") === 1)
+      .collect()(0)
+    assert(r2.getAs[Long]("psi_micronats") > 0L, r2.toString)
+  }
+
+  test("qiniUpliftDeciles: universal conversion is a flat zero-uplift curve") {
+    // every customer converts in the post period: treatment and control
+    // rates are both 1 in every cumulative decile — uplift and qini 0
+    val orders = (1 to 50).flatMap { c =>
+      Seq((c.toLong, java.sql.Date.valueOf("1995-03-01"), 100.0 + c, "3-MEDIUM"),
+          (c.toLong, java.sql.Date.valueOf("1997-03-01"), 50.0, "1-URGENT"))
+    }.toDF("o_custkey", "o_orderdate", "o_totalprice", "o_orderpriority")
+    val out = Stats.qiniUpliftDeciles(orders).collect()
+    assert(out.length == 10)
+    out.foreach { r =>
+      assert(r.getAs[Long]("tc") == r.getAs[Long]("tn"))
+      assert(r.getAs[Long]("cc") == r.getAs[Long]("cn"))
+      val n = r.getAs[Long]("tn") + r.getAs[Long]("cn")
+      assert(n == 5L, s"exact rank deciles must be balanced: $r")
+      assert(r.getAs[Double]("uplift_cum") == 0.0)
+      assert(r.getAs[Double]("qini_cum") == 0.0, r.toString)
+    }
+  }
 }
