@@ -5100,6 +5100,97 @@ object CatalogExt {
               |       CASE WHEN ctn > 0 AND ccn > 0 THEN
               |         round(CAST(ctc AS DOUBLE) - CAST(ccc AS DOUBLE)
               |               * (CAST(ctn AS DOUBLE) / CAST(ccn AS DOUBLE)), 6) END AS qini_cum
-              |FROM cum ORDER BY decile""".stripMargin))
+              |FROM cum ORDER BY decile""".stripMargin)),
+
+    // ── Good–Turing singleton-mass / smoothed-count table
+    //    (TextAnalysis.goodTuringMass): the unseen-probability estimator
+    //    behind vocabulary-coverage planning, exact count-of-counts with
+    //    half-up integer r* and mirrored per-level mass.
+    ("good_turing_mass",
+      (spark, dir) => TextAnalysis.goodTuringMass(Tables.documents(spark, dir)),
+      Some("""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+             |counts AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c
+             |           FROM tok WHERE length(token) > 0 GROUP BY 1),
+             |fof AS (SELECT c AS r, CAST(COUNT(*) AS BIGINT) AS n_r FROM counts GROUP BY 1),
+             |t AS (SELECT *, CAST(SUM(r * n_r) OVER () AS BIGINT) AS n_tokens,
+             |             CAST(SUM(n_r) OVER () AS BIGINT) AS vocab
+             |      FROM fof),
+             |t2 AS (SELECT *, CAST(row_number() OVER (ORDER BY r) AS BIGINT) AS lvl FROM t),
+             |j AS (SELECT t2.r, t2.n_r, CAST(COALESCE(f.n_r, 0) AS BIGINT) AS n_next,
+             |             t2.n_tokens, t2.vocab
+             |      FROM t2 LEFT JOIN fof f ON f.r = t2.r + 1
+             |      WHERE t2.lvl <= 8)
+             |SELECT r, n_r, n_next, n_tokens, vocab,
+             |       ((r + 1) * n_next * 2000000 + n_r) // (2 * n_r) AS r_star_micro,
+             |       CAST(round(CAST(r * n_r AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 1e6) AS BIGINT) AS mass_micro
+             |FROM j ORDER BY r""".stripMargin)),
+
+    // ── Fellegi–Sunter probabilistic linkage audit
+    //    (Dedup.fellegiSunterLinkage) over SymSpell-blocked dirty→clean
+    //    customer candidates: integer micro-nat m/u weights (injected into
+    //    both engines), three-band decisions, per-band precision audit.
+    //    custkey%7 rows carry a STALE segment — the graceful-degradation
+    //    case the weight model must absorb.
+    ("fs_linkage_audit",
+      (spark, dir) => {
+        val cust = Tables.spread(Tables.customer(spark, dir), col("c_custkey"))
+        val len = length(col("c_name"))
+        val p = (col("c_custkey") % len.cast("long")).cast("int") + lit(1)
+        val dirty = cust.select(
+          col("c_custkey").as("dirty_id"), col("c_custkey").as("source_id"),
+          concat(col("c_name").substr(lit(1), p - 1),
+                 col("c_name").substr(p + 1, len - p)).as("dirty_name"),
+          col("c_nationkey").as("d_nation"),
+          when(col("c_custkey") % 7 === 0, lit("STALE"))
+            .otherwise(col("c_mktsegment")).as("d_segment"))
+        val clean = cust.select(col("c_custkey").as("clean_id"),
+          col("c_name").as("clean_name"), col("c_nationkey").as("c_nation"),
+          col("c_mktsegment").as("c_segment"))
+        Dedup.fellegiSunterLinkage(dirty, clean)
+      },
+      Some {
+        val Seq((wNa, wNd), (wTa, wTd), (wSa, wSd)) = Dedup.fsWeights
+        def variantsCte(src: String, idCol: String, nameCol: String) =
+          s"""SELECT $idCol, $nameCol,
+             |              unnest(list_transform(range(0, length($nameCol) + 1),
+             |                i -> CASE WHEN i = 0 THEN $nameCol
+             |                          ELSE substring($nameCol, 1, CAST(i - 1 AS INT)) ||
+             |                               substring($nameCol, CAST(i + 1 AS INT),
+             |                                         length($nameCol) - CAST(i AS INT)) END)) AS key
+             |       FROM $src""".stripMargin
+        s"""WITH clean AS (SELECT c_custkey AS clean_id, c_name AS clean_name,
+           |                      c_nationkey AS c_nation, c_mktsegment AS c_segment
+           |               FROM customer),
+           |dirty AS (SELECT c_custkey AS dirty_id, c_custkey AS source_id,
+           |                 substring(c_name, 1, CAST(c_custkey % length(c_name) AS INT)) ||
+           |                 substring(c_name, CAST(c_custkey % length(c_name) AS INT) + 2,
+           |                           length(c_name) - CAST(c_custkey % length(c_name) AS INT) - 1) AS dirty_name,
+           |                 c_nationkey AS d_nation,
+           |                 CASE WHEN c_custkey % 7 = 0 THEN 'STALE' ELSE c_mktsegment END AS d_segment
+           |          FROM customer),
+           |dv AS (${variantsCte("dirty", "dirty_id", "dirty_name")}),
+           |cv AS (${variantsCte("clean", "clean_id", "clean_name")}),
+           |cand0 AS (SELECT DISTINCT dirty_id AS d_id, clean_id AS c_id
+           |          FROM dv JOIN cv USING (key)),
+           |cand AS (SELECT cand0.d_id, cand0.c_id, d.source_id, d.dirty_name,
+           |                d.d_nation, d.d_segment, c.clean_name, c.c_nation, c.c_segment
+           |         FROM cand0
+           |         JOIN dirty d ON cand0.d_id = d.dirty_id
+           |         JOIN clean c ON cand0.c_id = c.clean_id),
+           |s AS (SELECT *,
+           |        CAST(CASE WHEN levenshtein(dirty_name, clean_name) <= 1 THEN $wNa ELSE $wNd END
+           |             + CASE WHEN d_nation = c_nation THEN $wTa ELSE $wTd END
+           |             + CASE WHEN d_segment = c_segment THEN $wSa ELSE $wSd END AS BIGINT) AS score
+           |      FROM cand),
+           |d2 AS (SELECT *, CASE WHEN score >= 8000000 THEN 'match'
+           |                      WHEN score >= 0 THEN 'possible'
+           |                      ELSE 'non_match' END AS decision
+           |       FROM s)
+           |SELECT decision, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           |       CAST(SUM(CASE WHEN c_id = source_id THEN 1 ELSE 0 END) AS BIGINT) AS n_true_pairs,
+           |       CAST(MIN(score) AS BIGINT) AS min_score_micro,
+           |       CAST(MAX(score) AS BIGINT) AS max_score_micro
+           |FROM d2 GROUP BY 1 ORDER BY decision""".stripMargin
+      })
   )
 }

@@ -1036,19 +1036,26 @@ object Dedup {
     * candidate survive via left join (n_candidates = 0): silent drops are
     * the one thing a linkage audit must not do.
     */
+  /** 1-deletion neighborhood of `nameCol` (the string + every
+    * drop-one-character variant): the SymSpell blocking key shared by
+    * [[symDeleteMatch]] and [[fellegiSunterLinkage]] — any lev-≤1 pair
+    * provably shares a key.
+    */
+  private def deletionVariants(df: DataFrame, idCol: String, nameCol: String,
+                               side: String): DataFrame =
+    df.select(col(idCol), col(nameCol),
+        explode(expr(
+          s"""transform(sequence(0, length($nameCol)), i ->
+             |  CASE WHEN i = 0 THEN $nameCol
+             |       ELSE concat(substring($nameCol, 1, i - 1),
+             |                   substring($nameCol, i + 1, length($nameCol) - i))
+             |  END)""".stripMargin)).as("key"))
+      .select(col(idCol).as(s"${side}_id"), col(nameCol).as(s"${side}_name"),
+              col("key"))
+
   def symDeleteMatch(dirty: DataFrame, clean: DataFrame): DataFrame = {
-    def variants(df: DataFrame, idCol: String, nameCol: String, side: String) =
-      df.select(col(idCol), col(nameCol),
-          explode(expr(
-            s"""transform(sequence(0, length($nameCol)), i ->
-               |  CASE WHEN i = 0 THEN $nameCol
-               |       ELSE concat(substring($nameCol, 1, i - 1),
-               |                   substring($nameCol, i + 1, length($nameCol) - i))
-               |  END)""".stripMargin)).as("key"))
-        .select(col(idCol).as(s"${side}_id"), col(nameCol).as(s"${side}_name"),
-                col("key"))
-    val dv = variants(dirty, "dirty_id", "dirty_name", "d")
-    val cv = variants(clean, "clean_id", "clean_name", "c")
+    val dv = deletionVariants(dirty, "dirty_id", "dirty_name", "d")
+    val cv = deletionVariants(clean, "clean_id", "clean_name", "c")
     val cands = dv.join(cv, Seq("key"))
       .select(col("d_id"), col("d_name"), col("c_id"), col("c_name"))
       .distinct()
@@ -1067,5 +1074,78 @@ object Dedup {
         coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
         col("min_dist"),
         coalesce(col("source_recovered"), lit(false)).as("source_recovered"))
+  }
+
+  /** Fellegi–Sunter field parameters for [[fellegiSunterLinkage]]:
+    * (field, m, u) — m = P(agree | same entity), u = P(agree | different
+    * entities). The standard Splink-style priors for a name + two
+    * categorical fields; EM refinement is out of scope (the weights are
+    * the contract, not the estimation).
+    */
+  val FsFieldParams: Seq[(String, Double, Double)] = Seq(
+    ("name", 0.95, 0.001), ("nation", 0.95, 0.04), ("segment", 0.9, 0.2))
+
+  /** Integer micro-nat agreement/disagreement weights per field —
+    * (round(10⁶·ln(m/u)), round(10⁶·ln((1−m)/(1−u)))), computed ONCE here
+    * and injected as the SAME literals into both engines (the
+    * [[graft.ops.Stats.PoissonThresholds]] convention).
+    */
+  def fsWeights: Seq[(Long, Long)] = FsFieldParams.map { case (_, m, u) =>
+    (math.round(1e6 * math.log(m / u)),
+     math.round(1e6 * math.log((1 - m) / (1 - u))))
+  }
+
+  /** Fellegi–Sunter decision thresholds in micro-nats: score ≥ match ⇒
+    * 'match', ≥ possible ⇒ 'possible', else 'non_match'.
+    */
+  val FsMatchThreshold = 8000000L
+  val FsPossibleThreshold = 0L
+
+  /** Fellegi–Sunter probabilistic record linkage (Fellegi & Sunter 1969 —
+    * the model under Splink and every census-style ER system) over the
+    * SymSpell-blocked candidate space: candidates come from the
+    * [[deletionVariants]] equi-join (bounded, exact-recall for lev ≤ 1 name
+    * edits — never all-pairs), WITHOUT the lev filter, so the name
+    * agreement bit stays discriminative on the distance-2 collisions the
+    * blocking admits. Each candidate pair scores the log-likelihood ratio
+    * Σ_field (agree ? ln(m/u) : ln((1−m)/(1−u))) in exact integer
+    * micro-nats ([[fsWeights]]), and the decision is the classic
+    * three-band rule. Emits the per-decision audit — pair count, how many
+    * are the TRUE source pair, score range — the precision/recall readout
+    * of a linkage stage.
+    *
+    * Inputs: `dirty` (dirty_id, source_id, dirty_name, d_nation,
+    * d_segment), `clean` (clean_id, clean_name, c_nation, c_segment).
+    * Shape: map-side len+1 variant explodes, one hash equi-join on the
+    * variant key, two field-attach equi-joins, one ≤3-row report
+    * aggregate. All-BIGINT scoring; no float surface at all.
+    */
+  def fellegiSunterLinkage(dirty: DataFrame, clean: DataFrame): DataFrame = {
+    val Seq((wNa, wNd), (wTa, wTd), (wSa, wSd)) = fsWeights
+    val dv = deletionVariants(dirty, "dirty_id", "dirty_name", "d")
+    val cv = deletionVariants(clean, "clean_id", "clean_name", "c")
+    val cands = dv.join(cv, Seq("key"))
+      .select(col("d_id"), col("c_id")).distinct()
+      .join(dirty.select(col("dirty_id").as("d_id"), col("source_id"),
+              col("dirty_name"), col("d_nation"), col("d_segment")), Seq("d_id"))
+      .join(clean.select(col("clean_id").as("c_id"), col("clean_name"),
+              col("c_nation"), col("c_segment")), Seq("c_id"))
+    val score =
+      when(levenshtein(col("dirty_name"), col("clean_name")) <= 1, lit(wNa))
+        .otherwise(lit(wNd)) +
+      when(col("d_nation") === col("c_nation"), lit(wTa)).otherwise(lit(wTd)) +
+      when(col("d_segment") === col("c_segment"), lit(wSa)).otherwise(lit(wSd))
+    cands.withColumn("score", score)
+      .withColumn("decision",
+        when(col("score") >= FsMatchThreshold, lit("match"))
+          .when(col("score") >= FsPossibleThreshold, lit("possible"))
+          .otherwise(lit("non_match")))
+      .groupBy(col("decision"))
+      .agg(count(lit(1)).as("n_pairs"),
+           sum(when(col("c_id") === col("source_id"), 1L).otherwise(0L))
+             .as("n_true_pairs"),
+           min(col("score")).as("min_score_micro"),
+           max(col("score")).as("max_score_micro"))
+      .orderBy(col("decision"))
   }
 }

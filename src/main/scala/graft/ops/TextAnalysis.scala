@@ -707,6 +707,54 @@ object TextAnalysis {
               round(col("mi_micronats") / lit(1e6), 6).as("mi_nats"))
   }
 
+  /** Good–Turing frequency-of-frequencies estimate (Good 1953) over the
+    * corpus token distribution — the "how much probability mass belongs to
+    * tokens we have NOT seen yet" estimator behind vocabulary-coverage
+    * planning (P(unseen) = n₁/N, the singleton mass) and count smoothing
+    * (r* = (r+1)·n_{r+1}/n_r discounts every low count toward the unseen
+    * reserve). A training-data pipeline reads this before trusting token
+    * statistics from a corpus slice: a fat singleton mass says the slice
+    * undersamples its own tail.
+    *
+    * Exactness: token counts and the count-of-counts table are exact
+    * BIGINTs; r* is half-up integer micro-division (headroom
+    * (r+1)·n_{r+1}·2·10⁶ < 2⁶³ holds to ~4·10¹² singleton vocabularies),
+    * and each count level's mass r·n_r/N is one mirrored double chain
+    * micro-rounded. Shape: one corpus token aggregate, then a
+    * count-of-counts aggregate whose size is bounded by √(2N) distinct
+    * count values; the r+1 lookup is a self equi-join on that bounded
+    * table (checkpointed — two consumers, zero corpus re-scans). The
+    * report keeps the `maxLevels` LOWEST observed count levels (a rank
+    * bracket, not `r ≤ k` — a corpus whose rarest token appears 50 times
+    * still reports its tail structure instead of an empty frame).
+    */
+  def goodTuringMass(docs: DataFrame, maxLevels: Int = 8): DataFrame = {
+    require(maxLevels >= 1, s"maxLevels must be >= 1: $maxLevels")
+    val counts = docs.select(explode(tokens(col("text"))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("token")).agg(count(lit(1)).as("c"))
+    val fof = counts.groupBy(col("c").as("r")).agg(count(lit(1)).as("n_r"))
+      .localCheckpoint()
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    fof
+      .withColumn("n_tokens", sum(col("r") * col("n_r")).over(wAll))
+      .withColumn("vocab", sum(col("n_r")).over(wAll))
+      .withColumn("lvl", row_number().over(Window.orderBy(col("r"))).cast("long"))
+      .join(fof.select((col("r") - 1L).as("r"), col("n_r").as("n_next")),
+            Seq("r"), "left")
+      .filter(col("lvl") <= maxLevels)
+      .select(col("r"), col("n_r"),
+        coalesce(col("n_next"), lit(0L)).as("n_next"),
+        col("n_tokens"), col("vocab"))
+      .withColumn("r_star_micro",
+        expr("((r + 1) * n_next * 2000000 + n_r) div (2 * n_r)"))
+      .withColumn("mass_micro",
+        round((col("r") * col("n_r")).cast("double")
+          / col("n_tokens").cast("double") * lit(1e6)).cast("long"))
+      .orderBy(col("r"))
+  }
+
   /** Exact two-sample Kolmogorov–Smirnov distance between the `n_chars`
     * distributions of two sources — the distribution-drift screen behind
     * "did this crawl slice change shape" (mean/percentile rows see location

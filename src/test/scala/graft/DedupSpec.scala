@@ -456,4 +456,29 @@ class DedupSpec extends AnyFunSuite {
     assert(out(12L) == ((1L, true)) && out(13L) == ((1L, true)))
     assert(out(14L) == ((0L, false)), out.toString)
   }
+
+  test("fellegiSunterLinkage: three-band decisions score exactly from the m/u weights") {
+    import spark.implicits._
+    val Seq((wNa, wNd), (wTa, wTd), (wSa, wSd)) = graft.ops.Dedup.fsWeights
+    val clean = Seq(
+      (1L, "alice", 10L, "SEG1"),   // the true source of dirty 101
+      (2L, "alicx", 11L, "SEGX"),   // name-plausible doppelganger, fields off
+      (3L, "ba", 99L, "SEGZ"))      // lev-2 key collision for dirty 102
+      .toDF("clean_id", "clean_name", "c_nation", "c_segment")
+    val dirty = Seq(
+      (101L, 1L, "alic", 10L, "SEG1"), // e dropped from alice
+      (102L, 3L, "ab", 98L, "SEGY"))   // transposition: lev 2 from "ba"
+      .toDF("dirty_id", "source_id", "dirty_name", "d_nation", "d_segment")
+    val out = graft.ops.Dedup.fellegiSunterLinkage(dirty, clean).collect()
+      .map(r => r.getAs[String]("decision") ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Long]("n_true_pairs"),
+         r.getAs[Long]("min_score_micro"), r.getAs[Long]("max_score_micro"))).toMap
+    // all-agree true pair: full agreement weight, match band
+    assert(out("match") == ((1L, 1L, wNa + wTa + wSa, wNa + wTa + wSa)), out.toString)
+    // name agrees, both fields disagree: positive but under the match bar
+    assert(out("possible") == ((1L, 0L, wNa + wTd + wSd, wNa + wTd + wSd)))
+    // the lev-2 blocking collision: everything disagrees — and it IS the
+    // true pair (a transposition), the miss this audit exists to surface
+    assert(out("non_match") == ((1L, 1L, wNd + wTd + wSd, wNd + wTd + wSd)))
+  }
 }

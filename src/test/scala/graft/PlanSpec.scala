@@ -441,6 +441,21 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_"), p)
   }
 
+  test("good_turing_mass: the self-join rides the checkpointed fof table") {
+    // the one corpus scan ran at checkpoint time; the presentation plan
+    // must be FileScan-free (both fof consumers read the local relation)
+    val p = plan("good_turing_mass")
+    assert(!p.contains("FileScan"),
+      "count-of-counts must not rescan the corpus:\n" + p)
+  }
+
+  test("fs_linkage_audit: blocking stays a variant-key equi-join") {
+    val p = plan("fs_linkage_audit")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Generate"), "the len+1 variant explode is map-side:\n" + p)
+  }
+
   test("pagerank rounds stay off the catalog plan: result is a local relation") {
     // the small-graph path runs its rounds driver-chained over the one
     // checkpointed edge relation (Graph.pagerankFixed scaladoc); what the

@@ -432,4 +432,24 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r1.getAs[Double]("ks_d") == 1.0, r1.toString)
     assert(r1.getAs[Long]("d_at_value") == 10L, "sup sits at src0's max")
   }
+
+  test("goodTuringMass: exact count-of-counts, r*, and singleton mass") {
+    import spark.implicits._
+    // token counts: a×1, b×1, c×2, d×4 ⇒ fof = {1:2, 2:1, 4:1}, N = 8
+    val docs = Seq((1L, "a c c d d"), (2L, "b d d")).toDF("doc_id", "text")
+    val out = TextAnalysis.goodTuringMass(docs).collect()
+      .map(r => r.getAs[Long]("r") -> r).toMap
+    assert(out.keySet == Set(1L, 2L, 4L))
+    out.values.foreach { r =>
+      assert(r.getAs[Long]("n_tokens") == 8L && r.getAs[Long]("vocab") == 4L)
+    }
+    val r1 = out(1L)
+    assert(r1.getAs[Long]("n_r") == 2L && r1.getAs[Long]("n_next") == 1L)
+    // r*₁ = 2·n₂/n₁ = 1 exactly; unseen mass = n₁/N = 1/4
+    assert(r1.getAs[Long]("r_star_micro") == 1000000L)
+    assert(r1.getAs[Long]("mass_micro") == 250000L)
+    // gap above r=2 (no n₃): raw GT discounts to 0, reported not smoothed
+    assert(out(2L).getAs[Long]("r_star_micro") == 0L)
+    assert(out(4L).getAs[Long]("mass_micro") == 500000L)
+  }
 }
