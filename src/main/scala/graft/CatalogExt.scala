@@ -5191,6 +5191,59 @@ object CatalogExt {
            |       CAST(MIN(score) AS BIGINT) AS min_score_micro,
            |       CAST(MAX(score) AS BIGINT) AS max_score_micro
            |FROM d2 GROUP BY 1 ORDER BY decision""".stripMargin
-      })
+      }),
+
+    // ── ABC/Pareto part classification (Stats.abcPartClasses): the
+    //    80/15/5 revenue split with integer cross-multiplied class cuts,
+    //    rank window over the dimension-bounded part relation.
+    ("abc_part_classes",
+      (spark, dir) => Stats.abcPartClasses(Tables.lineitem(spark, dir)),
+      Some("""WITH pp AS (SELECT l_partkey,
+             |                   CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev
+             |            FROM lineitem GROUP BY 1),
+             |c AS (SELECT *,
+             |             CAST(SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+             |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+             |             CAST(SUM(rev) OVER () AS BIGINT) AS total
+             |      FROM pp),
+             |k AS (SELECT CASE WHEN cum * 5 <= total * 4 THEN 'A'
+             |                  WHEN cum * 20 <= total * 19 THEN 'B'
+             |                  ELSE 'C' END AS cls, rev, total
+             |      FROM c)
+             |SELECT cls, CAST(COUNT(*) AS BIGINT) AS n_parts,
+             |       CAST(SUM(rev) AS BIGINT) AS revenue_cents,
+             |       round(CAST(SUM(rev) AS DOUBLE) / CAST(MAX(total) AS DOUBLE), 6) AS revenue_share
+             |FROM k GROUP BY 1 ORDER BY cls""".stripMargin)),
+
+    // ── Split conformal coverage (Stats.conformalBacktestCoverage) of the
+    //    seasonal-naive forecaster: parity-split residuals, exact-rank
+    //    conformal quantile at 90%, test-half coverage — the honest
+    //    prediction-band check.
+    ("conformal_coverage",
+      (spark, dir) =>
+        Stats.conformalBacktestCoverage(Tables.orders(spark, dir)),
+      Some(s"""WITH d AS ($sqlDailyRevenue),
+              |s AS (SELECT day, rev_cents, lag(rev_cents, 7) OVER (ORDER BY day) AS pred FROM d),
+              |sc AS (SELECT day, abs(rev_cents - pred) AS ae,
+              |              CAST(date_diff('day', DATE '1970-01-01', day) % 2 AS BIGINT) AS par
+              |       FROM s WHERE pred IS NOT NULL),
+              |cal AS (SELECT ae, CAST(row_number() OVER (ORDER BY ae) AS BIGINT) AS rn,
+              |               CAST(COUNT(*) OVER () AS BIGINT) AS nc
+              |        FROM sc WHERE par = 0),
+              |q AS (SELECT 1 AS k, CAST(MAX(nc) AS BIGINT) AS n_cal,
+              |             CAST(MIN(CASE WHEN rn = ((nc + 1) * 90 + 99) // 100 THEN ae END) AS BIGINT) AS q_cents
+              |      FROM cal),
+              |t AS (SELECT 1 AS k, ae FROM sc WHERE par = 1)
+              |SELECT n_cal,
+              |       CAST(COUNT(t.ae) AS BIGINT) AS n_test, q_cents,
+              |       CAST(SUM(CASE WHEN t.ae IS NOT NULL AND (q_cents IS NULL OR t.ae <= q_cents)
+              |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+              |       CASE WHEN COUNT(t.ae) > 0 THEN
+              |         round(CAST(SUM(CASE WHEN t.ae IS NOT NULL AND (q_cents IS NULL OR t.ae <= q_cents)
+              |                             THEN 1 ELSE 0 END) AS DOUBLE)
+              |               / CAST(COUNT(t.ae) AS DOUBLE), 6) END AS coverage,
+              |       CAST(0.9 AS DOUBLE) AS target
+              |FROM q LEFT JOIN t USING (k)
+              |GROUP BY n_cal, q_cents""".stripMargin))
   )
 }

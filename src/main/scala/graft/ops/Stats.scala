@@ -1580,6 +1580,98 @@ object Stats {
       .orderBy(col("decile"))
   }
 
+  /** ABC (Pareto) inventory classification of parts by lineitem revenue:
+    * rank parts by exact cent revenue, class A = the head covering ≤80% of
+    * cumulative revenue, B = to ≤95%, C = the tail — the classic
+    * 80/15/5 working-capital split, with every class boundary decided by
+    * INTEGER cross-multiplication (cum·5 ≤ total·4, cum·20 ≤ total·19;
+    * no rate division anywhere near a boundary). A part's class uses the
+    * cumulative INCLUDING itself; ties rank (revenue desc, partkey) so
+    * the cut is total-ordered on both engines.
+    *
+    * Shape: one partial+final aggregate to part grain, a rank window over
+    * the DIMENSION-bounded part relation (the part table does not grow
+    * with fact volume — the replica-design argument), a ≤3-row report.
+    * Headroom: cum·20 needs total < 2⁵⁹ cents ≈ $5.8 quadrillion.
+    */
+  def abcPartClasses(lineitem: DataFrame): DataFrame = {
+    val perPart = lineitem.groupBy(col("l_partkey"))
+      .agg(sum(graft.ops.Scalars.moneyCents(col("l_extendedprice"))).as("rev"))
+    val w = Window.orderBy(col("rev").desc, col("l_partkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    perPart
+      .withColumn("cum", sum(col("rev")).over(w))
+      .withColumn("total", sum(col("rev")).over(wAll))
+      .withColumn("cls",
+        when(col("cum") * 5L <= col("total") * 4L, "A")
+          .when(col("cum") * 20L <= col("total") * 19L, "B")
+          .otherwise("C"))
+      .groupBy(col("cls"))
+      .agg(count(lit(1)).as("n_parts"), sum(col("rev")).as("revenue_cents"),
+           max(col("total")).as("total_cents"))
+      .select(col("cls"), col("n_parts"), col("revenue_cents"),
+        round(col("revenue_cents").cast("double")
+          / col("total_cents").cast("double"), 6).as("revenue_share"))
+      .orderBy(col("cls"))
+  }
+
+  /** Split conformal prediction coverage (Vovk et al. / Lei et al. 2018)
+    * of the seasonal-naive forecaster: absolute forecast residuals split
+    * by epoch-day PARITY into a calibration and a test half (deterministic
+    * and interleaved — both halves see the same regime mix), the
+    * conformal quantile is the ⌈(n_cal+1)·(1−α)⌉-th SMALLEST calibration
+    * residual (rank selection, exact — the distribution-free coverage
+    * guarantee needs exactly this rank, not an interpolated percentile),
+    * and the report is the test-half coverage of ±q. The honest-interval
+    * check a forecasting pipeline runs before shipping prediction bands:
+    * coverage far from 1−α means the residuals are not exchangeable
+    * (regime drift), not that the quantile is miscomputed.
+    *
+    * All-BIGINT until the one coverage division. When n_cal < ⌈…⌉−1 the
+    * conformal q is +∞ by convention — q_cents NULL, coverage exactly 1.
+    * Parity via epoch-day mod 2 assumes post-1970 dates (this corpus is
+    * 1995+; pre-1970 would need the sign-matching mod the round-9
+    * dow-seasonal note documents). The domain-bounded daily series is
+    * checkpointed once; calibration rank, quantile pick, and test
+    * coverage are its three bounded consumers.
+    */
+  def conformalBacktestCoverage(orders: DataFrame, season: Int = 7,
+                                alphaPct: Int = 10): DataFrame = {
+    require(alphaPct >= 1 && alphaPct <= 50, s"alphaPct in [1,50]: $alphaPct")
+    val w = Window.orderBy(col("day"))
+    val scored = dailyRevenue(orders)
+      .withColumn("pred", lag(col("rev_cents"), season).over(w))
+      .filter(col("pred").isNotNull)
+      .select(col("day"), abs(col("rev_cents") - col("pred")).as("ae"),
+        pmod(datediff(col("day"), lit("1970-01-01").cast("date")), lit(2))
+          .cast("long").as("par"))
+      .localCheckpoint()
+    val keep = 100 - alphaPct
+    val cal = scored.filter(col("par") === 0L)
+      .withColumn("rn", row_number().over(Window.orderBy(col("ae"))).cast("long"))
+      .withColumn("nc", count(lit(1)).over(Window.partitionBy()
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    // qRank = ceil((n_cal+1)·keep/100), exact integer ceiling division
+    val qRank = expr(s"((nc + 1) * $keep + 99) div 100")
+    val q = cal.agg(max(col("nc")).as("n_cal"),
+                    min(when(col("rn") === qRank, col("ae"))).as("q_cents"))
+      .withColumn("k", lit(1L))
+    val testRows = scored.filter(col("par") === 1L).withColumn("k", lit(1L))
+    q.join(testRows, Seq("k"), "left")
+      .groupBy(col("n_cal"), col("q_cents"))
+      .agg(count(col("ae")).as("n_test"),
+           sum(when(col("ae").isNotNull &&
+                    (col("q_cents").isNull || col("ae") <= col("q_cents")), 1L)
+             .otherwise(0L)).as("n_covered"))
+      .select(col("n_cal"), col("n_test"), col("q_cents"), col("n_covered"),
+        when(col("n_test") > 0L,
+          round(col("n_covered").cast("double") / col("n_test").cast("double"), 6))
+          .as("coverage"),
+        lit(keep.toDouble / 100.0).as("target"))
+  }
+
   /** SPRT micro-nat coefficients for [[sprtConversionMonitor]]: per-success
     * and per-failure log-likelihood-ratio increments and the Wald decision
     * boundaries, as INTEGER micro-nats computed once here in driver Scala

@@ -456,6 +456,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Generate"), "the len+1 variant explode is map-side:\n" + p)
   }
 
+  test("abc_part_classes: one scan, cumulative cut over the part dimension") {
+    val p = plan("abc_part_classes")
+    assert("FileScan".r.findAllIn(p).length == 1, p)
+    assert(p.contains("partial_"), p)
+  }
+
+  test("conformal_coverage: consumers reuse the checkpointed residual series") {
+    val p = plan("conformal_coverage")
+    assert(!p.contains("FileScan"),
+      "orders must not be rescanned past the checkpoint:\n" + p)
+  }
+
   test("pagerank rounds stay off the catalog plan: result is a local relation") {
     // the small-graph path runs its rounds driver-chained over the one
     // checkpointed edge relation (Graph.pagerankFixed scaladoc); what the

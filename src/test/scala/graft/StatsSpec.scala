@@ -648,6 +648,40 @@ class StatsSpec extends AnyFunSuite {
     assert(r2.getAs[Long]("psi_micronats") > 0L, r2.toString)
   }
 
+  test("abcPartClasses: integer cross-multiplied cuts land exactly on 80/95") {
+    // revenues 80/15/4/1 cents: cum shares 0.80 (A, boundary inclusive),
+    // 0.95 (B, boundary inclusive), then C
+    val li = Seq((1L, 0.80), (2L, 0.15), (3L, 0.04), (4L, 0.01))
+      .toDF("l_partkey", "l_extendedprice")
+    val out = Stats.abcPartClasses(li).collect()
+      .map(r => r.getAs[String]("cls") ->
+        (r.getAs[Long]("n_parts"), r.getAs[Long]("revenue_cents"),
+         r.getAs[Double]("revenue_share"))).toMap
+    assert(out("A") == ((1L, 80L, 0.8)), out.toString)
+    assert(out("B") == ((1L, 15L, 0.15)))
+    assert(out("C") == ((2L, 5L, 0.05)))
+  }
+
+  test("conformalBacktestCoverage: exact-rank quantile and parity split") {
+    // zero-residual periodic series: q = 0 and full coverage
+    val periodic = dayOrders((0 until 35).map(d => (d, 100.0)))
+    val r0 = Stats.conformalBacktestCoverage(periodic).collect()(0)
+    assert(r0.getAs[Long]("n_cal") + r0.getAs[Long]("n_test") == 28L)
+    assert(r0.getAs[Long]("q_cents") == 0L)
+    assert(r0.getAs[Double]("coverage") == 1.0 && r0.getAs[Double]("target") == 0.9)
+    // one $200 spike lands one 20000-cent residual in each half (the
+    // lag-7 echo flips parity); the calibration max IS the ceil-rank pick
+    val e0 = java.time.LocalDate.of(2024, 1, 1).toEpochDay
+    val spikeD = (20 to 21).find(d => (e0 + d) % 2 == 1).get // test-half day
+    val spiked = dayOrders((0 until 35).map(d =>
+      (d, if (d == spikeD) 300.0 else 100.0)))
+    val r1 = Stats.conformalBacktestCoverage(spiked).collect()(0)
+    assert(r1.getAs[Long]("n_cal") == 14L && r1.getAs[Long]("n_test") == 14L)
+    // ceil(15·0.9) = 14 = n_cal: the rank picks the calibration max
+    assert(r1.getAs[Long]("q_cents") == 20000L, r1.toString)
+    assert(r1.getAs[Double]("coverage") == 1.0)
+  }
+
   test("qiniUpliftDeciles: universal conversion is a flat zero-uplift curve") {
     // every customer converts in the post period: treatment and control
     // rates are both 1 in every cumulative decile — uplift and qini 0
