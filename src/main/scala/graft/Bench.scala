@@ -160,17 +160,20 @@ object Bench {
     // (BASELINE.md round-4 re-pin) so the host-factor correction is
     // coherent: a bench run in a slower window scales the bar to what
     // DuckDB would have measured there.
-    // 68.8 = the round-9 close measured 167-query pin (BASELINE.md
-    // "Round-9 close re-pin": median of 5 process runs, range 62.8–83.1
-    // — the 83.1 run was a degraded pass the median discards — brackets
-    // 0.688 open / 0.687 close, both quiet). ZERO increment layers:
-    // every one of the 167 twins was measured in this single window.
-    // Composition cross-check: the mid-round 156-query pin (63.7) plus
-    // the eleven new twins' solo medians (~3.6 s, cluster_aware_splits
-    // 2.3 alone) composes to ≈67.3; the in-window median sits ~2% above
-    // it — the same solo-reads-lower direction every prior re-pin saw.
-    // `baseline_per_query.json` carries the same window.
-    val baselineQuiet = sys.env.getOrElse("SPARK_GRAFT_BASELINE_SEC", "68.8").toDouble
+    // 76.8 = the round-10 session-4 measured 205-query pin (BASELINE.md
+    // "Round-10 session-4 re-pin": median of 5 process runs, range
+    // 75.5–85.1 — the 85.1 run was a degraded pass the median discards —
+    // brackets 0.757 open / 0.858 close; the closing probe sat ~7% over
+    // the 0.80 quiet pin, so this bar may read up to ~5% high; an
+    // earlier same-day 3-run probe over 198 queries read 72.1
+    // (70.7–75.6)). ZERO increment layers: every one of the 205 twins
+    // was measured in this single window. Composition cross-check: the
+    // round-9 close 167-query pin (68.8) plus the 38 twins added since,
+    // measured solo (~5–6 s total), composes to ≈74–75; the in-window
+    // median sits ~3% above it — the same solo-reads-lower direction
+    // every prior re-pin saw. `baseline_per_query.json` carries the
+    // same window.
+    val baselineQuiet = sys.env.getOrElse("SPARK_GRAFT_BASELINE_SEC", "76.8").toDouble
     // Host-speed calibration (BASELINE.md "Host-speed calibration"): the
     // shared build host has multi-minute windows where EVERYTHING runs
     // 20-85% slower (hypervisor-level; guest vmstat shows idle CPU while

@@ -94,6 +94,52 @@ object Stats {
           .otherwise(round(cov / varX, 6)).as("slope")): _*)
   }
 
+  /** [[pearsonOlsFixed]] for DOMAIN-BOUNDED inputs whose per-row moment
+    * products outgrow BIGINT: decimal(38,0) accumulators end to end, so
+    * |x|,|y| up to 10¹⁵ square exactly (10³⁰ < 10³⁸) where the fixed
+    * variant's long products wrap at 2³⁰-magnitude inputs. The fixed
+    * variant measured decimal aggregation 2.5× slower PER ROW — decisive
+    * on corpus-sized relations, immaterial on the ≤36k-row daily series
+    * this exists for (the round-10 rel-replica gate caught
+    * daily_revenue_acf's per-row x² at 9× daily revenue ≈ (8·10⁹)² past
+    * 2⁶³ — the input had outgrown pearsonOlsFixed's documented |x| ≤ 2³⁰
+    * contract). Same output contract and the same mirrored final double
+    * chain (each exact decimal sum → ONE correctly rounded cast, matching
+    * a HUGEINT oracle bit-for-bit).
+    */
+  def pearsonOlsWide(df: DataFrame, groupCols: Seq[String],
+                     xInt: Column, yInt: Column): DataFrame = {
+    val (xd, yd) = (xInt.cast("decimal(19,0)"), yInt.cast("decimal(19,0)"))
+    val agg = df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+           sum(xd).as("sx"), sum(yd).as("sy"),
+           sum(xd * xd).as("sxx"), sum(yd * yd).as("syy"),
+           sum(xd * yd).as("sxy"),
+           max(abs(xInt)).as("mx"), max(abs(yInt)).as("my"))
+    val nD = col("n").cast("double")
+    def d(c: String) = col(c).cast("double")
+    // 10¹⁵ keeps x², Σx² (n < 10⁸ rows of 10³⁰) inside decimal(38,0)
+    val safe = col("n") === 0L ||
+      (col("mx") < lit(1000000000000000L) && col("my") < lit(1000000000000000L) &&
+       col("n") < lit(100000000L))
+    val guard = when(safe, lit(true)).otherwise(raise_error(concat(
+      lit("pearsonOlsWide: decimal(38,0) headroom exhausted for group n="),
+      col("n").cast("string"),
+      lit(" max|x|="), col("mx").cast("string"),
+      lit(" max|y|="), col("my").cast("string"),
+      lit(" — pre-scale the inputs or shard the group"))).isNull)
+    val varX = nD * d("sxx") - d("sx") * d("sx")
+    val varY = nD * d("syy") - d("sy") * d("sy")
+    val cov = nD * d("sxy") - d("sx") * d("sy")
+    agg.filter(guard).select(
+      groupCols.map(col) ++ Seq(
+        col("n"),
+        when(varX === 0.0 || varY === 0.0, lit(null))
+          .otherwise(round(cov / (sqrt(varX) * sqrt(varY)), 6)).as("corr"),
+        when(varX === 0.0, lit(null))
+          .otherwise(round(cov / varX, 6)).as("slope")): _*)
+  }
+
   /** HyperLogLog distinct sketch (Flajolet et al. 2007) with DETERMINISTIC
     * register arithmetic — the approximate-distinct machinery a 100 TB
     * pipeline actually runs (`approx_count_distinct` is this algorithm),
@@ -1210,7 +1256,10 @@ object Stats {
       .select(col("y"), expr(
         s"stack($maxLag, ${(1 to maxLag).map(i => s"${i}L, l$i").mkString(", ")}) AS (lag, x)"))
       .filter(col("x").isNotNull)
-    pearsonOlsFixed(pairs, Seq("lag"), col("x"), col("y"))
+    // wide moments: daily revenue outgrows pearsonOlsFixed's |x| ≤ 2³⁰
+    // per-row-product contract at large corpus scale (caught by the 9×
+    // relational replica gate — see pearsonOlsWide)
+    pearsonOlsWide(pairs, Seq("lag"), col("x"), col("y"))
       .withColumnRenamed("corr", "acf")
       .orderBy(col("lag"))
   }

@@ -648,6 +648,20 @@ class StatsSpec extends AnyFunSuite {
     assert(r2.getAs[Long]("psi_micronats") > 0L, r2.toString)
   }
 
+  test("pearsonOlsWide: exact fit where the fixed variant's products overflow") {
+    import org.apache.spark.sql.functions.col
+    // |x| ~ 10¹¹ squares to 10²² — far past 2⁶³, inside decimal(38,0)
+    val big = (1 to 20).map(i => (5000000000L * i, 10000000000L * i))
+      .toDF("x", "y")
+    val r = Stats.pearsonOlsWide(big, Nil, col("x"), col("y")).collect()(0)
+    assert(r.getAs[Double]("corr") == 1.0 && r.getAs[Double]("slope") == 2.0)
+    // the fixed variant must refuse (guard or ANSI overflow), never wrap
+    val thrown = intercept[Exception] {
+      Stats.pearsonOlsFixed(big, Nil, col("x"), col("y")).collect()
+    }
+    assert(thrown != null)
+  }
+
   test("abcPartClasses: integer cross-multiplied cuts land exactly on 80/95") {
     // revenues 80/15/4/1 cents: cum shares 0.80 (A, boundary inclusive),
     // 0.95 (B, boundary inclusive), then C
