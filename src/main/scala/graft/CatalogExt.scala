@@ -5244,6 +5244,66 @@ object CatalogExt {
               |               / CAST(COUNT(t.ae) AS DOUBLE), 6) END AS coverage,
               |       CAST(0.9 AS DOUBLE) AS target
               |FROM q LEFT JOIN t USING (k)
-              |GROUP BY n_cal, q_cents""".stripMargin))
+              |GROUP BY n_cal, q_cents""".stripMargin)),
+
+    // ── Difference-in-differences (Stats.didEstimate): pre/post × arm
+    //    2×2 on the hash experiment — the parallel-trends estimator, and
+    //    on a null split the A/A placebo. One customer-grain aggregate.
+    ("did_estimate",
+      (spark, dir) => Stats.didEstimate(Tables.orders(spark, dir)),
+      Some(s"""WITH per AS (
+              |  SELECT o_custkey,
+              |         CAST(SUM(CASE WHEN o_orderdate < DATE '1996-01-01'
+              |                       THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS x,
+              |         CAST(SUM(CASE WHEN o_orderdate >= DATE '1996-01-01'
+              |                       THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS y,
+              |         ${sqlHashBucket("o_custkey", 2)} AS arm
+              |  FROM orders GROUP BY 1),
+              |a AS (SELECT
+              |  CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_treat,
+              |  CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ctrl,
+              |  CAST(SUM(CASE WHEN arm = 1 THEN x ELSE 0 END) AS BIGINT) AS sx_t,
+              |  CAST(SUM(CASE WHEN arm = 1 THEN y ELSE 0 END) AS BIGINT) AS sy_t,
+              |  CAST(SUM(CASE WHEN arm = 0 THEN x ELSE 0 END) AS BIGINT) AS sx_c,
+              |  CAST(SUM(CASE WHEN arm = 0 THEN y ELSE 0 END) AS BIGINT) AS sy_c
+              |  FROM per)
+              |SELECT n_treat, n_ctrl,
+              |       CASE WHEN n_treat > 0 AND n_ctrl > 0 THEN
+              |         round(CAST(sy_t AS DOUBLE) / CAST(n_treat AS DOUBLE)
+              |               - CAST(sx_t AS DOUBLE) / CAST(n_treat AS DOUBLE), 6) END AS delta_treat,
+              |       CASE WHEN n_treat > 0 AND n_ctrl > 0 THEN
+              |         round(CAST(sy_c AS DOUBLE) / CAST(n_ctrl AS DOUBLE)
+              |               - CAST(sx_c AS DOUBLE) / CAST(n_ctrl AS DOUBLE), 6) END AS delta_ctrl,
+              |       CASE WHEN n_treat > 0 AND n_ctrl > 0 THEN
+              |         round((CAST(sy_t AS DOUBLE) / CAST(n_treat AS DOUBLE)
+              |                - CAST(sx_t AS DOUBLE) / CAST(n_treat AS DOUBLE))
+              |               - (CAST(sy_c AS DOUBLE) / CAST(n_ctrl AS DOUBLE)
+              |                  - CAST(sx_c AS DOUBLE) / CAST(n_ctrl AS DOUBLE)), 6) END AS did_cents
+              |FROM a""".stripMargin)),
+
+    // ── Chao1 vocabulary richness (TextAnalysis.chao1VocabEstimate):
+    //    unseen-TYPES companion to good_turing_mass — Ŝ = S + n₁²/2n₂
+    //    plus the bias-corrected form, from one token aggregate.
+    ("chao1_vocab_estimate",
+      (spark, dir) =>
+        TextAnalysis.chao1VocabEstimate(Tables.documents(spark, dir)),
+      Some("""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+             |counts AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c
+             |           FROM tok WHERE length(token) > 0 GROUP BY 1)
+             |SELECT CAST(COUNT(*) AS BIGINT) AS vocab,
+             |       CAST(SUM(c) AS BIGINT) AS n_tokens,
+             |       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             |       CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             |       CASE WHEN SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) > 0 THEN
+             |         round(COUNT(*) + CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             |                          * CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             |               / (CAST(2 AS DOUBLE)
+             |                  * CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS DOUBLE)), 6)
+             |       END AS chao1,
+             |       round(COUNT(*) + CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             |                        * CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) - 1 AS DOUBLE)
+             |             / (CAST(2 AS DOUBLE)
+             |                * CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) + 1 AS DOUBLE)), 6) AS chao1_bc
+             |FROM counts""".stripMargin))
   )
 }

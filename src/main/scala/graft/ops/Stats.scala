@@ -1629,6 +1629,42 @@ object Stats {
       .orderBy(col("decile"))
   }
 
+  /** Difference-in-differences estimate (Card & Krueger form) over the
+    * hash-split arms and the [[cupedAdjustedLift]] pre/post periods:
+    * DiD = (ȳ_t,post − ȳ_t,pre) − (ȳ_c,post − ȳ_c,pre) — the
+    * parallel-trends estimator that removes any level difference between
+    * the arms AND any common time shock, where a raw post difference
+    * removes neither. On the null hash experiment the estimate doubles as
+    * an A/A placebo check. Eight exact BIGINT cell sums in ONE aggregate
+    * at customer grain; the four means and the DiD are mirrored double
+    * chains rounded once.
+    */
+  def didEstimate(orders: DataFrame,
+                  pivotDate: String = "1996-01-01"): DataFrame = {
+    val cents = graft.ops.Scalars.moneyCents(col("o_totalprice"))
+    val pivot = lit(pivotDate).cast("date")
+    val per = orders.groupBy(col("o_custkey"))
+      .agg(sum(when(col("o_orderdate") < pivot, cents).otherwise(0L)).as("x"),
+           sum(when(col("o_orderdate") >= pivot, cents).otherwise(0L)).as("y"))
+      .withColumn("arm", graft.ops.Curation.hashBucket(col("o_custkey"), 2))
+    val cells = per.agg(
+      sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("n_treat"),
+      sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("n_ctrl"),
+      sum(when(col("arm") === 1L, col("x")).otherwise(0L)).as("sx_t"),
+      sum(when(col("arm") === 1L, col("y")).otherwise(0L)).as("sy_t"),
+      sum(when(col("arm") === 0L, col("x")).otherwise(0L)).as("sx_c"),
+      sum(when(col("arm") === 0L, col("y")).otherwise(0L)).as("sy_c"))
+    def m(s: String, n: String) = col(s).cast("double") / col(n).cast("double")
+    val ok = col("n_treat") > 0L && col("n_ctrl") > 0L
+    cells.select(col("n_treat"), col("n_ctrl"),
+      when(ok, round(m("sy_t", "n_treat") - m("sx_t", "n_treat"), 6))
+        .as("delta_treat"),
+      when(ok, round(m("sy_c", "n_ctrl") - m("sx_c", "n_ctrl"), 6))
+        .as("delta_ctrl"),
+      when(ok, round((m("sy_t", "n_treat") - m("sx_t", "n_treat"))
+            - (m("sy_c", "n_ctrl") - m("sx_c", "n_ctrl")), 6)).as("did_cents"))
+  }
+
   /** ABC (Pareto) inventory classification of parts by lineitem revenue:
     * rank parts by exact cent revenue, class A = the head covering ≤80% of
     * cumulative revenue, B = to ≤95%, C = the tail — the classic

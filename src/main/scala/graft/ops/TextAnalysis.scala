@@ -755,6 +755,34 @@ object TextAnalysis {
       .orderBy(col("r"))
   }
 
+  /** Chao1 richness estimate (Chao 1984) of the corpus vocabulary — how
+    * many distinct tokens the corpus WOULD show at exhaustive sampling:
+    * Ŝ = S_obs + n₁²/(2·n₂), with the bias-corrected
+    * n₁(n₁−1)/(2(n₂+1)) form emitted alongside (defined even when no
+    * doubletons exist). The coverage companion to [[goodTuringMass]]:
+    * Good–Turing prices the unseen MASS, Chao1 counts the unseen TYPES —
+    * together they answer "how much more corpus until vocabulary
+    * saturates". Exact BIGINT counts from the same count-of-counts
+    * aggregate; each estimator is one mirrored double chain rounded once.
+    */
+  def chao1VocabEstimate(docs: DataFrame): DataFrame = {
+    val counts = docs.select(explode(tokens(col("text"))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("token")).agg(count(lit(1)).as("c"))
+    counts.agg(
+      count(lit(1)).as("vocab"),
+      sum(col("c")).as("n_tokens"),
+      sum(when(col("c") === 1L, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("c") === 2L, 1L).otherwise(0L)).as("n2"))
+      .select(col("vocab"), col("n_tokens"), col("n1"), col("n2"),
+        when(col("n2") > 0L,
+          round(col("vocab") + col("n1").cast("double") * col("n1").cast("double")
+            / (lit(2.0) * col("n2").cast("double")), 6)).as("chao1"),
+        round(col("vocab") + col("n1").cast("double")
+            * (col("n1") - 1L).cast("double")
+          / (lit(2.0) * (col("n2") + 1L).cast("double")), 6).as("chao1_bc"))
+  }
+
   /** Exact two-sample Kolmogorov–Smirnov distance between the `n_chars`
     * distributions of two sources — the distribution-drift screen behind
     * "did this crawl slice change shape" (mean/percentile rows see location

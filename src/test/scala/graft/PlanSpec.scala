@@ -468,6 +468,14 @@ class PlanSpec extends AnyFunSuite {
       "orders must not be rescanned past the checkpoint:\n" + p)
   }
 
+  test("did_estimate and chao1_vocab_estimate: single-scan report aggregates") {
+    Seq("did_estimate", "chao1_vocab_estimate").foreach { name =>
+      val p = plan(name)
+      assert("FileScan".r.findAllIn(p).length == 1, s"$name:\n$p")
+      assert(p.contains("partial_"), s"$name:\n$p")
+    }
+  }
+
   test("pagerank rounds stay off the catalog plan: result is a local relation") {
     // the small-graph path runs its rounds driver-chained over the one
     // checkpointed edge relation (Graph.pagerankFixed scaladoc); what the

@@ -696,6 +696,20 @@ class StatsSpec extends AnyFunSuite {
     assert(r1.getAs[Double]("coverage") == 1.0)
   }
 
+  test("didEstimate: a common time shock cancels exactly") {
+    // every customer grows by the same $50 pre→post: both deltas read
+    // 5000 cents and the difference-in-differences is identically 0
+    val orders = (1 to 40).flatMap { c =>
+      Seq((c.toLong, java.sql.Date.valueOf("1995-03-01"), 100.0 + c),
+          (c.toLong, java.sql.Date.valueOf("1997-03-01"), 150.0 + c))
+    }.toDF("o_custkey", "o_orderdate", "o_totalprice")
+    val r = Stats.didEstimate(orders).collect()(0)
+    assert(r.getAs[Long]("n_treat") > 0L && r.getAs[Long]("n_ctrl") > 0L)
+    assert(r.getAs[Double]("delta_treat") == 5000.0, r.toString)
+    assert(r.getAs[Double]("delta_ctrl") == 5000.0)
+    assert(r.getAs[Double]("did_cents") == 0.0)
+  }
+
   test("qiniUpliftDeciles: universal conversion is a flat zero-uplift curve") {
     // every customer converts in the post period: treatment and control
     // rates are both 1 in every cumulative decile — uplift and qini 0

@@ -452,4 +452,15 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(2L).getAs[Long]("r_star_micro") == 0L)
     assert(out(4L).getAs[Long]("mass_micro") == 500000L)
   }
+
+  test("chao1VocabEstimate: exact richness from the planted fof") {
+    import spark.implicits._
+    // same corpus as the Good–Turing spec: n1 = 2, n2 = 1, vocab = 4
+    val docs = Seq((1L, "a c c d d"), (2L, "b d d")).toDF("doc_id", "text")
+    val r = TextAnalysis.chao1VocabEstimate(docs).collect()(0)
+    assert(r.getAs[Long]("vocab") == 4L && r.getAs[Long]("n_tokens") == 8L)
+    assert(r.getAs[Long]("n1") == 2L && r.getAs[Long]("n2") == 1L)
+    assert(r.getAs[Double]("chao1") == 6.0)        // 4 + 2²/(2·1)
+    assert(r.getAs[Double]("chao1_bc") == 4.5)     // 4 + 2·1/(2·2)
+  }
 }
