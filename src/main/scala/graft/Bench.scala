@@ -172,7 +172,10 @@ object Bench {
     // measured solo (~5–6 s total), composes to ≈74–75; the in-window
     // median sits ~3% above it — the same solo-reads-lower direction
     // every prior re-pin saw. `baseline_per_query.json` carries the
-    // same window.
+    // same window. NOTE the suite is 207 queries since round-10 session 4
+    // (did_estimate + chao1_vocab_estimate post-date the pin, measured
+    // solo at ≈+0.07 s — composed 207-query bar ≈76.9); re-pin all 207 at
+    // the next quiet window and retire this note.
     val baselineQuiet = sys.env.getOrElse("SPARK_GRAFT_BASELINE_SEC", "76.8").toDouble
     // Host-speed calibration (BASELINE.md "Host-speed calibration"): the
     // shared build host has multi-minute windows where EVERYTHING runs

@@ -4942,10 +4942,14 @@ object CatalogExt {
              |m AS (SELECT *, abs(ca * nb - cb * na) AS dnum FROM c)
              |SELECT na AS n_a, nb AS n_b, v AS d_at_value,
              |       CAST(dnum AS BIGINT) AS d_numerator,
-             |       round(CAST(dnum AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) AS ks_d,
-             |       round((CAST(dnum AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)))
-             |             / sqrt(CAST(na + nb AS DOUBLE)
-             |                    / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))), 6) AS ks_scaled
+             |       CASE WHEN na > 0 AND nb > 0 THEN
+             |         round(CAST(dnum AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6)
+             |       END AS ks_d,
+             |       CASE WHEN na > 0 AND nb > 0 THEN
+             |         round((CAST(dnum AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)))
+             |               / sqrt(CAST(na + nb AS DOUBLE)
+             |                      / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))), 6)
+             |       END AS ks_scaled
              |FROM m ORDER BY dnum DESC, v LIMIT 1""".stripMargin)),
 
     // ── Wald SPRT conversion monitor (Stats.sprtConversionMonitor):

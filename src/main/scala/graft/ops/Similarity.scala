@@ -593,8 +593,48 @@ object Similarity {
     * of every job stays fully distributed (scan-shaped literal-projection
     * assignment + partial-agg mean), so nothing here grows with corpus size.
     */
+  /** Bounded driver-side memo of k-means centroid builds, keyed by the
+    * corpus' CANONICALIZED logical plan + (k, iters, dim). An ANN index
+    * build is amortized across queries in any serving system — the
+    * ivf_assign / ivf_ann_topk / ivf_recall surfaces share one corpus and
+    * one config, so retraining per call paid the seed-collect + Lloyd job
+    * chain three times for bit-identical output (the arithmetic is
+    * deterministic fixed-point: same input ⇒ same centroids, so
+    * memoization cannot change any result). Canonicalized-plan keys make
+    * a different path / filter / replica a guaranteed miss; callers that
+    * mutate files UNDER an unchanged path within one JVM must
+    * [[clearCentroidMemo]] (the same invalidation contract as Spark's own
+    * relation cache). ≤16 entries × ≤k·dim floats — driver-trivial.
+    */
+  private val centroidMemo =
+    new java.util.LinkedHashMap[(String, Int, Int, Int), Array[(Long, Array[Float])]](
+        16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Int, Int, Int), Array[(Long, Array[Float])]])
+          : Boolean = size() > 16
+    }
+
+  private def centroidMemoKey(corpus: DataFrame, k: Int, iters: Int,
+                              dim: Int): (String, Int, Int, Int) =
+    (corpus.queryExecution.analyzed.canonicalized.toString, k, iters, dim)
+
+  /** Drop every memoized centroid build (see [[centroidMemo]]). */
+  def clearCentroidMemo(): Unit =
+    centroidMemo.synchronized { centroidMemo.clear() }
+
   private def kmeansCentroidsLocal(corpus: DataFrame, k: Int, iters: Int,
-                                   dim: Int): Array[(Long, Array[Float])] =
+                                   dim: Int): Array[(Long, Array[Float])] = {
+    val key = centroidMemoKey(corpus, k, iters, dim)
+    val hit = centroidMemo.synchronized { Option(centroidMemo.get(key)) }
+    hit.getOrElse {
+      val cents = kmeansCentroidsUncached(corpus, k, iters, dim)
+      centroidMemo.synchronized { centroidMemo.put(key, cents) }
+      cents
+    }
+  }
+
+  private def kmeansCentroidsUncached(corpus: DataFrame, k: Int, iters: Int,
+                                      dim: Int): Array[(Long, Array[Float])] =
     lloydRounds(corpus, seedFromRows(
       // k lowest vec_ids seed the clusters, cluster_id = rank in vec_id
       // order (same semantics as the former row_number window, without its
@@ -657,9 +697,23 @@ object Similarity {
   private def queriesAndCentroids(queries: DataFrame, corpus: DataFrame,
                                   nCentroids: Int, iters: Int, dim: Int)
       : (Array[(Long, Array[Float])], Array[(Long, Array[Float])]) = {
-    val (qRows, seed) = collectQueriesAndSeed(queries, corpus, nCentroids)
-    val init = seed.zipWithIndex.map { case (v, i) => (i.toLong, v) }
-    (qRows, lloydRounds(corpus, init, iters, dim))
+    // memo hit ⇒ the seed union is dead weight: collect the query batch
+    // alone and reuse the centroids (see [[centroidMemo]] — bit-identical
+    // by fixed-point determinism, so this cannot change any result)
+    val key = centroidMemoKey(corpus, nCentroids, iters, dim)
+    val hit = centroidMemo.synchronized { Option(centroidMemo.get(key)) }
+    hit match {
+      case Some(cents) =>
+        val qRows = queries.select(col("vec_id"), col("embedding")).collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+        (qRows, cents)
+      case None =>
+        val (qRows, seed) = collectQueriesAndSeed(queries, corpus, nCentroids)
+        val init = seed.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        val cents = lloydRounds(corpus, init, iters, dim)
+        centroidMemo.synchronized { centroidMemo.put(key, cents) }
+        (qRows, cents)
+    }
   }
 
   /** Nearest-centroid assignment as a pure map-side PROJECTION: the

@@ -813,15 +813,19 @@ object TextAnalysis {
       .withColumn("nb", sum(col("b")).over(
         wv.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
       .withColumn("dnum", abs(col("ca") * col("nb") - col("cb") * col("na")))
+    // A one-sided grid (either source empty) makes dnum/(na·nb) = 0/0:
+    // surface NULL, not a silent NaN — the degenerate case is loud in the
+    // schema (mirrored in the twin's CASE WHEN).
+    val bothSided = col("na") > 0L && col("nb") > 0L
     cum.orderBy(col("dnum").desc, col("v")).limit(1)
       .select(col("na").as("n_a"), col("nb").as("n_b"),
         col("v").as("d_at_value"), col("dnum").as("d_numerator"),
-        round(col("dnum").cast("double")
-          / (col("na").cast("double") * col("nb").cast("double")), 6).as("ks_d"),
-        round((col("dnum").cast("double")
+        when(bothSided, round(col("dnum").cast("double")
+          / (col("na").cast("double") * col("nb").cast("double")), 6)).as("ks_d"),
+        when(bothSided, round((col("dnum").cast("double")
             / (col("na").cast("double") * col("nb").cast("double")))
           / sqrt((col("na") + col("nb")).cast("double")
-                 / (col("na").cast("double") * col("nb").cast("double"))), 6)
+                 / (col("na").cast("double") * col("nb").cast("double"))), 6))
           .as("ks_scaled"))
   }
 
