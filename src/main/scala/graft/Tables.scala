@@ -140,6 +140,21 @@ object Tables {
     else df
   }
 
+  /** [[spread]] with HASH partitioning on the downstream aggregate's keys:
+    * the repartition exchange then satisfies the groupBy's required
+    * distribution, so the expensive aggregate compute parallelizes across
+    * all cores WITHOUT a second shuffle. Same guard as spread — a no-op
+    * whenever the scan already has core-count parallelism (multi-row-group
+    * files at real scale), so the extra corpus shuffle exists only in the
+    * single-row-group local case it fixes.
+    */
+  def spreadHash(df: DataFrame, keys: org.apache.spark.sql.Column*): DataFrame = {
+    if (!scanRooted(df)) return df
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < cores) df.repartition(cores, keys: _*)
+    else df
+  }
+
   /** True iff the analyzed plan is scans + per-row operators only (no node
     * that could plan an exchange — so probing `.rdd` cannot run jobs).
     */

@@ -167,7 +167,12 @@ object Tuning {
     // per-user min-aggregates + one report row), linear_attribution
     // 0.74→0.61 / 0.80→0.48 (prior-window pair join + purchase-key
     // windows — cardinality bounded by user activity × window)
-    "event_transition_matrix", "funnel_latency", "linear_attribution")
+    "event_transition_matrix", "funnel_latency", "linear_attribution",
+    // round-11 (graft.TailAB, 2 interleaved runs): largest_remainder_alloc
+    // 0.875→0.754 / 0.925→0.828 with aqe0s8 — a fixed join + two
+    // same-key windows + report sort; every cardinality is structural
+    // (r10's flip between s8/aqe0s8 resolved: aqe0s8 best both runs)
+    "largest_remainder_alloc")
   // NOT tagged despite a small A/B win: dup_clusters — iterative
   // data-dependent join loop (the classification rule says AQE on), and its
   // −0.10 s reading did not reproduce (+0.53 s in the validation run).
@@ -270,7 +275,9 @@ object Tuning {
     // symdelete_fuzzy_match: s8 half of its only-valid-together pair
     "symdelete_fuzzy_match",
     // batch-5 rows: s8 halves of the aqe0s8 tags above
-    "event_transition_matrix", "funnel_latency", "linear_attribution")
+    "event_transition_matrix", "funnel_latency", "linear_attribution",
+    // round-11: s8 half of largest_remainder_alloc's aqe0s8 tag
+    "largest_remainder_alloc")
 
   /** Run `body` with the per-query conf overrides for `name`, restoring the
     * previous session values afterwards (exception-safe, so one query's

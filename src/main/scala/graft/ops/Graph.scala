@@ -302,28 +302,60 @@ object Graph {
     * common / (du + dv − common) from exact BIGINTs, one mirrored division.
     * Every join is an equi-join; the k-row result is TakeOrdered, never a
     * global sort.
+    *
+    * One materialization serves everything (the round-10 verdict's floor
+    * item): edge pairs explode MAP-SIDE from per-basket sorted item
+    * arrays (one corpus shuffle — the graft.BasketAB-measured winner over
+    * the postings self-join, which re-shuffles the postings relation
+    * twice), and the SYMMETRIZED adjacency is hash-partitioned on the
+    * wedge-center key BEFORE its localCheckpoint — LogicalRDD preserves
+    * that partitioning, so the center self-join needs NO exchange on
+    * either side, and edges (= adj WHERE u < v) and degrees (= adj
+    * grouped by its center key, exchange-free by the same partitioning)
+    * both re-read the checkpoint instead of re-deriving the pair
+    * pipeline. The degree relation is bounded by the ITEM dimension, so
+    * both degree attachments are explicit broadcasts of the same ≤|items|-
+    * row map — no shuffle anywhere downstream of the single checkpoint
+    * write.
     */
   def linkPrediction(baskets: DataFrame, basketCol: String, itemCol: String,
                      minSupport: Long, k: Int): DataFrame = {
     require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
-    val ds = baskets.select(col(basketCol).as("bk"), col(itemCol).as("it")).distinct()
-    val edges = ds.as("a").join(ds.as("b"),
-        col("a.bk") === col("b.bk") && col("a.it") < col("b.it"))
-      .groupBy(col("a.it").as("u"), col("b.it").as("v"))
+    val pairE = flatten(transform(col("is"), (a, i) =>
+      transform(slice(col("is"), i + 2, size(col("is"))), b =>
+        struct(a.as("u"), b.as("v")))))
+    // collect_set dedups IN the basket aggregate — a separate distinct()
+    // would shuffle the corpus twice for the same sets. spreadHash on the
+    // basket key: when the scan is a single row group, the hash exchange
+    // both parallelizes the set-aggregate compute AND satisfies the
+    // groupBy distribution (no second shuffle); at multi-row-group scale
+    // it is a no-op.
+    val edgesPre = graft.Tables.spreadHash(
+        baskets.select(col(basketCol).as("bk"), col(itemCol).as("it")),
+        col("bk"))
+      .groupBy(col("bk")).agg(sort_array(collect_set(col("it"))).as("is"))
+      .select(explode(pairE).as("p"))
+      .groupBy(col("p.u").as("u"), col("p.v").as("v"))
       .agg(count(lit(1)).as("w"))
       .filter(col("w") >= minSupport)
       .select("u", "v")
+    val adj = edgesPre
+      .unionAll(edgesPre.select(col("v").as("u"), col("u").as("v")))
+      .repartition(col("v"))
       .localCheckpoint()
-    val adj = edges.unionAll(edges.select(col("v").as("u"), col("u").as("v")))
-    val deg = adj.groupBy(col("u").as("x")).agg(count(lit(1)).as("d"))
+    // adj is symmetric: rows with v = x ARE x's neighborhood, so degrees
+    // group on the checkpoint's own partitioning key (no exchange), and
+    // the oriented edge set is just the u < v half
+    val deg = adj.groupBy(col("v").as("x")).agg(count(lit(1)).as("d"))
+    val edges = adj.filter(col("u") < col("v"))
     val cand = adj.as("l").join(adj.as("r"),
         col("l.v") === col("r.v") && col("l.u") < col("r.u"))
       .groupBy(col("l.u").as("u"), col("r.u").as("v"))
       .agg(count(lit(1)).as("common"))
       .join(edges, Seq("u", "v"), "left_anti")
     cand
-      .join(deg.select(col("x").as("u"), col("d").as("du")), Seq("u"))
-      .join(deg.select(col("x").as("v"), col("d").as("dv")), Seq("v"))
+      .join(broadcast(deg.select(col("x").as("u"), col("d").as("du"))), Seq("u"))
+      .join(broadcast(deg.select(col("x").as("v"), col("d").as("dv"))), Seq("v"))
       .select(col("u"), col("v"), col("common"), col("du"), col("dv"),
         round(col("common").cast("double") /
               (col("du") + col("dv") - col("common")).cast("double"), 6)
