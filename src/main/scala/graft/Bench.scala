@@ -217,7 +217,8 @@ object Bench {
     // Itemized so the gate reader can subtract the documented single-node
     // artifact; the PRIMARY ratio keeps carrying it.
     val jobChain = Set("ivf_assign", "ivf_ann_topk", "ivf_recall",
-      "pq_codes", "pq_ann_topk", "pq_recall", "ivfpq_ann_topk", "ivfpq_recall")
+      "pq_codes", "pq_ann_topk", "pq_recall", "ivfpq_ann_topk", "ivfpq_recall",
+      "kcenter_coreset")
     val jobChainSec = comparable.collect { case (k, v) if jobChain(k) => v }.sum
     val calibJson = calibs.map(c => f"$c%.3f").mkString("[", ",", "]")
     // symmetric diagnostic: like-for-like rows over the baseline minus the

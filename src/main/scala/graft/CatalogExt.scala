@@ -3494,6 +3494,60 @@ object CatalogExt {
               |                 - CAST(conf_micro_sum AS DOUBLE) / CAST(n_docs AS DOUBLE) / 1000000.0), 6) AS calib_gap
               |FROM ag ORDER BY bin""".stripMargin)),
 
+    // ── Murphy Brier decomposition (TextAnalysis.brierDecomposition):
+    //    reliability − resolution + uncertainty over the same NB score
+    //    bins, next to the exact unbinned Brier score — bin sums as
+    //    ascending-bin list_reduce folds (the kaplan_meier mirror).
+    ("brier_decomposition",
+      (spark, dir) =>
+        TextAnalysis.brierDecomposition(
+          TextAnalysis.nbClassifierScores(Tables.documents(spark, dir),
+            refLang = "en", vocabSize = 50),
+          refLang = "en", bins = 4),
+      Some {
+        val pBar = "CAST(x.s AS DOUBLE) / (CAST(x.n AS DOUBLE) * 1000000.0)"
+        val oBarK = "CAST(x.o AS DOUBLE) / CAST(x.n AS DOUBLE)"
+        val oBar = "CAST(ot AS DOUBLE) / CAST(nt AS DOUBLE)"
+        val rel = s"""list_reduce([CAST(0.0 AS DOUBLE)] ||
+                     |  list_transform(a, x -> CAST(x.n AS DOUBLE)
+                     |    * (($pBar - $oBarK) * ($pBar - $oBarK))),
+                     |  (u, v) -> u + v) / CAST(nt AS DOUBLE)""".stripMargin
+        val res = s"""list_reduce([CAST(0.0 AS DOUBLE)] ||
+                     |  list_transform(a, x -> CAST(x.n AS DOUBLE)
+                     |    * (($oBarK - $oBar) * ($oBarK - $oBar))),
+                     |  (u, v) -> u + v) / CAST(nt AS DOUBLE)""".stripMargin
+        val unc = s"($oBar) * (1.0 - $oBar)"
+        s"""WITH $sqlNbScoredCtes,
+           |cuts AS (
+           |  SELECT round(quantile_cont(mean_logodds_unats, 0.25), 6) AS c0,
+           |         round(quantile_cont(mean_logodds_unats, 0.5), 6) AS c1,
+           |         round(quantile_cont(mean_logodds_unats, 0.75), 6) AS c2
+           |  FROM nbdoc),
+           |bd AS (
+           |  SELECT CAST(1 + (CASE WHEN mean_logodds_unats > c0 THEN 1 ELSE 0 END)
+           |              + (CASE WHEN mean_logodds_unats > c1 THEN 1 ELSE 0 END)
+           |              + (CASE WHEN mean_logodds_unats > c2 THEN 1 ELSE 0 END) AS INTEGER) AS bin,
+           |         CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS o,
+           |         CAST(round(1000000.0 / (1.0 + exp(-mean_logodds_unats / 1000000.0))) AS BIGINT) AS p
+           |  FROM nbdoc CROSS JOIN cuts),
+           |pb AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+           |              CAST(SUM(o) AS BIGINT) AS o, CAST(SUM(p) AS BIGINT) AS s,
+           |              SUM(CAST(p - o * 1000000 AS HUGEINT) * (p - o * 1000000)) AS sq
+           |       FROM bd GROUP BY 1),
+           |g AS (SELECT list(struct_pack(bin := bin, n := n, o := o, s := s)
+           |               ORDER BY bin) AS a,
+           |             CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(o) AS BIGINT) AS ot,
+           |             SUM(sq) AS sqt
+           |      FROM pb)
+           |SELECT nt AS n_docs, ot AS n_ref,
+           |  round(CAST(sqt AS DOUBLE) / 1000000000000.0 / CAST(nt AS DOUBLE), 6) AS brier_score,
+           |  round($rel, 6) AS reliability,
+           |  round($res, 6) AS resolution,
+           |  round($unc, 6) AS uncertainty,
+           |  round(($rel) - ($res) + ($unc), 6) AS binned_brier
+           |FROM g WHERE nt IS NOT NULL""".stripMargin
+      }),
+
     // ── Market-basket association rules (Stats.copurchaseLift):
     //    brand-pair support / directional confidence / lift over the
     //    per-order distinct-brand sets. Pair universe bounded by brands²;
@@ -4086,6 +4140,85 @@ object CatalogExt {
               |         round(CAST(n_hits AS DOUBLE) / n_exact, 6) END AS recall
               |FROM h JOIN exn USING (k) CROSS JOIN nq ORDER BY k""".stripMargin)),
 
+    // ── Fisher class-scatter decomposition
+    //    (Similarity.embeddingClassScatter): per-label within-/between-
+    //    class sums of squares and their ratio over fixed-point lane sums;
+    //    the final double chain is an ascending-dim left fold mirrored via
+    //    list_reduce, so the driver hashes the whole decomposition.
+    ("embedding_class_scatter",
+      (spark, dir) =>
+        Similarity.embeddingClassScatter(Tables.embeddings(spark, dir)),
+      Some {
+        // shared double-chain fragments, interpolated so both quadratic
+        // folds are written once and reused verbatim (the CASE arm must
+        // repeat its operands textually)
+        val muNorm2 =
+          """list_reduce([CAST(0.0 AS DOUBLE)] ||
+            |  list_transform(range(1, 65), p ->
+            |    (CAST(s[p] AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0))
+            |    * (CAST(s[p] AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0))),
+            |  (a, b) -> a + b)""".stripMargin
+        val within = s"""CAST(q AS DOUBLE) / 1000000000000.0
+            |  - CAST(n AS DOUBLE) * $muNorm2""".stripMargin
+        val between =
+          """CAST(n AS DOUBLE) * list_reduce([CAST(0.0 AS DOUBLE)] ||
+            |  list_transform(range(1, 65), p ->
+            |    (CAST(s[p] AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0)
+            |     - CAST(st[p] AS DOUBLE) / (CAST(nt AS DOUBLE) * 1000000.0))
+            |    * (CAST(s[p] AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0)
+            |       - CAST(st[p] AS DOUBLE) / (CAST(nt AS DOUBLE) * 1000000.0))),
+            |  (a, b) -> a + b)""".stripMargin
+        s"""WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+           |x AS (SELECT label, unnest(range(1, 65)) AS pos,
+           |             CAST(round(unnest(emb) * 1000000.0) AS BIGINT) AS fp
+           |      FROM e),
+           |g AS (SELECT label, pos, CAST(SUM(fp) AS BIGINT) AS s FROM x GROUP BY 1, 2),
+           |nq AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY 1),
+           |qq AS (SELECT label, SUM(CAST(fp AS HUGEINT) * fp) AS q FROM x GROUP BY 1),
+           |sa AS (SELECT label, list(s ORDER BY pos) AS s FROM g GROUP BY 1),
+           |ta AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM nq),
+           |sts AS (SELECT list(sg ORDER BY pos) AS st FROM
+           |         (SELECT pos, CAST(SUM(s) AS BIGINT) AS sg FROM g GROUP BY 1)),
+           |f AS (SELECT nq.label, n, q, s, nt, st
+           |      FROM nq JOIN qq USING (label) JOIN sa USING (label)
+           |      CROSS JOIN ta CROSS JOIN sts)
+           |SELECT label, n AS n_vecs,
+           |  round($within, 6) AS within_ss,
+           |  round($between, 6) AS between_ss,
+           |  CASE WHEN ($within) <> 0.0 THEN
+           |    round(($between) / ($within), 6)
+           |  END AS fisher_ratio
+           |FROM f ORDER BY label""".stripMargin
+      }),
+
+    // ── k-center greedy coreset (Similarity.kCenterCoreset): 8 maximally
+    //    diverse exemplars by farthest-point traversal — each round one
+    //    scan-shaped literal-cosine aggregate; the twin unrolls the same
+    //    7 stages, so the driver hashes the entire traversal (a wrong
+    //    pick anywhere cascades).
+    ("kcenter_coreset",
+      (spark, dir) =>
+        Similarity.kCenterCoreset(Tables.embeddings(spark, dir), k = 8)
+          .orderBy(col("rank")),
+      Some {
+        val k = 8
+        val stages = (2 to k).map { i =>
+          s"""p$i AS (SELECT c.vec_id, c.emb,
+             |        MAX(round(list_cosine_similarity(c.emb, s.emb), 6)) AS ms
+             |        FROM corpus c, sel${i - 1} s
+             |        WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${i - 1})
+             |        GROUP BY c.vec_id, c.emb
+             |        ORDER BY ms, c.vec_id LIMIT 1),
+             |sel$i AS (SELECT vec_id, emb, rank, max_sim FROM sel${i - 1}
+             |          UNION ALL SELECT vec_id, emb, CAST($i AS BIGINT) AS rank, ms AS max_sim FROM p$i)""".stripMargin
+        }
+        s"""WITH corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+           |sel1 AS (SELECT vec_id, emb, CAST(1 AS BIGINT) AS rank, CAST(NULL AS DOUBLE) AS max_sim
+           |         FROM (SELECT vec_id, emb FROM corpus ORDER BY vec_id LIMIT 1)),
+           |${stages.mkString(",\n")}
+           |SELECT rank, vec_id, max_sim FROM sel$k ORDER BY rank""".stripMargin
+      }),
+
     // ── Embedding-norm audit (Similarity.embeddingNormStats): per-label
     //    vector counts, zero-norm counts, mean/median L2 norms in exact
     //    micro-units.
@@ -4278,6 +4411,44 @@ object CatalogExt {
              |SELECT bin, bin * 30 AS bin_start_day, n_at_risk, n_events, n_censored,
              |       round(CAST(n_events AS DOUBLE) / CAST(n_at_risk AS DOUBLE), 6) AS hazard
              |FROM r ORDER BY bin""".stripMargin)),
+
+    // ── Kaplan–Meier product-limit retention (Stats.kaplanMeierRetention):
+    //    day-grain survival curve over the same right-censored inter-order
+    //    spells as order_gap_hazard. The prefix product S(t) = Π(1 − d/n)
+    //    is an ORDERED FOLD over the day-bounded event grid held as one
+    //    array — Spark aggregate(filter(...)) and DuckDB
+    //    list_reduce(list_transform(list_filter(...))) fold the identical
+    //    IEEE doubles in identical ascending order, so the driver hashes
+    //    the whole curve (rounding only in the final projection).
+    ("kaplan_meier_retention",
+      (spark, dir) => Stats.kaplanMeierRetention(Tables.orders(spark, dir)),
+      Some("""WITH base AS (SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS day FROM orders),
+             |g AS (SELECT CAST(date_diff('day',
+             |               lag(day) OVER (PARTITION BY o_custkey ORDER BY day, o_orderkey),
+             |               day) AS BIGINT) AS dur
+             |      FROM base),
+             |t AS (SELECT CAST(date_diff('day', MAX(day), (SELECT MAX(day) FROM base)) AS BIGINT) AS dur
+             |      FROM base GROUP BY o_custkey),
+             |u AS (SELECT dur, CAST(0 AS BIGINT) AS censored FROM g WHERE dur IS NOT NULL
+             |      UNION ALL
+             |      SELECT dur, CAST(1 AS BIGINT) AS censored FROM t),
+             |b AS (SELECT dur, CAST(SUM(1 - censored) AS BIGINT) AS d,
+             |             CAST(SUM(censored) AS BIGINT) AS c
+             |      FROM u GROUP BY 1),
+             |r AS (SELECT *, CAST(SUM(d + c) OVER (ORDER BY dur DESC
+             |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n
+             |      FROM b),
+             |e AS (SELECT dur, d, c, n FROM r WHERE d > 0),
+             |arr AS (SELECT list(struct_pack(dur := dur, d := d, n := n) ORDER BY dur) AS a FROM e)
+             |SELECT e.dur AS dur_days, e.n AS n_at_risk, e.d AS n_events, e.c AS n_censored,
+             |       round(CAST(e.d AS DOUBLE) / CAST(e.n AS DOUBLE), 6) AS hazard,
+             |       round(list_reduce(
+             |         [CAST(1.0 AS DOUBLE)] || list_transform(
+             |            list_filter(a, x -> x.dur <= e.dur),
+             |            x -> 1.0 - CAST(x.d AS DOUBLE) / CAST(x.n AS DOUBLE)),
+             |         (p, q) -> p * q), 6) AS survival
+             |FROM e CROSS JOIN arr
+             |ORDER BY dur_days""".stripMargin)),
 
     // ── Mann–Whitney U rank test (Stats.mannWhitneyU): returned vs
     //    accepted lineitem quantities, tie-corrected normal approximation

@@ -1431,4 +1431,100 @@ object Similarity {
         round(col("sk").cast("double") / (col("n_edges").cast("double") * 1e6), 6)
           .as("mean_topk_cos"))
   }
+  /** Fisher class-scatter decomposition of an embedding corpus by label
+    * (Fisher 1936's discriminant ratio at corpus grain): per class the
+    * within-class sum of squares Σ|x − μ_c|², the between-class
+    * contribution n_c·|μ_c − μ|², and their ratio — the "are my sources /
+    * quality tiers actually separable in embedding space" screen a
+    * curation pipeline runs before trusting any embedding-based filter.
+    *
+    * Exactness/portability: everything that AGGREGATES is exact — 64
+    * fixed-point lane sums (round(x·10⁶) BIGINTs, the [[kmeansCentroids]]
+    * convention), one decimal(38,0) Σ|x|² accumulator (per-row squared
+    * norms reach 2⁵⁴, corpus sums outgrow 2⁶³ — HUGEINT on the twin), and
+    * counts. The double chain exists ONLY in the final per-class
+    * projection (≤|labels| rows): means are one cast per exact integer,
+    * and both quadratic forms are ASCENDING-DIM LEFT FOLDS over the lane
+    * arrays (Spark `aggregate(sequence(1, dim), …)` ≡ DuckDB
+    * `list_reduce([0.0] ∥ list_transform(range(…)))`) so every IEEE
+    * operation happens in the same order on both engines. One corpus
+    * pass, partial-agg friendly; nothing downstream scales with rows.
+    */
+  def embeddingClassScatter(embeddings: DataFrame, dim: Int = 64): DataFrame = {
+    def xi(p: Int) =
+      round(element_at(col("embedding"), p) * lit(1e6), 0).cast("long")
+    val rowNorm2 = (1 to dim).map(p => xi(p) * xi(p)).reduce(_ + _)
+    val perClass = embeddings
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+           sum(rowNorm2.cast("decimal(38,0)")).as("q"),
+           array((1 to dim).map(p => sum(xi(p))): _*).as("s"))
+    val tot = perClass.agg(
+      sum(col("n")).as("nt"),
+      array((1 to dim).map(p => sum(element_at(col("s"), p))): _*).as("st"))
+    val nD = col("n").cast("double")
+    val ntD = col("nt").cast("double")
+    def fold(f: (Column, Column) => Column): Column =
+      aggregate(sequence(lit(1), lit(dim)), lit(0.0),
+        (acc, p) => acc + f(element_at(col("s"), p).cast("double"),
+                            element_at(col("st"), p).cast("double")))
+    val muNorm2 = fold((sd, _) => {
+      val m = sd / (nD * lit(1e6)); m * m })
+    val within = col("q").cast("double") / lit(1e12) - nD * muNorm2
+    val between = nD * fold((sd, td) => {
+      val d = sd / (nD * lit(1e6)) - td / (ntD * lit(1e6)); d * d })
+    perClass.crossJoin(broadcast(tot))
+      .select(col("label"), col("n").as("n_vecs"),
+        round(within, 6).as("within_ss"),
+        round(between, 6).as("between_ss"),
+        when(within =!= 0.0, round(between / within, 6)).as("fisher_ratio"))
+      .orderBy(col("label"))
+  }
+  /** k-center greedy coreset (Gonzalez 1985's farthest-point traversal —
+    * the 2-approximation behind coreset selection à la Sener & Savarese
+    * 2018): pick the lowest-vec_id vector, then repeatedly the corpus
+    * vector FARTHEST from the selected set (equivalently: minimal maximum
+    * rounded cosine to any selected center, ties → lower vec_id) — the
+    * "k maximally diverse exemplars" primitive a curation pipeline uses
+    * for eval-set seeding and diversity-aware subsampling.
+    *
+    * Shape: the selected set is k driver-held vectors BY CONSTRUCTION
+    * (they are the output), so each round is ONE scan-shaped aggregate —
+    * selected centers ride as plan literals ([[argmaxAssignLocal]]'s
+    * convention), the per-row max-cosine folds into a single
+    * min(struct(ms, vec_id, embedding)) partial aggregate, and the round
+    * collects exactly one row. k−1 jobs total: the k-means job-chain
+    * family (Bench's jobchain_floor set). Determinism: rounded-6 cosines,
+    * struct ordering (ms asc, vec_id asc) — the DuckDB twin unrolls the
+    * same k−1 stages with ORDER BY ms, vec_id LIMIT 1 and hash-matches
+    * the whole traversal.
+    */
+  def kCenterCoreset(corpus: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val firstRow = corpus.select(col("vec_id"), col("embedding"))
+      .orderBy(col("vec_id")).limit(1).collect()
+    var selected = firstRow.toVector.map(r =>
+      (r.getLong(0), r.getSeq[Float](1).toArray, Option.empty[Double]))
+    var exhausted = selected.isEmpty
+    while (selected.size < k && !exhausted) {
+      val ms = array_max(array(selected.map { case (_, c, _) =>
+        round(cosineSim(col("embedding"), lit(c)), 6) }: _*))
+      val pick = corpus
+        .filter(!col("vec_id").isin(selected.map(_._1): _*))
+        .agg(min(struct(ms.as("ms"), col("vec_id"),
+                        col("embedding"))).as("m"))
+        .collect()
+      if (pick.isEmpty || pick(0).isNullAt(0)) exhausted = true
+      else {
+        val st = pick(0).getStruct(0)
+        selected :+= ((st.getLong(1), st.getSeq[Float](2).toArray,
+                       Some(st.getDouble(0))))
+      }
+    }
+    selected.zipWithIndex
+      .map { case ((id, _, msOpt), i) => (i + 1L, id, msOpt) }
+      .toDF("rank", "vec_id", "max_sim")
+  }
 }

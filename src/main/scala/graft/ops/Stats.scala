@@ -1422,6 +1422,70 @@ object Stats {
       .orderBy(col("bin"))
   }
 
+  /** Kaplan–Meier product-limit survival over right-censored inter-order
+    * durations at DAY grain (Kaplan & Meier 1958) — the step curve
+    * "probability a customer has not yet reordered by day t" that
+    * [[orderGapHazard]]'s binned hazard summarizes but does not integrate.
+    * Same censoring model: every consecutive-order gap is an observed
+    * event, each customer's last order is censored at the corpus max date
+    * (single-order customers contribute a censored spell only).
+    *
+    * Classic K-M evaluates only at EVENT times: S(tᵢ) = Π_{j≤i}
+    * (1 − dⱼ/nⱼ) over event days (censor-only days change the at-risk
+    * denominator, not the product). The prefix product is the portability
+    * problem — a float product over a window has no engine-common
+    * association order. Solved by an ORDERED FOLD over the DAY-BOUNDED
+    * event grid held as one array column: Spark `aggregate(filter(grid,
+    * x → x.dur ≤ dur), 1.0, (acc, x) → acc·(1 − d/n))` is a left fold in
+    * ascending dur, and the DuckDB twin's `list_reduce([1.0] ∥
+    * list_transform(list_filter(...)))` folds the identical IEEE doubles
+    * in the identical order — bit-identical survival with rounding only
+    * in the final projection. O(grid²) array traversal on a ≤|date-span|
+    * grid (≈2.5k days → ≤6M expression steps), all inside one partial-agg
+    * job; nothing here scales with the customer count.
+    */
+  def kaplanMeierRetention(orders: DataFrame): DataFrame = {
+    val base = orders.select(col("o_custkey"), col("o_orderkey"),
+                             to_date(col("o_orderdate")).as("day"))
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("day"), col("o_orderkey"))
+    val gaps = base.withColumn("prev", lag(col("day"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(datediff(col("day"), col("prev")).cast("long").as("dur"),
+              lit(0L).as("censored"))
+    val maxDay = base.agg(max(col("day")).as("max_day"))
+    val tails = base.groupBy(col("o_custkey"))
+      .agg(max(col("day")).as("last_day"))
+      .crossJoin(broadcast(maxDay))
+      .select(datediff(col("max_day"), col("last_day")).cast("long").as("dur"),
+              lit(1L).as("censored"))
+    val wRev = Window.orderBy(col("dur").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val grid = gaps.unionByName(tails)
+      .groupBy(col("dur"))
+      .agg(sum(lit(1L) - col("censored")).as("d"),
+           sum(col("censored")).as("c"))
+      .withColumn("n", sum(col("d") + col("c")).over(wRev))
+      .filter(col("d") > 0L)
+    // day-bounded event grid → ONE array; survival = ascending left fold
+    val arr = grid
+      .agg(sort_array(collect_list(struct(col("dur"), col("d"), col("c"),
+                                          col("n")))).as("a"))
+      .select(explode(col("a")).as("e"), col("a"))
+    arr.select(
+        col("e.dur").as("dur_days"), col("e.n").as("n_at_risk"),
+        col("e.d").as("n_events"), col("e.c").as("n_censored"),
+        round(col("e.d").cast("double") / col("e.n").cast("double"), 6)
+          .as("hazard"),
+        round(aggregate(
+          filter(col("a"), x => x.getField("dur") <= col("e.dur")),
+          lit(1.0),
+          (acc, x) => acc * (lit(1.0) -
+            x.getField("d").cast("double") / x.getField("n").cast("double"))),
+          6).as("survival"))
+      .orderBy(col("dur_days"))
+  }
+
   /** Mann–Whitney U rank test between two groups of an INTEGER-valued
     * measure (Mann & Whitney 1947, normal approximation with the standard
     * tie correction) — the nonparametric two-sample location test that

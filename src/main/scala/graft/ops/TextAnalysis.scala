@@ -331,28 +331,7 @@ object TextAnalysis {
   def reliabilityBins(scored: DataFrame, refLang: String = "en",
                       bins: Int = 4): DataFrame = {
     require(bins >= 2, s"bins must be >= 2, got $bins")
-    val qs = (1 until bins).map(i => i.toDouble / bins)
-    val arr = expr(s"percentile(mean_logodds_unats, array(${qs.mkString(", ")}))")
-    // head(1), not head(): an empty scored input has no quantiles — fall
-    // through with placeholder cuts so the report is a schema-correct
-    // 0-row frame instead of a NoSuchElementException
-    val cutRow = scored
-      .select((0 until bins - 1).map(i => round(arr.getItem(i), 6).as(s"c$i")): _*)
-      .head(1)
-    val cuts: Seq[Double] =
-      if (cutRow.isEmpty || cutRow.head.anyNull) Seq.fill(bins - 1)(0.0)
-      else cutRow.head.toSeq.map(_.asInstanceOf[Double])
-    // Low-cardinality score distributions can yield EQUAL adjacent cuts,
-    // which silently collapses bins (the bracket sum skips a value) — a
-    // collapsed-bin report is then indistinguishable from a genuine
-    // bins-way partition unless we say so.
-    if (cuts.distinct.size != cuts.size)
-      org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"reliabilityBins: duplicate quantile cuts ${cuts.mkString(", ")} — " +
-          s"fewer than $bins distinct bins will appear in the report")
-    val bin = cuts.foldLeft(lit(1)) { (acc, c) =>
-      acc + when(col("mean_logodds_unats") > lit(c), 1).otherwise(0)
-    }
+    val bin = scoreBinBracket(scored, bins)
     val pMicro = round(lit(1e6) /
         (lit(1.0) + exp(-col("mean_logodds_unats") / lit(1e6))))
       .cast("long")
@@ -371,6 +350,99 @@ object TextAnalysis {
               round(conf, 6).as("mean_conf"),
               round(abs(acc - conf), 6).as("calib_gap"))
       .orderBy(col("bin"))
+  }
+
+  /** Shared quantile-bin bracket over `mean_logodds_unats`: exact-
+    * percentile literal cuts (rounded 6 before use — the
+    * [[graft.ops.Curation.curriculumPhases]] parity with DuckDB
+    * quantile_cont), returning the 1-based bin Column. head(1), not
+    * head(): an empty input has no quantiles — placeholder cuts keep the
+    * report a schema-correct 0-row frame instead of an NPE. Duplicate
+    * adjacent cuts (low-cardinality scores) silently collapse bins, so
+    * they are logged loudly.
+    */
+  private def scoreBinBracket(scored: DataFrame, bins: Int): Column = {
+    val qs = (1 until bins).map(i => i.toDouble / bins)
+    val arr = expr(s"percentile(mean_logodds_unats, array(${qs.mkString(", ")}))")
+    val cutRow = scored
+      .select((0 until bins - 1).map(i => round(arr.getItem(i), 6).as(s"c$i")): _*)
+      .head(1)
+    val cuts: Seq[Double] =
+      if (cutRow.isEmpty || cutRow.head.anyNull) Seq.fill(bins - 1)(0.0)
+      else cutRow.head.toSeq.map(_.asInstanceOf[Double])
+    if (cuts.distinct.size != cuts.size)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"scoreBinBracket: duplicate quantile cuts ${cuts.mkString(", ")} — " +
+          s"fewer than $bins distinct bins will appear in the report")
+    cuts.foldLeft(lit(1)) { (acc, c) =>
+      acc + when(col("mean_logodds_unats") > lit(c), 1).otherwise(0)
+    }
+  }
+
+  /** Murphy (1973) decomposition of the Brier score of the NB language
+    * classifier: reliability − resolution + uncertainty over the same
+    * quantile score bins as [[reliabilityBins]], next to the EXACT
+    * unbinned Brier score — the one-row "is this filter's confidence
+    * usable as a sampling weight" verdict (reliability ≈ 0 and
+    * resolution ≫ 0 is what DSIR-style weighting actually requires; the
+    * per-bin calib_gap view cannot say which side dominates).
+    *
+    *   BS    = (1/N) Σ (pᵢ − oᵢ)²            (exact: micro-prob ints,
+    *                                          decimal accumulator)
+    *   REL   = (1/N) Σₖ nₖ (p̄ₖ − ōₖ)²
+    *   RES   = (1/N) Σₖ nₖ (ōₖ − ō)²
+    *   UNC   = ō (1 − ō)
+    *
+    * Portability: per-doc probabilities are micro-unit BIGINTs before any
+    * aggregate (the [[reliabilityBins]] rule), the squared-error sum
+    * accumulates in decimal(38,0) (per-row (p−o·10⁶)² ≤ 10¹², corpus sums
+    * pass 2⁶³ — HUGEINT twin), and the two bin sums are ASCENDING-BIN
+    * LEFT FOLDS over the ≤bins-row array (the kaplan_meier list_reduce
+    * mirror) — every double op happens in the same order on both engines,
+    * rounding only in the final projection. One corpus aggregate; the
+    * fold runs over `bins` rows.
+    */
+  def brierDecomposition(scored: DataFrame, refLang: String = "en",
+                         bins: Int = 4): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val bin = scoreBinBracket(scored, bins)
+    val pMicro = round(lit(1e6) /
+        (lit(1.0) + exp(-col("mean_logodds_unats") / lit(1e6))))
+      .cast("long")
+    val perBin = scored
+      .select(bin.cast("int").as("bin"),
+              when(col("lang") === lit(refLang), 1L).otherwise(0L).as("__o"),
+              pMicro.as("__p"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("__o")).as("o"),
+           sum(col("__p")).as("s"),
+           sum(((col("__p") - col("__o") * lit(1000000L))
+                 * (col("__p") - col("__o") * lit(1000000L)))
+             .cast("decimal(38,0)")).as("sq"))
+    val glob = perBin.agg(
+      sort_array(collect_list(struct(col("bin"), col("n"), col("o"),
+                                     col("s")))).as("a"),
+      sum(col("n")).as("nt"), sum(col("o")).as("ot"),
+      sum(col("sq")).as("sqt"))
+    val ntD = col("nt").cast("double")
+    val oBar = col("ot").cast("double") / ntD
+    def fold(term: Column => Column): Column =
+      aggregate(col("a"), lit(0.0), (acc, x) => acc + term(x))
+    def f(x: Column, name: String): Column = x.getField(name).cast("double")
+    val rel = fold(x => f(x, "n") *
+        ((f(x, "s") / (f(x, "n") * lit(1e6)) - f(x, "o") / f(x, "n"))
+          * (f(x, "s") / (f(x, "n") * lit(1e6)) - f(x, "o") / f(x, "n")))) / ntD
+    val res = fold(x => f(x, "n") *
+        ((f(x, "o") / f(x, "n") - oBar)
+          * (f(x, "o") / f(x, "n") - oBar))) / ntD
+    val unc = oBar * (lit(1.0) - oBar)
+    glob.filter(col("nt").isNotNull).select(
+      col("nt").as("n_docs"), col("ot").as("n_ref"),
+      round(col("sqt").cast("double") / lit(1e12) / ntD, 6).as("brier_score"),
+      round(rel, 6).as("reliability"),
+      round(res, 6).as("resolution"),
+      round(unc, 6).as("uncertainty"),
+      round(rel - res + unc, 6).as("binned_brier"))
   }
 
   def unigramNll(docs: DataFrame, vocabSize: Int = 30,

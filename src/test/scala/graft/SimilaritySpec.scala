@@ -442,4 +442,35 @@ class SimilaritySpec extends AnyFunSuite {
       assert(r.getAs[Long]("idcg_micro") > 0L, "exact side still ranks")
     }
   }
+  test("embeddingClassScatter: separable planted classes decompose exactly") {
+    // two point-mass classes on orthogonal axes: within == 0 exactly
+    // (duplicate members), between == n_c * |mu_c - mu|^2 = 2 * 0.5 = 1.0,
+    // fisher NULL (zero within — the guard, not a NaN)
+    def v(axis: Int): Seq[Float] =
+      (0 until 64).map(i => if (i == axis) 1.0f else 0.0f)
+    val df = Seq((0L, v(0), 0), (1L, v(0), 0), (2L, v(1), 1), (3L, v(1), 1))
+      .toDF("vec_id", "embedding", "label")
+    val rows = Similarity.embeddingClassScatter(df).collect()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("within_ss") == 0.0)
+      assert(r.getAs[Double]("between_ss") == 1.0)
+      assert(r.isNullAt(r.fieldIndex("fisher_ratio")))
+    }
+  }
+
+  test("kCenterCoreset: farthest-point traversal picks the planted extremes") {
+    def v(x: Float, y: Float): Seq[Float] =
+      Seq(x, y) ++ Seq.fill(62)(0.0f)
+    // v0=(1,0) seed; v1 duplicates it; v2=(-1,0) is farthest (cos -1);
+    // v3=(0,1) is next (max cos to {v0,v2} = 0) — the duplicate never picked
+    val df = Seq((0L, v(1, 0)), (1L, v(1, 0)), (2L, v(-1, 0)), (3L, v(0, 1)))
+      .toDF("vec_id", "embedding")
+    val picks = Similarity.kCenterCoreset(df, k = 3)
+      .orderBy(col("rank")).collect()
+    assert(picks.map(_.getAs[Long]("vec_id")).toSeq == Seq(0L, 2L, 3L))
+    assert(picks(0).isNullAt(picks(0).fieldIndex("max_sim")))
+    assert(picks(1).getAs[Double]("max_sim") == -1.0)
+    assert(picks(2).getAs[Double]("max_sim") == 0.0)
+  }
 }

@@ -728,4 +728,31 @@ class StatsSpec extends AnyFunSuite {
       assert(r.getAs[Double]("qini_cum") == 0.0, r.toString)
     }
   }
+  test("kaplanMeierRetention: hand-checked product-limit on a planted lifetable") {
+    // 4 customers on a 10-day corpus (max day = day 10):
+    //  A: orders day 0, 2        -> event gap 2, censored spell 8
+    //  B: orders day 0, 2        -> event gap 2, censored spell 8
+    //  C: orders day 0, 5        -> event gap 5, censored spell 5
+    //  D: order  day 10          -> censored spell 0 (sets corpus max day)
+    // grid: dur 0 (c=1, n=7), dur 2 (d=2, n=6), dur 5 (d=1,c=1, n=4),
+    //       dur 8 (c=2, n=2); event rows only: dur 2 and dur 5
+    //  S(2) = 1 - 2/6 = 2/3; S(5) = (2/3)(1 - 1/4) = 0.5
+    val orders = Seq(
+      (1L, 101L, "1995-01-01"), (1L, 102L, "1995-01-03"),
+      (2L, 201L, "1995-01-01"), (2L, 202L, "1995-01-03"),
+      (3L, 301L, "1995-01-01"), (3L, 302L, "1995-01-06"),
+      (4L, 401L, "1995-01-11"))
+      .toDF("o_custkey", "o_orderkey", "o_orderdate")
+      .select(col("o_custkey"), col("o_orderkey"),
+              col("o_orderdate").cast("date").as("o_orderdate"))
+    val km = Stats.kaplanMeierRetention(orders).collect()
+    assert(km.map(_.getAs[Long]("dur_days")).toSeq == Seq(2L, 5L))
+    val byDur = km.map(r => r.getAs[Long]("dur_days") -> r).toMap
+    assert(byDur(2L).getAs[Long]("n_at_risk") == 6L)
+    assert(byDur(2L).getAs[Long]("n_events") == 2L)
+    assert(byDur(2L).getAs[Double]("survival") == 0.666667)
+    assert(byDur(5L).getAs[Long]("n_at_risk") == 4L)
+    assert(byDur(5L).getAs[Long]("n_censored") == 1L)
+    assert(byDur(5L).getAs[Double]("survival") == 0.5)
+  }
 }

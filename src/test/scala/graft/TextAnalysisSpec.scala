@@ -463,4 +463,25 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r.getAs[Double]("chao1") == 6.0)        // 4 + 2²/(2·1)
     assert(r.getAs[Double]("chao1_bc") == 4.5)     // 4 + 2·1/(2·2)
   }
+  test("brierDecomposition: Murphy identity and hand-checked uncertainty") {
+    // 8 docs, half 'en'; scores spread across the quartile bins
+    val scored = Seq(
+      (1L, "en",  4000000.0), (2L, "en",  2000000.0),
+      (3L, "en",  1000000.0), (4L, "en",   500000.0),
+      (5L, "de", -4000000.0), (6L, "de", -2000000.0),
+      (7L, "de", -1000000.0), (8L, "de",  -500000.0))
+      .toDF("doc_id", "lang", "mean_logodds_unats")
+    val r = graft.ops.TextAnalysis.brierDecomposition(scored).collect()(0)
+    assert(r.getAs[Long]("n_docs") == 8L)
+    assert(r.getAs[Long]("n_ref") == 4L)
+    assert(r.getAs[Double]("uncertainty") == 0.25)
+    val identity = r.getAs[Double]("reliability") - r.getAs[Double]("resolution") +
+      r.getAs[Double]("uncertainty")
+    assert(math.abs(identity - r.getAs[Double]("binned_brier")) < 3e-6)
+    val bs = r.getAs[Double]("brier_score")
+    assert(bs >= 0.0 && bs <= 1.0)
+    // well-separated scores: the classifier is sharp, so the unbinned
+    // Brier must sit far below the no-skill uncertainty
+    assert(bs < 0.25)
+  }
 }
