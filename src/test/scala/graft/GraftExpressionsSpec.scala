@@ -127,4 +127,32 @@ class GraftExpressionsSpec extends AnyFunSuite {
     val plan = b.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"signBuckets must stay map-side:\n$plan")
   }
+  test("NearestCentroid: exact value parity with the composed argmax form") {
+    import org.apache.spark.sql.graft.VectorExpressions.{cosineSim, nearestCentroid}
+    // deterministic pseudo-random vectors, including a zero vector, exact
+    // duplicates of centroids (cos 1.0) and near-ties at the 6-decimal grain
+    val rnd = new scala.util.Random(42)
+    def v(): Seq[Float] = Seq.fill(16)((rnd.nextDouble() * 2 - 1).toFloat)
+    val cents: Array[(Long, Array[Float])] =
+      (0L until 12L).map(i => i -> v().toArray).toArray
+    val rows = (0 until 400).map(i => (i.toLong, v())) ++
+      Seq((1000L, Seq.fill(16)(0.0f)), (1001L, cents(3)._2.toSeq),
+          (1002L, cents(7)._2.toSeq))
+    val df = rows.toDF("vec_id", "embedding")
+    val cosArr = array(cents.map { case (_, c) =>
+      round(cosineSim(col("embedding"), lit(c)), 6) }: _*)
+    val bestCos = array_max(cosArr)
+    val bestId = element_at(lit(cents.map(_._1)),
+      array_position(cosArr, bestCos).cast("int"))
+    val composed = df.select(col("vec_id"), bestId.as("cid"), bestCos.as("cs"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val nc = nearestCentroid(col("embedding"), cents.map(_._1), cents.map(_._2))
+    val native2 = df.select(col("vec_id"), nc.as("__nc"))
+      .select(col("vec_id"), col("__nc.cluster_id").as("cid"), col("__nc.cos_sim").as("cs"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(native2.size == composed.size)
+    composed.foreach { case (id, (cid, cs)) =>
+      assert(native2(id) == ((cid, cs)), s"mismatch at vec $id")
+    }
+  }
 }
