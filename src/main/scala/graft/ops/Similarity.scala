@@ -302,14 +302,29 @@ object Similarity {
     * components — dim-bounded driver collect (the centroid precedent).
     */
   private def sq8Ladder(corpus: DataFrame): Array[(Long, Long)] = {
-    val stats = corpus
-      .withColumn("__nrm", sq8Norm(col("embedding")))
-      .select(posexplode(sq8MicroCol(col("embedding"), col("__nrm")))
-        .as(Seq("d", "v")))
-      .groupBy(col("d")).agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
-      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
-    (0 until stats.size).map(stats).toArray
+    // memo by canonicalized corpus plan (the centroidMemo contract): the
+    // two sq8 rows share one trained ladder instead of re-scanning
+    val key = corpus.queryExecution.analyzed.canonicalized.toString
+    val hit = sq8LadderMemo.synchronized { Option(sq8LadderMemo.get(key)) }
+    hit.getOrElse {
+      val stats = corpus
+        .withColumn("__nrm", sq8Norm(col("embedding")))
+        .select(posexplode(sq8MicroCol(col("embedding"), col("__nrm")))
+          .as(Seq("d", "v")))
+        .groupBy(col("d")).agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+        .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val ladder = (0 until stats.size).map(stats).toArray
+      sq8LadderMemo.synchronized { sq8LadderMemo.put(key, ladder) }
+      ladder
+    }
   }
+
+  private val sq8LadderMemo =
+    new java.util.LinkedHashMap[String, Array[(Long, Long)]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Array[(Long, Long)]]): Boolean =
+        size() > 16
+    }
 
   /** 8-bit code + decode (×255) per dimension, all BIGINT: clamp into the
     * trained range FIRST (so the integer division sees a non-negative
@@ -355,19 +370,29 @@ object Similarity {
     */
   def sq8TopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val ladder = sq8Ladder(corpus)
-    def dec(df: DataFrame, as: String) = df
-      .withColumn("__nrm", sq8Norm(col("embedding")))
+    val (mins, maxs) = (ladder.map(_._1), ladder.map(_._2))
+    // query batch decodes at plan-build through the SAME native kernel the
+    // corpus scan runs (Sq8Decode — the pqTopK literal convention); the
+    // corpus side is ONE codegen'd Sq8Scores pass + the shared partial
+    // top-k aggregate. The former HOF decode/dot chain was
+    // CodegenFallback — a lambda frame per element per row.
+    val qRows = queries
       .select(col("vec_id"),
-        sq8Dec255(sq8MicroCol(col("embedding"), col("__nrm")), ladder).as(as))
-    val q = broadcast(dec(queries, "qc").withColumnRenamed("vec_id", "q_id"))
-    val scored = dec(corpus, "cc")
-      .crossJoin(q)
-      .select(col("q_id"), col("vec_id"),
-        round(aggregate(zip_with(col("qc"), col("cc"), (a, b) => a * b),
-                        lit(0L), (acc, y) => acc + y).cast("double")
-                / lit(65025.0) / lit(1e12), 6).as("cos_sim"))
+        org.apache.spark.sql.graft.VectorExpressions
+          .sq8Decode(col("embedding"), mins, maxs).as("qc"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).sortBy(_._1)
+    val qIds = lit(qRows.map(_._1))
+    val scored = corpus
+      .select(col("vec_id"),
+        posexplode(org.apache.spark.sql.graft.VectorExpressions
+          .sq8Scores(col("embedding"), mins, maxs, qRows.map(_._2)))
+          .as(Seq("qi", "cos_sim")))
+      .select(element_at(qIds, col("qi") + 1).as("q_id"),
+              col("vec_id"), col("cos_sim"))
     topKPerQuery(scored, k).withColumnRenamed("cos_sim", "approx_cos")
   }
+
 
   /** Per-query recall of the SQ8 quantized top-k against the exact
     * brute-force top-k in ONE corpus action (the [[pqRecall]] fusion on
@@ -383,11 +408,11 @@ object Similarity {
     // query decode vectors fix at plan-build — integer arithmetic end to
     // end after the shared micro-unit rounding, so the driver-side fold
     // cannot drift from the executor/twin forms
+    val (mins, maxs) = (ladder.map(_._1), ladder.map(_._2))
     val qRows = queries
-      .withColumn("__nrm", sq8Norm(col("embedding")))
       .select(col("vec_id"), col("embedding"),
-              sq8Dec255(sq8MicroCol(col("embedding"), col("__nrm")), ladder)
-                .as("qc"))
+        org.apache.spark.sql.graft.VectorExpressions
+          .sq8Decode(col("embedding"), mins, maxs).as("qc"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray,
                  r.getSeq[Long](2).toArray))
@@ -396,15 +421,9 @@ object Similarity {
     val cosArr = array(qRows.map { case (_, qv, _) =>
       round(cosineSim(lit(qv), col("embedding")), 6) }: _*)
     val scored = corpus
-      .withColumn("__nrm", sq8Norm(col("embedding")))
-      .withColumn("__dec",
-        sq8Dec255(sq8MicroCol(col("embedding"), col("__nrm")), ladder))
       .select(col("vec_id"), cosArr.as("__exact"),
-              posexplode(array(qRows.indices.map(i =>
-                round(aggregate(zip_with(lit(qRows(i)._3), col("__dec"),
-                                         (a, b) => a * b),
-                                lit(0L), (acc, y) => acc + y).cast("double")
-                        / lit(65025.0) / lit(1e12), 6)): _*))
+              posexplode(org.apache.spark.sql.graft.VectorExpressions
+                .sq8Scores(col("embedding"), mins, maxs, qRows.map(_._3)))
                 .as(Seq("qi", "approx_score")))
       .select(col("qi"), col("vec_id"),
               element_at(col("__exact"), col("qi") + 1).as("cos_sim"),

@@ -442,6 +442,126 @@ object NearestCentroidUtil {
   }
 }
 
+
+/** The whole SQ8 scoring pipeline — L2-normalize → micro-unit grid → 8-bit
+  * code against the trained [min,max] ladder → decode ×255 → integer dot
+  * against each pre-decoded query — as ONE codegen'd primitive loop
+  * returning the per-query rounded approx-cosine array. The composed HOF
+  * form (transform/aggregate/zip_with) is CodegenFallback in Spark: a
+  * lambda frame per ELEMENT per row (measured ≈0.5 s interpreted on the
+  * sf0.1 corpus stage vs ≈0.08 s here); at 100 TB this is the per-scan
+  * inner loop of the quantized serving path. Ladder and query decodes ride
+  * as codegen reference objects (the [[SignLshBuckets]] pattern).
+  *
+  * Value parity with the HOF form is EXACT and spec-pinned
+  * ([[graft.GraftExpressionsSpec]]): norm accumulates in ascending-lane
+  * order; micro-rounding goes through the same BigDecimal HALF_UP path as
+  * Catalyst round(_, 0) (negative components round away from zero — a
+  * Math.round replica would be wrong there); clamp/code/decode are pure
+  * BIGINT with the one floor-of-double division the Scaladoc of
+  * [[graft.ops.Similarity]]'s sq8Dec255 derives; the dot folds ascending
+  * in long; the final double chain divides by 65025 then 10¹² then rounds
+  * 6 — identical association everywhere.
+  */
+case class Sq8Scores(child: Expression, mins: Array[Long], maxs: Array[Long],
+                     qdecs: Array[Array[Long]])
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "sq8_scores"
+
+  override def nullSafeEval(input: Any): Any =
+    Sq8Util.scores(input.asInstanceOf[ArrayData], mins, maxs, qdecs)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mn = ctx.addReferenceObj("mins", mins, "long[]")
+    val mx = ctx.addReferenceObj("maxs", maxs, "long[]")
+    val qd = ctx.addReferenceObj("qdecs", qdecs, "long[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graft.Sq8Util.scores($c, $mn, $mx, $qd);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Decode-only variant: the SQ8 dec255 codes of one vector as
+  * `array<long>` — the plan-build face (query-side decode collect) of the
+  * same arithmetic [[Sq8Scores]] runs per corpus row.
+  */
+case class Sq8Decode(child: Expression, mins: Array[Long], maxs: Array[Long])
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "sq8_decode"
+
+  override def nullSafeEval(input: Any): Any =
+    UnsafeArrayData.fromPrimitiveArray(
+      Sq8Util.decode(input.asInstanceOf[ArrayData], mins, maxs))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mn = ctx.addReferenceObj("mins", mins, "long[]")
+    val mx = ctx.addReferenceObj("maxs", maxs, "long[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData" +
+        s".fromPrimitiveArray(org.apache.spark.sql.graft.Sq8Util.decode($c, $mn, $mx));")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** The SQ8 loops behind [[Sq8Scores]]/[[Sq8Decode]] (called from generated
+  * code).
+  */
+object Sq8Util {
+
+  /** Catalyst round(_, 0) twin on doubles (HALF_UP away from zero). */
+  private def round0(x: Double): Long =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+
+  def decode(a: ArrayData, mins: Array[Long], maxs: Array[Long]): Array[Long] = {
+    val dim = a.numElements()
+    var na = 0.0
+    var i = 0
+    while (i < dim) { val x = a.getFloat(i).toDouble; na += x * x; i += 1 }
+    val norm = java.lang.Math.sqrt(na)
+    val out = new Array[Long](dim)
+    i = 0
+    while (i < dim) {
+      val micro = if (norm == 0.0) 0L
+                  else round0(a.getFloat(i).toDouble / norm * 1e6)
+      val mn = mins(i); val mx = maxs(i)
+      val xc = if (micro < mn) mn else if (micro > mx) mx else micro
+      val code = if (mx == mn) 0L
+                 else java.lang.Math.floor(((xc - mn) * 255L).toDouble
+                                             / (mx - mn).toDouble).toLong
+      out(i) = mn * 255L + code * (mx - mn)
+      i += 1
+    }
+    out
+  }
+
+  def scores(a: ArrayData, mins: Array[Long], maxs: Array[Long],
+             qdecs: Array[Array[Long]]): ArrayData = {
+    val dec = decode(a, mins, maxs)
+    val out = new Array[Double](qdecs.length)
+    var q = 0
+    while (q < qdecs.length) {
+      val qd = qdecs(q)
+      var dot = 0L
+      var i = 0
+      while (i < dec.length) { dot += qd(i) * dec(i); i += 1 }
+      out(q) = NearestCentroidUtil.round6(dot.toDouble / 65025.0 / 1e12)
+      q += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}
+
 object VectorExpressions {
   /** Column API for [[CosineSimilarity]]. */
   def cosineSim(a: Column, b: Column): Column =
@@ -453,6 +573,18 @@ object VectorExpressions {
                       cents: Array[Array[Float]]): Column =
     ExpressionUtils.column(
       NearestCentroid(ExpressionUtils.expression(embedding), ids, cents))
+
+  /** Column API for [[Sq8Scores]]. */
+  def sq8Scores(embedding: Column, mins: Array[Long], maxs: Array[Long],
+                qdecs: Array[Array[Long]]): Column =
+    ExpressionUtils.column(
+      Sq8Scores(ExpressionUtils.expression(embedding), mins, maxs, qdecs))
+
+  /** Column API for [[Sq8Decode]]. */
+  def sq8Decode(embedding: Column, mins: Array[Long],
+                maxs: Array[Long]): Column =
+    ExpressionUtils.column(
+      Sq8Decode(ExpressionUtils.expression(embedding), mins, maxs))
 
   /** Column API for [[SignLshBuckets]]. */
   def signLshBuckets(embedding: Column, nTables: Int, bitsPerTable: Int,

@@ -155,4 +155,53 @@ class GraftExpressionsSpec extends AnyFunSuite {
       assert(native2(id) == ((cid, cs)), s"mismatch at vec $id")
     }
   }
+  test("Sq8Scores/Sq8Decode: exact value parity with the HOF pipeline") {
+    import org.apache.spark.sql.graft.VectorExpressions.{sq8Decode, sq8Scores}
+    val rnd = new scala.util.Random(7)
+    def v(): Seq[Float] = Seq.fill(16)((rnd.nextDouble() * 2 - 1).toFloat)
+    val rows = (0 until 300).map(i => (i.toLong, v())) :+
+      (999L, Seq.fill(16)(0.0f))
+    val df = rows.toDF("vec_id", "embedding")
+    // HOF reference forms (the pre-round-11 implementation, verbatim)
+    val norm = sqrt(aggregate(col("embedding"), lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+    val micro = transform(col("embedding"), x => when(col("__nrm") === 0.0, lit(0L))
+      .otherwise(round(x.cast("double") / col("__nrm") * lit(1e6)).cast("long")))
+    val stats = df.withColumn("__nrm", norm)
+      .select(posexplode(micro).as(Seq("d", "v")))
+      .groupBy(col("d")).agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val ladder = (0 until 16).map(stats).toArray
+    val minsL = lit(ladder.map(_._1)); val maxsL = lit(ladder.map(_._2))
+    val dec255 = transform(col("__mic"), (x, i) => {
+      val mn = element_at(minsL, i + 1); val mx = element_at(maxsL, i + 1)
+      val xc = least(greatest(x, mn), mx)
+      val code = when(mx === mn, lit(0L))
+        .otherwise(floor(((xc - mn) * lit(255L)).cast("double")
+                           / (mx - mn).cast("double")))
+      mn * lit(255L) + code * (mx - mn)
+    })
+    val hofDec = df.withColumn("__nrm", norm).withColumn("__mic", micro)
+      .select(col("vec_id"), dec255.as("dec")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val (mins, maxs) = (ladder.map(_._1), ladder.map(_._2))
+    val natDec = df.select(col("vec_id"),
+        sq8Decode(col("embedding"), mins, maxs).as("dec")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(natDec.size == hofDec.size)
+    hofDec.foreach { case (id, d) => assert(natDec(id) == d, s"decode at $id") }
+    // scores vs the HOF zip_with/aggregate dot
+    val qdecs = Array(natDec(0L).toArray, natDec(999L).toArray)
+    val hofScore = df.withColumn("__nrm", norm).withColumn("__mic", micro)
+      .withColumn("__dec", dec255)
+      .select(col("vec_id"), array(qdecs.toSeq.map(qd =>
+        round(aggregate(zip_with(lit(qd), col("__dec"), (a, b) => a * b),
+                        lit(0L), (acc, y) => acc + y).cast("double")
+                / lit(65025.0) / lit(1e12), 6)): _*).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val natScore = df.select(col("vec_id"),
+        sq8Scores(col("embedding"), mins, maxs, qdecs).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    hofScore.foreach { case (id, sc) => assert(natScore(id) == sc, s"score at $id") }
+  }
 }
