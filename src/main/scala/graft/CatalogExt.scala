@@ -522,6 +522,39 @@ object CatalogExt {
     //    shingle df (25 at sf0.1), so the guard is exercised without changing
     //    the result — at real scale it would prune ubiquitous shingles that
     //    otherwise blow up the inverted-index join quadratically.
+    // ── Weighted shingle-TF cosine pairs (Dedup.tfCosinePairs): the
+    //    frequency-weighted complement to ngram_jaccard_dups — same
+    //    inverted-index skeleton, TF-weighted dot + norms instead of set
+    //    overlap; minDot floors degenerate single-shingle matches. The
+    //    threshold tests the ROUNDED cosine (mirrored) so both engines cut
+    //    identically.
+    ("tf_cosine_dups",
+      (spark, dir) =>
+        Dedup.tfCosinePairs(Tables.documents(spark, dir), 3, 0.7,
+            maxShingleDf = 50, minDot = 5L)
+          .orderBy(col("doc_a"), col("doc_b")),
+      Some(s"""WITH sh0 AS (
+              |  SELECT doc_id, unnest(${sqlShingles(3)}) AS g FROM documents),
+              |tf0 AS (SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS tf FROM sh0 GROUP BY 1, 2),
+              |keep AS (SELECT g FROM (SELECT g, COUNT(*) AS df FROM tf0 GROUP BY g) WHERE df <= 50),
+              |p AS (SELECT tf0.doc_id, tf0.g, tf0.tf FROM tf0 JOIN keep USING (g)),
+              |norms AS (SELECT doc_id, CAST(SUM(tf * tf) AS BIGINT) AS n2 FROM p GROUP BY 1),
+              |dots AS (
+              |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              |         CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot
+              |  FROM p a JOIN p b ON a.g = b.g AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2
+              |  HAVING SUM(a.tf * b.tf) >= 5)
+              |SELECT doc_a, doc_b, dot,
+              |       round(CAST(dot AS DOUBLE)
+              |             / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 6) AS cosine
+              |FROM dots
+              |JOIN norms na ON doc_a = na.doc_id
+              |JOIN norms nb ON doc_b = nb.doc_id
+              |WHERE round(CAST(dot AS DOUBLE)
+              |            / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 6) >= 0.7
+              |ORDER BY doc_a, doc_b""".stripMargin)),
+
     ("ngram_jaccard_dups",
       (spark, dir) =>
         Dedup.ngramJaccardPairs(Tables.documents(spark, dir), 3, 0.5, maxShingleDf = 50)
@@ -2038,6 +2071,27 @@ object CatalogExt {
       Some(s"""WITH $sqlNbScoredCtes
               |SELECT doc_id, lang, n_tokens, logodds_unats, mean_logodds_unats
               |FROM nbdoc ORDER BY doc_id""".stripMargin)),
+
+    // ── Active-learning margin batch (uncertainty sampling, Lewis & Gale
+    //    1994): the k docs whose NB score sits closest to the decision
+    //    boundary — |mean log-odds| ascending — are exactly the ones a
+    //    labeling round or a classifier-improvement loop should read
+    //    next; confident docs teach nothing. TakeOrdered on
+    //    (margin, doc_id) — k-bounded at any corpus size, no global sort.
+    //    The margin is the |·| of an exact integer ratio surfaced once as
+    //    double — ties break on doc_id so both engines cut identically.
+    ("uncertainty_sample",
+      (spark, dir) =>
+        TextAnalysis.nbClassifierScores(Tables.documents(spark, dir),
+            refLang = "en", vocabSize = 50)
+          .select(col("doc_id"), col("lang"), col("n_tokens"),
+                  col("mean_logodds_unats"),
+                  abs(col("mean_logodds_unats")).as("margin_unats"))
+          .orderBy(col("margin_unats"), col("doc_id")).limit(100),
+      Some(s"""WITH $sqlNbScoredCtes
+              |SELECT doc_id, lang, n_tokens, mean_logodds_unats,
+              |       abs(mean_logodds_unats) AS margin_unats
+              |FROM nbdoc ORDER BY margin_unats, doc_id LIMIT 100""".stripMargin)),
 
     // ── curriculum manifest: quality-quartile phase per document from the
     //    NB classifier score — phase 1 = top quality trained first. NOT an

@@ -580,6 +580,59 @@ object Dedup {
     p
   }
 
+  /** Weighted n-gram-frequency COSINE near-dup pairs over df-capped
+    * hashed shingle TF vectors — the frequency-weighted complement to
+    * [[ngramJaccardPairs]]' set semantics: Jaccard treats a shingle used
+    * once and fifty times identically, so template pages differing only
+    * in repetition depth score alike; TF cosine separates them, which is
+    * the measure SimHash approximates and the dedup literature reports
+    * alongside Jaccard. (Token-grain vectors were considered and rejected:
+    * cosine needs a sparse feature space, and n-gram shingling is what
+    * manufactures sparsity from a small vocabulary — the same reason the
+    * Jaccard family shingles.) Same scale skeleton as the Jaccard path:
+    * hashed postings (8-byte shingle keys — [[cappedHashedPostings]]'
+    * collision argument), Zipf-head df cap via broadcast anti-join, ONE
+    * checkpointed pre-partitioned postings relation feeding the
+    * shuffle-hash self-join, per-doc norms joined onto the PAIR aggregate
+    * (never the postings). `minDot` floors the shared weight so two
+    * near-empty capped vectors sharing their single shingle don't emit a
+    * spurious cosine-1.0 row. All sums exact BIGINTs (tf ≤ doc length, so
+    * tf², Σtf², and the pair dot sit far inside 2⁶³); cosine =
+    * dot/(√n2_a·√n2_b) is one mirrored double chain rounded 6, and the
+    * threshold tests the ROUNDED value so both engines cut identically.
+    */
+  def tfCosinePairs(docs: DataFrame, n: Int, threshold: Double,
+                    maxShingleDf: Int, minDot: Long = 1L): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    require(maxShingleDf >= 1, s"maxShingleDf must be >= 1, got $maxShingleDf")
+    val sess = docs.sparkSession
+    val tf0 = TextAnalysis.explodeShingles(docs, n, distinct = false,
+        spread = true)
+      .select(col("doc_id"), xxhash64(col("g")).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("tf"))
+    val overflow = tf0.groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxShingleDf).select("g")
+    val p = tf0.join(broadcast(overflow), Seq("g"), "left_anti")
+      .repartition(sess.sessionState.conf.numShufflePartitions, col("g"))
+      .localCheckpoint()
+    val norms = p.groupBy("doc_id").agg(sum(col("tf") * col("tf")).as("n2"))
+    val cosine = round(col("dot").cast("double") /
+      (sqrt(col("n2_a").cast("double")) * sqrt(col("n2_b").cast("double"))), 6)
+    p.select(col("doc_id").as("doc_a"), col("g"), col("tf").as("tf_a"))
+      .hint("shuffle_hash")
+      .join(p.select(col("doc_id").as("doc_b"), col("g"), col("tf").as("tf_b")),
+            Seq("g"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(sum(col("tf_a") * col("tf_b")).as("dot"))
+      .filter(col("dot") >= minDot)
+      .join(norms.select(col("doc_id").as("doc_a"), col("n2").as("n2_a")), Seq("doc_a"))
+      .join(norms.select(col("doc_id").as("doc_b"), col("n2").as("n2_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("dot"), cosine.as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+
   private def jaccardFromPostings(p: DataFrame, threshold: Double): DataFrame = {
     // Per-doc (capped-universe) set sizes join onto the PAIR AGGREGATE, not
     // onto the postings: the only full-size shuffles are then the inverted-

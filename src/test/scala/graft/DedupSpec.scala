@@ -481,4 +481,25 @@ class DedupSpec extends AnyFunSuite {
     // true pair (a transposition), the miss this audit exists to surface
     assert(out("non_match") == ((1L, 1L, wNd + wTd + wSd, wNd + wTd + wSd)))
   }
+  test("tfCosinePairs: weights separate repetition depth; minDot floors noise") {
+    val docs = Seq(
+      (1L, "x1 y1 x1 y1 x1 y1 x1 y1"),   // bigram tf: (x1 y1)=4, (y1 x1)=3
+      (2L, "x1 y1 x1 y1 x1 y1 x1 y1"),   // identical -> cosine 1.0
+      (3L, "x1 y1 z1 w1 q1 r1 s1 t1"),   // shares one bigram, dot 4 < minDot
+      (4L, "x1 y1 x1 y1"))               // same SET as 1, shallower tf
+      .toDF("doc_id", "text")
+    val pairs = graft.ops.Dedup.tfCosinePairs(docs, 2, 0.5,
+        maxShingleDf = 10, minDot = 5L)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        (r.getAs[Long]("dot"), r.getAs[Double]("cosine"))).toMap
+    // (1,2) exact dup: dot 4*4+3*3 = 25, cosine 1.0
+    assert(pairs((1L, 2L)) == ((25L, 1.0)))
+    // (1,4)/(2,4): set-identical but tf-shallower -> cosine strictly < 1
+    // (Jaccard would say 1.0); dot 4*2+3*1 = 11
+    assert(pairs((1L, 4L))._1 == 11L)
+    assert(pairs((1L, 4L))._2 < 1.0 && pairs((1L, 4L))._2 > 0.9)
+    // doc 3 shares only one bigram (dot 4) -> floored by minDot
+    assert(!pairs.keySet.exists { case (a, b) => a == 3L || b == 3L })
+    assert(pairs.size == 3) // (1,2), (1,4), (2,4)
+  }
 }
