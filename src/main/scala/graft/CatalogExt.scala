@@ -3675,6 +3675,42 @@ object CatalogExt {
              |       END AS gini
              |FROM a ORDER BY n_name""".stripMargin)),
 
+    // ── Vocabulary concentration (Stats.giniConcentration over token
+    //    frequencies): Gini of the token-frequency distribution — the
+    //    "is this corpus a few templates or a diverse vocabulary" scalar
+    //    next to zipf_rank_slope's fit and source_mix_entropy's mixture
+    //    view. Pure reuse of the hash-pinned histogram-Gini machinery
+    //    (decimal-exact rank sums, HUGEINT twin) at (scope, token-count)
+    //    grain.
+    ("vocab_concentration",
+      (spark, dir) =>
+        Stats.giniConcentration(
+          TextAnalysis.explodeTokens(Tables.documents(spark, dir))
+            .groupBy(col("token")).agg(count(lit(1)).as("c"))
+            .select(lit("corpus").as("scope"), col("c")),
+          "scope", col("c")),
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+             |tc AS (SELECT 'corpus' AS scope, CAST(COUNT(*) AS BIGINT) AS cnt
+             |       FROM tok GROUP BY token),
+             |h AS (SELECT scope, cnt AS v, CAST(COUNT(*) AS BIGINT) AS c
+             |      FROM tc GROUP BY 1, 2),
+             |x AS (SELECT scope, v, c,
+             |             COALESCE(SUM(c) OVER (PARTITION BY scope ORDER BY v
+             |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+             |      FROM h),
+             |a AS (SELECT scope, CAST(SUM(c) AS BIGINT) AS n,
+             |             SUM(CAST(v AS HUGEINT) * c) AS t,
+             |             SUM(CAST(v AS HUGEINT)
+             |                 * (CAST(c AS HUGEINT) * prev + (c * (c + 1)) // 2)) AS srx
+             |      FROM x GROUP BY 1)
+             |SELECT scope, n, CAST(t AS BIGINT) AS total,
+             |       CASE WHEN CAST(t AS DOUBLE) = 0.0 THEN NULL
+             |            ELSE round((2.0 * CAST(srx AS DOUBLE)
+             |                        - CAST(n + 1 AS DOUBLE) * CAST(t AS DOUBLE))
+             |                       / (CAST(n AS DOUBLE) * CAST(t AS DOUBLE)), 6)
+             |       END AS gini
+             |FROM a""".stripMargin)),
+
     // ── RFM customer segmentation (Stats.rfmSegments): quintile scores
     //    from exact-percentile literal cuts (quantile_cont parity, rounded
     //    6 before use), reported per segment.
@@ -5151,6 +5187,37 @@ object CatalogExt {
     // ── Two-sample Kolmogorov–Smirnov drift (TextAnalysis.ksSourceDrift)
     //    between src0 and src1 n_chars distributions: the supremum located
     //    by exact integer cross-multiplication, one mirrored division.
+    // ── Exact Wasserstein-1 source drift (TextAnalysis
+    //    .wassersteinSourceDrift): area between the two empirical CDFs on
+    //    the merged grid — integer cross-multiplied CDF gaps, decimal/
+    //    HUGEINT area accumulator, one mirrored division.
+    ("wasserstein_source_drift",
+      (spark, dir) =>
+        TextAnalysis.wassersteinSourceDrift(
+          Tables.documents(spark, dir), "src0", "src1"),
+      Some("""WITH g AS (SELECT CAST(n_chars AS BIGINT) AS v,
+             |                  CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             |                  CAST(SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS b
+             |           FROM documents WHERE source IN ('src0', 'src1') GROUP BY 1),
+             |c AS (SELECT v,
+             |             CAST(SUM(a) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ca,
+             |             CAST(SUM(b) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cb,
+             |             CAST(SUM(a) OVER () AS BIGINT) AS na,
+             |             CAST(SUM(b) OVER () AS BIGINT) AS nb,
+             |             lead(v) OVER (ORDER BY v) - v AS gap
+             |      FROM g),
+             |m AS (SELECT * FROM c WHERE gap IS NOT NULL),
+             |f AS (SELECT CAST(MAX(na) AS BIGINT) AS n_a, CAST(MAX(nb) AS BIGINT) AS n_b,
+             |             CAST(COUNT(*) + 1 AS BIGINT) AS grid_points,
+             |             SUM(CAST(abs(ca * nb - cb * na) AS HUGEINT) * gap) AS area
+             |      FROM m)
+             |SELECT n_a, n_b, grid_points,
+             |       CASE WHEN n_a > 0 AND n_b > 0 AND area IS NOT NULL THEN
+             |         round(CAST(area AS DOUBLE)
+             |               / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6)
+             |       END AS w1_distance
+             |FROM f WHERE n_a IS NOT NULL""".stripMargin)),
+
     ("ks_source_drift",
       (spark, dir) =>
         TextAnalysis.ksSourceDrift(Tables.documents(spark, dir), "src0", "src1"),

@@ -901,6 +901,50 @@ object TextAnalysis {
           .as("ks_scaled"))
   }
 
+  /** Exact 1-D Wasserstein-1 (earth-mover) distance between the `n_chars`
+    * distributions of two sources — the drift metric that, unlike
+    * [[ksSourceDrift]]'s supremum, integrates HOW FAR mass moved: for 1-D
+    * distributions W₁ = ∫|F_a − F_b| dx, the area between the empirical
+    * CDFs. On the merged value grid that is Σᵢ |F_a(vᵢ) − F_b(vᵢ)| ·
+    * (vᵢ₊₁ − vᵢ), every term an exact integer: the CDF gap cross-
+    * multiplies as |ca·nb − cb·na| (the [[ksSourceDrift]] contract —
+    * BIGINT to ~10⁹ docs/source), the gap-width product promotes to
+    * decimal(38,0) BEFORE the value-grid accumulation (the area sum is
+    * the one quantity that outgrows 2⁶³ — HUGEINT on the twin), and one
+    * mirrored double division by na·nb lands the distance. Shape: one
+    * corpus aggregate to the ≤|distinct values| grid, two window cumsums
+    * and a lead over the bounded grid, a 1-row report.
+    */
+  def wassersteinSourceDrift(docs: DataFrame, srcA: String,
+                             srcB: String): DataFrame = {
+    val wv = Window.orderBy(col("v"))
+    val grid = docs.filter(col("source").isin(srcA, srcB))
+      .groupBy(col("n_chars").cast("long").as("v"))
+      .agg(sum(when(col("source") === srcA, 1L).otherwise(0L)).as("a"),
+           sum(when(col("source") === srcB, 1L).otherwise(0L)).as("b"))
+    val cum = grid
+      .withColumn("ca", sum(col("a")).over(wv))
+      .withColumn("cb", sum(col("b")).over(wv))
+      .withColumn("na", sum(col("a")).over(
+        wv.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("nb", sum(col("b")).over(
+        wv.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("gap", lead(col("v"), 1).over(wv) - col("v"))
+      .filter(col("gap").isNotNull)
+    val bothSided = col("n_a") > 0L && col("n_b") > 0L
+    cum
+      .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+           (count(lit(1)) + lit(1L)).as("grid_points"),
+           sum((abs(col("ca") * col("nb") - col("cb") * col("na")))
+                 .cast("decimal(38,0)") * col("gap")).as("area"))
+      .select(col("n_a"), col("n_b"), col("grid_points"),
+        when(bothSided.and(col("area").isNotNull),
+          round(col("area").cast("double")
+            / (col("n_a").cast("double") * col("n_b").cast("double")), 6))
+          .as("w1_distance"))
+      .filter(col("n_a").isNotNull)
+  }
+
   /** χ² keyness of tokens in one source vs the rest of the corpus (the
     * corpus-linguistics keyword statistic — Rayson & Garside 2000 use
     * log-likelihood, Pearson's χ² is the classic alternative): which
