@@ -4293,17 +4293,20 @@ object CatalogExt {
       Some {
         val k = 8
         val stages = (2 to k).map { i =>
-          s"""p$i AS (SELECT c.vec_id, c.emb,
+          // AS MATERIALIZED on every stage: DuckDB otherwise INLINES the
+          // doubly-referenced sel chain — each sel_i expands sel_{i-1}
+          // twice, 2^k plan blowup (measured 97 s vs 0.6 s at sf0.1)
+          s"""p$i AS MATERIALIZED (SELECT c.vec_id, c.emb,
              |        MAX(round(list_cosine_similarity(c.emb, s.emb), 6)) AS ms
              |        FROM corpus c, sel${i - 1} s
              |        WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${i - 1})
              |        GROUP BY c.vec_id, c.emb
              |        ORDER BY ms, c.vec_id LIMIT 1),
-             |sel$i AS (SELECT vec_id, emb, rank, max_sim FROM sel${i - 1}
+             |sel$i AS MATERIALIZED (SELECT vec_id, emb, rank, max_sim FROM sel${i - 1}
              |          UNION ALL SELECT vec_id, emb, CAST($i AS BIGINT) AS rank, ms AS max_sim FROM p$i)""".stripMargin
         }
-        s"""WITH corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-           |sel1 AS (SELECT vec_id, emb, CAST(1 AS BIGINT) AS rank, CAST(NULL AS DOUBLE) AS max_sim
+        s"""WITH corpus AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+           |sel1 AS MATERIALIZED (SELECT vec_id, emb, CAST(1 AS BIGINT) AS rank, CAST(NULL AS DOUBLE) AS max_sim
            |         FROM (SELECT vec_id, emb FROM corpus ORDER BY vec_id LIMIT 1)),
            |${stages.mkString(",\n")}
            |SELECT rank, vec_id, max_sim FROM sel$k ORDER BY rank""".stripMargin
