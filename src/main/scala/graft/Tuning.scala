@@ -172,7 +172,18 @@ object Tuning {
     // 0.875→0.754 / 0.925→0.828 with aqe0s8 — a fixed join + two
     // same-key windows + report sort; every cardinality is structural
     // (r10's flip between s8/aqe0s8 resolved: aqe0s8 best both runs)
-    "largest_remainder_alloc")
+    "largest_remainder_alloc",
+    // round-11 batch 2 (2 interleaved runs each): kaplan_meier_retention
+    // 0.915→0.698 / 0.728→0.555 aqe0s8 (one customer window → bounded
+    // day grid → 1-row folds); tf_cosine_dups 1.534→0.901 / 1.722→0.954
+    // aqe0s8 (the ngram_jaccard postings-join family — except here aqe0
+    // ALONE regressed, so the pair is only-valid-together, the
+    // symdelete pattern); kcenter_coreset 0.674→0.583 / 0.695→0.537 with
+    // aqe0 ALONE (8 literal-cosine scan jobs — AQE's per-job stage
+    // pauses are pure floor; s8 moved nothing, so no lowShuffle half).
+    // NOT tagged: brier_decomposition / embedding_class_scatter (wins
+    // ≤0.07, under the 0.08 bar).
+    "kaplan_meier_retention", "tf_cosine_dups", "kcenter_coreset")
   // NOT tagged despite a small A/B win: dup_clusters — iterative
   // data-dependent join loop (the classification rule says AQE on), and its
   // −0.10 s reading did not reproduce (+0.53 s in the validation run).
@@ -277,7 +288,10 @@ object Tuning {
     // batch-5 rows: s8 halves of the aqe0s8 tags above
     "event_transition_matrix", "funnel_latency", "linear_attribution",
     // round-11: s8 half of largest_remainder_alloc's aqe0s8 tag
-    "largest_remainder_alloc")
+    "largest_remainder_alloc",
+    // round-11 batch 2: s8 halves of the aqe0s8 pair above (kcenter is
+    // aqe0-only by measurement)
+    "kaplan_meier_retention", "tf_cosine_dups")
 
   /** Run `body` with the per-query conf overrides for `name`, restoring the
     * previous session values afterwards (exception-safe, so one query's

@@ -1468,35 +1468,49 @@ object Similarity {
     * pass, partial-agg friendly; nothing downstream scales with rows.
     */
   def embeddingClassScatter(embeddings: DataFrame, dim: Int = 64): DataFrame = {
+    val spark = embeddings.sparkSession
     def xi(p: Int) =
       round(element_at(col("embedding"), p) * lit(1e6), 0).cast("long")
     val rowNorm2 = (1 to dim).map(p => xi(p) * xi(p)).reduce(_ + _)
+    // ONE corpus job: the per-class relation is ≤|labels| rows, so it
+    // collects and the global sums fold driver-side in the same exact Long
+    // adds the former second aggregate performed — a DataFrame `tot` here
+    // re-ran the corpus aggregate a second time as the crossJoin's
+    // broadcast build (measured: 7 jobs → 2)
     val perClass = embeddings
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n"),
            sum(rowNorm2.cast("decimal(38,0)")).as("q"),
            array((1 to dim).map(p => sum(xi(p))): _*).as("s"))
-    val tot = perClass.agg(
-      sum(col("n")).as("nt"),
-      array((1 to dim).map(p => sum(element_at(col("s"), p))): _*).as("st"))
+    val rows = perClass.collect()
+    val nt = rows.map(_.getLong(1)).sum
+    val st = new Array[Long](dim)
+    rows.foreach { r =>
+      val sArr = r.getSeq[Long](3)
+      var i = 0
+      while (i < dim) { st(i) += sArr(i); i += 1 }
+    }
     val nD = col("n").cast("double")
-    val ntD = col("nt").cast("double")
+    val ntD = lit(nt).cast("double")
+    val stLit = lit(st)
     def fold(f: (Column, Column) => Column): Column =
       aggregate(sequence(lit(1), lit(dim)), lit(0.0),
         (acc, p) => acc + f(element_at(col("s"), p).cast("double"),
-                            element_at(col("st"), p).cast("double")))
+                            element_at(stLit, p).cast("double")))
     val muNorm2 = fold((sd, _) => {
       val m = sd / (nD * lit(1e6)); m * m })
     val within = col("q").cast("double") / lit(1e12) - nD * muNorm2
     val between = nD * fold((sd, td) => {
       val d = sd / (nD * lit(1e6)) - td / (ntD * lit(1e6)); d * d })
-    perClass.crossJoin(broadcast(tot))
+    spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), perClass.schema)
       .select(col("label"), col("n").as("n_vecs"),
         round(within, 6).as("within_ss"),
         round(between, 6).as("between_ss"),
         when(within =!= 0.0, round(between / within, 6)).as("fisher_ratio"))
       .orderBy(col("label"))
   }
+
   /** k-center greedy coreset (Gonzalez 1985's farthest-point traversal —
     * the 2-approximation behind coreset selection à la Sener & Savarese
     * 2018): pick the lowest-vec_id vector, then repeatedly the corpus

@@ -1445,23 +1445,41 @@ object Stats {
     * job; nothing here scales with the customer count.
     */
   def kaplanMeierRetention(orders: DataFrame): DataFrame = {
+    val spark = orders.sparkSession
     val base = orders.select(col("o_custkey"), col("o_orderkey"),
                              to_date(col("o_orderdate")).as("day"))
+    // corpus max date as a driver literal (1 tiny job): the broadcast-join
+    // form re-scanned base as the broadcast build, and gaps/tails as
+    // separate relations scanned it twice more — 7 jobs for one curve.
+    // One customer-window pass now emits BOTH spell kinds per row (gap if
+    // a predecessor exists, censored tail if no successor): 2 jobs total.
+    val maxRow = base.agg(max(col("day"))).head(1)
+    if (maxRow.isEmpty || maxRow.head.isNullAt(0))
+      return spark.emptyDataFrame
+        .select(lit(0L).as("dur_days"), lit(0L).as("n_at_risk"),
+                lit(0L).as("n_events"), lit(0L).as("n_censored"),
+                lit(0.0).as("hazard"), lit(0.0).as("survival"))
+        .limit(0)
+    val maxDay = lit(maxRow.head.getDate(0))
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("day"), col("o_orderkey"))
-    val gaps = base.withColumn("prev", lag(col("day"), 1).over(w))
-      .filter(col("prev").isNotNull)
-      .select(datediff(col("day"), col("prev")).cast("long").as("dur"),
-              lit(0L).as("censored"))
-    val maxDay = base.agg(max(col("day")).as("max_day"))
-    val tails = base.groupBy(col("o_custkey"))
-      .agg(max(col("day")).as("last_day"))
-      .crossJoin(broadcast(maxDay))
-      .select(datediff(col("max_day"), col("last_day")).cast("long").as("dur"),
-              lit(1L).as("censored"))
+    def spell(dur: Column, censored: Int) =
+      struct(dur.cast("long").as("dur"), lit(censored.toLong).as("censored"))
+    val spells = base
+      .withColumn("prev", lag(col("day"), 1).over(w))
+      .withColumn("next", lead(col("day"), 1).over(w))
+      .select(explode(concat(
+        when(col("prev").isNotNull,
+          array(spell(datediff(col("day"), col("prev")), 0)))
+          .otherwise(array().cast("array<struct<dur:bigint,censored:bigint>>")),
+        when(col("next").isNull,
+          array(spell(datediff(maxDay, col("day")), 1)))
+          .otherwise(array().cast("array<struct<dur:bigint,censored:bigint>>"))))
+        .as("sp"))
+      .select(col("sp.dur").as("dur"), col("sp.censored").as("censored"))
     val wRev = Window.orderBy(col("dur").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val grid = gaps.unionByName(tails)
+    val grid = spells
       .groupBy(col("dur"))
       .agg(sum(lit(1L) - col("censored")).as("d"),
            sum(col("censored")).as("c"))
@@ -1485,6 +1503,7 @@ object Stats {
           6).as("survival"))
       .orderBy(col("dur_days"))
   }
+
 
   /** Mann–Whitney U rank test between two groups of an INTEGER-valued
     * measure (Mann & Whitney 1947, normal approximation with the standard
