@@ -158,19 +158,21 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("ivfTopK: one fused scan — literal argmax + literal-cosine explode, no join, no window") {
-    // the session-5 shape (the pqTopK convention): corpus assignment stays
-    // the literal-projection argmax (array_max + array_position over
-    // centroid LITERALS), query probes rank DRIVER-side, and the rescore is
-    // a literal-cosine posexplode + probed-cluster filter feeding the
-    // partial-agg top-k — NO query-side join, NO ranking window, no
-    // shuffle beyond the k-row aggregate. kmeans' interior runs at collect
-    // time and cannot appear. The catalog's driver-hashed faces are
-    // ivf_assign / ivf_ann_topk / ivf_recall.
+    // the session-5 shape (the pqTopK convention), round-11 kernel: corpus
+    // assignment is the ONE-loop nearest_centroid expression (centroids as
+    // a codegen reference object — replaced the composed array_max +
+    // array_position argmax, which re-evaluated the k cosines up to 3×),
+    // query probes rank DRIVER-side, and the rescore is a literal-cosine
+    // posexplode + probed-cluster filter feeding the partial-agg top-k —
+    // NO query-side join, NO ranking window, no shuffle beyond the k-row
+    // aggregate. kmeans' interior runs at collect time and cannot appear.
+    // The catalog's driver-hashed faces are ivf_assign / ivf_ann_topk /
+    // ivf_recall.
     val emb = Tables.embeddings(spark, TestSpark.sfDir)
     val p = graft.ops.Similarity
       .ivfTopK(emb.filter(col("vec_id") < 8), emb.filter(col("vec_id") >= 8), 5)
       .queryExecution.executedPlan.toString
-    assert(p.contains("array_position"), p)
+    assert(p.contains("nearest_centroid"), p)
     assert(!p.toLowerCase.contains("sortmergejoin"), p)
     assert(!p.contains("BroadcastHashJoin"), "no query-side join remains: " + p)
     assert(!p.contains("Window"), "no ranking window remains: " + p)
@@ -180,11 +182,12 @@ class PlanSpec extends AnyFunSuite {
   test("ivf_assign: assignment is a scan-shaped literal projection — no join, no window, no aggregate") {
     val p = plan("ivf_assign")
     // the whole assignment pass is one projection over the corpus scan
-    // (array_max + array_position over centroid literals) plus the output
+    // (the nearest_centroid kernel over reference-object centroids — the
+    // round-11 replacement for array_max + array_position) plus the output
     // sort: no ranking window anywhere (the k-means seed numbering runs at
     // centroid-collect time, outside this plan), no join of any kind, and
     // no aggregate in the final pass
-    assert(p.contains("array_position"), p)
+    assert(p.contains("nearest_centroid"), p)
     assert(!p.contains("Window ["), p)
     assert(!p.contains("Join"), p)
     assert(!p.contains("CartesianProduct"), p)
