@@ -5207,13 +5207,12 @@ object CatalogExt {
              |             CAST(SUM(b) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cb,
              |             CAST(SUM(a) OVER () AS BIGINT) AS na,
              |             CAST(SUM(b) OVER () AS BIGINT) AS nb,
-             |             lead(v) OVER (ORDER BY v) - v AS gap
+             |             COALESCE(lead(v) OVER (ORDER BY v) - v, 0) AS gap
              |      FROM g),
-             |m AS (SELECT * FROM c WHERE gap IS NOT NULL),
              |f AS (SELECT CAST(MAX(na) AS BIGINT) AS n_a, CAST(MAX(nb) AS BIGINT) AS n_b,
-             |             CAST(COUNT(*) + 1 AS BIGINT) AS grid_points,
+             |             CAST(COUNT(*) AS BIGINT) AS grid_points,
              |             SUM(CAST(abs(ca * nb - cb * na) AS HUGEINT) * gap) AS area
-             |      FROM m)
+             |      FROM c)
              |SELECT n_a, n_b, grid_points,
              |       CASE WHEN n_a > 0 AND n_b > 0 AND area IS NOT NULL THEN
              |         round(CAST(area AS DOUBLE)

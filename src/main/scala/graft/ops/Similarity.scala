@@ -637,9 +637,25 @@ object Similarity {
                               dim: Int): (String, Int, Int, Int) =
     (corpus.queryExecution.analyzed.canonicalized.toString, k, iters, dim)
 
-  /** Drop every memoized centroid build (see [[centroidMemo]]). */
-  def clearCentroidMemo(): Unit =
+  /** Drop EVERY memoized trained artifact — centroid builds AND SQ8
+    * ladders. Both memos key on the canonicalized corpus plan, so files
+    * rewritten UNDER AN UNCHANGED PATH within one JVM would otherwise
+    * keep serving the stale artifact (the same invalidation contract as
+    * Spark's own relation cache, which `REFRESH TABLE` clears). Any
+    * harness or pipeline step that regenerates table files in-JVM must
+    * call this before the next ANN query.
+    */
+  def clearSimilarityMemos(): Unit = {
     centroidMemo.synchronized { centroidMemo.clear() }
+    sq8LadderMemo.synchronized { sq8LadderMemo.clear() }
+  }
+
+  /** Drop every memoized trained artifact (alias of
+    * [[clearSimilarityMemos]] — historically centroid-only, but a data
+    * refresh that invalidates centroids invalidates SQ8 ladders too, so
+    * clearing one and not the other was a staleness trap).
+    */
+  def clearCentroidMemo(): Unit = clearSimilarityMemos()
 
   private def kmeansCentroidsLocal(corpus: DataFrame, k: Int, iters: Int,
                                    dim: Int): Array[(Long, Array[Float])] = {

@@ -960,7 +960,9 @@ object Stats {
     * is dimension-bounded, so a driver-held sorted brand list assigns bit
     * positions and the per-order aggregate is bit_or over longs — the one
     * corpus shuffle carries 8-byte masks where a collect_set form carries
-    * string-array buffers. Baskets then collapse to the DISTINCT-MASK
+    * string-array buffers (past 64 brands the mask widens to an
+    * array<long> of ⌈brands/64⌉ words — same pipeline, still bytes per
+    * order). Baskets then collapse to the DISTINCT-MASK
     * relation (mask, n), and pair counts, per-brand counts, and the order
     * total all ride ONE tagged literal-probe explode over it ((tag 0) =
     * order total, (1, i) = brand membership, (2, i, j) = i<j pair — the
@@ -980,26 +982,46 @@ object Stats {
     // aggregate is bit_or over longs — the shuffle carries 8-byte masks
     // where the collect_set form carried string-array buffers (measured
     // 1.16 → ~0.45 s at sf0.1; at any scale the win is the narrower
-    // shuffle row). > 64 brands falls back to per-brand tagged structs.
+    // shuffle row). > 64 brands takes the multi-word path below: brand i
+    // lives in word i/64 and the basket is an array<long> of ⌈brands/64⌉
+    // words (per-(order, word) bit_or, densified via map lookup) — same
+    // downstream pipeline, 8·W-byte masks, exercised by StatsSpec's
+    // 70-brand case.
     val brandList = part.select(col("p_brand")).distinct()
       .orderBy(col("p_brand")).collect().map(_.getString(0))
-    require(brandList.length <= 64,
-      s"copurchaseLift: ${brandList.length} brands exceed the 64-bit basket " +
-      "mask — shard the brand universe or use a wider mask")
-    val bitOf = element_at(typedLit(brandList.zipWithIndex.map {
-      case (b, i) => b -> (1L << i) }.toMap), col("p_brand"))
+    val nWords = (brandList.length + 63) / 64
     // spreadHash on the order key: a single-row-group scan otherwise runs
     // the whole join+aggregate serially; the hash exchange parallelizes it
     // AND satisfies the groupBy(okey) distribution (broadcast join is
     // partitioning-preserving) — no-op at multi-row-group scale
-    val masks = graft.Tables.spreadHash(
+    val joined = graft.Tables.spreadHash(
         lineitem.select(col("l_orderkey").as("okey"), col("l_partkey")),
         col("okey"))
       .join(broadcast(part.select(col("p_partkey"), col("p_brand"))),
             col("l_partkey") === col("p_partkey"))
-      .select(col("okey"), bitOf.as("bit"))
-      .groupBy(col("okey")).agg(bit_or(col("bit")).as("mask"))
-      .groupBy(col("mask")).agg(count(lit(1)).as("n"))
+    val masks = (if (nWords == 1) {
+      val bitOf = element_at(typedLit(brandList.zipWithIndex.map {
+        case (b, i) => b -> (1L << i) }.toMap), col("p_brand"))
+      joined
+        .select(col("okey"), bitOf.as("bit"))
+        .groupBy(col("okey")).agg(bit_or(col("bit")).as("mask"))
+    } else {
+      // word index + in-word bit per brand; per-(order, word) bit_or keeps
+      // the shuffle rows 8-byte, then the ≤nWords rows per order densify
+      // into one array<long> mask (absent words coalesce to 0)
+      val wordOf = element_at(typedLit(brandList.zipWithIndex.map {
+        case (b, i) => b -> (i / 64) }.toMap), col("p_brand"))
+      val bitOf = element_at(typedLit(brandList.zipWithIndex.map {
+        case (b, i) => b -> (1L << (i % 64)) }.toMap), col("p_brand"))
+      joined
+        .select(col("okey"), wordOf.as("w"), bitOf.as("bit"))
+        .groupBy(col("okey"), col("w")).agg(bit_or(col("bit")).as("m"))
+        .groupBy(col("okey"))
+        .agg(map_from_entries(collect_list(struct(col("w"), col("m"))))
+          .as("wm"))
+        .select(col("okey"), transform(sequence(lit(0), lit(nWords - 1)),
+          w => coalesce(element_at(col("wm"), w), lit(0L))).as("mask"))
+    }).groupBy(col("mask")).agg(count(lit(1)).as("n"))
     // distinct-mask relation is small (≤ distinct basket patterns); pair
     // and brand tallies explode over LITERAL (i, j) bit probes against it,
     // so the per-order work above stays a pure long aggregate. One tagged
@@ -1009,8 +1031,13 @@ object Stats {
     // mask → its set-bit positions once per distinct mask (O(64) bit
     // probes), then membership and i<j pair structs build from the ≤nb-long
     // positions array — O(b²) on the actual basket size, not brands².
-    val posArr = expr(
-      s"filter(sequence(0, ${nb - 1}), i -> (mask & shiftleft(1L, i)) != 0)")
+    val posArr =
+      if (nWords == 1) expr(
+        s"filter(sequence(0, ${nb - 1}), i -> (mask & shiftleft(1L, i)) != 0)")
+      else expr(
+        s"filter(sequence(0, ${nb - 1}), i -> " +
+        "(element_at(mask, CAST(i div 64 AS INT) + 1) " +
+        "& shiftleft(CAST(1 AS BIGINT), i % 64)) != 0)")
     def tagStruct(tag: Column, a: Column, b: Column) =
       struct(tag.as("tag"), a.as("a"), b.as("b"))
     val pairE = flatten(transform(col("pos"), (a, i) =>

@@ -913,7 +913,11 @@ object TextAnalysis {
     * the one quantity that outgrows 2⁶³ — HUGEINT on the twin), and one
     * mirrored double division by na·nb lands the distance. Shape: one
     * corpus aggregate to the ≤|distinct values| grid, two window cumsums
-    * and a lead over the bounded grid, a 1-row report.
+    * and a lead over the bounded grid, a 1-row report. A single-point
+    * grid (every doc the same n_chars) is W₁ = 0 with valid n_a/n_b —
+    * the last grid row's lead gap coalesces to 0 so it contributes zero
+    * area instead of being filtered away (which used to empty the
+    * report); only a grid with NO rows for either source yields 0 rows.
     */
   def wassersteinSourceDrift(docs: DataFrame, srcA: String,
                              srcB: String): DataFrame = {
@@ -929,12 +933,11 @@ object TextAnalysis {
         wv.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
       .withColumn("nb", sum(col("b")).over(
         wv.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-      .withColumn("gap", lead(col("v"), 1).over(wv) - col("v"))
-      .filter(col("gap").isNotNull)
+      .withColumn("gap", coalesce(lead(col("v"), 1).over(wv) - col("v"), lit(0L)))
     val bothSided = col("n_a") > 0L && col("n_b") > 0L
     cum
       .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
-           (count(lit(1)) + lit(1L)).as("grid_points"),
+           count(lit(1)).as("grid_points"),
            sum((abs(col("ca") * col("nb") - col("cb") * col("na")))
                  .cast("decimal(38,0)") * col("gap")).as("area"))
       .select(col("n_a"), col("n_b"), col("grid_points"),

@@ -418,6 +418,12 @@ object NearestCentroidUtil {
   def assign(a: ArrayData, ids: Array[Long], flat: Array[Double],
              norms: Array[Double]): InternalRow = {
     val dim = a.numElements()
+    // flat is |ids| centroids × centroid-dim; a dim-mismatched input would
+    // silently stride into the wrong lanes and return a garbage assignment
+    if (dim * ids.length != flat.length)
+      throw new IllegalArgumentException(
+        s"nearest_centroid: input dimension $dim != centroid dimension " +
+        s"${flat.length / ids.length}")
     var na = 0.0
     var i = 0
     while (i < dim) { val x = a.getFloat(i).toDouble; na += x * x; i += 1 }
@@ -525,6 +531,11 @@ object Sq8Util {
 
   def decode(a: ArrayData, mins: Array[Long], maxs: Array[Long]): Array[Long] = {
     val dim = a.numElements()
+    // the ladder is per-dimension; a dim-mismatched input would index past
+    // the ladder (AIOOBE) or silently mis-score against a truncated ladder
+    if (dim != mins.length)
+      throw new IllegalArgumentException(
+        s"sq8: input dimension $dim != trained ladder dimension ${mins.length}")
     var na = 0.0
     var i = 0
     while (i < dim) { val x = a.getFloat(i).toDouble; na += x * x; i += 1 }
@@ -552,6 +563,10 @@ object Sq8Util {
     var q = 0
     while (q < qdecs.length) {
       val qd = qdecs(q)
+      if (qd.length != dec.length)
+        throw new IllegalArgumentException(
+          s"sq8_scores: query $q decode dimension ${qd.length} != corpus " +
+          s"dimension ${dec.length}")
       var dot = 0L
       var i = 0
       while (i < dec.length) { dot += qd(i) * dec(i); i += 1 }

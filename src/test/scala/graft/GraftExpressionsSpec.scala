@@ -204,4 +204,34 @@ class GraftExpressionsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
     hofScore.foreach { case (id, sc) => assert(natScore(id) == sc, s"score at $id") }
   }
+
+  test("NearestCentroid / Sq8: dim-mismatched inputs raise a descriptive " +
+       "error instead of striding into wrong lanes") {
+    import org.apache.spark.sql.graft.VectorExpressions.{nearestCentroid, sq8Decode, sq8Scores}
+    // 8-dim input vs 16-dim reference data
+    val df = Seq((1L, Seq.fill(8)(0.5f))).toDF("vec_id", "embedding")
+    val cents = (0L until 4L).map(i => i -> Array.fill(16)(0.1f)).toArray
+    val e1 = intercept[Exception] {
+      df.select(nearestCentroid(col("embedding"), cents.map(_._1),
+        cents.map(_._2)).as("nc")).collect()
+    }
+    def rootMsg(t: Throwable): String = {
+      var c: Throwable = t
+      while (c.getCause != null) c = c.getCause
+      String.valueOf(c.getMessage)
+    }
+    assert(rootMsg(e1).contains("input dimension 8"), rootMsg(e1))
+    val mins = Array.fill(16)(-1000000L); val maxs = Array.fill(16)(1000000L)
+    val e2 = intercept[Exception] {
+      df.select(sq8Decode(col("embedding"), mins, maxs).as("d")).collect()
+    }
+    assert(rootMsg(e2).contains("ladder dimension 16"), rootMsg(e2))
+    // query decode narrower than the corpus decode
+    val df16 = Seq((1L, Seq.fill(16)(0.5f))).toDF("vec_id", "embedding")
+    val e3 = intercept[Exception] {
+      df16.select(sq8Scores(col("embedding"), mins, maxs,
+        Array(Array.fill(8)(1L))).as("s")).collect()
+    }
+    assert(rootMsg(e3).contains("decode dimension 8"), rootMsg(e3))
+  }
 }

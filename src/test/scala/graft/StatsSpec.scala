@@ -487,6 +487,25 @@ class StatsSpec extends AnyFunSuite {
     assert(row.getDouble(8) == 1.0, "lift 2*3/(3*2)")
   }
 
+  test("copurchaseLift: >64 brands takes the multi-word mask path with " +
+       "identical semantics") {
+    // 70-brand universe forces the 2-word array<long> basket; the active
+    // pair (b00, b69) spans the word boundary (bit 0 of word 0, bit 5 of
+    // word 1). Same basket structure as the 3-basket case above.
+    val part = (0 until 70).map(i => (10L + i, f"b$i%02d"))
+      .toDF("p_partkey", "p_brand")
+    val li = Seq((1L, 10L), (1L, 79L), (2L, 10L), (2L, 79L), (3L, 10L),
+                 (3L, 10L)) // duplicate brand in o3 — mask bit_or dedups
+      .toDF("l_orderkey", "l_partkey")
+    val r = Stats.copurchaseLift(li, part).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getString(0) == "b00" && row.getString(1) == "b69")
+    assert(row.getLong(2) == 2L && row.getLong(3) == 3L && row.getLong(4) == 2L)
+    assert(row.getDouble(5) == 0.666667 && row.getDouble(6) == 0.666667)
+    assert(row.getDouble(7) == 1.0 && row.getDouble(8) == 1.0)
+  }
+
   test("giniConcentration: hand-computed on ties, zero on equal values") {
     val m = Seq(("g", 1L), ("g", 1L), ("g", 2L), ("eq", 5L), ("eq", 5L))
       .toDF("grp", "cents")

@@ -433,6 +433,25 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r1.getAs[Long]("d_at_value") == 10L, "sup sits at src0's max")
   }
 
+  test("wassersteinSourceDrift: single-grid-point corpus reports W1 = 0, " +
+       "not an empty frame") {
+    import spark.implicits._
+    // every doc the same n_chars → one merged-grid value, all lead gaps
+    // null: W1 is still well-defined (identical CDFs ⇒ 0)
+    val docs = Seq((1L, "src0", 500L), (2L, "src0", 500L), (3L, "src1", 500L))
+      .toDF("doc_id", "source", "n_chars")
+    val r = TextAnalysis.wassersteinSourceDrift(docs, "src0", "src1").collect()
+    assert(r.length == 1, s"expected the 1-row report, got ${r.length}")
+    assert(r(0).getAs[Long]("n_a") == 2L && r(0).getAs[Long]("n_b") == 1L)
+    assert(r(0).getAs[Long]("grid_points") == 1L)
+    assert(r(0).getAs[Double]("w1_distance") == 0.0)
+    // one-sided corpus still reports, with the NULL-distance contract
+    val oneSided = docs.filter(col("source") === "src0")
+    val r1 = TextAnalysis.wassersteinSourceDrift(oneSided, "src0", "src1")
+      .collect()
+    assert(r1.length == 1 && r1(0).isNullAt(r1(0).fieldIndex("w1_distance")))
+  }
+
   test("goodTuringMass: exact count-of-counts, r*, and singleton mass") {
     import spark.implicits._
     // token counts: a×1, b×1, c×2, d×4 ⇒ fof = {1:2, 2:1, 4:1}, N = 8
