@@ -34,6 +34,12 @@ def one_run(sf_dir, oracles):
 def main():
     sf_dir, oracle_path = sys.argv[1], sys.argv[2]
     runs = int(sys.argv[3]) if len(sys.argv) > 3 else 5
+    # Early abort for unattended pins (tools/quiet_pin_loop.py): a window
+    # that degrades mid-pin shows up as a run total far above the best run
+    # so far — stop burning the window and exit nonzero instead of writing
+    # a poisoned median. Unset/0 = old behavior.
+    import os
+    abort_factor = float(os.environ.get("PIN_ABORT_FACTOR", "0"))
     oracles = json.load(open(oracle_path))
     totals = []
     pers = []
@@ -41,7 +47,11 @@ def main():
         total, per = one_run(sf_dir, oracles)
         totals.append(total)
         pers.append(per)
-        print(f"run {i+1}: {total:.1f} s")
+        print(f"run {i+1}: {total:.1f} s", flush=True)
+        if abort_factor and total > abort_factor * min(totals):
+            print(f"ABORT: run {i+1} ({total:.1f}) > {abort_factor}x best "
+                  f"({min(totals):.1f}) — window degraded", flush=True)
+            sys.exit(2)
     med = statistics.median(totals)
     print(f"median of {runs}: {med:.1f} s  (range {min(totals):.1f}-{max(totals):.1f})")
     # per-query medians across runs — the head-to-head table's DuckDB column
