@@ -2611,6 +2611,58 @@ object CatalogExt {
              |       round(est, 6) AS hll_estimate
              |FROM f""".stripMargin)),
 
+    // ── MERGEABLE QUANTILE SKETCH, shard-merged (Stats.quantileSketchMerge):
+    //    hash-coordinated bottom-k sampling — per-shard bottom-256 packed
+    //    (hash32, cents) registers, merged by re-taking bottom-k, quantiles
+    //    read from the merged sample at rank ⌈q·m⌉ with the exact rank
+    //    quantiles riding along (value-histogram grid). Registers are
+    //    order-independent exact BIGINTs, so sketch contents AND estimates
+    //    hash-match the relational twin; StatsSpec pins merge ≡ single-pass.
+    //    Quantile literals are DOUBLE on both sides — a DECIMAL q would
+    //    ceil(0.1·30) to 3 where double's 3.0000000000000004 ceils to 4.
+    ("quantile_sketch_merge",
+      (spark, dir) =>
+        Stats.quantileSketchMerge(Tables.lineitem(spark, dir),
+          concat(col("l_orderkey").cast("string"), lit("-"),
+                 col("l_linenumber").cast("string")),
+          Scalars.moneyCents(col("l_extendedprice")),
+          col("l_returnflag")),
+      Some("""WITH b AS (
+             |  SELECT l_returnflag AS shard,
+             |         CAST(CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)), 1, 15) AS UBIGINT) AS BIGINT) AS h,
+             |         CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+             |  FROM lineitem),
+             |r AS (SELECT shard, (h // 268435456) * 2147483648 + v AS reg FROM b),
+             |ps AS (SELECT shard, reg FROM (
+             |         SELECT shard, reg,
+             |                row_number() OVER (PARTITION BY shard ORDER BY reg) AS rn
+             |         FROM r) WHERE rn <= 256),
+             |mg AS (SELECT reg FROM ps ORDER BY reg LIMIT 256),
+             |vals AS (SELECT v, row_number() OVER (ORDER BY v) AS rk
+             |         FROM (SELECT reg % 2147483648 AS v FROM mg)),
+             |st AS (SELECT CAST(COUNT(DISTINCT shard) AS BIGINT) AS n_shards,
+             |              CAST(COUNT(*) AS BIGINT) AS n_rows FROM b),
+             |sm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM mg),
+             |grid AS (SELECT v, CAST(SUM(COUNT(*)) OVER (ORDER BY v) AS BIGINT) AS cum
+             |         FROM b GROUP BY v),
+             |qq AS (SELECT CAST(q AS DOUBLE) AS q
+             |       FROM (VALUES (0.1), (0.25), (0.5), (0.75), (0.9)) AS t(q)),
+             |ex AS (SELECT q, MIN(CASE WHEN cum >= greatest(1, CAST(ceil(q * n_rows) AS BIGINT))
+             |                          THEN v END) AS exact_value
+             |       FROM qq CROSS JOIN st CROSS JOIN grid GROUP BY q),
+             |est AS (SELECT q, v AS est_value
+             |        FROM qq CROSS JOIN sm
+             |        JOIN vals ON vals.rk = greatest(1, CAST(ceil(q * m) AS BIGINT)))
+             |SELECT qq.q, CAST(256 AS BIGINT) AS sketch_k, st.n_shards,
+             |       st.n_rows, sm.m AS sample_m, est.est_value, ex.exact_value,
+             |       abs(est.est_value - ex.exact_value) AS abs_err,
+             |       CASE WHEN ex.exact_value = 0 THEN NULL
+             |            ELSE round(CAST(abs(est.est_value - ex.exact_value) AS DOUBLE)
+             |                       / CAST(ex.exact_value AS DOUBLE), 6) END AS rel_err
+             |FROM qq CROSS JOIN st CROSS JOIN sm
+             |JOIN est ON est.q = qq.q JOIN ex ON ex.q = qq.q
+             |ORDER BY qq.q""".stripMargin)),
+
     // ── Count–Min Sketch heavy hitters (Stats.cmsTopTokens): d=4 × w=1024
     //    deterministic md5 counter matrix in ONE partial+final aggregate
     //    (sketch size constant at any corpus size; shards merge by counter

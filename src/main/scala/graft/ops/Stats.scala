@@ -428,6 +428,102 @@ object Stats {
         round(col("jaccard_est") * col("est_union"), 6))
   }
 
+  /** Mergeable quantile sketch via hash-coordinated bottom-k sampling —
+    * the distributed-quantile machinery of the KLL/t-digest family, in
+    * the one member whose registers are ORDER-INDEPENDENT exact integers
+    * and therefore engine-portable: per-row md5 hashes coordinate a
+    * uniform bottom-k sample whose packed (hash32, value) registers
+    * satisfy merge ≡ single-pass EXACTLY (a global bottom-k winner wins
+    * its own shard, so the bottom-k of the union of per-shard bottom-ks
+    * IS the global bottom-k — StatsSpec pins the identity), where
+    * literal KLL's randomized order-sensitive compaction can be neither
+    * hash-pinned across engines nor merge-identity-checked. Rank error
+    * is the sampling DKW bound ε ≈ √(ln(2/δ)/(2k)) (~8% at k=256,
+    * δ=0.05); the estimate is the merged sample's empirical quantile at
+    * rank ⌈q·m⌉.
+    *
+    * Deployment shape (the hll_shard_merge convention): one partial+final
+    * bottom-k aggregate PER SHARD (at 100 TB these are the per-partition
+    * sketches a pipeline persists — each map task reduces its slice to
+    * ≤ k registers before the shuffle), a merge that re-takes bottom-k
+    * over the ≤ shards·k union rows, quantile queries from the merged
+    * sample. The exact rank quantiles ride along for the accuracy column
+    * (hll_distinct's n_exact convention) from one value-histogram pass —
+    * the domain-bounded grid grain of the gini/KS family, never a
+    * row-level global sort.
+    *
+    * Registers pack as (h≫28)·2³¹ + value: the top 32 of the 60-bit md5
+    * hash rank the sample, the value rides in the low 31 bits — one
+    * BIGINT per register, max (2³²−1)·2³¹ + 2³¹−1 = 2⁶³−1, exactly
+    * fitting. Values must lie in [0, 2³¹): guarded on the aggregated
+    * min/max with the raise_error convention, never a silent wrap.
+    */
+  def quantileSketchMerge(df: DataFrame, rowKey: Column, valueCol: Column,
+                          shardCol: Column, k: Int = 256,
+                          qs: Seq[Double] = Seq(0.1, 0.25, 0.5, 0.75, 0.9))
+      : DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      s"quantileSketchMerge: quantiles must lie in (0, 1], got $qs")
+    val base = df.select(shardCol.as("__shard"), rowKey.as("__rk"),
+                         valueCol.cast("long").as("__v"))
+    // the kmv/bloom md5 hash discipline: 60-bit, engine-portable
+    val h = expr(
+      "CAST(conv(substring(md5(CAST(__rk AS STRING)), 1, 15), 16, 10) AS BIGINT)")
+    val packed = shiftright(h, 28) * lit(2147483648L) + col("__v")
+    def tk(c: Column) =
+      org.apache.spark.sql.graft.TopKPairsAgg.topkPairs(k, c, lit(0.0))
+    val perShard = base
+      .select(col("__shard"), packed.as("__reg"), col("__v"))
+      .groupBy(col("__shard"))
+      .agg(tk(col("__reg")).as("tk"), count(lit(1)).as("n"),
+           min(col("__v")).as("mn"), max(col("__v")).as("mx"))
+    val shardStats = perShard.agg(
+      count(lit(1)).as("n_shards"), sum(col("n")).as("n_rows"),
+      min(col("mn")).as("vmin"), max(col("mx")).as("vmax"))
+    val mergedTk = perShard
+      .select(explode(expr("transform(tk, e -> e._1)")).as("reg"))
+      .agg(tk(col("reg")).as("tk"))
+      .select(array_sort(expr("transform(tk, e -> e._1 % 2147483648)"))
+        .as("vals"))
+    // exact rank quantiles from the value-histogram grid (domain-bounded)
+    val wv = Window.orderBy(col("__v"))
+    val grid = base.groupBy(col("__v")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(wv))
+    val nAll = sum(col("c")).over(
+      wv.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    val exCols = qs.zipWithIndex.map { case (q, i) =>
+      min(when(col("cum") >= greatest(lit(1L), ceil(lit(q) * col("nn"))),
+               col("__v"))).as(s"__ex$i")
+    }
+    val exacts = grid.withColumn("nn", nAll)
+      .agg(exCols.head, exCols.tail: _*)
+      .select(array(qs.indices.map(i => col(s"__ex$i")): _*).as("exact_arr"))
+    val guard = when(col("vmin") >= 0L && col("vmax") < lit(2147483648L),
+        lit(true))
+      .otherwise(raise_error(concat(
+        lit("quantileSketchMerge: values outside the [0, 2^31) register " +
+            "packing range: min="),
+        col("vmin").cast("string"), lit(" max="), col("vmax").cast("string"),
+        lit(" — pre-scale or offset the measure"))).isNull)
+    val m = size(col("vals"))
+    mergedTk
+      .crossJoin(broadcast(shardStats))
+      .crossJoin(broadcast(exacts))
+      .filter(guard)
+      .select(col("*"), posexplode(typedLit(qs)).as(Seq("qi", "q")))
+      .select(col("q"), lit(k.toLong).as("sketch_k"), col("n_shards"),
+        col("n_rows"), m.cast("long").as("sample_m"),
+        element_at(col("vals"),
+          greatest(lit(1L), ceil(col("q") * m)).cast("int")).as("est_value"),
+        element_at(col("exact_arr"), col("qi") + 1).as("exact_value"))
+      .withColumn("abs_err", abs(col("est_value") - col("exact_value")))
+      .withColumn("rel_err",
+        when(col("exact_value") === 0L, lit(null).cast("double"))
+          .otherwise(round(col("abs_err").cast("double")
+            / col("exact_value").cast("double"), 6)))
+      .orderBy(col("q"))
+  }
+
   /** Bloom-filter prescreen audit with engine-exact arithmetic: build an
     * m-bit / k-hash Bloom filter over `build`'s distinct keys, probe every
     * distinct key of `probe`, and report the filter's exact occupancy and

@@ -506,6 +506,47 @@ class StatsSpec extends AnyFunSuite {
     assert(row.getDouble(7) == 1.0 && row.getDouble(8) == 1.0)
   }
 
+  test("quantileSketchMerge: merge ≡ single-pass, DKW-bounded rank error, " +
+       "exact when the sample holds everything") {
+    // values 1..1000 with unique keys over 4 shards: value IS its rank, so
+    // |est − exact| / n reads the rank error directly
+    val df = (1 to 1000).map(i => (i.toLong, i % 4, i.toLong))
+      .toDF("id", "shard", "v")
+    def run(shard: org.apache.spark.sql.Column) =
+      Stats.quantileSketchMerge(df, col("id"), col("v"), shard, k = 256)
+        .collect().map(r => r.getAs[Double]("q") ->
+          (r.getAs[Long]("est_value"), r.getAs[Long]("exact_value"),
+           r.getAs[Long]("sample_m")))
+    val merged = run(col("shard"))
+    val single = run(lit("all"))
+    // merge ≡ single-pass: the global bottom-k is the bottom-k of the
+    // union of per-shard bottom-ks — estimates and sample size identical
+    assert(merged.toSeq == single.toSeq, "shard-merge must equal single-pass")
+    merged.foreach { case (q, (est, exact, m)) =>
+      assert(m == 256L)
+      assert(exact == math.ceil(q * 1000).toLong, s"exact rank quantile at $q")
+      // DKW sampling bound at k=256, δ=0.05: ε ≈ 0.085 on rank; the fixed
+      // md5 sample is one draw, allow 1.5ε
+      assert(math.abs(est - exact) / 1000.0 <= 0.13,
+        s"rank error at q=$q: est=$est exact=$exact")
+    }
+    // n ≤ k: the sample holds every row, the empirical quantile IS exact
+    val tiny = (1 to 100).map(i => (i.toLong, i % 4, i.toLong))
+      .toDF("id", "shard", "v")
+    Stats.quantileSketchMerge(tiny, col("id"), col("v"), col("shard"), k = 256)
+      .collect().foreach { r =>
+        assert(r.getAs[Long]("est_value") == r.getAs[Long]("exact_value") &&
+               r.getAs[Long]("abs_err") == 0L, r.toString)
+      }
+    // out-of-range values trip the packing guard loudly
+    val neg = Seq((1L, 0, -5L), (2L, 0, 3L)).toDF("id", "shard", "v")
+    val e = intercept[Exception] {
+      Stats.quantileSketchMerge(neg, col("id"), col("v"), col("shard")).collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("packing range"),
+      String.valueOf(e.getMessage))
+  }
+
   test("giniConcentration: hand-computed on ties, zero on equal values") {
     val m = Seq(("g", 1L), ("g", 1L), ("g", 2L), ("eq", 5L), ("eq", 5L))
       .toDF("grp", "cents")
