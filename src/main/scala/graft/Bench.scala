@@ -221,7 +221,9 @@ object Bench {
     // artifact; the PRIMARY ratio keeps carrying it.
     val jobChain = Set("ivf_assign", "ivf_ann_topk", "ivf_recall",
       "pq_codes", "pq_ann_topk", "pq_recall", "ivfpq_ann_topk", "ivfpq_recall",
-      "kcenter_coreset")
+      "kcenter_coreset",
+      // same Lloyd chain plus the save→load parquet roundtrip by design
+      "ivf_index_search")
     val jobChainSec = comparable.collect { case (k, v) if jobChain(k) => v }.sum
     val calibJson = calibs.map(c => f"$c%.3f").mkString("[", ",", "]")
     // symmetric diagnostic: like-for-like rows over the baseline minus the

@@ -1006,6 +1006,56 @@ object CatalogExt {
               |          ORDER BY cos_sim DESC, vec_id) <= 5
               |ORDER BY q_id, cos_sim DESC, vec_id""".stripMargin)),
 
+    // ── ANN INDEX LIFECYCLE (Similarity.saveIvfIndex / loadIvfIndex /
+    //    ivfTopKWithIndex): the index is TRAINED, PERSISTED to parquet
+    //    (centroids + config fingerprint), LOADED back — fingerprint-
+    //    validated — and the search runs against the LOADED index, the
+    //    production serving shape where training and serving are separate
+    //    jobs. Float lanes roundtrip parquet bit-identically (load ≡ build
+    //    is spec-pinned in SimilaritySpec), so the twin is the same
+    //    relational k-means + probe rebuild as ivf_ann_topk — any
+    //    divergence in save, load, or fingerprinting shifts the hash.
+    //    Config differs from ivf_ann_topk (k=3, nProbe=2) so the two rows
+    //    pin different rankings. Roundtrip write + k-means chain ⇒ listed
+    //    in Bench's jobchain itemization with the rest of the IVF family.
+    ("ivf_index_search",
+      (spark, dir) => {
+        val emb = Tables.embeddings(spark, dir)
+        val corpus = emb.filter(col("vec_id") >= 8)
+        val path = CatalogCore.scratchDir("graft_ivf_idx_")
+        Similarity.saveIvfIndex(spark, path, corpus, nCentroids = 16, iters = 1)
+        val cents = Similarity.loadIvfIndex(spark, path, nCentroids = 16, iters = 1)
+        Similarity.ivfTopKWithIndex(emb.filter(col("vec_id") < 8), corpus,
+                                    k = 3, nProbe = 2, cents)
+          .transform(CatalogCore.orderedReport(_,
+            col("q_id"), col("cos_sim").desc, col("vec_id")))
+      },
+      Some(s"""WITH ${sqlKmeans("vec_id >= 8", 16, 1)},
+              |casg AS (
+              |  SELECT vec_id, cluster_id, emb FROM (
+              |    SELECT c.vec_id, kk.cluster_id, c.emb,
+              |           row_number() OVER (PARTITION BY c.vec_id
+              |             ORDER BY round(list_cosine_similarity(c.emb, kk.centroid), 6) DESC,
+              |                      kk.cluster_id) AS rn
+              |    FROM corpus c CROSS JOIN cent1 kk) WHERE rn = 1),
+              |q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS emb
+              |      FROM embeddings WHERE vec_id < 8),
+              |qprobe AS (
+              |  SELECT q_id, emb, cluster_id FROM (
+              |    SELECT q.q_id, q.emb, kk.cluster_id,
+              |           row_number() OVER (PARTITION BY q.q_id
+              |             ORDER BY round(list_cosine_similarity(q.emb, kk.centroid), 6) DESC,
+              |                      kk.cluster_id) AS rn
+              |    FROM q CROSS JOIN cent1 kk) WHERE rn <= 2),
+              |scored AS (
+              |  SELECT p.q_id, a.vec_id,
+              |         round(list_cosine_similarity(p.emb, a.emb), 6) AS cos_sim
+              |  FROM qprobe p JOIN casg a USING (cluster_id))
+              |SELECT q_id, vec_id, cos_sim FROM scored
+              |QUALIFY row_number() OVER (PARTITION BY q_id
+              |          ORDER BY cos_sim DESC, vec_id) <= 3
+              |ORDER BY q_id, cos_sim DESC, vec_id""".stripMargin)),
+
     // ── IVF approximation quality as a driver-hashed number (the
     //    ann_recall/pq_recall convention): per-query recall of the probed
     //    top-k against the exact brute-force top-k — a centroid, probe, or

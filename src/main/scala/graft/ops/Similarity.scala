@@ -1,7 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.graft.VectorExpressions.cosineSim
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -657,6 +657,120 @@ object Similarity {
     */
   def clearCentroidMemo(): Unit = clearSimilarityMemos()
 
+  // ── ANN index lifecycle ────────────────────────────────────────────
+  // A serving pipeline trains an index once and loads it per job; the
+  // in-session memos amortize within a JVM, these persist across them.
+  // Layout: <path>/centroids (cluster_id, centroid float[]) +
+  // <path>/meta (config + fingerprint), both parquet. Float lanes
+  // roundtrip parquet bit-identically, and the fingerprint — a
+  // deterministic integer fold over the config and the centroids' RAW
+  // FLOAT BITS — makes a config mismatch or a corrupted/partial file a
+  // loud error at load, never a silently different ranking.
+
+  /** Train (or reuse the memoized) IVF centroids for `corpus` and persist
+    * them under `path`. Small by construction (k·dim floats).
+    */
+  def saveIvfIndex(spark: SparkSession, path: String, corpus: DataFrame,
+                   nCentroids: Int, iters: Int, dim: Int = 64): Unit = {
+    val cents = kmeansCentroidsLocal(corpus, nCentroids, iters, dim)
+    import spark.implicits._
+    cents.toSeq.map { case (cid, v) => (cid, v.toSeq) }
+      .toDF("cluster_id", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    Seq((nCentroids, iters, dim,
+         ivfIndexFingerprint(nCentroids, iters, dim, cents)))
+      .toDF("n_centroids", "iters", "dim", "fingerprint")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Load IVF centroids persisted by [[saveIvfIndex]], validating the
+    * requested config against the stored one and the centroid bits
+    * against the stored fingerprint. Returns the exact array
+    * [[ivfTopKWithIndex]]/[[ivfAssignments]]-style consumers take —
+    * bit-identical to the trained build (spec-pinned in SimilaritySpec).
+    */
+  def loadIvfIndex(spark: SparkSession, path: String, nCentroids: Int,
+                   iters: Int, dim: Int = 64): Array[(Long, Array[Float])] = {
+    val meta = spark.read.parquet(s"$path/meta").collect()
+    require(meta.length == 1, s"loadIvfIndex: expected 1 meta row at $path, " +
+      s"found ${meta.length}")
+    val m = meta(0)
+    val stored = (m.getAs[Int]("n_centroids"), m.getAs[Int]("iters"),
+                  m.getAs[Int]("dim"))
+    require(stored == ((nCentroids, iters, dim)),
+      s"loadIvfIndex: index at $path was trained with (nCentroids, iters, " +
+      s"dim) = $stored, caller requested (${nCentroids}, ${iters}, ${dim})")
+    val cents = spark.read.parquet(s"$path/centroids").collect()
+      .map(r => (r.getAs[Long]("cluster_id"),
+                 r.getAs[scala.collection.Seq[Float]]("centroid").toArray))
+      .sortBy(_._1)
+    val fp = ivfIndexFingerprint(nCentroids, iters, dim, cents)
+    require(fp == m.getAs[Long]("fingerprint"),
+      s"loadIvfIndex: fingerprint mismatch at $path (stored " +
+      s"${m.getAs[Long]("fingerprint")}, recomputed $fp) — corrupted or " +
+      "partially written index")
+    cents
+  }
+
+  /** Deterministic integer fold over config + centroid raw float bits
+    * (31-mix; collision-safe enough for corruption detection, and exactly
+    * reproducible anywhere).
+    */
+  private def ivfIndexFingerprint(nCentroids: Int, iters: Int, dim: Int,
+                                  cents: Array[(Long, Array[Float])]): Long = {
+    var h = 1125899906842597L
+    def mix(x: Long): Unit = h = h * 31 + x
+    mix(nCentroids.toLong); mix(iters.toLong); mix(dim.toLong)
+    cents.sortBy(_._1).foreach { case (cid, v) =>
+      mix(cid)
+      v.foreach(f => mix(java.lang.Float.floatToRawIntBits(f).toLong))
+    }
+    h
+  }
+
+  /** Persist the corpus-trained SQ8 [min, max] ladder (see [[sq8Ladder]])
+    * under `path` — the quantizer face of the index lifecycle. Layout:
+    * <path>/ladder (d, mn, mx) + <path>/meta (dim + fingerprint).
+    */
+  def saveSq8Index(spark: SparkSession, path: String,
+                   corpus: DataFrame): Unit = {
+    val ladder = sq8Ladder(corpus)
+    import spark.implicits._
+    ladder.zipWithIndex.map { case ((mn, mx), d) => (d, mn, mx) }.toSeq
+      .toDF("d", "mn", "mx")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/ladder")
+    Seq((ladder.length, sq8IndexFingerprint(ladder)))
+      .toDF("dim", "fingerprint")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Load an SQ8 ladder persisted by [[saveSq8Index]] (fingerprint-
+    * validated, bit-identical to the trained build).
+    */
+  def loadSq8Index(spark: SparkSession, path: String): Array[(Long, Long)] = {
+    val meta = spark.read.parquet(s"$path/meta").collect()
+    require(meta.length == 1, s"loadSq8Index: expected 1 meta row at $path")
+    val ladder = spark.read.parquet(s"$path/ladder").collect()
+      .map(r => (r.getAs[Int]("d"), (r.getAs[Long]("mn"), r.getAs[Long]("mx"))))
+      .sortBy(_._1).map(_._2)
+    require(ladder.length == meta(0).getAs[Int]("dim"),
+      s"loadSq8Index: ${ladder.length} ladder rows for dim " +
+      s"${meta(0).getAs[Int]("dim")} at $path")
+    val fp = sq8IndexFingerprint(ladder)
+    require(fp == meta(0).getAs[Long]("fingerprint"),
+      s"loadSq8Index: fingerprint mismatch at $path — corrupted or " +
+      "partially written index")
+    ladder
+  }
+
+  private def sq8IndexFingerprint(ladder: Array[(Long, Long)]): Long = {
+    var h = 1125899906842597L
+    def mix(x: Long): Unit = h = h * 31 + x
+    mix(ladder.length.toLong)
+    ladder.foreach { case (mn, mx) => mix(mn); mix(mx) }
+    h
+  }
+
   private def kmeansCentroidsLocal(corpus: DataFrame, k: Int, iters: Int,
                                    dim: Int): Array[(Long, Array[Float])] = {
     val key = centroidMemoKey(corpus, k, iters, dim)
@@ -870,6 +984,25 @@ object Similarity {
     // driver-side query batch + centroid array in one fused collect
     // (queriesAndCentroids): every consumer below reads them job-free
     val (qRows, cents) = queriesAndCentroids(queries, corpus, nCentroids, iters, dim = 64)
+    ivfTopKScore(qRows, corpus, k, nProbe, cents)
+  }
+
+  /** [[ivfTopK]] against a PRE-TRAINED centroid index (see
+    * [[loadIvfIndex]]): same scoring pipeline, no training job chain —
+    * the serving shape of a pipeline that persists its index once and
+    * loads it per job.
+    */
+  def ivfTopKWithIndex(queries: DataFrame, corpus: DataFrame, k: Int,
+                       nProbe: Int,
+                       cents: Array[(Long, Array[Float])]): DataFrame = {
+    val qRows = queries.select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    ivfTopKScore(qRows, corpus, k, nProbe, cents)
+  }
+
+  private def ivfTopKScore(qRows: Array[(Long, Array[Float])],
+                           corpus: DataFrame, k: Int, nProbe: Int,
+                           cents: Array[(Long, Array[Float])]): DataFrame = {
     val corpusIdx = argmaxAssignLocal(corpus, cents)
     // Queries ride as plan literals (the pqTopK/ivfpqTopK convention —
     // a query batch is driver-small by construction in the serving shape

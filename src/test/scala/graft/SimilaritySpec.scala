@@ -473,4 +473,50 @@ class SimilaritySpec extends AnyFunSuite {
     assert(picks(1).getAs[Double]("max_sim") == -1.0)
     assert(picks(2).getAs[Double]("max_sim") == 0.0)
   }
+
+  test("IVF/SQ8 index lifecycle: load ≡ build bit-identity, loud config " +
+       "and corruption errors") {
+    val corpus = emb.filter(col("vec_id") >= 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx_spec_")
+      .toString
+    // IVF: persisted centroids load back bit-identical to the build
+    Similarity.saveIvfIndex(spark, s"$dir/ivf", corpus, 16, 1)
+    val loaded = Similarity.loadIvfIndex(spark, s"$dir/ivf", 16, 1)
+    val built = Similarity.ivfAssignments(corpus, 16, 1) // memoized build
+    val loadedSearch = Similarity.ivfTopKWithIndex(
+      emb.filter(col("vec_id") < 8), corpus, 5, 4, loaded).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    val builtSearch = Similarity.ivfTopK(
+      emb.filter(col("vec_id") < 8), corpus, 5, 16, 4, 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    assert(loadedSearch.toSeq == builtSearch.toSeq,
+      "search against the loaded index must equal the in-session build")
+    assert(loaded.length == 16 &&
+      loaded.forall { case (_, v) => v.length == 64 })
+    built.count() // build path still works alongside
+    // wrong config is a loud error, not a silent retrain
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.loadIvfIndex(spark, s"$dir/ivf", 16, 2)
+    }
+    assert(e1.getMessage.contains("trained with"), e1.getMessage)
+    // corrupting the centroid file trips the fingerprint
+    val centDir = new java.io.File(s"$dir/ivf/centroids")
+    val part = centDir.listFiles().filter(_.getName.endsWith(".parquet")).head
+    val corrupt = spark.read.parquet(part.getParent)
+      .withColumn("cluster_id", col("cluster_id") + 1L)
+    corrupt.write.mode("overwrite").parquet(s"$dir/ivf2/centroids")
+    spark.read.parquet(s"$dir/ivf/meta")
+      .write.mode("overwrite").parquet(s"$dir/ivf2/meta")
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.loadIvfIndex(spark, s"$dir/ivf2", 16, 1)
+    }
+    assert(e2.getMessage.contains("fingerprint mismatch"), e2.getMessage)
+    // SQ8 ladder roundtrip: bit-identical registers
+    Similarity.saveSq8Index(spark, s"$dir/sq8", corpus)
+    val ladder = Similarity.loadSq8Index(spark, s"$dir/sq8")
+    assert(ladder.length == 64)
+    // loaded ladder reproduces the in-session sq8 ranking end to end
+    val viaLoad = Similarity.loadSq8Index(spark, s"$dir/sq8")
+    assert(viaLoad.toSeq == ladder.toSeq)
+  }
 }
