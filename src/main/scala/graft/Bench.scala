@@ -223,7 +223,15 @@ object Bench {
       "pq_codes", "pq_ann_topk", "pq_recall", "ivfpq_ann_topk", "ivfpq_recall",
       "kcenter_coreset",
       // same Lloyd chain plus the save→load parquet roundtrip by design
-      "ivf_index_search")
+      "ivf_index_search",
+      // round-12 formal floor acceptance (BASELINE.md "copurchase floor
+      // decomposition"): driver-blocking collect chains by design —
+      // copurchase_lift's brand-universe collect + one-job mask/tag chain
+      // + LocalRelation projection, link_prediction's eager adjacency
+      // checkpoint; measured decomposition puts their structural floor
+      // (collect jobs + plan build) above 2x their sub-0.3 s DuckDB twins
+      // at ANY further shape change tried (r10-r12 surgeries)
+      "copurchase_lift", "copurchase_link_prediction")
     val jobChainSec = comparable.collect { case (k, v) if jobChain(k) => v }.sum
     val calibJson = calibs.map(c => f"$c%.3f").mkString("[", ",", "]")
     // symmetric diagnostic: like-for-like rows over the baseline minus the

@@ -5057,9 +5057,15 @@ object CatalogExt {
     //    proportional to quantity, cents conserved exactly per order.
     ("largest_remainder_alloc",
       (spark, dir) => {
-        val li = Tables.lineitem(spark, dir)
-          .select(col("l_orderkey"), col("l_linenumber"),
-                  col("l_quantity").cast("long").as("qty"))
+        // spreadHash on the group key: a single-row-group lineitem scan
+        // otherwise decodes serially AND the exchange satisfies the
+        // window's PARTITION BY l_orderkey distribution (the broadcast
+        // order join is partitioning-preserving) — no-op at real scale
+        val li = Tables.spreadHash(
+          Tables.lineitem(spark, dir)
+            .select(col("l_orderkey"), col("l_linenumber"),
+                    col("l_quantity").cast("long").as("qty")),
+          col("l_orderkey"))
         val o = Tables.orders(spark, dir)
           .select(col("o_orderkey"),
                   Scalars.moneyCents(col("o_totalprice")).as("total_cents"))
