@@ -1056,6 +1056,54 @@ object CatalogExt {
               |          ORDER BY cos_sim DESC, vec_id) <= 3
               |ORDER BY q_id, cos_sim DESC, vec_id""".stripMargin)),
 
+    // ── HYBRID RRF RETRIEVAL (Similarity.hybridRrfSearch): exact-cosine
+    //    vector top-20 and distinct-token lexical-overlap top-20 fused per
+    //    query by reciprocal rank Σ 1/(60+r) — the calibration-free hybrid
+    //    search a RAG stack serves. Both ranks are total-ordered, counts
+    //    exact, one fixed double association rounded at 6, so the fused
+    //    report hash-matches the relational twin (both rankings + FULL
+    //    JOIN fusion rebuilt in SQL).
+    ("hybrid_rrf_search",
+      (spark, dir) =>
+        Similarity.hybridRrfSearch(Tables.documents(spark, dir),
+                                   Tables.embeddings(spark, dir), qMax = 8)
+          .transform(CatalogCore.orderedReport(_,
+            col("q_id"), col("rrf_score").desc, col("doc_id"))),
+      Some("""WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS emb
+             |           FROM embeddings WHERE vec_id < 8),
+             |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+             |      FROM embeddings WHERE vec_id >= 8),
+             |vr AS (SELECT q_id, vec_id AS doc_id,
+             |              CAST(row_number() OVER (PARTITION BY q_id
+             |                ORDER BY round(list_cosine_similarity(q.emb, c.emb), 6) DESC,
+             |                         vec_id) AS BIGINT) AS r_vec
+             |       FROM q CROSS JOIN c
+             |       QUALIFY r_vec <= 20),
+             |qt AS (SELECT DISTINCT doc_id AS q_id, tok FROM (
+             |         SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+             |         FROM documents WHERE doc_id < 8)),
+             |ct AS (SELECT DISTINCT doc_id, tok FROM (
+             |         SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+             |         FROM documents WHERE doc_id >= 8)),
+             |sh AS (SELECT qt.q_id, ct.doc_id, CAST(COUNT(*) AS BIGINT) AS shared
+             |       FROM ct JOIN qt USING (tok) GROUP BY 1, 2),
+             |tr AS (SELECT q_id, doc_id,
+             |              CAST(row_number() OVER (PARTITION BY q_id
+             |                ORDER BY shared DESC, doc_id) AS BIGINT) AS r_text
+             |       FROM sh QUALIFY r_text <= 20),
+             |f AS (SELECT COALESCE(vr.q_id, tr.q_id) AS q_id,
+             |             COALESCE(vr.doc_id, tr.doc_id) AS doc_id,
+             |             vr.r_vec, tr.r_text
+             |      FROM vr FULL JOIN tr
+             |        ON vr.q_id = tr.q_id AND vr.doc_id = tr.doc_id)
+             |SELECT q_id, doc_id, r_vec, r_text,
+             |       round(COALESCE(CAST(1.0 AS DOUBLE) / (60 + r_vec), 0)
+             |             + COALESCE(CAST(1.0 AS DOUBLE) / (60 + r_text), 0), 6) AS rrf_score
+             |FROM f
+             |QUALIFY row_number() OVER (PARTITION BY q_id
+             |          ORDER BY rrf_score DESC, doc_id) <= 10
+             |ORDER BY q_id, rrf_score DESC, doc_id""".stripMargin)),
+
     // ── IVF approximation quality as a driver-hashed number (the
     //    ann_recall/pq_recall convention): per-query recall of the probed
     //    top-k against the exact brute-force top-k — a centroid, probe, or
@@ -3359,7 +3407,7 @@ object CatalogExt {
         Similarity.knnGraphStats(
           Tables.embeddings(spark, dir)
             .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
-            .limit(1000), 5),
+            .limit(Similarity.KnnAuditBudget), 5),
       Some("""WITH v AS (SELECT vec_id, embedding FROM embeddings
              |           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 1000),
              |sc AS (SELECT a.vec_id AS q_id, b.vec_id AS dst,

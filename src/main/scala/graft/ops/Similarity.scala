@@ -88,6 +88,71 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Hybrid retrieval with reciprocal-rank fusion (Cormack et al. 2009) —
+    * the standard serving shape for RAG-style search: a VECTOR ranking
+    * (exact cosine top-kCand via the [[cosineTopK]] partial-agg scan) and
+    * a LEXICAL ranking (distinct-token overlap with the query document)
+    * fuse per query as Σ 1/(k0 + rank) over the lists the doc appears in.
+    * Rank fusion needs no score calibration between modalities — exactly
+    * why serving stacks default to RRF over weighted-score sums.
+    *
+    * Determinism/portability: both ranks derive from total orders
+    * ((cos desc, id) / (shared desc, id)), shared-token counts are exact
+    * BIGINTs, and the fused score is 1/(k0+r_vec) + 1/(k0+r_text) in one
+    * fixed double association rounded once at 6 (ties → doc_id), so the
+    * whole report hash-matches a relational twin.
+    *
+    * Scale shape: queries are a bounded batch (the broadcast-queries
+    * contract). The vector scan leaves ≤ kCand rows per query per map
+    * task through the partial top-k aggregate; the lexical side is ONE
+    * corpus token explode + a literal token→queries map lookup (map-side
+    * semi — the query vocabulary is batch-bounded) + one (q, doc) count
+    * aggregate reduced by the same partial top-k, with ranks read off
+    * the ordered top-k arrays by posexplode — no corpus-wide window or
+    * sort anywhere. The rank windows at the end run over ≤ 2·kCand rows
+    * per query.
+    */
+  def hybridRrfSearch(docs: DataFrame, emb: DataFrame, qMax: Long,
+                      kCand: Int = 20, kOut: Int = 10,
+                      k0: Int = 60): DataFrame = {
+    val wv = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    val vecRank = cosineTopK(emb.filter(col("vec_id") < qMax),
+                             emb.filter(col("vec_id") >= qMax), kCand)
+      .withColumn("r_vec", row_number().over(wv).cast("long"))
+      .select(col("q_id"), col("vec_id").as("doc_id"), col("r_vec"))
+    // query token sets ride as a literal token → [query ids] map — the
+    // pqTopK plan-literal convention (a query batch is driver-small by
+    // construction); a corpus token not in any query explodes to nothing
+    val tokMap: Map[String, Seq[Long]] = docs.filter(col("doc_id") < qMax)
+      .select(col("doc_id"),
+              explode(array_distinct(split(col("text"), " "))).as("tok"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._2).map { case (t, xs) => t -> xs.map(_._1).sorted.toSeq }
+    def tk(id: Column, s: Column) =
+      org.apache.spark.sql.graft.TopKPairsAgg.topkPairs(kCand, id, s)
+    val textRank = docs.filter(col("doc_id") >= qMax)
+      .select(col("doc_id"),
+              explode(array_distinct(split(col("text"), " "))).as("tok"))
+      .select(col("doc_id"),
+              explode(element_at(typedLit(tokMap), col("tok"))).as("q_id"))
+      .groupBy(col("q_id"), col("doc_id")).agg(count(lit(1)).as("shared"))
+      .groupBy(col("q_id"))
+      .agg(tk(col("doc_id"), col("shared").cast("double")).as("tkl"))
+      .select(col("q_id"), posexplode(col("tkl")).as(Seq("p", "e")))
+      .select(col("q_id"), col("e._1").as("doc_id"),
+              (col("p") + 1).cast("long").as("r_text"))
+    val one = lit(1.0)
+    vecRank.join(textRank, Seq("q_id", "doc_id"), "full_outer")
+      .withColumn("rrf_score", round(
+        coalesce(one / (lit(k0.toLong) + col("r_vec")), lit(0.0)) +
+        coalesce(one / (lit(k0.toLong) + col("r_text")), lit(0.0)), 6))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("rrf_score").desc, col("doc_id"))))
+      .filter(col("__rk") <= kOut).drop("__rk")
+  }
+
   /** Recall@k CURVE of the sign-LSH ANN against the exact top-k, at
     * several k in one pass — the eval a pipeline reads before choosing
     * the ANN's operating point (recall@1 says "is the nearest neighbor
@@ -1553,6 +1618,15 @@ object Similarity {
     * Emits one row: (n_nodes, n_edges, n_mutual_pairs, mean_top1_cos,
     * mean_topk_cos).
     */
+  /** Caller contract for [[knnGraphStats]]: the input is a FIXED AUDIT
+    * SAMPLE, never the corpus — the op is O(n²) by design (exact mutual-kNN
+    * ground truth) and its `repartition(defaultParallelism)` round-robins
+    * the sampled side, which is only acceptable because n is bounded by
+    * this budget. The knn_mutual_graph catalog row draws exactly this many
+    * vectors (md5-ordered — a deterministic uniform draw).
+    */
+  val KnnAuditBudget: Int = 1000
+
   def knnGraphStats(embeddings: DataFrame, k: Int): DataFrame = {
     // materialize the node set once — it feeds both the broadcast build and
     // the probe scan (an un-checkpointed sample would re-run its upstream

@@ -474,6 +474,44 @@ class SimilaritySpec extends AnyFunSuite {
     assert(picks(2).getAs[Double]("max_sim") == 0.0)
   }
 
+  test("hybridRrfSearch: hand-computed fusion — both-list docs sum two " +
+       "reciprocals, single-list docs one") {
+    import spark.implicits._
+    // query doc 0: vector ranking over docs 10, 11, 12 is controlled by
+    // cosine; lexical ranking by shared distinct tokens
+    def v(x: Float, y: Float) = Seq(x, y) ++ Seq.fill(62)(0.0f)
+    val emb = Seq(
+      (0L, v(1, 0)),          // query
+      (10L, v(1, 0.01f)),     // nearest
+      (11L, v(1, 0.2f)),      // second
+      (12L, v(0, 1))          // far
+    ).toDF("vec_id", "embedding")
+    val docs = Seq(
+      (0L, "alpha beta gamma"),
+      (10L, "delta epsilon zeta"),     // 0 shared → vector-only
+      (11L, "alpha beta delta"),       // 2 shared → lexical rank 1
+      (12L, "alpha zeta eta")          // 1 shared → lexical rank 2
+    ).toDF("doc_id", "text")
+    val r = Similarity.hybridRrfSearch(docs, emb, qMax = 8, kCand = 3,
+        kOut = 3, k0 = 60)
+      .collect().map(x => x.getAs[Long]("doc_id") ->
+        (Option(x.getAs[java.lang.Long]("r_vec")).map(_.toLong),
+         Option(x.getAs[java.lang.Long]("r_text")).map(_.toLong),
+         x.getAs[Double]("rrf_score"))).toMap
+    def rrf(terms: Long*) = {
+      val s = terms.map(t => 1.0 / (60.0 + t)).sum
+      java.math.BigDecimal.valueOf(s)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    }
+    // vec ranks: 10 → 1, 11 → 2, 12 → 3; text ranks: 11 → 1, 12 → 2
+    assert(r(10L) == ((Some(1L), None, rrf(1))), r(10L).toString)
+    // terms sum vec-first (the op's fixed association): 1/62 + 1/61
+    assert(r(11L) == ((Some(2L), Some(1L), rrf(2, 1))), r(11L).toString)
+    assert(r(12L) == ((Some(3L), Some(2L), rrf(3, 2))), r(12L).toString)
+    // doc 11 fuses both lists and must outrank the vector-only doc 10
+    assert(r(11L)._3 > r(10L)._3)
+  }
+
   test("IVF/SQ8 index lifecycle: load ≡ build bit-identity, loud config " +
        "and corruption errors") {
     val corpus = emb.filter(col("vec_id") >= 8)

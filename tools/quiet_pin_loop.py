@@ -110,12 +110,16 @@ def attempt_pin():
     info["median_total_sec"] = json.load(open(pin_file))["median_total_sec"]
     return True, info
 
-def run_bench(baseline_sec, calib_quiet):
+def run_bench(baseline_sec):
+    # calib_quiet stays the historical Bench-scale 0.80 default: the
+    # CalibProbe main reads ~0.05-0.07 HIGHER than Bench's in-run calib in
+    # the same window (less JIT warm-up), so a probe-derived pin would
+    # understate host_factor and flatter later ratios. The bench judges its
+    # own window by its own calibs.
     out = os.path.join(out_dir, "bench_quiet.json")
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_CPUS="32",
                SPARK_GRAFT_SHUFFLE="32",
                SPARK_GRAFT_BASELINE_SEC=str(baseline_sec),
-               SPARK_GRAFT_CALIB_QUIET_SEC=str(calib_quiet),
                SPARK_GRAFT_BENCH_OUT=out)
     try:
         r = subprocess.run([os.path.join(REPO, "tools/run_main.sh"),
@@ -155,8 +159,7 @@ def main():
                 status(state="pinning", attempt=attempts, opens=open_mins)
                 ok, info = attempt_pin()
                 if ok:
-                    # conservative calib_quiet: median of the window's probe
-                    # minima (open x2 + close) — Bench's pin-choice note
+                    # recorded for the audit trail only (see run_bench note)
                     calib_quiet = round(statistics.median(
                         open_mins + [info["close_min"]]), 3)
                     shutil.copy(
@@ -167,8 +170,8 @@ def main():
                         f"(runs {info['totals']}, close {info['close_min']}); "
                         f"calib_quiet={calib_quiet}; running Bench")
                     status(state="accepted_benching", pin=info,
-                           calib_quiet=calib_quiet)
-                    bench = run_bench(info["median_total_sec"], calib_quiet)
+                           probe_calib_quiet=calib_quiet)
+                    bench = run_bench(info["median_total_sec"])
                     status(state="DONE", pin=info, calib_quiet=calib_quiet,
                            bench_ok=bench is not None,
                            bench_calibs=(bench or {}).get("calib_secs"),
