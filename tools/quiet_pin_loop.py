@@ -154,6 +154,27 @@ def main():
             if last_quiet and now - last_quiet[0] >= GAP_SEC:
                 attempts += 1
                 open_mins = [last_quiet[1], mn]
+                # Bench-only mode (BENCH_ONLY_BASELINE=<bar>): the pin is
+                # already installed; just land one full Bench in a quiet
+                # window, judged by ITS OWN calibs (Bench scale, quiet 0.80)
+                bench_bar = os.environ.get("BENCH_ONLY_BASELINE")
+                if bench_bar:
+                    log(f"QUIET window (opens {open_mins}) — bench attempt "
+                        f"{attempts}/{MAX_ATTEMPTS}")
+                    status(state="benching", attempt=attempts, opens=open_mins)
+                    bench = run_bench(float(bench_bar))
+                    calibs = (bench or {}).get("calib_secs") or [9.9]
+                    if bench and min(calibs) <= 0.85:
+                        status(state="DONE", bench_calibs=calibs,
+                               vs_baseline=bench.get("vs_baseline"),
+                               vs_baseline_quiet=bench.get("vs_baseline_quiet"))
+                        log(f"DONE: quiet bench calibs={calibs} "
+                            f"vs_baseline={bench.get('vs_baseline')}")
+                        return
+                    log(f"bench window not quiet (calibs {calibs}); retrying")
+                    status(state="bench_rejected", calibs=calibs)
+                    last_quiet = None
+                    continue
                 log(f"QUIET window confirmed (opens {open_mins}) — "
                     f"pin attempt {attempts}/{MAX_ATTEMPTS}")
                 status(state="pinning", attempt=attempts, opens=open_mins)
