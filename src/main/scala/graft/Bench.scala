@@ -160,26 +160,21 @@ object Bench {
     // (BASELINE.md round-4 re-pin) so the host-factor correction is
     // coherent: a bench run in a slower window scales the bar to what
     // DuckDB would have measured there.
-    // 76.8 = the round-10 session-4 measured 205-query pin (BASELINE.md
-    // "Round-10 session-4 re-pin": median of 5 process runs, range
-    // 75.5–85.1 — the 85.1 run was a degraded pass the median discards —
-    // brackets 0.757 open / 0.858 close; the closing probe sat ~7% over
-    // the 0.80 quiet pin, so this bar may read up to ~5% high; an
-    // earlier same-day 3-run probe over 198 queries read 72.1
-    // (70.7–75.6)). ZERO increment layers: every one of the 205 twins
-    // was measured in this single window. Composition cross-check: the
-    // round-9 close 167-query pin (68.8) plus the 38 twins added since,
-    // measured solo (~5–6 s total), composes to ≈74–75; the in-window
-    // median sits ~3% above it — the same solo-reads-lower direction
-    // every prior re-pin saw. `baseline_per_query.json` carries the
-    // same window. NOTE the suite is 215 queries at round 11 (the 10
-    // rows added since the 205-pin measured solo ≈+2.1 s of twin time in
-    // a warm round-11 window: tf_cosine_dups 0.99, kcenter_coreset 0.61
-    // after its CTE-materialization fix, brier 0.14, the rest ≤0.13 —
-    // composed 215-query bar ≈78.9); the DEFAULT bar stays the measured
-    // 76.8 until a quiet-window re-pin, which understates the bar and so
-    // OVERSTATES vs_baseline — the conservative direction.
-    val baselineQuiet = sys.env.getOrElse("SPARK_GRAFT_BASELINE_SEC", "76.8").toDouble
+    // 75.67 = the round-12 measured 218-query pin (BASELINE.md "Round-12
+    // quiet-window re-pin": median of 5 process runs 75.7/76.8/78.2/
+    // 74.4/75.1 — range ≤1.05×, no degraded pass — in one probe-bracketed
+    // window, opens 0.823/0.873 and CLOSE 0.788 on the CalibProbe scale,
+    // i.e. the window held quiet through the pin; landed unattended by
+    // tools/quiet_pin_loop.py). ZERO increment layers: every one of the
+    // 218 twins was measured in this single window. Composition
+    // cross-check: the round-10 205-query bar 76.8 (whose window closed
+    // ~7% warm, flagged "may read ~5% high") corrected to quiet ≈73 plus
+    // the 13 twins added since (solo ≈+2.9 s) composes to ≈75.9 — the
+    // adopted median sits right on it. `baseline_per_query.json` carries
+    // the same window. Lower bar than the 205-query 76.8 despite 13 more
+    // rows because THIS window was genuinely quiet end to end — the
+    // conservative direction (a lower bar only ever raises vs_baseline).
+    val baselineQuiet = sys.env.getOrElse("SPARK_GRAFT_BASELINE_SEC", "75.67").toDouble
     // Host-speed calibration (BASELINE.md "Host-speed calibration"): the
     // shared build host has multi-minute windows where EVERYTHING runs
     // 20-85% slower (hypervisor-level; guest vmstat shows idle CPU while
