@@ -777,21 +777,24 @@ object Similarity {
     cents
   }
 
-  /** Deterministic integer fold over config + centroid raw float bits
-    * (31-mix; collision-safe enough for corruption detection, and exactly
-    * reproducible anywhere).
+  /** The ONE deterministic integer fold every index fingerprint uses
+    * (31-mix from a large-prime seed; collision-safe enough for
+    * corruption detection, exactly reproducible anywhere). Callers
+    * flatten (config ++ payload bits) into the iterator — keeping a
+    * single algorithm keeps the fingerprint discipline identical across
+    * index kinds.
     */
+  private def indexFingerprint(values: Iterator[Long]): Long =
+    values.foldLeft(1125899906842597L)((h, x) => h * 31 + x)
+
   private def ivfIndexFingerprint(nCentroids: Int, iters: Int, dim: Int,
-                                  cents: Array[(Long, Array[Float])]): Long = {
-    var h = 1125899906842597L
-    def mix(x: Long): Unit = h = h * 31 + x
-    mix(nCentroids.toLong); mix(iters.toLong); mix(dim.toLong)
-    cents.sortBy(_._1).foreach { case (cid, v) =>
-      mix(cid)
-      v.foreach(f => mix(java.lang.Float.floatToRawIntBits(f).toLong))
-    }
-    h
-  }
+                                  cents: Array[(Long, Array[Float])]): Long =
+    indexFingerprint(
+      Iterator(nCentroids.toLong, iters.toLong, dim.toLong) ++
+      cents.sortBy(_._1).iterator.flatMap { case (cid, v) =>
+        Iterator(cid) ++
+          v.iterator.map(f => java.lang.Float.floatToRawIntBits(f).toLong)
+      })
 
   /** Persist the corpus-trained SQ8 [min, max] ladder (see [[sq8Ladder]])
     * under `path` — the quantizer face of the index lifecycle. Layout:
@@ -828,13 +831,100 @@ object Similarity {
     ladder
   }
 
-  private def sq8IndexFingerprint(ladder: Array[(Long, Long)]): Long = {
-    var h = 1125899906842597L
-    def mix(x: Long): Unit = h = h * 31 + x
-    mix(ladder.length.toLong)
-    ladder.foreach { case (mn, mx) => mix(mn); mix(mx) }
-    h
+  private def sq8IndexFingerprint(ladder: Array[(Long, Long)]): Long =
+    indexFingerprint(
+      Iterator(ladder.length.toLong) ++
+      ladder.iterator.flatMap { case (mn, mx) => Iterator(mn, mx) })
+
+  /** Persist the trained PQ codebooks (see [[pqCodebooks]]) under `path`
+    * — the product-quantizer face of the index lifecycle. Layout:
+    * <path>/books (subspace, code, centroid float[]) + <path>/meta
+    * (config + fingerprint).
+    */
+  def savePqIndex(spark: SparkSession, path: String, corpus: DataFrame,
+                  m: Int, codesPerBook: Int, iters: Int,
+                  dim: Int = 64): Unit = {
+    val books = pqCodebooks(corpus, m, codesPerBook, iters, dim)
+    import spark.implicits._
+    books.zipWithIndex.flatMap { case (book, s) =>
+      book.map { case (code, v) => (s, code, v.toSeq) } }.toSeq
+      .toDF("subspace", "code", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/books")
+    Seq((m, codesPerBook, iters, dim,
+         pqIndexFingerprint(m, codesPerBook, iters, dim, books)))
+      .toDF("m", "codes_per_book", "iters", "dim", "fingerprint")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
+
+  /** Load PQ codebooks persisted by [[savePqIndex]] (config- and
+    * fingerprint-validated; float lanes roundtrip parquet bit-identically,
+    * so a search against the loaded books equals the in-session build —
+    * spec-pinned).
+    */
+  def loadPqIndex(spark: SparkSession, path: String, m: Int,
+                  codesPerBook: Int, iters: Int,
+                  dim: Int = 64): Array[Array[(Long, Array[Float])]] = {
+    val meta = spark.read.parquet(s"$path/meta").collect()
+    require(meta.length == 1, s"loadPqIndex: expected 1 meta row at $path")
+    val mt = meta(0)
+    val stored = (mt.getAs[Int]("m"), mt.getAs[Int]("codes_per_book"),
+                  mt.getAs[Int]("iters"), mt.getAs[Int]("dim"))
+    require(stored == ((m, codesPerBook, iters, dim)),
+      s"loadPqIndex: index at $path was trained with (m, codesPerBook, " +
+      s"iters, dim) = $stored, caller requested " +
+      s"(${m}, ${codesPerBook}, ${iters}, ${dim})")
+    val rows = spark.read.parquet(s"$path/books").collect()
+      .map(r => (r.getAs[Int]("subspace"), r.getAs[Long]("code"),
+                 r.getAs[scala.collection.Seq[Float]]("centroid").toArray))
+    val books = Array.tabulate(m) { s =>
+      rows.filter(_._1 == s).map(r => (r._2, r._3)).sortBy(_._1)
+    }
+    val fp = pqIndexFingerprint(m, codesPerBook, iters, dim, books)
+    require(fp == mt.getAs[Long]("fingerprint"),
+      s"loadPqIndex: fingerprint mismatch at $path — corrupted or " +
+      "partially written index")
+    books
+  }
+
+  /** [[pqTopK]] against PRE-TRAINED codebooks (see [[loadPqIndex]]):
+    * same ADC scoring kernel, no training jobs.
+    */
+  def pqTopKWithIndex(queries: DataFrame, corpus: DataFrame, k: Int,
+                      books: Array[Array[(Long, Array[Float])]])
+      : DataFrame = {
+    // dimensions derive from the LOADED books, never a caller argument —
+    // a disagreeing dim would silently truncate the driver-side dot
+    // tables (wrong ranking) or stride past the centroid lanes
+    val subDim = books.head.head._2.length
+    val dim = subDim * books.length
+    val qRows = queries.select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    qRows.find(_._2.length != dim).foreach { case (id, v) =>
+      throw new IllegalArgumentException(
+        s"pqTopKWithIndex: query $id has dimension ${v.length}, the loaded " +
+        s"index is ${books.length} subspaces x $subDim lanes = $dim")
+    }
+    val scoresCol = adcScoresCol(qRows, books, subDim)
+    val qIds = lit(qRows.map(_._1))
+    val scored = corpus
+      .withColumn("__codes", pqCodesCol(books))
+      .select(col("vec_id"), posexplode(scoresCol).as(Seq("qi", "cos_sim")))
+      .select(element_at(qIds, col("qi") + 1).as("q_id"),
+              col("vec_id"), col("cos_sim"))
+    topKPerQuery(scored, k).withColumnRenamed("cos_sim", "adc_score")
+  }
+
+  private def pqIndexFingerprint(m: Int, codesPerBook: Int, iters: Int,
+                                 dim: Int,
+                                 books: Array[Array[(Long, Array[Float])]])
+      : Long =
+    indexFingerprint(
+      Iterator(m.toLong, codesPerBook.toLong, iters.toLong, dim.toLong) ++
+      books.iterator.flatMap(_.sortBy(_._1).iterator.flatMap {
+        case (code, v) =>
+          Iterator(code) ++
+            v.iterator.map(f => java.lang.Float.floatToRawIntBits(f).toLong)
+      }))
 
   private def kmeansCentroidsLocal(corpus: DataFrame, k: Int, iters: Int,
                                    dim: Int): Array[(Long, Array[Float])] = {
@@ -1062,6 +1152,14 @@ object Similarity {
                        cents: Array[(Long, Array[Float])]): DataFrame = {
     val qRows = queries.select(col("vec_id"), col("embedding")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    // queries must match the loaded index's dimension — a shorter vector
+    // would silently probe/score on truncated cosines, a longer one AIOOBE
+    val dim = cents.head._2.length
+    qRows.find(_._2.length != dim).foreach { case (id, v) =>
+      throw new IllegalArgumentException(
+        s"ivfTopKWithIndex: query $id has dimension ${v.length}, the " +
+        s"loaded index is $dim-dimensional")
+    }
     ivfTopKScore(qRows, corpus, k, nProbe, cents)
   }
 

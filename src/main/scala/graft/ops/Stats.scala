@@ -476,9 +476,11 @@ object Stats {
       .select(col("__shard"), packed.as("__reg"), col("__v"))
       .groupBy(col("__shard"))
       .agg(tk(col("__reg")).as("tk"), count(lit(1)).as("n"),
+           count(col("__reg")).as("n_reg"),
            min(col("__v")).as("mn"), max(col("__v")).as("mx"))
     val shardStats = perShard.agg(
       count(lit(1)).as("n_shards"), sum(col("n")).as("n_rows"),
+      sum(col("n_reg")).as("n_regs"),
       min(col("mn")).as("vmin"), max(col("mx")).as("vmax"))
     val mergedTk = perShard
       .select(explode(expr("transform(tk, e -> e._1)")).as("reg"))
@@ -498,13 +500,21 @@ object Stats {
     val exacts = grid.withColumn("nn", nAll)
       .agg(exCols.head, exCols.tail: _*)
       .select(array(qs.indices.map(i => col(s"__ex$i")): _*).as("exact_arr"))
-    val guard = when(col("vmin") >= 0L && col("vmax") < lit(2147483648L),
+    // min/max skip NULLs, so the range check alone would let a NULL key or
+    // measure silently DROP from the sample while still counting in n_rows
+    // (and skew the exact grid, NULLS FIRST vs LAST across engines) —
+    // count(reg) = count(*) makes that loud too
+    val guard = when(col("vmin") >= 0L && col("vmax") < lit(2147483648L) &&
+                       col("n_regs") === col("n_rows"),
         lit(true))
       .otherwise(raise_error(concat(
         lit("quantileSketchMerge: values outside the [0, 2^31) register " +
-            "packing range: min="),
-        col("vmin").cast("string"), lit(" max="), col("vmax").cast("string"),
-        lit(" — pre-scale or offset the measure"))).isNull)
+            "packing range or NULL keys/values (registers="),
+        col("n_regs").cast("string"), lit(" of "),
+        col("n_rows").cast("string"),
+        lit(" rows, min="), col("vmin").cast("string"),
+        lit(" max="), col("vmax").cast("string"),
+        lit(") — pre-scale/offset the measure and filter NULLs"))).isNull)
     val m = size(col("vals"))
     mergedTk
       .crossJoin(broadcast(shardStats))

@@ -556,5 +556,32 @@ class SimilaritySpec extends AnyFunSuite {
     // loaded ladder reproduces the in-session sq8 ranking end to end
     val viaLoad = Similarity.loadSq8Index(spark, s"$dir/sq8")
     assert(viaLoad.toSeq == ladder.toSeq)
+    // PQ codebooks: save → load → ADC search equals the in-session build
+    Similarity.savePqIndex(spark, s"$dir/pq", corpus, m = 16,
+      codesPerBook = 16, iters = 1)
+    val booksLoaded = Similarity.loadPqIndex(spark, s"$dir/pq", 16, 16, 1)
+    val pqLoadedSearch = Similarity.pqTopKWithIndex(
+      emb.filter(col("vec_id") < 8), corpus, 5, booksLoaded).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    val pqBuiltSearch = Similarity.pqTopK(
+      emb.filter(col("vec_id") < 8), corpus, 5, 16, 16, 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    assert(pqLoadedSearch.toSeq == pqBuiltSearch.toSeq,
+      "PQ search against loaded codebooks must equal the in-session build")
+    val e3 = intercept[IllegalArgumentException] {
+      Similarity.loadPqIndex(spark, s"$dir/pq", 16, 32, 1)
+    }
+    assert(e3.getMessage.contains("trained with"), e3.getMessage)
+    // dim-mismatched QUERIES against a loaded index are loud, not a
+    // truncated-cosine ranking (the kernel dim-guard convention)
+    val shortQ = Seq((1L, Seq.fill(8)(0.5f))).toDF("vec_id", "embedding")
+    val e4 = intercept[IllegalArgumentException] {
+      Similarity.ivfTopKWithIndex(shortQ, corpus, 5, 4, loaded)
+    }
+    assert(e4.getMessage.contains("dimension 8"), e4.getMessage)
+    val e5 = intercept[IllegalArgumentException] {
+      Similarity.pqTopKWithIndex(shortQ, corpus, 5, booksLoaded)
+    }
+    assert(e5.getMessage.contains("dimension 8"), e5.getMessage)
   }
 }

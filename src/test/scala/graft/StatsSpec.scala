@@ -545,6 +545,17 @@ class StatsSpec extends AnyFunSuite {
     }
     assert(e.getMessage != null && e.getMessage.contains("packing range"),
       String.valueOf(e.getMessage))
+    // NULL measures would silently drop from the sample (min/max skip
+    // NULLs) while still counting in n_rows — the register-count guard
+    // makes that loud too
+    val withNull = Seq((1L, 0, Some(5L)), (2L, 0, None), (3L, 1, Some(7L)))
+      .toDF("id", "shard", "v")
+    val e2 = intercept[Exception] {
+      Stats.quantileSketchMerge(withNull, col("id"), col("v"), col("shard"))
+        .collect()
+    }
+    assert(e2.getMessage != null && e2.getMessage.contains("NULL"),
+      String.valueOf(e2.getMessage))
   }
 
   test("giniConcentration: hand-computed on ties, zero on equal values") {

@@ -139,6 +139,10 @@ def main():
         f"deadline={DEADLINE_H}h, suite={oracle_json}")
     while time.time() < deadline and attempts < MAX_ATTEMPTS:
         if os.path.exists(BUSY_FLAG):
+            # builder-busy gaps are unobserved time: a quiet reading from
+            # before the gap must not pair with the first post-gap probe
+            # (the 2-probe confirmation would straddle hours of unknown)
+            last_quiet = None
             status(state="waiting_busy")
             time.sleep(60)
             continue

@@ -4,7 +4,11 @@
 # Mirrors build.sbt's fork options (JDK17 add-opens, UTC, UI off).
 # Compile first with `sbt -batch compile`. Dev tool only.
 set -u
-CP="/root/repo/target/scala-2.13/classes:/opt/spark/jars/*"
+# classes dir derives from this script's own location (the quiet_pin_loop
+# convention) — a hardcoded /root/repo would silently run stale classes
+# from a different checkout
+REPO="$(cd "$(dirname "${BASH_SOURCE[0]}")/.." && pwd)"
+CP="$REPO/target/scala-2.13/classes:/opt/spark/jars/*"
 OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
          java.nio java.util java.util.concurrent java.util.concurrent.atomic \
