@@ -460,7 +460,8 @@ object Stats {
     */
   def quantileSketchMerge(df: DataFrame, rowKey: Column, valueCol: Column,
                           shardCol: Column, k: Int = 256,
-                          qs: Seq[Double] = Seq(0.1, 0.25, 0.5, 0.75, 0.9))
+                          qs: Seq[Double] = Seq(0.1, 0.25, 0.5, 0.75, 0.9),
+                          distributedExactAudit: Boolean = false)
       : DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
       s"quantileSketchMerge: quantiles must lie in (0, 1], got $qs")
@@ -487,25 +488,62 @@ object Stats {
       .agg(tk(col("reg")).as("tk"))
       .select(array_sort(expr("transform(tk, e -> e._1 % 2147483648)"))
         .as("vals"))
-    // exact rank quantiles from the value-histogram grid (domain-bounded)
-    val wv = Window.orderBy(col("__v"))
-    val grid = base.groupBy(col("__v")).agg(count(lit(1)).as("c"))
-      .withColumn("cum", sum(col("c")).over(wv))
-    val nAll = sum(col("c")).over(
-      wv.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    // The exact-rank accuracy columns (hll_distinct's n_exact convention —
+    // an AUDIT of the sketch, not the serving path) need a global prefix
+    // sum over the distinct-value grid. Two value-identical shapes,
+    // spec-pinned equal:
+    //  - default (the bench/audit shape): one window over the grid —
+    //    measured-optimal locally, fine wherever the grid is
+    //    test/audit-sized;
+    //  - distributedExactAudit (the 100 TB shape — a price grid is
+    //    near-unique, so the single window would serialize a corpus-sized
+    //    sort onto one task): the grid RANGE-partitions on value (equal
+    //    keys co-located, exchange REUSED across branches), the
+    //    ≤|partitions|-row totals cumulate through a window over that tiny
+    //    relation, and the exclusive offsets broadcast-join back so
+    //    cum = offset(pid) + the within-partition running sum — the only
+    //    cross-partition ordering work happens on |partitions| rows.
     val exCols = qs.zipWithIndex.map { case (q, i) =>
       min(when(col("cum") >= greatest(lit(1L), ceil(lit(q) * col("nn"))),
                col("__v"))).as(s"__ex$i")
     }
-    val exacts = grid.withColumn("nn", nAll)
+    val grid0 = base.groupBy(col("__v")).agg(count(lit(1)).as("c"))
+    val cumGrid =
+      if (distributedExactAudit) {
+        val grid = grid0.repartitionByRange(col("__v"))
+          .withColumn("__pid", spark_partition_id())
+        val ptots = grid.groupBy(col("__pid")).agg(sum(col("c")).as("t"))
+        val pidOffsets = ptots
+          .withColumn("off", coalesce(sum(col("t")).over(
+            Window.orderBy(col("__pid"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col("__pid"), col("off"))
+        val ntotRel = ptots.agg(sum(col("t")).as("nn"))
+        val wv = Window.partitionBy(col("__pid")).orderBy(col("__v"))
+        grid
+          .join(broadcast(pidOffsets), Seq("__pid"))
+          .withColumn("cum", col("off") + sum(col("c")).over(wv))
+          .crossJoin(broadcast(ntotRel))
+      } else {
+        val wv = Window.orderBy(col("__v"))
+        grid0
+          .withColumn("cum", sum(col("c")).over(wv))
+          .withColumn("nn", sum(col("c")).over(
+            wv.rowsBetween(Window.unboundedPreceding,
+                           Window.unboundedFollowing)))
+      }
+    val exacts = cumGrid
       .agg(exCols.head, exCols.tail: _*)
       .select(array(qs.indices.map(i => col(s"__ex$i")): _*).as("exact_arr"))
     // min/max skip NULLs, so the range check alone would let a NULL key or
     // measure silently DROP from the sample while still counting in n_rows
     // (and skew the exact grid, NULLS FIRST vs LAST across engines) —
     // count(reg) = count(*) makes that loud too
-    val guard = when(col("vmin") >= 0L && col("vmax") < lit(2147483648L) &&
-                       col("n_regs") === col("n_rows"),
+    // empty input is vacuously safe (the filter below yields the 0-row
+    // schema-correct report — the winsorizedStats convention)
+    val guard = when(col("n_rows").isNull ||
+                       (col("vmin") >= 0L && col("vmax") < lit(2147483648L) &&
+                        col("n_regs") === col("n_rows")),
         lit(true))
       .otherwise(raise_error(concat(
         lit("quantileSketchMerge: values outside the [0, 2^31) register " +
@@ -520,6 +558,7 @@ object Stats {
       .crossJoin(broadcast(shardStats))
       .crossJoin(broadcast(exacts))
       .filter(guard)
+      .filter(col("n_rows").isNotNull)
       .select(col("*"), posexplode(typedLit(qs)).as(Seq("qi", "q")))
       .select(col("q"), lit(k.toLong).as("sketch_k"), col("n_shards"),
         col("n_rows"), m.cast("long").as("sample_m"),

@@ -556,6 +556,19 @@ class StatsSpec extends AnyFunSuite {
     }
     assert(e2.getMessage != null && e2.getMessage.contains("NULL"),
       String.valueOf(e2.getMessage))
+    // empty input: 0-row schema-correct report (winsorizedStats convention)
+    val empty = Stats.quantileSketchMerge(
+      df.filter(lit(false)), col("id"), col("v"), col("shard"))
+    assert(empty.columns.length == 9 && empty.count() == 0L)
+    // the distributed exact-audit shape (the 100 TB prefix-sum form) is
+    // value-identical to the default single-window audit
+    val dist = Stats.quantileSketchMerge(df, col("id"), col("v"),
+        col("shard"), k = 256, distributedExactAudit = true)
+      .collect().map(_.toSeq).toSeq
+    val dflt = Stats.quantileSketchMerge(df, col("id"), col("v"),
+        col("shard"), k = 256)
+      .collect().map(_.toSeq).toSeq
+    assert(dist == dflt, "distributed exact audit must equal single-window")
   }
 
   test("giniConcentration: hand-computed on ties, zero on equal values") {
