@@ -43,6 +43,14 @@ object Graph {
     */
   val DriverEdgeLimit = 2000000L
 
+  /** Neighbor-degree ceiling for [[linkPrediction]]'s in-row wedge-pair
+    * array. C(1024,2) ≈ 524k structs ≈ tens of MB per row — the largest
+    * single-row allocation the explode path is allowed to build. Centers
+    * above it stream their pairs through a self-join instead (same rows,
+    * distributed across tasks).
+    */
+  val WedgeDegreeCap = 1024
+
   /** Fixed-iteration damped PageRank over a directed edge list
     * `(src, dst)` (any equatable node type). Every node must appear as a
     * src (for the symmetrized bipartite graphs this serves, that holds by
@@ -312,16 +320,33 @@ object Graph {
     * localCheckpoint: degrees are the array sizes (no aggregate), the
     * oriented edge set is a map-side explode of the u < v half, and the
     * candidate wedge pairs explode i<j from the same arrays exactly like
-    * the basket pairs — NO self-join exists at all (the former
+    * the basket pairs — NO self-join exists on the common path (the former
     * co-partitioned center self-join still re-read the full adjacency
     * twice and rebuilt hashed relations; the array explode reads the
     * checkpoint once per consumer at |items| rows, not |edges|). The
     * degree relation is bounded by the ITEM dimension, so both degree
     * attachments are explicit broadcasts of the same map.
+    *
+    * Skew guard (round 13): the per-row i<j array explode builds C(d,2)
+    * structs INSIDE one row before exploding — fine for the bounded
+    * degrees the support prune leaves, an executor-OOM cliff for a hub
+    * item with, say, 50k neighbors (1.25e9 structs in a single row on a
+    * single task). Centers above [[WedgeDegreeCap]] therefore route
+    * through a posexplode + co-partitioned self-equi-join on the center
+    * key: the same C(d,2) wedge pairs, but STREAMED through a join across
+    * tasks instead of materialized in-row. Both branches read the same
+    * localCheckpoint (no pipeline re-derivation), and the union feeds one
+    * count aggregate, so the result is bit-identical whichever path a
+    * center takes. Basket-side pair explode stays per-row: a basket's
+    * item set is application-bounded (an order's line items), unlike item
+    * popularity, and that relation is not checkpointed (a branch split
+    * would re-run the whole basket aggregate per branch).
     */
   def linkPrediction(baskets: DataFrame, basketCol: String, itemCol: String,
-                     minSupport: Long, k: Int): DataFrame = {
+                     minSupport: Long, k: Int,
+                     wedgeDegreeCap: Int = WedgeDegreeCap): DataFrame = {
     require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
+    require(wedgeDegreeCap >= 2, s"wedgeDegreeCap must be >= 2, got $wedgeDegreeCap")
     def sortedPairs(arr: Column) = flatten(transform(arr, (a, i) =>
       transform(slice(arr, i + 2, size(arr)), b =>
         struct(a.as("u"), b.as("v")))))
@@ -357,8 +382,18 @@ object Graph {
                              size(col("ns")).cast("long").as("d"))
     val edges = centers.select(explode(col("ns")).as("u"), col("v"))
       .filter(col("u") < col("v"))
-    val cand = centers
+    // Degree routing (see scaladoc): low-degree centers keep the in-row
+    // pair array; high-degree centers stream their deg² wedge pairs
+    // through a self-equi-join on the center key. `ns` is sort_array'd,
+    // so position order i<j IS value order u<v on both paths.
+    val lowPairs = centers.filter(size(col("ns")) <= wedgeDegreeCap)
       .select(explode(sortedPairs(col("ns"))).as("p"))
+    val hiExpl = centers.filter(size(col("ns")) > wedgeDegreeCap)
+      .select(col("v").as("__c"), posexplode(col("ns")).as(Seq("__i", "__n")))
+    val hiPairs = hiExpl.as("a").join(hiExpl.as("b"),
+        col("a.__c") === col("b.__c") && col("a.__i") < col("b.__i"))
+      .select(struct(col("a.__n").as("u"), col("b.__n").as("v")).as("p"))
+    val cand = lowPairs.unionByName(hiPairs)
       .groupBy(col("p.u").as("u"), col("p.v").as("v"))
       .agg(count(lit(1)).as("common"))
       .join(edges, Seq("u", "v"), "left_anti")

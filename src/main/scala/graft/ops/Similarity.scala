@@ -112,6 +112,14 @@ object Similarity {
     * sort anywhere. The rank windows at the end run over ≤ 2·kCand rows
     * per query.
     */
+  /** Hard ceiling on the (query doc, distinct token) rows
+    * [[hybridRrfSearch]] will collect for its plan-literal token map —
+    * ~100 query docs × ~1k distinct tokens. Above it the op fails loud
+    * instead of building an unbounded driver collect (the
+    * [[KnnAuditBudget]] bounded-input convention).
+    */
+  val HybridQueryTokenBudget: Int = 100000
+
   def hybridRrfSearch(docs: DataFrame, emb: DataFrame, qMax: Long,
                       kCand: Int = 20, kOut: Int = 10,
                       k0: Int = 60): DataFrame = {
@@ -123,11 +131,23 @@ object Similarity {
       .select(col("q_id"), col("vec_id").as("doc_id"), col("r_vec"))
     // query token sets ride as a literal token → [query ids] map — the
     // pqTopK plan-literal convention (a query batch is driver-small by
-    // construction); a corpus token not in any query explodes to nothing
-    val tokMap: Map[String, Seq[Long]] = docs.filter(col("doc_id") < qMax)
+    // construction); a corpus token not in any query explodes to nothing.
+    // The contract is ENFORCED, not assumed (the KnnAuditBudget
+    // convention): collect through a limit of budget+1 rows and fail loud
+    // if the batch exceeds it — a corpus-sized "query batch" must error,
+    // never silently build an unbounded driver collect + giant plan
+    // literal.
+    val qTokRows = docs.filter(col("doc_id") < qMax)
       .select(col("doc_id"),
               explode(array_distinct(split(col("text"), " "))).as("tok"))
-      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .limit(HybridQueryTokenBudget + 1).collect()
+    require(qTokRows.length <= HybridQueryTokenBudget,
+      s"hybridRrfSearch: the query batch (doc_id < $qMax) explodes to more " +
+      s"than $HybridQueryTokenBudget (doc, token) rows — the query side " +
+      "must be a bounded batch (broadcast-queries contract); pass a " +
+      "smaller qMax or pre-trim the query documents")
+    val tokMap: Map[String, Seq[Long]] = qTokRows
+      .map(r => (r.getLong(0), r.getString(1)))
       .groupBy(_._2).map { case (t, xs) => t -> xs.map(_._1).sorted.toSeq }
     def tk(id: Column, s: Column) =
       org.apache.spark.sql.graft.TopKPairsAgg.topkPairs(kCand, id, s)
@@ -864,6 +884,9 @@ object Similarity {
   def loadPqIndex(spark: SparkSession, path: String, m: Int,
                   codesPerBook: Int, iters: Int,
                   dim: Int = 64): Array[Array[(Long, Array[Float])]] = {
+    require(m >= 1 && codesPerBook >= 1,
+      s"loadPqIndex: m and codesPerBook must be >= 1 (got m=$m, " +
+      s"codesPerBook=$codesPerBook) — an m=0 index has no codebooks to load")
     val meta = spark.read.parquet(s"$path/meta").collect()
     require(meta.length == 1, s"loadPqIndex: expected 1 meta row at $path")
     val mt = meta(0)
@@ -894,8 +917,18 @@ object Similarity {
       : DataFrame = {
     // dimensions derive from the LOADED books, never a caller argument —
     // a disagreeing dim would silently truncate the driver-side dot
-    // tables (wrong ranking) or stride past the centroid lanes
+    // tables (wrong ranking) or stride past the centroid lanes. Shape is
+    // VALIDATED first: an empty or ragged codebook must produce the same
+    // descriptive failure style as the query-dim guard below, not a bare
+    // NoSuchElementException / mis-strided scoring.
+    require(books.nonEmpty && books.forall(_.nonEmpty),
+      s"pqTopKWithIndex: codebooks must be non-empty (got m=${books.length}" +
+      s"${if (books.exists(_.isEmpty)) ", with at least one empty book" else ""})" +
+      " — retrain or reload the index")
     val subDim = books.head.head._2.length
+    require(books.forall(_.forall(_._2.length == subDim)),
+      s"pqTopKWithIndex: ragged codebooks — every centroid must have the " +
+      s"same lane count (first book's first centroid has $subDim lanes)")
     val dim = subDim * books.length
     val qRows = queries.select(col("vec_id"), col("embedding")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)

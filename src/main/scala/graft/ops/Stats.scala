@@ -510,8 +510,18 @@ object Stats {
     val grid0 = base.groupBy(col("__v")).agg(count(lit(1)).as("c"))
     val cumGrid =
       if (distributedExactAudit) {
+        // localCheckpoint PINS the pid assignment: both consumers (ptots
+        // and the offset join) must observe the SAME spark_partition_id()
+        // per value, and exchange REUSE alone is an optimizer courtesy,
+        // not a semantic guarantee — a recomputed range exchange (reuse
+        // disabled, AQE replan) would resample boundaries under a fresh
+        // RDD-id seed and could land boundary keys in different
+        // partitions per branch, silently corrupting cum/exact_value. The
+        // materialized grid is distinct-value-sized (the audit grain),
+        // not corpus-sized.
         val grid = grid0.repartitionByRange(col("__v"))
           .withColumn("__pid", spark_partition_id())
+          .localCheckpoint()
         val ptots = grid.groupBy(col("__pid")).agg(sum(col("c")).as("t"))
         val pidOffsets = ptots
           .withColumn("off", coalesce(sum(col("t")).over(

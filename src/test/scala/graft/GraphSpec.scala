@@ -151,4 +151,25 @@ class GraphSpec extends AnyFunSuite {
       .toDF("bk", "it"))
     assert(graft.ops.Graph.linkPrediction(closed, "bk", "it", 2, 10).count() == 0L)
   }
+
+  test("linkPrediction: high-degree hub routes through the join path with identical results") {
+    import spark.implicits._
+    // hub item "h" co-occurs with 12 spokes (degree 12 > cap 2), spokes
+    // pairwise share only the hub. Force every center above the cap and
+    // compare bit-for-bit against the in-row array path.
+    val spokes = (1 to 12).map(i => f"s$i%02d")
+    val baskets = spokes.zipWithIndex.flatMap { case (s, i) =>
+      Seq((i.toLong, "h"), (i.toLong, s), (i.toLong + 100L, "h"), (i.toLong + 100L, s))
+    }.toDF("bk", "it")
+    val arrayPath = graft.ops.Graph.linkPrediction(baskets, "bk", "it",
+      minSupport = 2, k = 1000).collect().toSeq
+    val joinPath = graft.ops.Graph.linkPrediction(baskets, "bk", "it",
+      minSupport = 2, k = 1000, wedgeDegreeCap = 2).collect().toSeq
+    assert(arrayPath.nonEmpty)
+    assert(arrayPath == joinPath,
+      s"array=${arrayPath.mkString(";")} join=${joinPath.mkString(";")}")
+    // every candidate is a spoke pair with common=1 (the hub), C(12,2)=66
+    assert(arrayPath.length == 66, arrayPath.length.toString)
+    assert(arrayPath.forall(_.getAs[Long]("common") == 1L))
+  }
 }

@@ -583,5 +583,50 @@ class SimilaritySpec extends AnyFunSuite {
       Similarity.pqTopKWithIndex(shortQ, corpus, 5, booksLoaded)
     }
     assert(e5.getMessage.contains("dimension 8"), e5.getMessage)
+    // codebook SHAPE guards (round 13): empty / ragged books are loud
+    // descriptive errors, never a bare NoSuchElementException or a
+    // mis-strided scoring pass
+    val q = emb.filter(col("vec_id") < 8)
+    val e6 = intercept[IllegalArgumentException] {
+      Similarity.pqTopKWithIndex(q, corpus, 5, Array.empty)
+    }
+    assert(e6.getMessage.contains("non-empty"), e6.getMessage)
+    val e7 = intercept[IllegalArgumentException] {
+      Similarity.pqTopKWithIndex(q, corpus, 5,
+        Array(booksLoaded.head, Array.empty[(Long, Array[Float])]))
+    }
+    assert(e7.getMessage.contains("empty book"), e7.getMessage)
+    val ragged = booksLoaded.updated(3, booksLoaded(3).map {
+      case (c, v) => (c, v ++ Array(0f))
+    })
+    val e8 = intercept[IllegalArgumentException] {
+      Similarity.pqTopKWithIndex(q, corpus, 5, ragged)
+    }
+    assert(e8.getMessage.contains("ragged"), e8.getMessage)
+    // an m=0 load request is refused before touching the filesystem
+    val e9 = intercept[IllegalArgumentException] {
+      Similarity.loadPqIndex(spark, s"$dir/pq", 0, 16, 1)
+    }
+    assert(e9.getMessage.contains("m=0"), e9.getMessage)
+  }
+
+  test("hybridRrfSearch: query batch above the token budget fails loud") {
+    import spark.implicits._
+    // shrink nothing — drive the real guard by exceeding the limit+1
+    // collect: one query doc whose text explodes past the budget would be
+    // huge, so instead verify the guard wiring with the real constant via
+    // reflection-free arithmetic: budget rows pass, budget+1 rows fail.
+    // A synthetic docs frame with exactly budget+1 (doc, token) rows:
+    val perDoc = 1000
+    val nDocs = Similarity.HybridQueryTokenBudget / perDoc + 1
+    val docs = (0 until nDocs).map { d =>
+      val off = d * perDoc
+      (d.toLong, (0 until perDoc).map(t => s"t${off + t}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val emb1 = Seq((0L, Seq.fill(64)(0.1f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.hybridRrfSearch(docs, emb1, qMax = nDocs.toLong)
+    }
+    assert(e.getMessage.contains("bounded batch"), e.getMessage)
   }
 }
