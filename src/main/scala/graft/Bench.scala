@@ -218,7 +218,7 @@ object Bench {
       "pq_codes", "pq_ann_topk", "pq_recall", "ivfpq_ann_topk", "ivfpq_recall",
       "kcenter_coreset",
       // same Lloyd chain plus the save→load parquet roundtrip by design
-      "ivf_index_search",
+      "ivf_index_search", "ivf_incremental_assign",
       // round-12 formal floor acceptance (BASELINE.md "copurchase floor
       // decomposition"): driver-blocking collect chains by design —
       // copurchase_lift's brand-universe collect + one-job mask/tag chain
@@ -228,13 +228,37 @@ object Bench {
       // at ANY further shape change tried (r10-r12 surgeries)
       "copurchase_lift", "copurchase_link_prediction")
     val jobChainSec = comparable.collect { case (k, v) if jobChain(k) => v }.sum
+    // ivf_index_search decomposition (the jobchain itemization convention,
+    // round-13 verdict item): the row's wall time is mostly the
+    // train+save+load index file ops, not serving — time the two halves
+    // once, diagnostically (NOT part of any ratio), so the gate reader can
+    // see the file-ops tax explicitly. Same config as the catalog row.
+    val ivfSplitJson =
+      if (selected.contains("ivf_index_search") &&
+          !sys.env.contains("SPARK_GRAFT_BENCH_FLOOR")) {
+        try {
+          import org.apache.spark.sql.functions.col
+          val emb = Tables.embeddings(spark, sfDir)
+          val corpus = emb.filter(col("vec_id") >= 8)
+          val path = CatalogCore.scratchDir("graft_ivf_bench_")
+          val t0 = System.nanoTime()
+          ops.Similarity.saveIvfIndex(spark, path, corpus, 16, 1)
+          val cents = ops.Similarity.loadIvfIndex(spark, path, 16, 1)
+          val t1 = System.nanoTime()
+          ops.Similarity.ivfTopKWithIndex(emb.filter(col("vec_id") < 8),
+              corpus, k = 3, nProbe = 2, cents)
+            .write.mode("overwrite").format("noop").save()
+          val t2 = System.nanoTime()
+          f""","ivf_index_search_split":{"train_save_load_sec":${(t1 - t0) / 1e9}%.3f,"serve_sec":${(t2 - t1) / 1e9}%.3f}"""
+        } catch { case _: Throwable => "" }
+      } else ""
     val calibJson = calibs.map(c => f"$c%.3f").mkString("[", ",", "]")
     // symmetric diagnostic: like-for-like rows over the baseline minus the
     // asymmetric rows' (trivial) DuckDB cost — conservatively approximated
     // as 0 there, which UNDERSTATES the symmetric denominator and so
     // overstates (never flatters) the symmetric ratio.
     val symRatioQuiet = symmetricSec / baselineQuiet
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","comparable_sec":$comparableSec,"symmetric_sec":$symmetricSec,"asymmetric_sec":$asymSec,"jobchain_floor_sec":$jobChainSec,"noncomparable":$noncompJson,"baseline_sec":$baselineSec,"baseline_quiet_sec":$baselineQuiet,"calib_quiet_sec":$calibQuiet,"calib_secs":$calibJson,"host_factor":$hostFactor,"vs_baseline":$ratio,"vs_baseline_quiet":${comparableSec / baselineQuiet},"vs_baseline_symmetric_quiet":$symRatioQuiet,"queries":$qs,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","comparable_sec":$comparableSec,"symmetric_sec":$symmetricSec,"asymmetric_sec":$asymSec,"jobchain_floor_sec":$jobChainSec$ivfSplitJson,"noncomparable":$noncompJson,"baseline_sec":$baselineSec,"baseline_quiet_sec":$baselineQuiet,"calib_quiet_sec":$calibQuiet,"calib_secs":$calibJson,"host_factor":$hostFactor,"vs_baseline":$ratio,"vs_baseline_quiet":${comparableSec / baselineQuiet},"vs_baseline_symmetric_quiet":$symRatioQuiet,"queries":$qs,"sf":"$sfDir"}"""
     // stdout goes through sbt's logger ("[info] "-prefixed), which breaks
     // line-oriented JSON parsing downstream — also write the result to a file
     // (override path via SPARK_GRAFT_BENCH_OUT; default = cwd/bench_out.json).

@@ -665,6 +665,62 @@ private[graft] object CatalogDedupSim {
               |          ORDER BY cos_sim DESC, vec_id) <= 3
               |ORDER BY q_id, cos_sim DESC, vec_id""".stripMargin)),
 
+    // ── INCREMENTAL INDEX MAINTENANCE (Similarity.ivfAssignWithIndex): a
+    //    production index also APPENDS — the new corpus batch (vec_id % 4
+    //    = 0) is assigned against the LOADED index trained on the base
+    //    corpus only, no retraining, and unions into the base posting
+    //    relation (the incremental_dedup_check convention applied to ANN).
+    //    Report is the per-cluster posting census — n_vectors / n_new /
+    //    exact micro-unit cosine mass — so every individual assignment
+    //    (base or appended) moves the hash while the report stays
+    //    16 rows at any corpus size. The twin rebuilds k-means on the base
+    //    and assigns BOTH slices against those same centroids, which is
+    //    exactly the assign-only ≡ full-rebuild-assignment identity the
+    //    SimilaritySpec pin states.
+    ("ivf_incremental_assign",
+      (spark, dir) => {
+        val emb = Tables.embeddings(spark, dir).filter(col("vec_id") >= 8)
+        val base = emb.filter(col("vec_id") % 4 =!= 0)
+        val batch = emb.filter(col("vec_id") % 4 === 0)
+        val path = CatalogCore.scratchDir("graft_ivf_incr_")
+        Similarity.saveIvfIndex(spark, path, base, nCentroids = 16, iters = 1)
+        val cents = Similarity.loadIvfIndex(spark, path, nCentroids = 16,
+                                            iters = 1)
+        val grown = Similarity.ivfAssignments(base, nCentroids = 16, iters = 1)
+          .withColumn("is_new", lit(0L))
+          .unionByName(Similarity.ivfAssignWithIndex(batch, cents)
+            .withColumn("is_new", lit(1L)))
+        grown.groupBy(col("cluster_id"))
+          .agg(count(lit(1)).as("n_vectors"), sum(col("is_new")).as("n_new"),
+               sum(expr("CAST(round(cos_sim * 1e6) AS BIGINT)"))
+                 .as("sum_cos_micros"))
+          .transform(CatalogCore.orderedReport(_, col("cluster_id")))
+      },
+      Some(s"""WITH ${sqlKmeans("vec_id >= 8 AND vec_id % 4 <> 0", 16, 1)},
+              |newb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+              |         FROM embeddings WHERE vec_id >= 8 AND vec_id % 4 = 0),
+              |base_asg AS (
+              |  SELECT vec_id, cluster_id, cos_sim, CAST(0 AS BIGINT) AS is_new FROM (
+              |    SELECT c.vec_id, kk.cluster_id,
+              |           round(list_cosine_similarity(c.emb, kk.centroid), 6) AS cos_sim,
+              |           row_number() OVER (PARTITION BY c.vec_id
+              |             ORDER BY round(list_cosine_similarity(c.emb, kk.centroid), 6) DESC,
+              |                      kk.cluster_id) AS rn
+              |    FROM corpus c CROSS JOIN cent1 kk) WHERE rn = 1),
+              |new_asg AS (
+              |  SELECT vec_id, cluster_id, cos_sim, CAST(1 AS BIGINT) AS is_new FROM (
+              |    SELECT n.vec_id, kk.cluster_id,
+              |           round(list_cosine_similarity(n.emb, kk.centroid), 6) AS cos_sim,
+              |           row_number() OVER (PARTITION BY n.vec_id
+              |             ORDER BY round(list_cosine_similarity(n.emb, kk.centroid), 6) DESC,
+              |                      kk.cluster_id) AS rn
+              |    FROM newb n CROSS JOIN cent1 kk) WHERE rn = 1),
+              |grown AS (SELECT * FROM base_asg UNION ALL SELECT * FROM new_asg)
+              |SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+              |       CAST(SUM(is_new) AS BIGINT) AS n_new,
+              |       CAST(SUM(CAST(round(cos_sim * 1e6) AS BIGINT)) AS BIGINT) AS sum_cos_micros
+              |FROM grown GROUP BY 1 ORDER BY cluster_id""".stripMargin)),
+
     // ── HYBRID RRF RETRIEVAL (Similarity.hybridRrfSearch): exact-cosine
     //    vector top-20 and distinct-token lexical-overlap top-20 fused per
     //    query by reciprocal rank Σ 1/(60+r) — the calibration-free hybrid

@@ -1137,6 +1137,40 @@ object Similarity {
       .select(col("vec_id"), col("cluster_id"), col("cos_sim"))
   }
 
+  /** Assign-only incremental index maintenance — the APPEND half of the
+    * index lifecycle: a NEW corpus batch is assigned against a LOADED
+    * index's centroids ([[loadIvfIndex]]) without retraining, and the
+    * result unions into the existing posting relation (the
+    * `incremental_dedup_check` convention applied to ANN). Because the
+    * argmax kernel reads only the centroid array, assign-only over
+    * unchanged centroids is identical to a full-rebuild assignment —
+    * spec-pinned in SimilaritySpec and hash-pinned by the
+    * `ivf_incremental_assign` catalog row. Scale shape: one scan-shaped
+    * codegen argmax pass over the batch, centroids ride as a broadcast
+    * literal; no shuffle, no training job chain.
+    */
+  def ivfAssignWithIndex(batch: DataFrame,
+                         cents: Array[(Long, Array[Float])]): DataFrame = {
+    require(cents.nonEmpty,
+      "ivfAssignWithIndex: empty centroid index — retrain or reload")
+    val dim = cents.head._2.length
+    require(cents.forall(_._2.length == dim),
+      s"ivfAssignWithIndex: ragged centroid index (first centroid has " +
+      s"$dim lanes)")
+    // batch vectors are distributed, so the loaded-index dim guard runs
+    // IN-PLAN (the raise_error convention) — a short vector must not
+    // silently assign on a truncated cosine, a long one must not AIOOBE
+    val guarded = batch.filter(
+      when(size(col("embedding")) === dim, lit(true))
+        .otherwise(raise_error(concat(
+          lit("ivfAssignWithIndex: batch vector "),
+          col("vec_id").cast("string"), lit(" has dimension "),
+          size(col("embedding")).cast("string"),
+          lit(s", the loaded index is $dim-dimensional"))).isNull))
+    argmaxAssignLocal(guarded, cents)
+      .select(col("vec_id"), col("cluster_id"), col("cos_sim"))
+  }
+
   /** Nearest `nProbe` centroids per vector (broadcast centroid relation +
     * codegen'd cosine). `nProbe = 1` routes through the partial-agg argmax;
     * the general case keeps the ranking window (used only on the small query

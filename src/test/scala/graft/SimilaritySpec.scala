@@ -610,6 +610,38 @@ class SimilaritySpec extends AnyFunSuite {
     assert(e9.getMessage.contains("m=0"), e9.getMessage)
   }
 
+  test("ivfAssignWithIndex: assign-only over a loaded index equals the " +
+       "full-rebuild assignment; dim mismatch is loud") {
+    import spark.implicits._
+    val base = emb.filter(col("vec_id") >= 8 && col("vec_id") % 2 === 1)
+    val batch = emb.filter(col("vec_id") >= 8 && col("vec_id") % 2 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_incr_spec_")
+      .toString
+    Similarity.saveIvfIndex(spark, s"$dir/ivf", base, 16, 1)
+    val cents = Similarity.loadIvfIndex(spark, s"$dir/ivf", 16, 1)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    // full rebuild = the whole grown corpus assigned against the SAME
+    // (unchanged) centroids; incremental = existing postings ∪ assign-only
+    val full = rows(
+      Similarity.ivfAssignWithIndex(base.unionByName(batch), cents))
+    val incr = rows(Similarity.ivfAssignments(base, 16, 1)
+      .select("vec_id", "cluster_id", "cos_sim")
+      .unionByName(Similarity.ivfAssignWithIndex(batch, cents)))
+    assert(full.nonEmpty && full == incr)
+    // a batch vector that disagrees with the loaded index's dimension is
+    // an in-plan loud error, never a truncated-cosine assignment
+    val shortB = Seq((999L, Seq.fill(8)(0.5f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Similarity.ivfAssignWithIndex(shortB, cents).collect()
+    }
+    assert(e.getMessage.contains("dimension 8"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.ivfAssignWithIndex(shortB, Array.empty)
+    }
+    assert(e2.getMessage.contains("empty centroid index"), e2.getMessage)
+  }
+
   test("hybridRrfSearch: query batch above the token budget fails loud") {
     import spark.implicits._
     // shrink nothing — drive the real guard by exceeding the limit+1
