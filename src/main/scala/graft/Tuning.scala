@@ -234,6 +234,13 @@ object Tuning {
     // stays ON per the classification rule: the near-dup cluster loop is a
     // data-dependent join chain)
     "hll_distinct_orders", "curation_pipeline", "ivfpq_recall",
+    // round-13 (graft.TailAB, 2 interleaved runs, after the
+    // driver-complete wedge-tail fast path): copurchase_link_prediction
+    // 0.78→0.69 / 0.66→0.55 on partition count ALONE (AQE stays ON per
+    // the classification rule — the support-pruned edge cardinality is
+    // data-dependent, and the giant-graph fallback path re-plans on it;
+    // aqe0 variants were neutral-to-worse both runs)
+    "copurchase_link_prediction",
     // round-8 session-2 (graft.TailAB, 2 interleaved runs):
     // cosupply_triangles 1.90→1.62 / 2.33→1.88 on partition count alone
     // (AQE stays ON per the classification rule — the support-pruned edge

@@ -161,15 +161,28 @@ class GraphSpec extends AnyFunSuite {
     val baskets = spokes.zipWithIndex.flatMap { case (s, i) =>
       Seq((i.toLong, "h"), (i.toLong, s), (i.toLong + 100L, "h"), (i.toLong + 100L, s))
     }.toDF("bk", "it")
+    // maxDriverEdges = 0 forces the DISTRIBUTED path on both variants
     val arrayPath = graft.ops.Graph.linkPrediction(baskets, "bk", "it",
-      minSupport = 2, k = 1000).collect().toSeq
+      minSupport = 2, k = 1000, maxDriverEdges = 0).collect().toSeq
     val joinPath = graft.ops.Graph.linkPrediction(baskets, "bk", "it",
-      minSupport = 2, k = 1000, wedgeDegreeCap = 2).collect().toSeq
+      minSupport = 2, k = 1000, wedgeDegreeCap = 2,
+      maxDriverEdges = 0).collect().toSeq
     assert(arrayPath.nonEmpty)
     assert(arrayPath == joinPath,
       s"array=${arrayPath.mkString(";")} join=${joinPath.mkString(";")}")
     // every candidate is a spoke pair with common=1 (the hub), C(12,2)=66
     assert(arrayPath.length == 66, arrayPath.length.toString)
     assert(arrayPath.forall(_.getAs[Long]("common") == 1L))
+    // the default call takes the driver-complete fast path (string items
+    // route through the UTF-8-byte comparator) — bit-identical to the
+    // distributed tail, including the jaccard rounding and the total order
+    val driverPath = graft.ops.Graph.linkPrediction(baskets, "bk", "it",
+      minSupport = 2, k = 1000).collect().toSeq
+    assert(driverPath == arrayPath,
+      s"driver=${driverPath.take(3).mkString(";")} vs dist=${arrayPath.take(3).mkString(";")}")
+    // wedge-bound overflow falls through to the distributed path
+    val fallback = graft.ops.Graph.linkPrediction(baskets, "bk", "it",
+      minSupport = 2, k = 1000, maxDriverWedges = 1).collect().toSeq
+    assert(fallback == arrayPath)
   }
 }
