@@ -183,7 +183,14 @@ object Tuning {
     // pauses are pure floor; s8 moved nothing, so no lowShuffle half).
     // NOT tagged: brier_decomposition / embedding_class_scatter (wins
     // ≤0.07, under the 0.08 bar).
-    "kaplan_meier_retention", "tf_cosine_dups", "kcenter_coreset")
+    "kaplan_meier_retention", "tf_cosine_dups", "kcenter_coreset",
+    // round-13 systematic sweep (graft.TailAB over ALL 146 untagged
+    // sub-1.2s rows, 2 interleaved-run reproduce bar): aqe0s8 both runs,
+    // s8 alone neutral — the only-valid-together pattern. duplicate_spans
+    // 0.66→0.45 / 0.63→0.41 (aqe0 ALONE also wins: the suffix-window span
+    // chain is fixed-shape), span_deduped_docs 0.63→0.53 / 0.68→0.55,
+    // theil_sen_trend 0.43→0.31 / 0.44→0.33
+    "duplicate_spans", "span_deduped_docs", "theil_sen_trend")
   // NOT tagged despite a small A/B win: dup_clusters — iterative
   // data-dependent join loop (the classification rule says AQE on), and its
   // −0.10 s reading did not reproduce (+0.53 s in the validation run).
@@ -234,13 +241,6 @@ object Tuning {
     // stays ON per the classification rule: the near-dup cluster loop is a
     // data-dependent join chain)
     "hll_distinct_orders", "curation_pipeline", "ivfpq_recall",
-    // round-13 (graft.TailAB, 2 interleaved runs, after the
-    // driver-complete wedge-tail fast path): copurchase_link_prediction
-    // 0.78→0.69 / 0.66→0.55 on partition count ALONE (AQE stays ON per
-    // the classification rule — the support-pruned edge cardinality is
-    // data-dependent, and the giant-graph fallback path re-plans on it;
-    // aqe0 variants were neutral-to-worse both runs)
-    "copurchase_link_prediction",
     // round-8 session-2 (graft.TailAB, 2 interleaved runs):
     // cosupply_triangles 1.90→1.62 / 2.33→1.88 on partition count alone
     // (AQE stays ON per the classification rule — the support-pruned edge
@@ -290,6 +290,24 @@ object Tuning {
     // regressed ~2x both runs, the split_leakage_check pattern)
     "bootstrap_mean_ci", "event_type_islands", "capped_running_balance",
     "copurchase_link_prediction",
+    // round-13 systematic sweep (2 interleaved-run bar, notes in
+    // fixedShape above for the aqe0s8 trio): s8 halves duplicate_spans /
+    // span_deduped_docs / theil_sen_trend, plus partition count ALONE
+    // (AQE stays on — each has a data-dependent join or explode
+    // cardinality): simhash_neardup_pairs 0.63→0.45 / 0.81→0.54,
+    // bigram_perplexity 0.80→0.54 / 0.73→0.59, collocation_pmi
+    // 0.66→0.51 / 0.67→0.50, lsh_candidate_pairs 0.52→0.36 / 0.55→0.37,
+    // bpe_merge_candidates 0.29→0.13 / 0.36→0.23. Re-validated under the
+    // driver-fast-path plan: copurchase_link_prediction 0.78→0.69 /
+    // 0.66→0.55 (tag retained from round 10). NOT tagged from the sweep:
+    // cluster_aware_splits / decontamination_report / cross_source_overlap
+    // / knn_mutual_graph / nb_reliability_bins / rolling_active_users /
+    // order_gap_hazard / bm25_topk (one of the two runs under the 0.08 s
+    // bar); every row in the ≤0.45 s tail (batches 2–3 of the sweep)
+    // moved ≤0.05 s on any variant — per-plan constant, not shape.
+    "duplicate_spans", "span_deduped_docs", "theil_sen_trend",
+    "simhash_neardup_pairs", "bigram_perplexity", "collocation_pmi",
+    "lsh_candidate_pairs", "bpe_merge_candidates",
     // symdelete_fuzzy_match: s8 half of its only-valid-together pair
     "symdelete_fuzzy_match",
     // batch-5 rows: s8 halves of the aqe0s8 tags above
