@@ -213,10 +213,22 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Generate"), p) // the len+1 variant explode is map-side
   }
 
-  test("copurchase_link_prediction: anti-join stays equi; top-k is TakeOrdered") {
+  test("copurchase_link_prediction: driver fast path plans a LocalRelation; " +
+       "the distributed fallback keeps equi anti-join + TakeOrdered") {
+    // default: the support-pruned edge set fits the driver bounds, so the
+    // wedge tail is a driver computation and the RESULT plan is a bare
+    // local scan — zero further jobs (round 13)
     val p = plan("copurchase_link_prediction")
-    assert(!p.contains("BroadcastNestedLoopJoin"), p)
-    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("LocalTableScan"), p)
+    // fallback (wedge bound forced to 0): the distributed tail's contract
+    // is unchanged — equi anti-join, top-k as TakeOrdered, never a global
+    // sort or a nested-loop join
+    val pd = graft.ops.Graph.linkPrediction(
+        Tables.lineitem(spark, TestSpark.sfDir), "l_orderkey", "l_partkey",
+        minSupport = 2, k = 50, maxDriverEdges = 0)
+      .queryExecution.executedPlan.toString
+    assert(!pd.contains("BroadcastNestedLoopJoin"), pd)
+    assert(pd.contains("TakeOrderedAndProject"), pd)
   }
 
   test("linear_attribution: prior-window pair join is an equi-join with residual") {
