@@ -457,7 +457,7 @@ object Curation {
       .agg(sum(when(isTarget, 1L).otherwise(0L)).as("ct"),
            count(lit(1)).as("cr"))
       .localCheckpoint()
-    val totals = counts.agg(sum(col("ct")), sum(col("cr"))).head
+    val totals = counts.agg(sum(col("ct")), sum(col("cr"))).head()
     val (nT, nR) = (totals.getLong(0), totals.getLong(1))
     require(nT > 0, s"no target features: sources $targetSources absent?")
     def unats(n: Long, c: Long): Long =

@@ -503,8 +503,9 @@ object Similarity {
                  r.getSeq[Long](2).toArray))
       .sortBy(_._1)
     val qIds = lit(qRows.map(_._1))
-    val cosArr = array(qRows.map { case (_, qv, _) =>
-      round(cosineSim(lit(qv), col("embedding")), 6) }: _*)
+    val cosArr = array(scala.collection.immutable.ArraySeq.unsafeWrapArray(
+      qRows.map { case (_, qv, _) =>
+        round(cosineSim(lit(qv), col("embedding")), 6) }): _*)
     val scored = corpus
       .select(col("vec_id"), cosArr.as("__exact"),
               posexplode(org.apache.spark.sql.graft.VectorExpressions
@@ -1248,8 +1249,9 @@ object Similarity {
     val probed = probedClusters(qRows, cents, nProbe)
     val qIds = lit(qRows.map(_._1))
     val probedLit = typedLit(probed)
-    val cosArr = array(qRows.map { case (_, qv) =>
-      round(cosineSim(lit(qv), col("embedding")), 6) }: _*)
+    val cosArr = array(scala.collection.immutable.ArraySeq.unsafeWrapArray(
+      qRows.map { case (_, qv) =>
+        round(cosineSim(lit(qv), col("embedding")), 6) }): _*)
     val scored = corpusIdx
       .select(col("vec_id"), col("cluster_id"),
               posexplode(cosArr).as(Seq("qi", "cos_sim")))
@@ -1291,8 +1293,9 @@ object Similarity {
     val probed = probedClusters(qRows, cents, nProbe)
     val qIds = lit(qRows.map(_._1))
     val probedLit = typedLit(probed)
-    val cosArr = array(qRows.map { case (_, qv) =>
-      round(cosineSim(lit(qv), col("embedding")), 6) }: _*)
+    val cosArr = array(scala.collection.immutable.ArraySeq.unsafeWrapArray(
+      qRows.map { case (_, qv) =>
+        round(cosineSim(lit(qv), col("embedding")), 6) }): _*)
     val scored = corpusIdx
       .select(col("vec_id"), col("cluster_id"),
               posexplode(cosArr).as(Seq("qi", "cos_sim")))
@@ -1344,8 +1347,9 @@ object Similarity {
     val books = pqLloydRounds(corpus, pqInit(seed, m, subDim), m, subDim, iters)
     val scoresCol = adcScoresCol(qRows, books, subDim)
     val qIds = lit(qRows.map(_._1))
-    val cosArr = array(qRows.map { case (_, qv) =>
-      round(cosineSim(lit(qv), col("embedding")), 6) }: _*)
+    val cosArr = array(scala.collection.immutable.ArraySeq.unsafeWrapArray(
+      qRows.map { case (_, qv) =>
+        round(cosineSim(lit(qv), col("embedding")), 6) }): _*)
     // __exact rides the generate as a once-per-input-row array; the
     // exploded rows then index it — NOT re-evaluate it per (row, query)
     val scored = corpus
@@ -1381,8 +1385,9 @@ object Similarity {
     val scoresCol = adcScoresCol(qRows, books, subDim)
     val qIds = lit(qRows.map(_._1))
     val probedLit = typedLit(probed)
-    val cosArr = array(qRows.map { case (_, qv) =>
-      round(cosineSim(lit(qv), col("embedding")), 6) }: _*)
+    val cosArr = array(scala.collection.immutable.ArraySeq.unsafeWrapArray(
+      qRows.map { case (_, qv) =>
+        round(cosineSim(lit(qv), col("embedding")), 6) }): _*)
     val scored = corpusIdx
       .withColumn("__codes", pqCodesCol(books))
       .select(col("vec_id"), col("cluster_id"), cosArr.as("__exact"),
@@ -1537,9 +1542,8 @@ object Similarity {
                               cents: Array[(Long, Array[Float])]): Column = {
     require(cents.length <= 128,
       s"argmaxAssignCol is the narrow-k literal path, got ${cents.length}")
-    val cosArr = array(cents.map { case (_, vec) =>
-      round(cosineSim(emb, lit(vec)), 6)
-    }: _*)
+    val cosArr = array(scala.collection.immutable.ArraySeq.unsafeWrapArray(
+      cents.map { case (_, vec) => round(cosineSim(emb, lit(vec)), 6) }): _*)
     val idArr = lit(cents.map(_._1))
     element_at(idArr, array_position(cosArr, array_max(cosArr)).cast("int"))
   }

@@ -290,7 +290,7 @@ object TextAnalysis {
            sum(when(col("lang") =!= refLang, 1L).otherwise(0L)).as("cb"),
            count(lit(1)).as("ct"))
       .localCheckpoint()
-    val totals = counts.agg(sum(col("cr")), sum(col("cb"))).head
+    val totals = counts.agg(sum(col("cr")), sum(col("cb"))).head()
     val (nRef, nBg) = (totals.getLong(0), totals.getLong(1))
     val vocab = counts.orderBy(col("ct").desc, col("token").asc)
       .limit(vocabSize)
@@ -453,7 +453,7 @@ object TextAnalysis {
     // each re-runs the corpus explode).
     val counts = toks.groupBy(col("token")).agg(count(lit(1)).as("c"))
       .localCheckpoint()
-    val n = counts.agg(sum(col("c"))).head.getLong(0)
+    val n = counts.agg(sum(col("c"))).head().getLong(0)
     val head = counts.orderBy(col("c").desc, col("token").asc).limit(vocabSize)
       .collect().map(r => r.getString(0) -> r.getLong(1))
     def unats(c: Long): Long = math.round(math.log(n.toDouble / c) * 1e6)
@@ -531,8 +531,8 @@ object TextAnalysis {
     val uni = explodeTokens(docs, textCol)
       .groupBy(col("token")).agg(count(lit(1)).as("n_tok"))
       .localCheckpoint() // three consumers: N total + both marginal joins
-    val nTok = uni.agg(sum(col("n_tok"))).head.getLong(0)
-    val nPair = c2.agg(sum(col("n_pair"))).head.getLong(0)
+    val nTok = uni.agg(sum(col("n_tok"))).head().getLong(0)
+    val nPair = c2.agg(sum(col("n_pair"))).head().getLong(0)
     val pairs = c2.filter(col("n_pair") >= minCount)
       .withColumn("a", element_at(split(col("g"), " "), 1))
       .withColumn("b", element_at(split(col("g"), " "), 2))
@@ -561,7 +561,7 @@ object TextAnalysis {
     val uni = explodeTokens(docs, textCol)
       .groupBy(col("token")).agg(count(lit(1)).as("n1"))
       .localCheckpoint() // two consumers: total-N reduce + score join
-    val n = uni.agg(sum(col("n1"))).head.getLong(0)
+    val n = uni.agg(sum(col("n1"))).head().getLong(0)
     // score: corpus bigram stream ⋈ model on gram key, then the first-token
     // and last-token marginals
     val mix = lit(lambda) * (col("n2").cast("double") / col("na")) +

@@ -139,8 +139,9 @@ class GraftExpressionsSpec extends AnyFunSuite {
       Seq((1000L, Seq.fill(16)(0.0f)), (1001L, cents(3)._2.toSeq),
           (1002L, cents(7)._2.toSeq))
     val df = rows.toDF("vec_id", "embedding")
-    val cosArr = array(cents.map { case (_, c) =>
-      round(cosineSim(col("embedding"), lit(c)), 6) }: _*)
+    val cosArr = array(scala.collection.immutable.ArraySeq.unsafeWrapArray(
+      cents.map { case (_, c) =>
+        round(cosineSim(col("embedding"), lit(c)), 6) }): _*)
     val bestCos = array_max(cosArr)
     val bestId = element_at(lit(cents.map(_._1)),
       array_position(cosArr, bestCos).cast("int"))

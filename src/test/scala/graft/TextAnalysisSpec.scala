@@ -108,11 +108,11 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r(3L) == ((2L, 0L, 2 * u(3))))
     // mean = exact integer division surfaced as double
     val m = TextAnalysis.unigramNll(df, vocabSize = 2)
-      .filter(col("doc_id") === 2L).select("mean_nll_unats").head.getDouble(0)
+      .filter(col("doc_id") === 2L).select("mean_nll_unats").head().getDouble(0)
     assert(m == (u(4) + u(1)).toDouble / 2)
     // cutoff tie-break: b and c tie at count 2 → token asc keeps 'b'
     val tie = Seq((1L, "a a b b c c")).toDF("doc_id", "text")
-    val rt = TextAnalysis.unigramNll(tie, vocabSize = 2).head
+    val rt = TextAnalysis.unigramNll(tie, vocabSize = 2).head()
     assert(rt.getLong(2) == 2L, "the 2 'c' tokens fall OOV, 'b' stays in-vocab")
   }
 
