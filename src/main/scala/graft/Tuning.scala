@@ -190,7 +190,16 @@ object Tuning {
     // 0.66→0.45 / 0.63→0.41 (aqe0 ALONE also wins: the suffix-window span
     // chain is fixed-shape), span_deduped_docs 0.63→0.53 / 0.68→0.55,
     // theil_sen_trend 0.43→0.31 / 0.44→0.33
-    "duplicate_spans", "span_deduped_docs", "theil_sen_trend")
+    "duplicate_spans", "span_deduped_docs", "theil_sen_trend",
+    // round-13 optimization pass, AFTER the single-consumer restructure
+    // (one scan → (shard,idx) agg → idx merge → 1-row report; every
+    // cardinality structural at ≤ shards·m): aqe0s8 0.851/0.982 vs base
+    // 1.077/1.652 (2 interleaved TailAB runs). The round-8 sweep's
+    // under-the-bar reading was against the old two-branch+checkpoint
+    // shape. NOT tagged from the same sweep: quantile_sketch_merge after
+    // ITS restructure (s8 won 0.12 run 1, regressed 0.12 run 2 — the
+    // postings window wants the 32-way sort; left on base policy).
+    "hll_shard_merge")
   // NOT tagged despite a small A/B win: dup_clusters — iterative
   // data-dependent join loop (the classification rule says AQE on), and its
   // −0.10 s reading did not reproduce (+0.53 s in the validation run).
@@ -316,7 +325,10 @@ object Tuning {
     "largest_remainder_alloc",
     // round-11 batch 2: s8 halves of the aqe0s8 pair above (kcenter is
     // aqe0-only by measurement)
-    "kaplan_meier_retention", "tf_cosine_dups")
+    "kaplan_meier_retention", "tf_cosine_dups",
+    // round-13 optimization pass: s8 half of hll_shard_merge's aqe0s8 tag
+    // (see the fixedShape note — measured on the restructured single chain)
+    "hll_shard_merge")
 
   /** Run `body` with the per-query conf overrides for `name`, restoring the
     * previous session values afterwards (exception-safe, so one query's

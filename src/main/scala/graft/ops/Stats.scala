@@ -250,26 +250,34 @@ object Stats {
     val rho = when(tail === 0L, lit(53))
       .otherwise(lit(53) - length(bin(tail)))
     // ≤ shards·m rows — the artifact a real pipeline persists per shard.
-    // Checkpointed because BOTH faces below read it (merge + shard count);
-    // uncheckpointed, the full hash/rho source pass ran twice
+    // Single consumer chain (round-13): the shard count rides the idx-merge
+    // as a collect_set (≤ shards strings per register) and folds into the
+    // final 1-row aggregate as size(array_distinct(flatten(...))) — value-
+    // identical to countDistinct(__shard) over perShard (every shard with
+    // ≥1 register appears in ≥1 set; both exclude NULLs). The previous
+    // two-consumer form (merge branch + shard-count branch + crossJoin)
+    // needed an eager localCheckpoint to avoid re-running the full md5
+    // scan; one consumer needs neither the checkpoint job nor the two
+    // extra tiny exchanges (guide §2.4: remove shuffles outright).
     val perShard = hashed
       .select(col("__shard"), expr(s"__h div ${1L << 52}").as("idx"),
               rho.as("rho"))
       .groupBy(col("__shard"), col("idx"))
       .agg(max(col("rho")).as("reg"))
-      .localCheckpoint()
-    val merged = perShard.groupBy(col("idx")).agg(max(col("reg")).as("reg"))
+    val merged = perShard.groupBy(col("idx"))
+      .agg(max(col("reg")).as("reg"), collect_set(col("__shard")).as("__ss"))
     val sketch = merged.agg(
       count(lit(1)).as("n_registers_set"),
-      sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - reg AS INT))")).as("num"))
-    val shards = perShard.agg(countDistinct(col("__shard")).as("n_shards"))
+      sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - reg AS INT))")).as("num"),
+      size(array_distinct(flatten(collect_list(col("__ss")))))
+        .cast("long").as("n_shards"))
     val zeros = lit(m) - col("n_registers_set")
     val numFull = col("num") + zeros * lit(1L << 53)
     val raw = lit(alpha * m * m) * lit((1L << 53).toDouble) / numFull.cast("double")
     val est = when(raw <= lit(2.5 * m) && zeros > 0,
         lit(m.toDouble) * log(lit(m.toDouble) / zeros.cast("double")))
       .otherwise(raw)
-    shards.crossJoin(sketch)
+    sketch
       .select(col("n_shards"), lit(m.toLong).as("m"),
               col("n_registers_set"), round(est, 6).as("hll_estimate"))
   }
@@ -479,15 +487,27 @@ object Stats {
       .agg(tk(col("__reg")).as("tk"), count(lit(1)).as("n"),
            count(col("__reg")).as("n_reg"),
            min(col("__v")).as("mn"), max(col("__v")).as("mx"))
-    val shardStats = perShard.agg(
-      count(lit(1)).as("n_shards"), sum(col("n")).as("n_rows"),
-      sum(col("n_reg")).as("n_regs"),
-      min(col("mn")).as("vmin"), max(col("mx")).as("vmax"))
+    // ONE consumer over the ≤|shards|-row perShard relation (round-13): the
+    // previous three-branch form (shard-stats aggregate, explode→re-top-k
+    // merge, crossJoin) re-scanned the SOURCE per branch — column pruning
+    // specializes each branch's partial aggregate, the exchanges stop being
+    // identical, and ReuseExchange never fires, so the full md5 pass ran
+    // twice (plan audit: 3 parquet scans, 16 exchanges). Here the merge is
+    // the same bottom-k — per-shard tk arrays are ascending bottom-k by
+    // packed register (TopKPairsAgg with constant score orders by id asc),
+    // so slice(array_sort(flatten(per-shard arrays)), 1, k) IS the bottom-k
+    // of the union, duplicates and all — and the shard stats fold into the
+    // SAME single-row aggregate, leaving one scan and one tiny exchange.
     val mergedTk = perShard
-      .select(explode(expr("transform(tk, e -> e._1)")).as("reg"))
-      .agg(tk(col("reg")).as("tk"))
-      .select(array_sort(expr("transform(tk, e -> e._1 % 2147483648)"))
-        .as("vals"))
+      .agg(count(lit(1)).as("n_shards"), sum(col("n")).as("n_rows"),
+           sum(col("n_reg")).as("n_regs"),
+           min(col("mn")).as("vmin"), max(col("mx")).as("vmax"),
+           flatten(collect_list(expr("transform(tk, e -> e._1)"))).as("__regs"))
+      .select(col("n_shards"), col("n_rows"), col("n_regs"),
+        col("vmin"), col("vmax"),
+        array_sort(expr(
+          s"transform(slice(array_sort(__regs), 1, $k), r -> r % 2147483648)"))
+          .as("vals"))
     // The exact-rank accuracy columns (hll_distinct's n_exact convention —
     // an AUDIT of the sketch, not the serving path) need a global prefix
     // sum over the distinct-value grid. Two value-identical shapes,
@@ -565,7 +585,6 @@ object Stats {
         lit(") — pre-scale/offset the measure and filter NULLs"))).isNull)
     val m = size(col("vals"))
     mergedTk
-      .crossJoin(broadcast(shardStats))
       .crossJoin(broadcast(exacts))
       .filter(guard)
       .filter(col("n_rows").isNotNull)
