@@ -122,6 +122,28 @@ class GraphSpec extends AnyFunSuite {
     assert(tri(baskets, 1).getLong(1) == 2L)
   }
 
+  test("triangleStats: driver-complete tail is bit-identical to the distributed tail") {
+    import spark.implicits._
+    // mixed shape: one triangle, open wedges, an equal-degree tiebreak,
+    // and a support-pruned edge — exercises orientation + closure + NULLif
+    val baskets = Seq(1L -> "a", 1L -> "b", 1L -> "c", 2L -> "b", 2L -> "c",
+      2L -> "d", 3L -> "d", 3L -> "e", 4L -> "a", 4L -> "e").toDF("bk", "it")
+    val driver = Graph.triangleStats(baskets, "bk", "it", 1).collect().toSeq
+    val dist = Graph.triangleStats(baskets, "bk", "it", 1,
+      maxDriverEdges = 0).collect().toSeq
+    assert(driver == dist, s"driver=$driver dist=$dist")
+    // wedge-bound overflow falls through to the distributed path
+    val fallback = Graph.triangleStats(baskets, "bk", "it", 1,
+      maxDriverWedges = 1).collect().toSeq
+    assert(fallback == dist)
+    // empty edge set (support prunes everything): sum-over-empty NULLs
+    // must agree between the LocalRelation and the distributed report
+    val none = Graph.triangleStats(baskets, "bk", "it", 99).collect().toSeq
+    val noneDist = Graph.triangleStats(baskets, "bk", "it", 99,
+      maxDriverEdges = 0).collect().toSeq
+    assert(none == noneDist, s"driver=$none dist=$noneDist")
+  }
+
   test("triangleStats: skewed hub graph — degree orientation keeps wedges off the hub") {
     // star of 6 leaves + one leaf-leaf closing edge: 1 triangle; the hub
     // (degree 6) must never be a wedge apex after orientation — its

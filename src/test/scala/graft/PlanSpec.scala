@@ -289,15 +289,26 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
-  test("cosupply_triangles: wedge enumeration and closure stay equi-joins") {
-    // the entire point of degree-oriented counting: candidate wedges come
-    // from hash/SMJ equi-joins on src and close on (wa, wb) — an all-pairs
-    // or nested-loop shape here is quadratic death on a skewed graph
-    // (the 1-row count combines at the top are broadcast BNLJs — bounded)
+  test("cosupply_triangles: driver fast path plans a LocalRelation; " +
+       "the distributed fallback keeps equi-join wedges") {
+    // default: the support-pruned edge set fits the driver bounds, so the
+    // census tail is a driver computation and the RESULT plan is a bare
+    // local scan — zero further jobs (round 13)
     val p = plan("cosupply_triangles")
-    assert(!p.contains("CartesianProduct"), p)
-    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
-           p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("LocalTableScan"), p)
+    // fallback (driver path forced off): candidate wedges come from
+    // hash/SMJ equi-joins on src and close on (wa, wb) — an all-pairs or
+    // nested-loop shape here is quadratic death on a skewed graph
+    // (the 1-row count combines at the top are broadcast BNLJs — bounded)
+    val pd = graft.ops.Graph.triangleStats(
+        Tables.lineitem(spark, TestSpark.sfDir)
+          .select(org.apache.spark.sql.functions.col("l_orderkey"),
+                  org.apache.spark.sql.functions.col("l_partkey")),
+        "l_orderkey", "l_partkey", minSupport = 2, maxDriverEdges = 0)
+      .queryExecution.executedPlan.toString
+    assert(!pd.contains("CartesianProduct"), pd)
+    assert(pd.contains("SortMergeJoin") || pd.contains("ShuffledHashJoin") ||
+           pd.contains("BroadcastHashJoin"), pd)
   }
 
   test("orders_daily_gapfill: bounded sides broadcast; the corpus never joins") {
