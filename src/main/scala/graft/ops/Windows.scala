@@ -49,29 +49,52 @@ object Windows {
 
   /** Ordered funnel per key: the earliest time each stage completes,
     * where stage i+1 must occur STRICTLY after stage i (the product-
-    * analytics conversion funnel). Stage 1 is a plain conditional min; each
-    * later stage joins the per-key frontier so far (an aggregated, per-key
-    * relation — broadcastable when the key space allows) and conditional-
-    * mins again. `stages.size − 1` shuffles on the key, each over one
-    * already-aggregated side + one filtered event subset — never a window
-    * over the raw stream. Unreached stages are NULL and stay NULL for all
-    * later stages (left joins keep every key that reached stage 1).
+    * analytics conversion funnel). ONE aggregate (round 13): the stage
+    * chain folds over the per-key ts-ascending stage-event array with an
+    * `aggregate` higher-order expression — each event may fill only the
+    * first unfilled stage slot (filled slots form a prefix, and the
+    * lambda reads the PRE-event state, so a slot never chains off a value
+    * set by its own event — preserving the strict t_{i+1} > t_i
+    * semantics), and the first eligible event in ascending (ts, type)
+    * order IS the conditional min the previous per-stage join computed
+    * (eligibility is strict >, so every eligible event sorts after the
+    * event that set the predecessor slot). The previous form ran one
+    * aggregate + join PER STAGE — `stages.size − 1` shuffles and
+    * 2·stages−1 scans of the source, 11 single-task jobs at the bench
+    * profile; this is one shuffle of the stage-filtered events at any
+    * scale. Unreached stages are NULL and stay NULL for all later stages;
+    * every key with a stage-1-typed event is kept, even when all its
+    * stage-1 timestamps are NULL (min-skips-NULLs semantics — NULL-ts
+    * events drop from the fold but still count for presence).
     */
   def funnelStages(events: DataFrame, key: String, tsCol: String,
                    typeCol: String, stages: Seq[String]): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
-    val first = events.filter(col(typeCol) === stages.head)
+    require(stages.forall(!_.contains("'")),
+      s"stage labels must not contain quotes, got $stages")
+    val dt = events.schema(tsCol).dataType.sql
+    val stageArrSql = stages.map(s => s"'$s'").mkString("array(", ", ", ")")
+    val grouped = events
+      .filter(col(typeCol).isin(stages.distinct: _*))
       .groupBy(col(key))
-      .agg(min(col(tsCol)).as("t1"))
-    stages.zipWithIndex.drop(1).foldLeft(first) { case (acc, (stage, i)) =>
-      val nxt = events.filter(col(typeCol) === stage)
-        .select(col(key), col(tsCol).as("__ts"))
-        .join(acc.select(col(key), col(s"t$i").as("__prev")), Seq(key))
-        .filter(col("__ts") > col("__prev"))
-        .groupBy(col(key))
-        .agg(min(col("__ts")).as(s"t${i + 1}"))
-      acc.join(nxt, Seq(key), "left_outer")
-    }
+      .agg(
+        sort_array(collect_list(when(col(tsCol).isNotNull,
+          struct(col(tsCol).as("ts"), col(typeCol).as("ty"))))).as("__evs"),
+        max(when(col(typeCol) === stages.head, lit(1)).otherwise(lit(0)))
+          .as("__has1"))
+    val fold =
+      s"""aggregate(__evs, array_repeat(CAST(NULL AS $dt), ${stages.size}),
+         |  (st, e) -> transform(st, (t, i) ->
+         |    CASE WHEN t IS NOT NULL THEN t
+         |         WHEN e.ty = element_at($stageArrSql, i + 1)
+         |              AND (i = 0 OR (st[i - 1] IS NOT NULL
+         |                             AND e.ts > st[i - 1]))
+         |         THEN e.ts ELSE t END))""".stripMargin
+    grouped
+      .filter(col("__has1") === 1)
+      .withColumn("__st", expr(fold))
+      .select(col(key) +:
+        stages.indices.map(i => col("__st")(i).as(s"t${i + 1}")): _*)
   }
 
   /** Top event-type paths: the most frequent length-`n` consecutive
