@@ -1113,20 +1113,27 @@ object Dedup {
       .select(col("d_id"), col("d_name"), col("c_id"), col("c_name"))
       .distinct()
       .filter(levenshtein(col("d_name"), col("c_name")) <= 1)
+    // ONE consumer of the candidate relation (round 13): the recovery flag
+    // rides the same per-dirty aggregate as a collect_set of candidate ids
+    // (bounded: a name's lev<=1 neighborhood under deletion-variant
+    // blocking) and resolves with array_contains against source_id at the
+    // one dirty-side join. The previous second consumer — a distinct
+    // (d_id, c_id) relation left-joined on (d_id, source_id) — re-ran the
+    // whole variant explode + equi-join chain (plan audit: the source
+    // scanned twice per side), and NULL cases coalesce identically
+    // (no candidates -> NULL set -> false; NULL source_id -> NULL -> false).
     val perDirty = cands.groupBy(col("d_id"))
       .agg(count(lit(1)).as("n_candidates"),
            min(levenshtein(col("d_name"), col("c_name")).cast("long"))
-             .as("min_dist"))
+             .as("min_dist"),
+           collect_set(col("c_id")).as("__cids"))
     dirty.select(col("dirty_id").as("d_id"), col("source_id"))
       .join(perDirty, Seq("d_id"), "left")
-      .join(cands.select(col("d_id"), col("c_id")).distinct()
-              .withColumnRenamed("c_id", "source_id")
-              .withColumn("source_recovered", lit(true)),
-            Seq("d_id", "source_id"), "left")
       .select(col("d_id").as("dirty_id"),
         coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
         col("min_dist"),
-        coalesce(col("source_recovered"), lit(false)).as("source_recovered"))
+        coalesce(array_contains(col("__cids"), col("source_id")), lit(false))
+          .as("source_recovered"))
   }
 
   /** Fellegi–Sunter field parameters for [[fellegiSunterLinkage]]:
