@@ -637,13 +637,42 @@ object Curation {
     * everything runs on the splits×groups cell relation (broadcast-joined
     * grid completion so smoothing sees absent cells).
     */
+  /** Cell-count ceiling for [[mixtureDrift]]'s driver-complete tail: the
+    * splits×groups cell relation is the ONLY input the metric tail needs,
+    * and past the corpus aggregate it is structurally tiny (≤ 3·|groups|).
+    * Under the bound the tail runs in driver maps — the
+    * linkPrediction/triangleStats guarded-fast-path shape — replacing a
+    * ~14-stage tiny-relation job chain (grid crossJoin completion built
+    * once per grid consumer, three broadcasts) with one collect. Past it
+    * the distributed tail runs exactly as before.
+    */
+  val MixtureDriverCellLimit = 100000L
+
   def mixtureDrift(docs: DataFrame, groupColName: String, keyCol: Column,
-                   trainPct: Int = 80, valPct: Int = 10): DataFrame = {
-    val cells = docs
+                   trainPct: Int = 80, valPct: Int = 10,
+                   maxDriverCells: Long = MixtureDriverCellLimit): DataFrame = {
+    val cells0 = docs
       .select(assignSplit(keyCol, trainPct, valPct).as("split"),
               col(groupColName).as("grp"))
       .groupBy(col("split"), col("grp"))
       .agg(count(lit(1)).as("c"))
+    val grpOk = cells0.schema("grp").dataType match {
+      case org.apache.spark.sql.types.StringType |
+           org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.BooleanType => true
+      case _ => false
+    }
+    if (maxDriverCells > 0 && grpOk) {
+      val probe = cells0
+        .limit(math.min(maxDriverCells, Int.MaxValue - 1L).toInt + 1)
+        .collect()
+      if (probe.length <= maxDriverCells)
+        return mixtureDriftDriver(docs.sparkSession, probe)
+    }
+    val cells = cells0
       .localCheckpoint() // grid + totals + vocab all read it
     val groups = cells.select(col("grp")).distinct()
     val vocab = groups.agg(count(lit(1)).as("__v"))
@@ -677,6 +706,70 @@ object Curation {
         round(col("js_micronats") / lit(1e6), 6).as("js_nats"),
         round(col("tvd_micro") / lit(1e6), 6).as("tvd"))
       .orderBy(col("split"))
+  }
+
+  /** The driver-complete tail of [[mixtureDrift]]: grid completion,
+    * Laplace shares, and the three divergences over the ALREADY-BOUNDED
+    * cell relation, in driver maps. Value parity with the distributed tail
+    * is exact: the double chains mirror the column expressions
+    * operation-for-operation (same left-associated products, Math.log =
+    * Spark's log), each per-group term rounds HALF_UP at scale 0 and
+    * truncates to long exactly as round(...).cast("long") does, the
+    * micro-nat sums are order-free exact longs, and the final nats mirror
+    * round(long / 1e6, 6). Held splits exist only where the cell relation
+    * has them, and the train join is inner — no train cells means an
+    * empty report, same as the distributed form.
+    */
+  private def mixtureDriftDriver(spark: org.apache.spark.sql.SparkSession,
+                                 cells: Array[org.apache.spark.sql.Row])
+      : DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val cellMap = new scala.collection.mutable.HashMap[(String, Any), Long]()
+    val totals = new scala.collection.mutable.HashMap[String, Long]()
+    val groups = new scala.collection.mutable.LinkedHashSet[Any]()
+    cells.foreach { r =>
+      val s = r.getString(0); val g = r.get(1); val c = r.getLong(2)
+      cellMap.update((s, g), c)
+      totals.update(s, totals.getOrElse(s, 0L) + c)
+      groups += g
+    }
+    val v = groups.size.toLong
+    def rnd0(x: Double): Long = java.math.BigDecimal.valueOf(x)
+      .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+    def rnd6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val out: Seq[Row] = totals.get("train") match {
+      case None => Seq.empty
+      case Some(nTrain) =>
+        totals.keysIterator.filter(_ != "train").toSeq.sorted.map { s =>
+          val nS = totals(s)
+          var kl = 0L; var js = 0L; var tvd = 0L
+          groups.foreach { g =>
+            val p = (cellMap.getOrElse((s, g), 0L) + 1L).toDouble /
+              (nS + v).toDouble
+            val q = (cellMap.getOrElse(("train", g), 0L) + 1L).toDouble /
+              (nTrain + v).toDouble
+            val m = (p + q) / 2.0
+            kl += rnd0(p * math.log(p / q) * 1e6)
+            js += rnd0((p * math.log(p / m) + q * math.log(q / m)) * 0.5 * 1e6)
+            tvd += rnd0(math.abs(p - q) * 0.5 * 1e6)
+          }
+          Row(s, nS, kl, js, tvd,
+              rnd6(kl / 1e6), rnd6(js / 1e6), rnd6(tvd / 1e6))
+        }
+    }
+    val schema = StructType(Seq(
+      StructField("split", StringType),
+      StructField("n_docs", LongType),
+      StructField("kl_vs_train_micronats", LongType),
+      StructField("js_micronats", LongType),
+      StructField("tvd_micro", LongType),
+      StructField("kl_nats", DoubleType),
+      StructField("js_nats", DoubleType),
+      StructField("tvd", DoubleType)))
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(out.toList.asJava, schema)
   }
 
   /** Cluster-aware split assignment — the fix [[splitLeakage]] measures

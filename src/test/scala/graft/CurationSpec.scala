@@ -548,6 +548,23 @@ class CurationSpec extends AnyFunSuite {
       "split-correlated grouping must read large KL")
   }
 
+  test("mixtureDrift: driver-complete tail is bit-identical to the distributed tail") {
+    // maxDriverCells = 0 forces the distributed path; the default takes the
+    // driver fast path — every micro-nat term, the exact long sums, and the
+    // rounded nats columns must agree bit-for-bit (same double chains)
+    val driver = Curation.mixtureDrift(docs, "source", col("doc_id"))
+      .collect().toSeq
+    val dist = Curation.mixtureDrift(docs, "source", col("doc_id"),
+        maxDriverCells = 0).orderBy(col("split")).collect().toSeq
+    assert(driver == dist, s"driver=$driver dist=$dist")
+    // empty input: both tails emit the 0-row schema-correct report
+    val empty = docs.filter(lit(false))
+    assert(Curation.mixtureDrift(empty, "source", col("doc_id"))
+             .collect().isEmpty)
+    assert(Curation.mixtureDrift(empty, "source", col("doc_id"),
+             maxDriverCells = 0).collect().isEmpty)
+  }
+
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }
