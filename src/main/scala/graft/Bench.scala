@@ -174,7 +174,15 @@ object Bench {
     // the same window. Lower bar than the 205-query 76.8 despite 13 more
     // rows because THIS window was genuinely quiet end to end — the
     // conservative direction (a lower bar only ever raises vs_baseline).
-    val baselineQuiet = sys.env.getOrElse("SPARK_GRAFT_BASELINE_SEC", "75.67").toDouble
+    // 75.8 = the round-13 COMPOSED 219-query bar: the measured round-12
+    // 218-query pin 75.67 plus the one query added since
+    // (ivf_incremental_assign, twin solo-timed 0.133 s median-of-5 at
+    // round-13 close; 0.168 min-of-3 on landing — BASELINE.md "Round-13
+    // increment"). Composed, not measured: the round-13 quiet-pin watcher
+    // polled 23:25–03:18 without two qualifying quiet probes
+    // (plans/r13/quiet_watch_r13.log), so the full 219-row re-pin is the
+    // next quiet window's first task.
+    val baselineQuiet = sys.env.getOrElse("SPARK_GRAFT_BASELINE_SEC", "75.8").toDouble
     // Host-speed calibration (BASELINE.md "Host-speed calibration"): the
     // shared build host has multi-minute windows where EVERYTHING runs
     // 20-85% slower (hypervisor-level; guest vmstat shows idle CPU while
