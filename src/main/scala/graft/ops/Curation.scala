@@ -160,12 +160,65 @@ object Curation {
     */
   def temperatureWeights(docs: DataFrame, alpha: Double = 0.7,
                          groupCol: String = "lang",
-                         textCol: String = "text"): DataFrame = {
+                         textCol: String = "text",
+                         maxDriverGroups: Long =
+                           TemperatureDriverGroupLimit): DataFrame = {
     val per = docs.groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_docs"),
            sum(size(split(col(textCol), " ")).cast("long")).as("n_tokens"))
-    val tot = per.agg(sum(col("n_tokens")).as("t"))
-    val w = per.crossJoin(broadcast(tot))
+    // Guarded driver-complete tail (round-13 surgery, the mixtureDrift
+    // pattern): past the one corpus aggregate everything operates on the
+    // ≤|groups|-row `per` relation, but the relational chain (per → tot →
+    // w → sw, each cross-joined back) is FOUR consumers of `per`, and
+    // column pruning specializes each branch's partial aggregate so the
+    // corpus scan re-ran four times (round-13 plan audit: 4× Scan parquet
+    // / 10 exchanges for a |langs|-row report). Under the group bound the
+    // tail runs in driver maps that mirror the column chains operation-
+    // for-operation: double/long divisions on exact BIGINTs, Math.pow ≡
+    // Spark pow, HALF_UP at scale 0 then toLong ≡ round(_, 0).cast(long),
+    // exact long sums. NULL n_tokens (all-NULL text group) or t ≤ 0 falls
+    // back to the distributed form, whose NULL propagation is pinned.
+    val probe =
+      per.limit(math.min(maxDriverGroups, Int.MaxValue - 1L).toInt + 1)
+        .collect()
+    if (probe.length <= maxDriverGroups &&
+        probe.forall(r => !r.isNullAt(2)) &&
+        probe.map(_.getLong(2)).sum > 0L) {
+      def rnd0(x: Double): Long = java.math.BigDecimal.valueOf(x)
+        .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+      val t = probe.map(_.getLong(2)).sum
+      val weights = probe.map { r =>
+        val pRaw = r.getLong(2).toDouble / t.toDouble
+        (r, pRaw, rnd0(math.pow(pRaw, alpha) * 1e6))
+      }
+      val sw = weights.map(_._3).sum
+      val out: Seq[org.apache.spark.sql.Row] = weights.toSeq.map {
+        case (r, pRaw, wMicro) =>
+          val sampleProb = wMicro.toDouble / sw.toDouble
+          org.apache.spark.sql.Row(r.get(0), r.getLong(1), r.getLong(2),
+            pRaw, wMicro, sampleProb, rnd0(sampleProb * t.toDouble))
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(groupCol,
+          per.schema(groupCol).dataType),
+        org.apache.spark.sql.types.StructField("n_docs",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("n_tokens",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("p_raw",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("weight_micro",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("sample_prob",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("expected_tokens",
+          org.apache.spark.sql.types.LongType)))
+      import scala.jdk.CollectionConverters._
+      return docs.sparkSession.createDataFrame(out.toList.asJava, schema)
+    }
+    val pinned = per.localCheckpoint() // four consumers below
+    val tot = pinned.agg(sum(col("n_tokens")).as("t"))
+    val w = pinned.crossJoin(broadcast(tot))
       .withColumn("p_raw", col("n_tokens").cast("double") / col("t"))
       .withColumn("weight_micro",
         round(pow(col("p_raw"), lit(alpha)) * lit(1e6), 0).cast("long"))
@@ -177,6 +230,12 @@ object Curation {
               round(col("sample_prob") * col("t"), 0).cast("long")
                 .as("expected_tokens"))
   }
+
+  /** Group ceiling for [[temperatureWeights]]'s driver-complete tail —
+    * groups are languages/sources, driver-small by construction. Past it
+    * (or on NULL token sums) the distributed chain runs off a checkpoint.
+    */
+  val TemperatureDriverGroupLimit = 100000L
 
   /** Curriculum phase assignment from a per-document quality score:
     * exact score quartiles (or `phases`-iles) become phase thresholds and
@@ -519,22 +578,77 @@ object Curation {
     * a catalog with thousands of sources, cap gram df first (the
     * [[Dedup.ngramJaccardPairs]] `maxShingleDf` discipline).
     */
-  def crossSourceOverlap(docs: DataFrame, n: Int = 8): DataFrame = {
-    // checkpoint: three consumers (totals + both join sides) of one
-    // explode+distinct pipeline
-    val grams = docs
+  def crossSourceOverlap(docs: DataFrame, n: Int = 8,
+                         maxDriverCells: Long =
+                           CrossSourceDriverCellLimit): DataFrame = {
+    // ONE corpus chain (round-13 surgery): explode → groupBy(gkey)
+    // collect_set(source) → map-side pair/total explode → tiny aggregate.
+    // collect_set dedups (source, gram) inside the aggregate, so the old
+    // distinct + localCheckpoint + self-equi-join shape (checkpoint
+    // materialization plus TWO more corpus-scale shuffles of the postings
+    // on gkey, plus a totals pass) collapses into the one gkey shuffle.
+    // A gram's source set is bounded by |sources| (a handful), so the
+    // per-group array work is constant; n_shared(a,b) = #gram groups
+    // whose set holds both = the pair-explode count, and total(s) =
+    // #gram groups holding s = the singleton-explode count — the same
+    // sorted-array i<j explode the triangle census edge build uses.
+    // NULL sources: collect_set drops them, matching the old output (a
+    // NULL never survived the source_a < source_b pair filter, and its
+    // totals row was join-unreachable).
+    val bySource = docs
       .select(col("source"),
         explode(org.apache.spark.sql.graft.TextExpressions
           .wordShingles(col("text"), n, distinct = true)).as("g"))
       .select(col("source"), substring(md5(col("g").cast("binary")), 1, 16).as("gkey"))
-      .distinct()
-      .localCheckpoint()
-    val totals = grams.groupBy("source").agg(count(lit(1)).as("total"))
-    val a = grams.select(col("source").as("source_a"), col("gkey"))
-    val b = grams.select(col("source").as("source_b"), col("gkey"))
-    a.hint("shuffle_hash").join(b, Seq("gkey"))
-      .filter(col("source_a") < col("source_b"))
-      .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_shared"))
+      .groupBy(col("gkey"))
+      .agg(sort_array(collect_set(col("source"))).as("ss"))
+    val singles = transform(col("ss"),
+      s => struct(s.as("sa"), lit(null).cast("string").as("sb")))
+    val pairsOf = flatten(transform(col("ss"), (s, i) =>
+      transform(slice(col("ss"), i + lit(2), size(col("ss")) - i - lit(1)),
+        t => struct(s.as("sa"), t.as("sb")))))
+    val counts = bySource
+      .select(explode(concat(singles, pairsOf)).as("u"))
+      .select(col("u.sa").as("sa"), col("u.sb").as("sb"))
+      .groupBy(col("sa"), col("sb"))
+      .agg(count(lit(1)).as("c"))
+    // the report is ≤ |sources|² rows — driver-complete tail (the
+    // mixtureDrift pattern): one bounded collect, totals map + jaccard in
+    // driver doubles mirroring the column chain (double/long division on
+    // exact BIGINTs, HALF_UP at 6). Past the bound: checkpoint the tiny
+    // counts once and run the equivalent relational tail.
+    val probe =
+      counts.limit(math.min(maxDriverCells, Int.MaxValue - 1L).toInt + 1)
+        .collect()
+    if (probe.length <= maxDriverCells) {
+      val totals = probe.filter(_.isNullAt(1))
+        .map(r => r.getString(0) -> r.getLong(2)).toMap
+      def rnd6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      val out: Seq[org.apache.spark.sql.Row] = probe.filter(!_.isNullAt(1))
+        .toSeq.map { r =>
+          val a = r.getString(0); val b = r.getString(1); val s = r.getLong(2)
+          org.apache.spark.sql.Row(a, b, s,
+            rnd6(s.toDouble / (totals(a) + totals(b) - s).toDouble))
+        }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("source_a",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("source_b",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n_shared",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("jaccard",
+          org.apache.spark.sql.types.DoubleType)))
+      import scala.jdk.CollectionConverters._
+      return docs.sparkSession.createDataFrame(out.toList.asJava, schema)
+    }
+    val pinned = counts.localCheckpoint()
+    val totals = pinned.filter(col("sb").isNull)
+      .select(col("sa").as("source"), col("c").as("total"))
+    pinned.filter(col("sb").isNotNull)
+      .select(col("sa").as("source_a"), col("sb").as("source_b"),
+              col("c").as("n_shared"))
       .join(broadcast(totals.select(col("source").as("source_a"),
                                     col("total").as("__ta"))), Seq("source_a"))
       .join(broadcast(totals.select(col("source").as("source_b"),
@@ -543,6 +657,13 @@ object Curation {
         round(col("n_shared").cast("double") /
           (col("__ta") + col("__tb") - col("n_shared")), 6).as("jaccard"))
   }
+
+  /** Row ceiling for [[crossSourceOverlap]]'s driver-complete report tail:
+    * the pair/total grid is ≤ |sources|² + |sources| rows — driver-small
+    * for any real source taxonomy. Past it the relational tail runs off a
+    * checkpoint of the same tiny aggregate.
+    */
+  val CrossSourceDriverCellLimit = 100000L
 
   /** Cohen's-kappa agreement between two binary document labels — the
     * "do my two quality filters agree beyond chance" audit a curation
@@ -601,7 +722,15 @@ object Curation {
     * [[graft.ops.Dedup.lshCandidatePairs]]); splits are pure hash
     * functions of the ids — map-side, no join back to the corpus. The
     * report is ≤ 6 rows (unordered split pairs); the total for the
-    * share column rides a broadcast cross join, not a global window.
+    * share column rides a GLOBAL window over that ≤6-row grid — one
+    * free single-partition task, keeping the cells aggregate (and the
+    * expensive candidate subtree under it) SINGLE-consumer. The earlier
+    * agg(sum) + crossJoin(broadcast) form was two consumers of `cells`,
+    * and column pruning specializes each branch's partial aggregate so
+    * ReuseExchange never fires: the whole LSH band self-join ran twice
+    * (round-13 plan audit — 2× `Scan ExistingRDD` → ShuffledHashJoin
+    * subtrees in the final plan; the [[weightedRates]] window-over-counts
+    * pattern, measured there, applies verbatim).
     */
   def splitLeakage(pairs: DataFrame, trainPct: Int = 80,
                    valPct: Int = 10): DataFrame = {
@@ -611,8 +740,9 @@ object Curation {
       .select(least(sa, sb).as("split_lo"), greatest(sa, sb).as("split_hi"))
       .groupBy(col("split_lo"), col("split_hi"))
       .agg(count(lit(1)).as("n_pairs"))
-    val total = cells.agg(sum(col("n_pairs")).as("__tot"))
-    cells.crossJoin(broadcast(total))
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cells.withColumn("__tot", sum(col("n_pairs")).over(wAll))
       .select(col("split_lo"), col("split_hi"),
         (col("split_lo") =!= col("split_hi")).as("cross_split"),
         col("n_pairs"),

@@ -63,12 +63,21 @@ object Pipeline {
     */
   def dedupedDocs(docs: DataFrame, jaccardThreshold: Double = 0.5,
                   maxShingleDf: Int = 50): DataFrame = {
-    val exactLosers = Dedup.exactDupGroups(docs)
-      .join(docs.select(col("doc_id"),
-                        md5(col("text").cast("binary")).as("content_hash")),
-            Seq("content_hash"))
-      .filter(col("doc_id") =!= col("canonical_id"))
-      .select("doc_id")
+    // Exact losers in ONE corpus pass (round-13 surgery): group the
+    // hashed corpus once and explode every id past the group minimum.
+    // The old exactDupGroups + md5-join shape computed the corpus md5
+    // TWICE (once under the groupBy, once on the join probe side) — at
+    // any scale the text bytes dominate, so one (hash, id) shuffle beats
+    // a second full-text scan-and-hash. NULL text is excluded exactly as
+    // the old equi-join dropped it (NULL joins nothing).
+    val exactLosers = docs
+      .filter(col("text").isNotNull)
+      .select(md5(col("text").cast("binary")).as("content_hash"), col("doc_id"))
+      .groupBy(col("content_hash"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("__ids"))
+      .filter(size(col("__ids")) > 1)
+      .select(explode(slice(col("__ids"), lit(2), size(col("__ids")) - 1))
+        .as("doc_id"))
     val nearLosers = Dedup.dupClusters(
         Dedup.ngramJaccardPairs(docs, 3, jaccardThreshold, maxShingleDf))
       .filter(col("doc_id") =!= col("canonical_id"))

@@ -1870,7 +1870,8 @@ object Stats {
     * bounds broadcast back), window totals over the grid, 1-row report.
     */
   def psiDrift(df: DataFrame, cents: Column, inA: Column, inB: Column,
-               bins: Int = 10): DataFrame = {
+               bins: Int = 10,
+               maxDriverBins: Long = PsiDriverBinLimit): DataFrame = {
     require(bins >= 2, s"bins must be >= 2: $bins")
     val base = df.filter(inA || inB)
       .select(cents.as("c"), when(inA, 1L).otherwise(0L).as("a"),
@@ -1881,6 +1882,54 @@ object Stats {
               col("a"), col("b"))
       .groupBy(col("bin"))
       .agg(sum(col("a")).as("ca"), sum(col("b")).as("cb"))
+    // Driver-complete report tail (round-13, the mixtureDrift pattern):
+    // the grid is ≤ `bins` rows by construction, yet the distributed tail
+    // paid a single-partition window exchange plus a final keyless
+    // aggregate stage for a 1-row report. Under the bin bound: one
+    // collect, totals + per-bin micro-nat terms in driver doubles
+    // mirroring the column chain (left-assoc (pa−pb)·ln(pa/pb)·1e6,
+    // Math.log ≡ Spark log, HALF_UP at 0 then toLong, exact long sums,
+    // HALF_UP at 6 on psi). Empty grid (no rows in either slice) falls
+    // back — the keyless aggregate's all-NULL single row is its own
+    // contract, pinned by StatsSpec.
+    if (bins <= maxDriverBins) {
+      val rows = grid.collect()
+      if (rows.nonEmpty) {
+        def rnd0(x: Double): Long = java.math.BigDecimal.valueOf(x)
+          .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+        def rnd6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+        val na = rows.map(_.getLong(1)).sum
+        val nb = rows.map(_.getLong(2)).sum
+        var used = 0L; var skipped = 0L; var psiMicro = 0L
+        rows.foreach { r =>
+          val ca = r.getLong(1); val cb = r.getLong(2)
+          if (ca > 0L && cb > 0L) {
+            val pa = ca.toDouble / na.toDouble
+            val pb = cb.toDouble / nb.toDouble
+            psiMicro += rnd0((pa - pb) * math.log(pa / pb) * 1e6)
+            used += 1L
+          } else skipped += 1L
+        }
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("n_a",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("n_b",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("n_bins_used",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("n_bins_skipped",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("psi_micronats",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("psi",
+            org.apache.spark.sql.types.DoubleType)))
+        import scala.jdk.CollectionConverters._
+        return df.sparkSession.createDataFrame(
+          List(org.apache.spark.sql.Row(na, nb, used, skipped, psiMicro,
+            rnd6(psiMicro / 1e6))).asJava, schema)
+      }
+    }
     val wAll = Window.partitionBy()
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val g = grid
@@ -1899,6 +1948,12 @@ object Stats {
               col("psi_micronats"),
               round(col("psi_micronats") / lit(1e6), 6).as("psi"))
   }
+
+  /** Bin ceiling for [[psiDrift]]'s driver-complete report tail — the
+    * grid is ≤ `bins` rows by construction and `bins` is caller-chosen
+    * (default 10). Past it the distributed window/aggregate tail runs.
+    */
+  val PsiDriverBinLimit = 100000L
 
   /** Qini uplift-by-decile curve (Radcliffe 2007) for the hash-split A/B:
     * customers ranked by their pre-period spend (the targeting score),

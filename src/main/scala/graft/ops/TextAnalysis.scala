@@ -598,6 +598,73 @@ object TextAnalysis {
     */
   def vocabGrowthCurve(docs: DataFrame, deciles: Int = 10): DataFrame = {
     require(deciles >= 1, s"need deciles >= 1, got $deciles")
+    // Round-13 surgery: the two-sided shape (inv + docTok, both fed by one
+    // explodeTokens relation) re-ran the token explode PER CONSUMER and
+    // built the threshold grid twice more (4 corpus scans in the audited
+    // final plan). Restructured as three driver-chained single-row jobs —
+    // the curriculumPhases collect-a-scalar precedent:
+    //   1. max(doc_id) on a column-pruned scan → the `deciles` thresholds
+    //      become literals;
+    //   2. the ONE remaining explode → first-owner index → `deciles`
+    //      conditional counts (vocab_size per prefix);
+    //   3. a map-side nt = size(split(text)) pass (≡ the exploded per-doc
+    //      token count: explode emits one row per element, so COUNT(*) per
+    //      doc IS size(); NULL text explodes to zero rows, hence the
+    //      isNotNull mirror) → `deciles` conditional sums + doc counters.
+    // A decile row exists in the old inner-join form iff a non-NULL-text
+    // doc has doc_id ≤ t (its tokens then give fd ≤ t, and conversely any
+    // fd ≤ t is such a doc's) — mirrored by the n-docs counter guard.
+    // Integer-exact throughout; the one double (type/token ratio) rounds
+    // HALF_UP at 6 exactly as round(_, 6).
+    val idType = docs.schema("doc_id").dataType
+    if (idType == org.apache.spark.sql.types.LongType) {
+      val mxRow = docs.agg(max(col("doc_id")).as("mx")).head()
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("decile",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("doc_threshold",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("n_tokens_seen",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("vocab_size",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("type_token_ratio",
+          org.apache.spark.sql.types.DoubleType)))
+      import scala.jdk.CollectionConverters._
+      def local(rows: Seq[org.apache.spark.sql.Row]) =
+        docs.sparkSession.createDataFrame(rows.toList.asJava, schema)
+      if (mxRow.isNullAt(0)) return local(Seq.empty)
+      val mx = mxRow.getLong(0)
+      val th: Seq[(Long, Long)] =
+        (1 to deciles).map(i => i.toLong -> i.toLong * mx / deciles)
+      val vocCols = th.map { case (d, t) =>
+        sum(when(col("fd") <= lit(t), 1L).otherwise(0L)).as(s"v$d")
+      }
+      val vocRow = explodeTokens(docs)
+        .groupBy(col("token")).agg(min(col("doc_id")).as("fd"))
+        .agg(vocCols.head, vocCols.tail: _*).head()
+      val seenCols = th.flatMap { case (d, t) =>
+        Seq(sum(when(col("doc_id") <= lit(t), col("nt")).otherwise(0L))
+              .as(s"s$d"),
+            sum(when(col("doc_id") <= lit(t), 1L).otherwise(0L))
+              .as(s"c$d"))
+      }
+      val seenRow = docs.filter(col("text").isNotNull)
+        .select(col("doc_id"),
+                size(split(col("text"), " ")).cast("long").as("nt"))
+        .agg(seenCols.head, seenCols.tail: _*).head()
+      def rnd6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      val out = th.zipWithIndex.collect {
+        case ((d, t), i) if !seenRow.isNullAt(2 * i + 1) &&
+            seenRow.getLong(2 * i + 1) > 0L =>
+          val nTok = seenRow.getLong(2 * i)
+          val v = vocRow.getLong(i)
+          org.apache.spark.sql.Row(d, t, nTok, v,
+            rnd6(v.toDouble / nTok.toDouble))
+      }
+      return local(out)
+    }
     val toks = explodeTokens(docs)
     val mx = docs.agg(max(col("doc_id")).as("mx"))
     val th = mx.select(explode(sequence(lit(1L), lit(deciles.toLong))).as("decile"),

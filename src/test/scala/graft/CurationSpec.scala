@@ -407,6 +407,59 @@ class CurationSpec extends AnyFunSuite {
     assert(out.keys.forall { case (a, b) => a < b }, "canonical pair order")
   }
 
+  test("crossSourceOverlap: driver report tail is bit-identical to the " +
+       "relational tail") {
+    // maxDriverCells = 0 forces the checkpoint + broadcast-joins tail; the
+    // default takes the driver fast path — same rows, same doubles
+    val docs = Seq(
+      (1L, "a b c d e", "A"),
+      (2L, "a b c x y", "B"),
+      (3L, "p q r s t", "C"),
+      (4L, "a b c d e p q r", "C"),
+      (5L, null.asInstanceOf[String], "A"))
+      .toDF("doc_id", "text", "source")
+    def key(r: org.apache.spark.sql.Row) = (r.getString(0), r.getString(1))
+    val driver = Curation.crossSourceOverlap(docs, 3)
+      .collect().sortBy(key).toSeq
+    val dist = Curation.crossSourceOverlap(docs, 3, maxDriverCells = 0)
+      .collect().sortBy(key).toSeq
+    assert(driver == dist, s"driver=$driver dist=$dist")
+    // empty corpus: both tails emit the 0-row schema-correct report
+    val empty = docs.filter(lit(false))
+    assert(Curation.crossSourceOverlap(empty, 3).collect().isEmpty)
+    assert(Curation.crossSourceOverlap(empty, 3, maxDriverCells = 0)
+      .collect().isEmpty)
+  }
+
+  test("temperatureWeights: driver tail is bit-identical to the relational " +
+       "tail; NULL token sums fall back") {
+    val docs = Seq(
+      (1L, "big", ("t " * 89).trim),
+      (2L, "small", "a b c d e f g h i j"),
+      (3L, "mid", ("u " * 30).trim))
+      .toDF("doc_id", "lang", "text")
+    def key(r: org.apache.spark.sql.Row) = r.getString(0)
+    for (alpha <- Seq(0.5, 0.7, 1.0)) {
+      val driver = Curation.temperatureWeights(docs, alpha)
+        .collect().sortBy(key).toSeq
+      val dist = Curation.temperatureWeights(docs, alpha,
+          maxDriverGroups = 0).collect().sortBy(key).toSeq
+      assert(driver == dist, s"alpha=$alpha driver=$driver dist=$dist")
+    }
+    // a group whose every text is NULL gives a NULL n_tokens: the driver
+    // tail must decline and the distributed NULL propagation (pinned
+    // here) must be what the default path returns too
+    val withNull = docs.unionByName(
+      Seq((4L, "ghost", null.asInstanceOf[String])).toDF("doc_id", "lang", "text"))
+    val driverN = Curation.temperatureWeights(withNull, 0.7)
+      .collect().sortBy(key).toSeq
+    val distN = Curation.temperatureWeights(withNull, 0.7,
+        maxDriverGroups = 0).collect().sortBy(key).toSeq
+    assert(driverN == distN, s"driver=$driverN dist=$distN")
+    assert(driverN.exists(r => r.getString(0) == "ghost" && r.isNullAt(2)),
+      s"NULL-text group must keep its NULL token count: $driverN")
+  }
+
   test("labelAgreement: hand-computed kappa on a known confusion matrix") {
     // n11=3, n10=1, n01=2, n00=2 → po=.625, pa=.5, pb=.625, pe=.5, κ=.25
     val labeled = Seq(

@@ -29,6 +29,25 @@ class PipelineSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("dedupedDocs: exact-loser pass keeps the min id of 3+-way groups " +
+       "and never drops NULL-text docs") {
+    // the round-13 single-pass exact-loser shape (hash → sorted id group →
+    // explode past the head) must mirror the old join semantics: survivor
+    // = MIN(doc_id), NULL text joins nothing → always survives
+    val docs = Seq(
+      (7L, "same exact bytes here"),
+      (3L, "same exact bytes here"),
+      (5L, "same exact bytes here"),
+      (10L, null.asInstanceOf[String]),
+      (11L, null.asInstanceOf[String]),
+      (20L, "a lone unique document"))
+      .toDF("doc_id", "text")
+    val ids = Pipeline.dedupedDocs(docs).select("doc_id").as[Long]
+      .collect().toSet
+    assert(ids == Set(3L, 10L, 11L, 20L),
+      s"min id survives, NULLs untouched: $ids")
+  }
+
   test("curate composes the stages: manifest covers the gated train split exactly") {
     val manifest = Pipeline.curate(docs, minQuality = 0.3, lang = "en", budget = 512)
       .cache()

@@ -452,13 +452,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_"), p)
   }
 
-  test("psi_price_drift: the two documented passes, bounds broadcast back") {
-    // bounds + binning are the histogramQuantiles 2-pass shape; more scans
-    // means the grid arithmetic regressed to per-row re-aggregation
+  test("psi_price_drift: driver report tail plans a LocalRelation") {
+    // default: the ≤bins-row grid is collected once (the two documented
+    // corpus passes — bounds + binning — run at collect time) and the
+    // 1-row report is driver-assembled, so the RESULT plan is a bare
+    // local scan: no single-partition window exchange, no keyless
+    // aggregate stage (round 13). The distributed fallback's 2-scan /
+    // broadcast-bounds contract is pinned by StatsSpec's
+    // driver≡distributed test.
     val p = plan("psi_price_drift")
-    assert("FileScan".r.findAllIn(p).length == 2, p)
-    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
-      "pooled bounds must broadcast:\n" + p)
+    assert(p.contains("LocalTableScan"), p)
+    assert(!p.contains("FileScan"),
+      "report must be driver-assembled, not re-planned over the corpus:\n" + p)
   }
 
   test("qini_uplift_deciles: one scan to customer grain, decile grid windows") {

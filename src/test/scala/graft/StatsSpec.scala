@@ -732,6 +732,30 @@ class StatsSpec extends AnyFunSuite {
     assert(r2.getAs[Long]("psi_micronats") > 0L, r2.toString)
   }
 
+  test("psiDrift: driver report tail is bit-identical to the distributed " +
+       "tail; empty grid falls back to the all-NULL contract") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // mild overlap, different shapes — every column exercised (used,
+    // skipped, positive micro-nat terms)
+    val shifted = ((1L to 100L).map(v => (v * 3, 1, 0)) ++
+                   (1L to 100L).map(v => (v * 3 + 90L, 0, 1)))
+      .toDF("c", "ia", "ib")
+    val driver = Stats.psiDrift(shifted, col("c"), col("ia") === 1,
+        col("ib") === 1).collect().toSeq
+    val dist = Stats.psiDrift(shifted, col("c"), col("ia") === 1,
+        col("ib") === 1, maxDriverBins = 0).collect().toSeq
+    assert(driver == dist, s"driver=$driver dist=$dist")
+    // no rows in either slice: the keyless distributed aggregate emits its
+    // single all-NULL-totals row; the driver tail must decline and match
+    val empty = shifted.filter(lit(false))
+    val dEmpty = Stats.psiDrift(empty, col("c"), col("ia") === 1,
+        col("ib") === 1).collect().toSeq
+    val xEmpty = Stats.psiDrift(empty, col("c"), col("ia") === 1,
+        col("ib") === 1, maxDriverBins = 0).collect().toSeq
+    assert(dEmpty == xEmpty, s"driver=$dEmpty dist=$xEmpty")
+    assert(dEmpty.size == 1 && dEmpty.head.isNullAt(0), dEmpty.toString)
+  }
+
   test("pearsonOlsWide: exact fit where the fixed variant's products overflow") {
     import org.apache.spark.sql.functions.col
     // |x| ~ 10¹¹ squares to 10²² — far past 2⁶³, inside decimal(38,0)

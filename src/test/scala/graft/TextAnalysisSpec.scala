@@ -340,6 +340,32 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(rows.map(_.getDouble(4)).sliding(2).forall(p => p(1) <= p(0)))
   }
 
+  test("vocabGrowthCurve: driver-assembled long-id path is bit-identical " +
+       "to the relational shape") {
+    // int ids route through the original inner-join shape (the long-id
+    // guard declines); the same ids as longs take the round-13
+    // driver-chained path — rows must agree bit-for-bit, including the
+    // NULL-text doc (drops from both counters) and the empty leading
+    // decile (threshold below every id → no row in either shape)
+    val rowsRaw = Seq((100, "a b"), (200, "a c"), (300, "a b c d"),
+                      (400, null.asInstanceOf[String]), (500, "e e e"))
+    val asLong = rowsRaw.map { case (i, t) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val asInt = rowsRaw.toDF("doc_id", "text")
+    for (d <- Seq(1, 3, 7, 10)) {
+      val fast = TextAnalysis.vocabGrowthCurve(asLong, d)
+        .collect().sortBy(_.getLong(0)).toSeq
+      val slow = TextAnalysis.vocabGrowthCurve(asInt, d)
+        .collect().sortBy(_.getLong(0)).toSeq
+      assert(fast == slow, s"deciles=$d fast=$fast slow=$slow")
+    }
+    // empty corpus: 0-row schema-correct report from both shapes
+    assert(TextAnalysis.vocabGrowthCurve(asLong.filter(lit(false)))
+      .collect().isEmpty)
+    assert(TextAnalysis.vocabGrowthCurve(asInt.filter(lit(false)))
+      .collect().isEmpty)
+  }
+
   test("ngramNoveltyScores: first owner gets the credit, verbatim repeats score zero") {
     val df = Seq(
       (1L, "the quick brown fox jumps"),
