@@ -1147,11 +1147,19 @@ object CatalogCore {
     //    null rows exist — mirrored exactly on both sides.
     ("integrity_audit",
       (spark, dir) => {
+        // one scan (round 13): the three-branch union re-derived the
+        // status projection (and its orders scan) per branch; a row's
+        // planted copies are a pure function of its own key, so a
+        // conditional-array explode emits the identical multiset map-side
         val st = status(spark, dir).select(col("replay_id"), col("order_key"))
-        val dirty = st
-          .unionByName(st.filter(col("order_key") % 100 === 0))
-          .unionByName(st.filter(col("order_key") % 97 === 0)
-            .withColumn("replay_id", lit(null).cast("string")))
+        val none = array().cast("array<string>")
+        val dirty = st.select(explode(concat(
+            array(col("replay_id")),
+            when(col("order_key") % 100 === 0, array(col("replay_id")))
+              .otherwise(none),
+            when(col("order_key") % 97 === 0,
+                 array(lit(null).cast("string"))).otherwise(none)))
+          .as("replay_id"))
         Maintenance.integrityReport(dirty, "replay_id")
           .orderBy(col("n_rows"))
       },

@@ -87,17 +87,36 @@ object Allocate {
     val pairs = p.join(t,
       col("p_user") === col("t_user") &&
         col("t_us") >= col("p_us") - winMicros && col("t_us") < col("p_us"))
-    val attributed =
+    // Round-13 surgery: the `(unattributed)` row used to be a left-anti
+    // join of p against DISTINCT pair purchase ids — a SECOND execution
+    // of the whole pairs join (plan audit: 5 events scans for a ≤3-row
+    // report). Credit conservation makes it arithmetic instead: Σ alloc
+    // ≡ creditUnits per attributed purchase (the largestRemainder
+    // contract this op exists to provide, spec-pinned), so the number of
+    // attributed purchases IS Σ credit_micro / creditUnits exactly, and
+    // unattributed = total purchases − that. The report is ≤ 3 rows by
+    // construction (touch_type ∈ {view, click} + the unattributed row),
+    // so it assembles on the driver unconditionally: one run of the pair
+    // chain, one column-pruned purchase count, zero re-scans.
+    val attRows =
       largestRemainder(pairs, "p_id", lit(creditUnits), lit(1L),
           Seq(col("t_us"), col("t_id")))
         .groupBy(col("touch_type"))
         .agg(count(lit(1)).as("n_touches"), sum(col("alloc")).as("credit_micro"))
-    val unattributed = p
-      .join(pairs.select(col("p_id")).distinct(), Seq("p_id"), "left_anti")
-      .agg(count(lit(1)).as("n_touches"))
-      .select(lit("(unattributed)").as("touch_type"), col("n_touches"),
-              (col("n_touches") * creditUnits).as("credit_micro"))
-    attributed.unionByName(unattributed)
+        .collect()
+    val np = p.agg(count(lit(1))).head().getLong(0)
+    val nAttributed = attRows.map(_.getLong(2)).sum / creditUnits
+    val out = attRows.toSeq :+ org.apache.spark.sql.Row(
+      "(unattributed)", np - nAttributed, (np - nAttributed) * creditUnits)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("touch_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_touches",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("credit_micro",
+        org.apache.spark.sql.types.LongType)))
+    import scala.jdk.CollectionConverters._
+    events.sparkSession.createDataFrame(out.toList.asJava, schema)
   }
 
   /** Exact Shapley-value channel attribution (the data-driven attribution

@@ -191,29 +191,39 @@ object Similarity {
     val kMax = ks.max
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
+    // Round-13 surgery: `ex` had THREE relational consumers (the rank
+    // join, the per-k exact-pair denominators, and the query total) and
+    // each re-executed the full cosineTopK subtree — the plan audit read
+    // 3× the queries+corpus scans for a ≤|queries|·kMax-row relation.
+    // Fix = the blessed tiny-intermediate localCheckpoint (ex is
+    // driver-bounded by the broadcast-queries contract) + folding the
+    // hits and exact-pair counts into ONE aggregate over ex LEFT JOIN an:
+    // an unmatched exact pair keeps ra NULL, so `when(ra <= k, 1)` counts
+    // exactly the old inner-join hits while count(*) over the same
+    // re <= k rows is the old denominator (an is unique per (q_id,
+    // vec_id) — the old inner join already relied on that).
     val ex = cosineTopK(queries, corpus, kMax)
       .withColumn("re", row_number().over(w))
       .select(col("q_id"), col("vec_id"), col("re"))
+      .localCheckpoint()
     val an = annTopK(queries, corpus, kMax)
       .withColumn("ra", row_number().over(w))
       .select(col("q_id"), col("vec_id"), col("ra"))
-    val j = ex.join(an, Seq("q_id", "vec_id"))
     val totals = ex.agg(countDistinct(col("q_id")).as("n_queries"))
     val kArr = array(ks.map(lit(_)): _*)
-    val hits = j.select(explode(kArr).as("k"), col("re"), col("ra"))
-      .filter(col("re") <= col("k") && col("ra") <= col("k"))
-      .groupBy(col("k")).agg(count(lit(1)).as("n_hits"))
     // denominator = exact pairs actually RANKED at each k (Σ_q min(k,
     // |exact list for q|)), not k·n_queries: when the corpus holds fewer
     // than k vectors the exact list is short and a perfect ANN must still
     // read recall 1.0 (k·n_queries would cap it below 1 — round-9 ADVICE).
     // Equal to k·n_queries whenever |corpus| >= max(ks).
-    val exact = ex.select(explode(kArr).as("k"), col("re"))
+    val per = ex.join(an, Seq("q_id", "vec_id"), "left")
+      .select(explode(kArr).as("k"), col("re"), col("ra"))
       .filter(col("re") <= col("k"))
-      .groupBy(col("k")).agg(count(lit(1)).as("n_exact"))
+      .groupBy(col("k"))
+      .agg(sum(when(col("ra") <= col("k"), 1L).otherwise(0L)).as("n_hits"),
+           count(lit(1)).as("n_exact"))
     totals.select(explode(kArr).as("k"), col("n_queries"))
-      .join(hits, Seq("k"), "left")
-      .join(exact, Seq("k"), "left")
+      .join(per, Seq("k"), "left")
       .select(col("k"), col("n_queries"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
         when(coalesce(col("n_exact"), lit(0L)) > 0L,
@@ -255,28 +265,32 @@ object Similarity {
     val discArr = array(ndcgDiscountsMicro(kMax).map(lit(_)): _*)
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
+    // Round-13 surgery (the annRecallCurve shape, same reasoning): `ex`
+    // had three consumers re-executing cosineTopK each — localCheckpoint
+    // the ≤|queries|·kMax-row rank relation once, and fold DCG + IDCG
+    // into ONE aggregate over ex LEFT JOIN an (an unmatched exact pair
+    // keeps ra NULL, so `when(ra <= k, disc(ra))` contributes exactly the
+    // old inner-join DCG terms; IDCG sums disc(re) over the same
+    // re ≤ k rows — IDCG@k = Σ_q Σ_{i=1..|exact∩top-k|} disc(i),
+    // row-at-a-time; exact long sums either way).
     val ex = cosineTopK(queries, corpus, kMax)
       .withColumn("re", row_number().over(w))
       .select(col("q_id"), col("vec_id"), col("re"))
+      .localCheckpoint()
     val an = annTopK(queries, corpus, kMax)
       .withColumn("ra", row_number().over(w))
       .select(col("q_id"), col("vec_id"), col("ra"))
     val kArr = array(ks.map(lit(_)): _*)
-    val dcg = ex.join(an, Seq("q_id", "vec_id"))
+    val per = ex.join(an, Seq("q_id", "vec_id"), "left")
       .select(explode(kArr).as("k"), col("re"), col("ra"))
-      .filter(col("re") <= col("k") && col("ra") <= col("k"))
-      .groupBy(col("k"))
-      .agg(sum(element_at(discArr, col("ra"))).as("dcg_micro"))
-    // IDCG@k = Σ_q Σ_{i=1..|exact list ∩ top-k|} disc(i) — summing disc(re)
-    // over exact rows with re ≤ k is that same double sum, row-at-a-time.
-    val idcg = ex.select(explode(kArr).as("k"), col("re"))
       .filter(col("re") <= col("k"))
       .groupBy(col("k"))
-      .agg(sum(element_at(discArr, col("re"))).as("idcg_micro"))
+      .agg(sum(when(col("ra") <= col("k"), element_at(discArr, col("ra"))))
+             .as("dcg_micro"),
+           sum(element_at(discArr, col("re"))).as("idcg_micro"))
     val totals = ex.agg(countDistinct(col("q_id")).as("n_queries"))
     totals.select(explode(kArr).as("k"), col("n_queries"))
-      .join(dcg, Seq("k"), "left")
-      .join(idcg, Seq("k"), "left")
+      .join(per, Seq("k"), "left")
       .select(col("k"), col("n_queries"),
         coalesce(col("dcg_micro"), lit(0L)).as("dcg_micro"),
         coalesce(col("idcg_micro"), lit(0L)).as("idcg_micro"))
